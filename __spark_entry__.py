@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the smoke check; ``queries()`` maps operator names
+(SURVEY.md §2) to (spark, sf_dir) -> DataFrame callables; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for hash-matched correctness.
 """
 
 from __future__ import annotations
@@ -13,26 +11,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
+from lakehouse_for_data_streaming_and_analysis_spark.plans import star
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: 5-way star join + grouped agg + top-N."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    return star.star_revenue_by_nation_month(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+def _q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return star.star_revenue_by_nation_month(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+def _q_star_filtered_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return star.star_filtered_dim_subquery(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "star_revenue_by_nation_month": _q_star_revenue,
+        "star_filtered_dim_subquery": _q_star_filtered_dim,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "star_revenue_by_nation_month": star.STAR_REVENUE_ORACLE,
+        "star_filtered_dim_subquery": star.STAR_FILTERED_DIM_ORACLE,
+    }

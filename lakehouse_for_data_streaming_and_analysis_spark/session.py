@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Re-expresses the reference's session config surface
+(reference: data/notebooks/Sourcecode/AutomateTable.py:35-70) as a
+plain factory: AQE on, tuned shuffle partitions, fair scheduling for
+concurrent streaming queries, Arrow for pandas interop. The
+MinIO/S3A/metastore/Delta-jar specifics of the reference are
+deployment config, not engine capability, and are omitted; a real
+cluster deployment would add them via ``extra_conf``.
+
+Scale notes (100 TB design):
+  - shuffle partitions default to cores locally; on a cluster set
+    ``spark.sql.shuffle.partitions`` ~ 2-3x total cores (or let AQE
+    coalesce from a high initial number).
+  - AQE handles skew-join splitting + partition coalescing at runtime.
+  - ``spark.sql.files.maxPartitionBytes`` left at 128m: at 100 TB that
+    is ~800k input splits, which is the right granularity for a
+    1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    streaming: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's config surface."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture events.parquet carries TIMESTAMP(NANOS); read as long and
+        # convert in the catalog (Spark has no ns timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if streaming:
+        # Reference runs 4 concurrent streaming queries under a FAIR pool
+        # (AutomateTable.py:64-66, fairscheduler.xml).
+        b = b.config("spark.scheduler.mode", "FAIR")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
