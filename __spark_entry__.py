@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
+from lakehouse_for_data_streaming_and_analysis_spark.queries import relational
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -40,14 +41,18 @@ def _q_star_filtered_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "star_revenue_by_nation_month": _q_star_revenue,
         "star_filtered_dim_subquery": _q_star_filtered_dim,
     }
+    out.update(relational.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "star_revenue_by_nation_month": star.STAR_REVENUE_ORACLE,
         "star_filtered_dim_subquery": star.STAR_FILTERED_DIM_ORACLE,
     }
+    out.update(relational.ORACLES)
+    return out

@@ -1,0 +1,613 @@
+"""Batch relational query inventory (SURVEY.md §2.3-§2.9) with DuckDB
+oracles.
+
+Determinism rules used throughout (the driver hash-compares values):
+  - money sums go through DECIMAL(18,2) so the result is exact and
+    order-independent in both engines (double sums are partition-order
+    dependent in Spark);
+  - averages are exact-decimal-sum / count, cast to double, rounded;
+  - any LIMIT carries a full deterministic ORDER BY with tiebreakers;
+  - raw doubles (unaggregated) pass through untouched — byte-identical
+    from the same parquet;
+  - timestamps formatted to strings wherever a grain function is used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dims import generators
+from ..functions import datetime_fns, finance, hashing
+from ..operators import aggregates, joins, sets, windows
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- P: scans/filters
+
+@q(
+    "pruned_scan_projection",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+       FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'""",
+)
+def pruned_scan_projection(spark, sf_dir):
+    """P4/column pruning: filter+project reach the parquet scan
+    (verified via explain: PushedFilters + 4-column ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"
+    )
+
+
+@q(
+    "conjunctive_filter",
+    """SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+       FROM events WHERE event_type = 'purchase' AND value > 100""",
+)
+def conjunctive_filter(spark, sf_dir):
+    """P5: (a == x) & (b > y) conjunctive predicate (udf.py:37 shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    ).select("event_id", "user_id", "value", "ts")
+
+
+@q(
+    "null_default_coalesce",
+    """SELECT c.c_custkey,
+              COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS total_spend,
+              COUNT(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey""",
+)
+def null_default_coalesce(spark, sf_dir):
+    """P9 + §2.9 null defaulting (utils.py:27-31 coalesce semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+            ).alias("total_spend"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "json_extract_group",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+              COUNT(*) AS n,
+              SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       FROM events GROUP BY 1""",
+)
+def json_extract_group(spark, sf_dir):
+    """P2/S6 analog: JSON field extraction then aggregate
+    (code.ipynb delta-log stats pattern -> get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "case_bucketing",
+    """SELECT event_type,
+              CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket,
+              COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def case_bucketing(spark, sf_dir):
+    """Semantic-layer adhoc CASE metric (Superset sqlExpression shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return ev.groupBy("event_type", bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- J: joins
+
+@q(
+    "broadcast_left_enrich",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name, s.s_acctbal
+       FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey""",
+)
+def broadcast_left_enrich(spark, sf_dir):
+    """J1: big-side-preserving broadcast left join
+    (streaming_pipeline.py:33 + etl.py:58 stream-static enrich)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return joins.broadcast_enrich(
+        li, s, li.l_suppkey == s.s_suppkey, "left"
+    ).select("l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_acctbal")
+
+
+@q(
+    "left_anti_new_rows",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+)
+def left_anti_new_rows(spark, sf_dir):
+    """J2: left-anti detection of rows absent from target
+    (populate_dim.py:84-88 new-coin detection)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return joins.new_rows(
+        c.select("c_custkey", "c_name"),
+        o.filter(F.col("o_totalprice") > 400000).selectExpr("o_custkey AS c_custkey"),
+        ["c_custkey"],
+    )
+
+
+@q(
+    "two_key_left_merge",
+    """SELECT o.o_orderkey, o.o_totalprice, q.qty
+       FROM orders o
+       LEFT JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                  FROM lineitem GROUP BY l_orderkey) q
+         ON o.o_orderkey = q.l_orderkey
+       WHERE o.o_totalprice > 300000""",
+)
+def two_key_left_merge(spark, sf_dir):
+    """J7: actuals-left-join-predictions merge shape (Garch_v1 cell 49)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .join(qty, o.o_orderkey == qty.l_orderkey, "left")
+        .select("o_orderkey", "o_totalprice", "qty")
+    )
+
+
+@q(
+    "full_outer_concat",
+    """SELECT COALESCE(a.cust, b.cust) AS cust, a.n_early, b.n_late
+       FROM (SELECT o_custkey AS cust, COUNT(*) AS n_early FROM orders
+             WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1) a
+       FULL OUTER JOIN
+            (SELECT o_custkey AS cust, COUNT(*) AS n_late FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1) b
+       ON a.cust = b.cust""",
+)
+def full_outer_concat(spark, sf_dir):
+    """J8: index-aligned outer concat (pd.concat axis=1) as full outer join."""
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderdate") < "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("cust_a"))
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    b = (
+        o.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("cust_b"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+    return a.join(b, a.cust_a == b.cust_b, "outer").select(
+        F.coalesce("cust_a", "cust_b").alias("cust"), "n_early", "n_late"
+    )
+
+
+@q(
+    "asof_join_last_price",
+    """WITH daily AS (
+         SELECT date_trunc('day', o_orderdate) AS d,
+                MAX(o_totalprice) AS day_max
+         FROM orders GROUP BY 1)
+       SELECT l.l_orderkey, l.l_linenumber,
+              strftime(l.l_shipdate, '%Y-%m-%d') AS ship_day,
+              d.day_max AS last_day_max
+       FROM (SELECT * FROM lineitem WHERE l_orderkey < 100) l
+       ASOF LEFT JOIN daily d ON l.l_shipdate >= d.d""",
+)
+def asof_join_last_price(spark, sf_dir):
+    """As-of join: idiomatic replacement for the reference's
+    window+collect 'last price of previous day' (udf.py:16-46); each
+    lineitem picks the latest daily order-price max at-or-before its
+    ship date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    # single-series as-of: constant key on both sides
+    enriched = joins.asof_join(
+        li.withColumn("__k", F.lit(1)),
+        daily.withColumn("__k", F.lit(1)).withColumnRenamed("day_max", "last_day_max"),
+        on=["__k"],
+        left_time="l_shipdate",
+        right_time="d",
+        right_vals=["last_day_max"],
+    )
+    return enriched.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        "last_day_max",
+    )
+
+
+# ---------------------------------------------------------------- A: aggregates
+
+@q(
+    "grouped_max_topn",
+    """SELECT p_brand, MAX(p_retailprice) AS max_price
+       FROM part GROUP BY p_brand
+       ORDER BY max_price DESC, p_brand ASC LIMIT 10""",
+)
+def grouped_max_topn(spark, sf_dir):
+    """A6/O4: grouped MAX + ORDER BY DESC + LIMIT
+    (dashboard JSON:151 'Top trading volume')."""
+    p = load_table(spark, sf_dir, "part")
+    return aggregates.grouped_topn(
+        p, ["p_brand"], F.max("p_retailprice"), "max_price", 10
+    )
+
+
+@q(
+    "global_sum_filtered",
+    """SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_balance,
+              COUNT(*) AS n_suppliers
+       FROM supplier WHERE s_acctbal > 0""",
+)
+def global_sum_filtered(spark, sf_dir):
+    """A7: global SUM with filter (dashboard JSON:175 'Total volume')."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.filter(F.col("s_acctbal") > 0).agg(
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("total_balance"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+@q(
+    "count_distinct_metrics",
+    """SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+              COUNT(*) AS n_orders,
+              COUNT(DISTINCT o_orderpriority) AS n_priorities
+       FROM orders""",
+)
+def count_distinct_metrics(spark, sf_dir):
+    """A3/A4: COUNT(*) + COUNT(DISTINCT) (dashboard JSON:1211)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@q(
+    "time_grained_series",
+    """SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS grain,
+              MAX(value) AS max_value,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def time_grained_series(spark, sf_dir):
+    """A8: per-grain MAX + AVG series (dashboard JSON:55,67)."""
+    ev = load_table(spark, sf_dir, "events")
+    return aggregates.time_grained_series(
+        ev,
+        "ts",
+        "day",
+        [
+            F.max("value").alias("max_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+@q(
+    "tumbling_window_agg",
+    """SELECT strftime(time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+              MAX_BY(value, event_id) AS last_value,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def tumbling_window_agg(spark, sf_dir):
+    """A1 batch analog: 1-minute tumbling window avg + last
+    (etl.py:34-41; `last` made deterministic via max_by on event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = aggregates.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 minute",
+        [
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "avg_value",
+        "last_value",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------- W: window functions
+
+@q(
+    "last_per_day",
+    """SELECT strftime(d, '%Y-%m-%d') AS day, event_id, value FROM (
+         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY date_trunc('day', CAST(ts AS TIMESTAMP))
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def last_per_day(spark, sf_dir):
+    """W1: last tick per day via row_number over desc order
+    (udf.py:27-46 get_last_price_previous_day)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("d", F.date_trunc("day", "ts"))
+    out = windows.last_per_group(ev, ["d"], ["ts", "event_id"])
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "event_id", "value"
+    )
+
+
+@q(
+    "surrogate_keys_global",
+    """SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS surrogate_key,
+              n_nationkey, n_name FROM nation""",
+)
+def surrogate_keys_global(spark, sf_dir):
+    """W2: consecutive surrogate keys by global order
+    (populate_dim.py:91-94). Dim-sized input only; the distributed
+    variant is exercised in tests."""
+    n = load_table(spark, sf_dir, "nation")
+    return windows.surrogate_keys(n.select("n_nationkey", "n_name"), ["n_name"]).select(
+        "surrogate_key", "n_nationkey", "n_name"
+    )
+
+
+@q(
+    "rolling_stats",
+    """WITH daily AS (
+         SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1)
+       SELECT day, ROUND(r_mean, 2) AS r7_mean, ROUND(r_std, 2) AS r7_std FROM (
+         SELECT day,
+                AVG(revenue) OVER w AS r_mean,
+                STDDEV_SAMP(revenue) OVER w AS r_std,
+                ROW_NUMBER() OVER (ORDER BY day) AS rn
+         FROM daily
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       WHERE rn >= 7""",
+)
+def rolling_stats(spark, sf_dir):
+    """W3/X2: trailing 7-day rolling mean/std over a daily series
+    (Garch_v1 cell 13 rolling(21), garch_model_v4 cell 4 rolling(12));
+    only full windows emitted."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    w = Window.orderBy("day")
+    out = daily.select(
+        "day",
+        finance.rolling_mean("revenue", w, 7).alias("r_mean"),
+        finance.rolling_std("revenue", w, 7).alias("r_std"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    # rounded to 2: stddev accumulation algorithms differ between
+    # engines at ~1e-8 absolute on 1e7-magnitude sums
+    return out.select(
+        "day",
+        F.round("r_mean", 2).alias("r7_mean"),
+        F.round("r_std", 2).alias("r7_std"),
+    )
+
+
+@q(
+    "lag_returns",
+    """WITH daily AS (
+         SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+                MAX(o_totalprice) AS close
+         FROM orders GROUP BY 1)
+       SELECT day, close,
+              ROUND((close / LAG(close, 1) OVER (ORDER BY day) - 1) * 100, 6) AS pct_return,
+              ROUND(LN(close / LAG(close, 1) OVER (ORDER BY day)), 6) AS log_return,
+              ROUND(close - LAG(close, 1) OVER (ORDER BY day), 6) AS diff_1
+       FROM daily""",
+)
+def lag_returns(spark, sf_dir):
+    """W4/W5/X1: lag-based % return, log return, differencing
+    (Garch_v1 cell 9, test5 cell 2, garch_model_v4 cell 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.max("o_totalprice").alias("close"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "close",
+        F.round(finance.pct_return("close", w), 6).alias("pct_return"),
+        F.round(finance.log_return("close", w), 6).alias("log_return"),
+        F.round(finance.difference("close", w), 6).alias("diff_1"),
+    )
+
+
+# ---------------------------------------------------------------- O: sorts / limits
+
+@q(
+    "orderby_limit_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+)
+def orderby_limit_topk(spark, sf_dir):
+    """O2/O3/O4: top-k as sort+limit (TakeOrderedAndProject at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- U: set ops
+
+@q(
+    "union_all_series",
+    """SELECT 'R' AS flag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month, COUNT(*) AS n
+       FROM lineitem WHERE l_returnflag = 'R' GROUP BY 2
+       UNION ALL
+       SELECT 'A' AS flag, strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month, COUNT(*) AS n
+       FROM lineitem WHERE l_returnflag = 'A' GROUP BY 2""",
+)
+def union_all_series(spark, sf_dir):
+    """U1: vertical concat of two homogeneous frames (pd.concat axis=0,
+    Garch_v1 cells 40,45)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def monthly(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(
+                F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                    "month"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(flag).alias("flag"), "month", "n")
+        )
+
+    return sets.union_all(monthly("R"), monthly("A"))
+
+
+@q(
+    "except_all_keys",
+    """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+       EXCEPT ALL
+       SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""",
+)
+def except_all_keys(spark, sf_dir):
+    """U2: multiset difference (exceptAll; reference uses left-anti J2)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    b = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    return sets.difference_all(a, b)
+
+
+# ---------------------------------------------------------------- scalar functions
+
+@q(
+    "scd2_hash_projection",
+    """SELECT n_nationkey AS coin_id, n_name AS name,
+              sha256(concat_ws('~', CAST(n_nationkey AS VARCHAR), n_name)) AS hash,
+              lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS padded_id
+       FROM nation""",
+)
+def scd2_hash_projection(spark, sf_dir):
+    """§2.9: concat_ws + sha2-256 change-detection hash + lpad
+    (populate_dim.py:116; TimeDelay.ipynb zfill)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("coin_id"),
+        F.col("n_name").alias("name"),
+        hashing.row_hash([F.col("n_nationkey").cast("string"), F.col("n_name")]).alias(
+            "hash"
+        ),
+        datetime_fns.zero_pad_time_id("n_nationkey").alias("padded_id"),
+    )
+
+
+@q(
+    "date_id_arithmetic",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS INT) AS date_id,
+              CAST(strftime(o_orderdate, '%H%M%S') AS INT) AS time_id,
+              CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+              strftime(o_orderdate, '%H:%M:%S') AS created_at
+       FROM orders WHERE o_orderkey < 1000""",
+)
+def date_id_arithmetic(spark, sf_dir):
+    """§2.9 date rows: date_id (udf.py:49-50), time_id (etl.py:57),
+    created_at (etl.py:61)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        datetime_fns.date_id("o_orderdate").alias("date_id"),
+        datetime_fns.time_id("o_orderdate").alias("time_id"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        datetime_fns.created_at("o_orderdate").alias("created_at"),
+    )
+
+
+@q(
+    "market_cap_arithmetic",
+    """SELECT p_partkey,
+              ROUND(p_retailprice * p_size, 2) AS notional,
+              ROUND(p_retailprice / NULLIF(p_size, 0), 6) AS price_per_unit,
+              ROUND((p_retailprice - 1000) / 1000 * 100, 6) AS change_pct
+       FROM part""",
+)
+def market_cap_arithmetic(spark, sf_dir):
+    """§2.9 math rows: market_cap = price*supply, change_percent =
+    (price-last)/last (etl.py:59-60), guarded ratio (dashboard gauges)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * F.col("p_size"), 2).alias("notional"),
+        F.round(
+            F.col("p_retailprice") / F.nullif(F.col("p_size"), F.lit(0)), 6
+        ).alias("price_per_unit"),
+        F.round((F.col("p_retailprice") - 1000) / 1000 * 100, 6).alias("change_pct"),
+    )
+
+
+# ---------------------------------------------------------------- dims generators
+
+@q("dim_date_generate", generators.DIM_DATE_ORACLE)
+def dim_date_generate(spark, sf_dir):
+    """M2: dimdate generator (populate_dim.py:33-59) — 4018 rows."""
+    return generators.dim_date(spark)
+
+
+@q("dim_time_generate", generators.DIM_TIME_ORACLE)
+def dim_time_generate(spark, sf_dir):
+    """M2: dimtime generator (populate_dim.py:11-31) — 86 400 rows."""
+    return generators.dim_time(spark)

@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 from .util import assert_matches_oracle
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
 def test_entry_smoke(spark):
@@ -21,12 +25,22 @@ def test_entry_smoke(spark):
     ]
 
 
-def test_all_queries_match_oracles(spark, duck, sf_dir):
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    fn = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    df = fn(spark, sf_dir)
+    if name in oracles:
+        assert_matches_oracle(df, duck, oracles[name])
+    else:
+        assert df.count() >= 0
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    """Every queries() entry should carry an oracle unless explicitly
+    non-SQL-expressible (driver then records a weaker rows-only check)."""
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    for name, fn in qs.items():
-        df = fn(spark, sf_dir)
-        if name in oracles:
-            assert_matches_oracle(df, duck, oracles[name])
-        else:
-            assert df.count() >= 0, name
+    missing = sorted(set(qs) - set(oracles))
+    allowed_rows_only = set(getattr(entrymod, "ROWS_ONLY", ()))
+    assert set(missing) <= allowed_rows_only, missing
