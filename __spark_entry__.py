@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
-from lakehouse_for_data_streaming_and_analysis_spark.queries import relational
+from lakehouse_for_data_streaming_and_analysis_spark.queries import datapipe, relational
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_filtered_dim_subquery": _q_star_filtered_dim,
     }
     out.update(relational.QUERIES)
+    out.update(datapipe.QUERIES)
     return out
 
 
@@ -55,4 +56,5 @@ def oracle_sql() -> dict[str, str]:
         "star_filtered_dim_subquery": star.STAR_FILTERED_DIM_ORACLE,
     }
     out.update(relational.ORACLES)
+    out.update(datapipe.ORACLES)
     return out

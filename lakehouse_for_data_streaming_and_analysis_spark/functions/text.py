@@ -1,0 +1,74 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs in any hot path. Portability note: where a hash feeds an
+oracle-checked query we use md5 (identical hex in DuckDB); the 100 TB
+fast path swaps in xxhash64 (8-byte, no hex-string materialization) —
+see operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "wo", "ni"),
+}
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def bpe_ish_tokens(c: Column | str) -> Column:
+    """Regex token split approximating BPE pre-tokenization:
+    letter-runs, digit-runs, or single non-space symbols."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(
+        F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array (MinHash input).
+    Empty for texts shorter than n tokens (guarded: Spark's
+    sequence(1, 0) would count *down*, not produce an empty array)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats(c: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set for a text column."""
+    c = F.col(c) if isinstance(c, str) else c
+    toks = tokens(c)
+    n = F.size(toks)
+    return {
+        "n_tokens": n,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "n_chars": F.length(c),
+        "avg_token_len": F.round(
+            F.length(F.regexp_replace(F.lower(F.trim(c)), r"\s+", ""))
+            / F.nullif(n, F.lit(0)).cast("double"),
+            4,
+        ),
+        "uniq_ratio": F.round(
+            F.size(F.array_distinct(toks)) / F.nullif(n, F.lit(0)).cast("double"), 4
+        ),
+    }

@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+  1. exact_dedup        — hash groupBy on a normalized fingerprint
+  2. minhash signatures — shingle -> MinHash -> LSH band bucketing
+  3. simhash            — bitwise near-dup sketch, hamming threshold
+  4. ngram_jaccard      — exact set-similarity on shingles (verifier
+                          for candidates from 2/3)
+
+Scale design (100 TB): every step is a groupBy/join on a key —
+shuffle-partitioned, no driver collection, no cross product. LSH turns
+the quadratic pair problem into an equi-join on (band, band_key).
+Hash choice: md5 here (byte-identical hex in DuckDB -> every operator
+below is oracle-checkable); swap HASH_FN to xxhash64 for production
+(8-byte ints, ~3x faster, no hex strings — semantics unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import text_fingerprint
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one
+    representative (min id) per group + multiplicity."""
+    return (
+        df.select(F.col(id_col), text_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Long-format MinHash signatures: (id, seed, mh) with
+    mh = min over shingles of md5(seed || '|' || shingle).
+
+    Long format (vs an array column) keeps every downstream step an
+    aggregate/join — no array machinery in the shuffle path.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
+    ).filter(F.col("sh") != "")
+    seeded = sh.join(
+        F.broadcast(
+            df.sparkSession.range(k).select(F.col("id").cast("int").alias("seed"))
+        )
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))).alias(
+            "mh"
+        )
+    )
+
+
+def lsh_band_keys(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataFrame:
+    """Collapse each band of ``rows_per_band`` signature rows into one
+    bucket key; docs sharing any (band, band_key) are candidates."""
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                "|",
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Equi-join on (band, band_key) -> distinct unordered pairs.
+    This is the scale move: no O(n^2) compare, just a shuffle join."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def estimate_pair_jaccard(
+    pairs: DataFrame, sigs: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Jaccard estimate = fraction of agreeing MinHash seeds."""
+    sa = sigs.select(F.col(id_col).alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), "seed", F.col("mh").alias("mh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(k), 4
+            ).alias("est_jaccard")
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Portable 16-bit SimHash: one bit per md5 nibble position, sign
+    from the nibble's top bit, weighted by token multiplicity.
+
+    16 bits keeps the whole computation expressible in both engines
+    (oracle-checkable); the production variant is identical structure
+    over xxhash64 for 64 bits.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    pos = tok.join(
+        F.broadcast(
+            df.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("j"))
+        )
+    )
+    contrib = pos.select(
+        id_col,
+        "j",
+        F.when(
+            F.expr("instr('0123456789abcdef', substr(md5(tok), j, 1)) - 1") >= 8, 1
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    bits = contrib.groupBy(id_col, "j").agg(
+        F.when(F.sum("s") > 0, 1).otherwise(0).alias("bit")
+    )
+    return bits.groupBy(id_col).agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(1, j - 1)"))
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(sims: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance on the sketch. O(n^2) compare
+    — at scale, pre-bucket by bit-chunks (pigeonhole: d<=3 over 4
+    chunks means one chunk matches exactly) before this verify step."""
+    a = sims.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sims.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index: explode
+    distinct shingles, self-join on shingle, |A∩B| from match count,
+    |A∪B| = |A|+|B|-|A∩B|. The join IS the candidate generation — only
+    pairs sharing a shingle are ever scored."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
+    ).filter(F.col("sh") != "")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

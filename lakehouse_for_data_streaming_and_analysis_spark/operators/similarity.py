@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute_force_topk: exact cosine top-k — the correctness baseline;
+    a broadcast of the (small) query set against the full corpus, so
+    the corpus is scanned once with no shuffle until the final top-k.
+  - lsh_topk: random-hyperplane LSH bucketing — the scale path; the
+    corpus is bucketed once (linear), queries probe only their bucket.
+
+Hyperplanes are derived deterministically (md5 of plane|dim) so runs
+are reproducible without a seed store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query: crossJoin(broadcast(queries)) ->
+    per-row cosine -> windowed rank. Score rounded before ranking so
+    rank order is stable across fp summation orders."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), vectors.as_double(F.col(vec_col)).alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col), vectors.as_double(F.col(vec_col)).alias("ce")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        id_col,
+        F.round(vectors.cosine(F.col("ce"), F.col("qe")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "cosine", "rn")
+    )
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold
+    (all-pairs; restrict the input or LSH-bucket first at scale)."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), vectors.as_double(F.col(vec_col)).alias("ea")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), vectors.as_double(F.col(vec_col)).alias("eb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_sign_bits(
+    df: DataFrame, vec_col: str, n_planes: int = 8
+) -> DataFrame:
+    """Deterministic random-hyperplane bucket id per row.
+
+    Plane p's weight for dimension d is derived from md5(p|d) mapped
+    into [-1, 1] — reproducible with no stored model. bucket =
+    sum of sign bits << p.
+    """
+    def plane_weight(p: int):
+        # first 6 hex chars of md5("p|d") as an int in [0, 16^6) -> [-1, 1]
+        return lambda x, i: x * (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("|", F.lit(str(p)), i.cast("string"))), 1, 6),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(float(16**6 / 2))
+            )
+            - 1.0
+        )
+
+    out = df
+    bucket = F.lit(0)
+    arr = vectors.as_double(F.col(vec_col))
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                arr,
+                F.transform(F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                            lambda i: i),
+                plane_weight(p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: bucket corpus + queries by hyperplane signs, score only
+    within the query's bucket. Recall < 1 by construction (candidates
+    sharing all sign bits); multi-probe or band the planes for higher
+    recall at the same cost shape."""
+    cb = hyperplane_sign_bits(corpus, vec_col, n_planes).select(
+        F.col(id_col), F.col(vec_col).alias("ce"), "bucket"
+    )
+    qb = hyperplane_sign_bits(queries, vec_col, n_planes).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        "qid",
+        id_col,
+        F.round(
+            vectors.cosine(
+                vectors.as_double(F.col("ce")), vectors.as_double(F.col("qe"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "cosine", "rn")
+    )

@@ -1,0 +1,388 @@
+"""LLM-training-data pipeline queries (build plan M7): dedup,
+similarity search, text analysis — each oracle-checked against DuckDB.
+
+Everything here is hash-portable by construction: md5 (identical hex
+in both engines) is the only hash, divisions go through explicit
+double casts, thresholds compare exactly-rational values, and ranks
+order on pre-rounded scores. See operators/dedup.py for the
+xxhash64 production variants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as textfns
+from ..operators import dedup, similarity
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+# near-dup test corpus: src0 docs plus an 80%-prefix copy of every 5th
+# doc under a shifted id — real near-duplicates with Jaccard ~0.8
+_NEARDUP_CORPUS_SQL = f"""
+       base AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+       docs AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id,
+                array_to_string(toks[1:greatest(CAST(floor(len(toks) * 0.8) AS INT), 1)], ' ') AS text
+         FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM base)
+         WHERE doc_id % 5 = 0)
+"""
+
+
+def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    base = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    toks = textfns.tokens("text")
+    trunc = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(F.floor(F.size(toks) * 0.8).cast("int"), F.lit(1)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return base.unionByName(trunc)
+
+
+# ---------------------------------------------------------------- dedup
+
+@q(
+    "exact_dedup_groups",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+       SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+              MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_copies
+       FROM corpus GROUP BY 1""",
+)
+def exact_dedup_groups(spark, sf_dir):
+    """Exact dedup via normalized-text hash groupBy. Input corpus has
+    injected duplicates (every 7th doc re-appended under a new id) so
+    the operator provably collapses them."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(docs.unionByName(dups), "doc_id", "text")
+
+
+@q(
+    "minhash_lsh_neardup",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tok),
+       shf AS (SELECT * FROM sh WHERE sh <> ''),
+       seeds AS (SELECT unnest(range(0, 16)) AS seed),
+       sigs AS (SELECT doc_id, seed,
+                       MIN(md5(concat_ws('|', CAST(seed AS VARCHAR), sh))) AS mh
+                FROM shf, seeds GROUP BY 1, 2),
+       bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                        md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+                 FROM sigs GROUP BY 1, 2),
+       cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+       est AS (SELECT c.doc_a, c.doc_b,
+                      ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0, 4)
+                        AS est_jaccard
+               FROM cands c
+               JOIN sigs sa ON sa.doc_id = c.doc_a
+               JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+               GROUP BY 1, 2)
+       SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25""",
+)
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands x 2 rows) near-dup candidates with
+    signature-estimated Jaccard. Full pipeline: shingle -> minhash ->
+    band bucket equi-join -> estimate. No O(n^2) stage. Runs over the
+    injected-near-dup corpus so recall is actually exercised."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=16, shingle_n=3)
+    bands = dedup.lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
+    est = dedup.estimate_pair_jaccard(pairs, sigs, "doc_id", k=16)
+    return est.filter(F.col("est_jaccard") >= 0.25)
+
+
+@q(
+    "simhash_hamming_pairs",
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+       tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+               FROM docs),
+       pos AS (SELECT doc_id, tok, unnest(range(1, 17)) AS j FROM tok),
+       contrib AS (SELECT doc_id, j,
+                          CASE WHEN instr('0123456789abcdef', substr(md5(tok), j, 1)) - 1 >= 8
+                               THEN 1 ELSE -1 END AS s
+                   FROM pos),
+       bits AS (SELECT doc_id, j, CASE WHEN SUM(s) > 0 THEN 1 ELSE 0 END AS bit
+                FROM contrib GROUP BY 1, 2),
+       sims AS (SELECT doc_id, CAST(SUM(bit * (1 << (j - 1))) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming distance <= 3 (16-bit portable
+    sketch; production = same structure over xxhash64/64-bit)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src1")
+    sims = dedup.simhash16(docs, "doc_id", "text")
+    out = dedup.simhash_pairs(sims, "doc_id", max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tok),
+       sh AS (SELECT * FROM sh0 WHERE sh <> ''),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              ROUND(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+       FROM inter
+       JOIN sizes na ON na.doc_id = doc_a
+       JOIN sizes nb ON nb.doc_id = doc_b
+       WHERE ROUND(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 4) >= 0.2""",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard via shingle inverted-index join (the
+    verifier for MinHash candidates), over the injected-near-dup corpus."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------- similarity search
+
+_ANN_DOTS_SQL = """
+       elems AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+                 FROM embeddings),
+       qelems AS (SELECT vec_id AS qid, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings WHERE vec_id < 3),
+       dots AS (SELECT qe.qid, e.vec_id,
+                       SUM(CAST(e.v AS DOUBLE) * CAST(qe.v AS DOUBLE)) AS dot,
+                       SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na,
+                       SUM(CAST(qe.v AS DOUBLE) * CAST(qe.v AS DOUBLE)) AS nb
+                FROM elems e JOIN qelems qe ON e.i = qe.i
+                GROUP BY 1, 2),
+       scored AS (SELECT qid, vec_id,
+                         ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+                  FROM dots)
+"""
+
+
+@q(
+    "ann_brute_force_topk",
+    f"""WITH {_ANN_DOTS_SQL.lstrip()}
+       SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+         FROM scored)
+       WHERE rn <= 5""",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    """Exact cosine top-5 for 3 query vectors against the corpus —
+    the ANN correctness baseline (rank on pre-rounded score)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+
+
+@q(
+    "embedding_neardup_pairs",
+    f"""WITH pe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       elems AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+                 FROM pe),
+       dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+                       SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+                       SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+                FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+                GROUP BY 1, 2)
+       SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+       FROM dots
+       WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35""",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs above 0.35 over a bounded
+    subset (LSH-bucket first at scale — see similarity.lsh_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.cosine_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------- text analysis
+
+@q(
+    "text_quality_scores",
+    f"""SELECT doc_id,
+              CAST(len(toks) AS INT) AS n_tokens,
+              CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+              CAST(length(text) AS INT) AS n_chars,
+              ROUND(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+                    / CAST(nullif(len(toks), 0) AS DOUBLE), 4) AS avg_token_len,
+              ROUND(len(list_distinct(toks)) / CAST(nullif(len(toks), 0) AS DOUBLE), 4)
+                AS uniq_ratio,
+              ROUND(len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t)))
+                    / CAST(nullif(len(toks), 0) AS DOUBLE), 4) AS stopword_ratio
+       FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)""",
+)
+def text_quality_scores(spark, sf_dir):
+    """Per-document quality features: token counts, distinct ratio,
+    avg token length, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    stats = textfns.token_stats("text")
+    n = F.nullif(F.size(toks), F.lit(0)).cast("double")
+    return docs.select(
+        "doc_id",
+        stats["n_tokens"].cast("int").alias("n_tokens"),
+        stats["n_distinct_tokens"].cast("int").alias("n_distinct_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["uniq_ratio"].alias("uniq_ratio"),
+        F.round(
+            textfns.stopword_count(toks, textfns.STOPWORDS["en"]) / n, 4
+        ).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "langid_stopword_heuristic",
+    f"""WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+       s AS (SELECT doc_id, lang,
+               len(list_filter(toks, x -> list_contains(['the','a','and','of','to'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+             FROM t)
+       SELECT doc_id, lang,
+              CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de'
+                   ELSE 'fr' END AS predicted_lang,
+              CAST(greatest(s_en, s_es, s_de, s_fr) AS INT) AS best_score
+       FROM s""",
+)
+def langid_stopword_heuristic(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker hit counts per language,
+    argmax with fixed tie order (en > es > de > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    scores = {
+        lg: textfns.stopword_count(toks, textfns.STOPWORDS[lg]).alias(f"s_{lg}")
+        for lg in ("en", "es", "de", "fr")
+    }
+    s = docs.select("doc_id", "lang", *scores.values())
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        F.greatest("s_en", "s_es", "s_de", "s_fr").cast("int").alias("best_score"),
+    )
+
+
+@q(
+    "token_counts",
+    """SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT)
+                AS n_bpe_tokens,
+              CAST(length(text) AS INT) AS n_chars
+       FROM documents""",
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace split + BPE-ish regex pre-tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
+        F.size(textfns.bpe_ish_tokens("text")).cast("int").alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@q(
+    "winnow_fingerprints",
+    f"""WITH docs AS (SELECT doc_id, text FROM documents WHERE source = 'src2'),
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh,
+                     generate_subscripts({_SHINGLES_SQL}, 1) AS pos
+              FROM tok),
+       hashed AS (SELECT doc_id, pos, md5(sh) AS h FROM sh WHERE sh <> ''),
+       winnowed AS (SELECT doc_id,
+                           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+                           pos
+                    FROM hashed)
+       SELECT doc_id,
+              CAST(COUNT(DISTINCT fp) AS INT) AS n_fingerprints,
+              MIN(fp) AS min_fingerprint
+       FROM winnowed WHERE pos >= 4 GROUP BY doc_id""",
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting via winnowing: rolling min of shingle
+    hashes over a 4-shingle window -> compact sketch per doc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src2")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(textfns.shingles(textfns.tokens("text"), 3)).alias("pos0", "sh"),
+    ).filter(F.col("sh") != "")
+    hashed = sh.select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("sh").alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    winnowed = hashed.select(
+        "doc_id", "pos", F.min("h").over(w).alias("fp")
+    ).filter(F.col("pos") >= 4)
+    return winnowed.groupBy("doc_id").agg(
+        F.countDistinct("fp").cast("int").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )
