@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
-from lakehouse_for_data_streaming_and_analysis_spark.queries import datapipe, relational
+from lakehouse_for_data_streaming_and_analysis_spark.queries import (
+    datapipe,
+    pipeline,
+    relational,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -47,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(relational.QUERIES)
     out.update(datapipe.QUERIES)
+    out.update(pipeline.QUERIES)
     return out
 
 
@@ -57,4 +62,5 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(relational.ORACLES)
     out.update(datapipe.ORACLES)
+    out.update(pipeline.ORACLES)
     return out

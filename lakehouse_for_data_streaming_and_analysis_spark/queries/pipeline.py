@@ -1,0 +1,186 @@
+"""Pipeline-layer queries: SCD-2 merge evolution, a genuine
+Structured-Streaming aggregation checked against a batch oracle, and
+typed REST ingest (SURVEY.md §2.1 S7, §2.4 J2-J4, §2.10).
+
+The streaming query runs a real micro-batched StreamingQuery
+(file-replay source, complete output mode, availableNow) whose final
+state must equal the batch aggregate DuckDB computes over the same
+rows — streaming/batch unification as a correctness gate.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..dims import scd2
+from ..sources import batch as batch_sources
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SCD2_HASH = (
+    "sha256(concat_ws('~', CAST(coin_id AS VARCHAR), name, CAST(supply AS VARCHAR)))"
+)
+
+
+@q(
+    "scd2_dimension_evolution",
+    f"""WITH snap1 AS (SELECT n_nationkey AS coin_id, n_name AS name,
+                             n_nationkey * 1000.0 AS supply FROM nation),
+       c1 AS (SELECT *, {_SCD2_HASH} AS hash FROM snap1),
+       d1 AS (SELECT ROW_NUMBER() OVER (ORDER BY coin_id, hash) AS surrogate_key,
+                     coin_id, name, supply, hash,
+                     DATE '2024-01-01' AS start_date,
+                     DATE '9999-12-31' AS end_date, 'Y' AS is_current
+              FROM c1),
+       snap2 AS (SELECT coin_id, name,
+                        CASE WHEN coin_id BETWEEN 1 AND 5 THEN supply + 1
+                             ELSE supply END AS supply
+                 FROM snap1),
+       c2 AS (SELECT *, {_SCD2_HASH} AS hash FROM snap2),
+       expired AS (SELECT surrogate_key, coin_id, name, supply, hash, start_date,
+                          DATE '2024-02-01' AS end_date, 'N' AS is_current
+                   FROM d1
+                   WHERE EXISTS (SELECT 1 FROM c2
+                                 WHERE c2.coin_id = d1.coin_id AND c2.hash <> d1.hash)),
+       unchanged AS (SELECT d1.* FROM d1
+                     WHERE NOT EXISTS (SELECT 1 FROM expired e
+                                       WHERE e.coin_id = d1.coin_id)),
+       newrows AS (SELECT (SELECT MAX(surrogate_key) FROM d1)
+                            + ROW_NUMBER() OVER (ORDER BY coin_id, hash) AS surrogate_key,
+                          coin_id, name, supply, hash,
+                          DATE '2024-02-01' AS start_date,
+                          DATE '9999-12-31' AS end_date, 'Y' AS is_current
+                   FROM c2
+                   WHERE NOT EXISTS (SELECT 1 FROM d1
+                                     WHERE d1.coin_id = c2.coin_id AND d1.hash = c2.hash))
+       SELECT * FROM expired
+       UNION ALL SELECT * FROM unchanged
+       UNION ALL SELECT * FROM newrows""",
+)
+def scd2_dimension_evolution(spark, sf_dir):
+    """Full SCD-2 lifecycle (J2/J3/J4): seed from snapshot 1, apply a
+    perturbed snapshot 2 -> expired rows + re-keyed new versions
+    (populate_dim.py:131-171 choreography as pure DataFrame algebra)."""
+    n = load_table(spark, sf_dir, "nation")
+    snap1 = n.select(
+        F.col("n_nationkey").alias("coin_id"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") * 1000.0).alias("supply"),
+    )
+    c1 = scd2.hash_candidates(snap1, "coin_id", ["coin_id", "name", "supply"])
+    d1 = scd2.empty_dim(c1, "2024-01-01")
+    snap2 = snap1.withColumn(
+        "supply",
+        F.when(F.col("coin_id").between(1, 5), F.col("supply") + 1).otherwise(
+            F.col("supply")
+        ),
+    )
+    c2 = scd2.hash_candidates(snap2, "coin_id", ["coin_id", "name", "supply"])
+    return scd2.scd2_apply(d1, c2, "coin_id", "2024-02-01")
+
+
+@q(
+    "streaming_bronze_final_state",
+    """SELECT strftime(time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+              MAX_BY(value, event_id) AS last_value,
+              COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def streaming_bronze_final_state(spark, sf_dir):
+    """A1/T3/T8 as a *real streaming run*: events replayed through a
+    file-source micro-batch stream, 1-minute tumbling window agg in
+    complete mode, availableNow trigger; the final state must equal
+    the batch aggregate (streaming/batch unification)."""
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = os.path.join("/root/repo/.scratch", f"bronze_replay_{sf_tag}")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        # 4 part files -> 4 micro-batches (order irrelevant: complete
+        # mode, no watermark)
+        ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_value"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    tbl = f"bronze_final_state_{sf_tag}"
+    q_handle = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(tbl)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_handle.awaitTermination(300)
+    return spark.table(tbl).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "avg_value",
+        "last_value",
+        "n",
+    )
+
+
+_REST_ROWS = [
+    {"symbol": "BTC", "name": "bitcoin", "supply": "19000000.5", "maxSupply": "21000000", "volume24h": "123.25"},
+    {"symbol": "ETH", "name": "ethereum", "supply": "120000000", "maxSupply": None, "volume24h": "456.5"},
+    {"symbol": "ADA", "name": "cardano", "supply": None, "maxSupply": "45000000000", "volume24h": None},
+    {"symbol": "SOL", "name": "solana", "supply": "440000000", "maxSupply": None, "volume24h": "789"},
+]
+
+
+@q(
+    "rest_ingest_typed",
+    """SELECT symbol, name,
+              COALESCE(CAST(supply AS DOUBLE), 0.0) AS supply,
+              COALESCE(CAST(maxSupply AS DOUBLE), 99000000000.0) AS maxSupply,
+              COALESCE(CAST(volume24h AS DOUBLE), 0.0) AS volume24h
+       FROM (VALUES
+         ('BTC', 'bitcoin', '19000000.5', '21000000', '123.25'),
+         ('ETH', 'ethereum', '120000000', NULL, '456.5'),
+         ('ADA', 'cardano', NULL, '45000000000', NULL),
+         ('SOL', 'solana', '440000000', NULL, '789')
+       ) AS t(symbol, name, supply, maxSupply, volume24h)""",
+)
+def rest_ingest_typed(spark, sf_dir):
+    """S7: REST payload -> typed frame with explicit casts + null
+    defaulting (utils.py:8-32: maxSupply default, volume 0). The
+    fetcher is injected — here a deterministic fixture."""
+    df = batch_sources.rest_ingest(
+        spark,
+        fetch=lambda: _REST_ROWS,
+        casts={"supply": "double", "maxSupply": "double", "volume24h": "double"},
+        null_defaults={"supply": 0.0, "maxSupply": 99000000000.0, "volume24h": 0.0},
+    )
+    return df.select("symbol", "name", "supply", "maxSupply", "volume24h")

@@ -1,0 +1,128 @@
+"""Streaming sources (SURVEY.md §2.1 S1/S3/S8 + test harness).
+
+kafka_ticks: the reference's exact source shape — Kafka JSON payloads
+  {"<coin>": "<price>", "timestamp": <unix-sec>} decoded to typed
+  columns (reference: etl.py:16-25, streaming_pipeline.py:41-42).
+file_replay: deterministic parquet-directory stream for tests — one
+  file per micro-batch (maxFilesPerTrigger=1), standing in for the
+  Kafka producer (S8) which is out of engine scope.
+rate_ticks: synthetic tick stream from the rate source for soak tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def tick_schema(coin: str) -> T.StructType:
+    """Hardcoded JSON schema, as the reference declares it
+    (etl.py:16-19): price arrives as a *string*."""
+    return T.StructType(
+        [
+            T.StructField(coin, T.StringType()),
+            T.StructField("timestamp", T.DoubleType()),
+        ]
+    )
+
+
+def kafka_ticks(
+    spark: SparkSession,
+    topic: str,
+    coin: str,
+    brokers: str = "localhost:9092",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1 + P1-P3: Kafka source -> decode -> from_json -> typed columns.
+    Requires the spark-sql-kafka package on the classpath (not in the
+    test env — exercised via parse_ticks on file streams instead)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_ticks(raw, coin)
+
+
+def parse_ticks(raw: DataFrame, coin: str) -> DataFrame:
+    """P1-P3 on any frame with a binary/string ``value`` column:
+    cast -> from_json -> flatten -> typed price + event-time
+    (etl.py:20-25; tz localization is the caller's choice)."""
+    return (
+        raw.selectExpr("CAST(value AS STRING) AS json_str")
+        .select(F.from_json("json_str", tick_schema(coin)).alias("data"))
+        .select("data.*")
+        .withColumn(coin, F.col(coin).cast("double"))
+        .withColumn(
+            "timestamp", F.to_timestamp(F.from_unixtime(F.col("timestamp")))
+        )
+    )
+
+
+def file_replay(
+    spark: SparkSession, dir_path: str, schema: T.StructType, files_per_trigger: int = 1
+) -> DataFrame:
+    """Deterministic replay: a parquet dir pre-split into N files,
+    streamed ``files_per_trigger`` per micro-batch in filename order."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def write_replay_batches(dfs: list[DataFrame], dir_path: str) -> None:
+    """Write each frame as ONE parquet file with strictly increasing
+    mtimes and ordered names, so the file source delivers exactly one
+    frame per micro-batch, in list order. (FileStreamSource admits
+    files oldest-mtime-first; back-to-back writes can tie, so mtimes
+    are pinned explicitly.) Test-harness utility — driver-side."""
+    import glob
+    import shutil
+    import tempfile
+
+    os.makedirs(dir_path, exist_ok=True)
+    base = 1_600_000_000
+    for i, df in enumerate(dfs):
+        tmp = tempfile.mkdtemp(dir=dir_path)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dest = os.path.join(dir_path, f"{i:05d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (base + i, base + i))
+
+
+def write_replay_files(df: DataFrame, dir_path: str, n_files: int, order_col: str) -> None:
+    """Split a batch frame into n sorted chunks replayed one per
+    micro-batch in ``order_col`` order. Test-harness utility."""
+    rows = df.orderBy(order_col).collect()
+    chunk = max(1, (len(rows) + n_files - 1) // n_files)
+    spark = df.sparkSession
+    dfs = [
+        spark.createDataFrame(rows[i : i + chunk], df.schema)
+        for i in range(0, len(rows), chunk)
+    ]
+    write_replay_batches(dfs, dir_path)
+
+
+def rate_ticks(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic tick stream: rate source -> price walk keyed by value.
+    Stands in for the reference's 1-msg/3s WebSocket producer."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp"),
+            (100.0 + F.pmod(F.col("value") * 7, F.lit(50)).cast("double")).alias(
+                "price"
+            ),
+            F.pmod(F.col("value"), F.lit(2)).cast("int").alias("coin_id"),
+        )
+    )

@@ -1,0 +1,234 @@
+"""Streaming-layer tests (SURVEY.md §2.10): deterministic file-replay
+micro-batches through the bronze/fact pipelines.
+
+Covers: update-mode windowed agg refinement (T4 duplicate emission is
+part of the spec), watermark late-drop (T1), fact enrichment stream
+(J1/P-chain), multi-query runner (T8/T11), commit-log latency
+analytics (S6/X11).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouse_for_data_streaming_and_analysis_spark.maintenance import commitlog
+from lakehouse_for_data_streaming_and_analysis_spark.sources import streams
+from lakehouse_for_data_streaming_and_analysis_spark.streaming import bronze, fact, runner
+
+BASE_TS = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@pytest.fixture()
+def scratch():
+    d = tempfile.mkdtemp(dir="/root/repo/.scratch")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _tick_json_df(spark, n=200, step_sec=5):
+    """JSON tick payloads exactly as the Kafka producer emits them
+    (kafka_producer.py:21-24): {"bitcoin": "<price-str>", "timestamp": unix}."""
+    rows = [
+        (
+            '{"bitcoin": "%s", "timestamp": %s}'
+            % (100 + (i % 50) + 0.5, BASE_TS + i * step_sec),
+            i,
+        )
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [T.StructField("value", T.StringType()), T.StructField("seq", T.LongType())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _replay(spark, df, scratch, n_files, order_col="seq"):
+    replay_dir = os.path.join(scratch, "replay")
+    streams.write_replay_files(df, replay_dir, n_files, order_col)
+    return streams.file_replay(spark, replay_dir, df.schema)
+
+
+def test_bronze_update_mode_refinement(spark, scratch):
+    raw = _tick_json_df(spark, n=200)
+    stream_raw = _replay(spark, raw, scratch, n_files=4)
+    ticks = streams.parse_ticks(stream_raw, "bitcoin")
+
+    emissions: list[tuple[int, list]] = []
+
+    def sink(batch_df, batch_id):
+        emissions.append((batch_id, batch_df.collect()))
+
+    q = bronze.start_bronze_query(
+        ticks,
+        "bitcoin",
+        sink,
+        os.path.join(scratch, "ckpt"),
+        output_mode="update",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    # final state per window (minute of the emitted last-timestamp)
+    final = {}
+    for _bid, rows in emissions:
+        for r in rows:
+            minute = r["timestamp"].replace(second=0, microsecond=0)
+            final[minute] = r["average_1minute"]
+
+    batch_ticks = streams.parse_ticks(raw, "bitcoin")
+    expected = {
+        r["win"]["start"]: r["avg"]
+        for r in batch_ticks.groupBy(F.window("timestamp", "1 minute").alias("win"))
+        .agg(F.avg("bitcoin").alias("avg"))
+        .collect()
+    }
+    assert final.keys() == expected.keys()
+    for k in expected:
+        assert final[k] == pytest.approx(expected[k], rel=1e-12)
+
+    # T4: at least one window refined across micro-batches (update mode
+    # emits the window once per touching batch)
+    emitted_minutes = [
+        r["timestamp"].replace(second=0, microsecond=0)
+        for _bid, rows in emissions
+        for r in rows
+    ]
+    assert len(emitted_minutes) > len(set(emitted_minutes))
+
+
+def test_watermark_drops_late_rows(spark, scratch):
+    """T1: with a 1-minute watermark and append mode, a row arriving
+    after the watermark passed its window must not change the result."""
+    schema = T.StructType(
+        [T.StructField("price", T.DoubleType()), T.StructField("timestamp", T.TimestampType())]
+    )
+
+    def ts(minute, sec):
+        return F.timestamp_seconds(F.lit(BASE_TS + minute * 60 + sec)).cast("timestamp")
+
+    b1 = spark.range(1).select(F.lit(10.0).alias("price"), ts(0, 10).alias("timestamp"))
+    b2 = spark.range(1).select(F.lit(20.0).alias("price"), ts(10, 0).alias("timestamp"))
+    # watermark advancement lags one batch behind the event that raised
+    # it (it is applied from stats of the *previous* batch), so a
+    # filler batch sits between the advance and the late arrival
+    b3 = spark.range(1).select(F.lit(30.0).alias("price"), ts(10, 30).alias("timestamp"))
+    late = spark.range(1).select(F.lit(999.0).alias("price"), ts(0, 30).alias("timestamp"))
+
+    replay_dir = os.path.join(scratch, "replay")
+    streams.write_replay_batches([b1, b2, b3, late], replay_dir)
+
+    stream = streams.file_replay(spark, replay_dir, schema)
+    agg = (
+        stream.withWatermark("timestamp", "1 minute")
+        .groupBy(F.window("timestamp", "1 minute").alias("win"))
+        .agg(F.avg("price").alias("avg_price"), F.count(F.lit(1)).alias("n"))
+    )
+    out: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    win0 = [r for r in out if r["win"]["start"].minute == 0]
+    assert len(win0) == 1
+    # late 999.0 must be excluded: closed window still avg=10, n=1
+    assert win0[0]["avg_price"] == 10.0 and win0[0]["n"] == 1
+
+
+def test_fact_stream_enrichment(spark, scratch):
+    dim = spark.createDataFrame(
+        [(0, "bitcoin", 19_000_000.0), (1, "ethereum", 120_000_000.0)],
+        "coin_id int, name string, supply double",
+    )
+    bronze_rows = spark.range(60).select(
+        (F.lit(100.0) + F.col("id")).alias("bitcoin"),
+        F.timestamp_seconds(F.lit(BASE_TS) + F.col("id") * 10).alias("timestamp"),
+        (F.lit(100.0) + F.col("id")).alias("average_1minute"),
+    )
+    bronze_dir = os.path.join(scratch, "bronze")
+    bronze_rows.write.parquet(bronze_dir)
+
+    stream = streams.file_replay(spark, bronze_dir, bronze_rows.schema, files_per_trigger=10)
+    clock = F.timestamp_seconds(F.lit(BASE_TS))
+    q = fact.start_fact_query(
+        stream,
+        dim.filter(F.col("name") == "bitcoin"),
+        "bitcoin",
+        F.lit(True),
+        last_price=100.0,
+        out_path=os.path.join(scratch, "fact"),
+        checkpoint_dir=os.path.join(scratch, "ckpt"),
+        trigger={"availableNow": True},
+        clock=clock,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(scratch, "fact"))
+    expected = fact.enrich_fact(
+        bronze_rows, dim.filter(F.col("name") == "bitcoin"), "bitcoin",
+        F.lit(True), last_price=100.0, clock=clock,
+    )
+    # partition column lands last in the on-disk schema — align by name
+    got = got.select(*expected.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # partitioned layout on disk (K1 partitionBy coin_id)
+    assert any("coin_id=0" in p for p in os.listdir(os.path.join(scratch, "fact")))
+
+
+def test_multi_query_runner(spark, scratch):
+    raw = _tick_json_df(spark, n=60)
+    outputs: dict[str, list] = {"a": [], "b": []}
+
+    def make_query(tag):
+        stream_raw = _replay(spark, raw, os.path.join(scratch, tag), n_files=2)
+        ticks = streams.parse_ticks(stream_raw, "bitcoin")
+        return bronze.start_bronze_query(
+            ticks,
+            "bitcoin",
+            lambda df, bid, t=tag: outputs[t].extend(df.collect()),
+            os.path.join(scratch, f"ckpt_{tag}"),
+            trigger={"availableNow": True},
+        )
+
+    r = runner.StreamRunner()
+    r.launch(lambda: make_query("a"), lambda: make_query("b"))
+    for q in r._queries:
+        q.awaitTermination(120)
+    r.stop_all()
+    assert outputs["a"] and outputs["b"]
+    assert all(not q.isActive for q in r._queries)
+
+
+def test_commitlog_latency_report(spark, scratch):
+    raw = _tick_json_df(spark, n=90)
+    stream_raw = _replay(spark, raw, scratch, n_files=3)
+    ticks = streams.parse_ticks(stream_raw, "bitcoin")
+    sink = commitlog.parquet_commit_sink(
+        os.path.join(scratch, "out"), os.path.join(scratch, "log")
+    )
+    q = (
+        ticks.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    report = commitlog.latency_report(spark, os.path.join(scratch, "log"))
+    rows = report.collect()
+    assert len(rows) == 3
+    assert all(r["delay_sec"] is not None and r["numRecords"] == 30 for r in rows)
+    summary = commitlog.latency_summary(report).collect()[0]
+    assert summary["n_commits"] == 3
+    assert summary["min_delay"] <= summary["median_delay"] <= summary["max_delay"]
