@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
 from lakehouse_for_data_streaming_and_analysis_spark.queries import (
+    analytics,
     datapipe,
     pipeline,
     relational,
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(datapipe.QUERIES)
     out.update(pipeline.QUERIES)
+    out.update(analytics.QUERIES)
     return out
 
 
@@ -63,4 +65,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(datapipe.ORACLES)
     out.update(pipeline.ORACLES)
+    out.update(analytics.ORACLES)
     return out

