@@ -15,7 +15,9 @@ from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
 from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     analytics,
+    charts,
     datapipe,
+    observability,
     pipeline,
     relational,
 )
@@ -54,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(datapipe.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(analytics.QUERIES)
+    out.update(charts.QUERIES)
+    out.update(observability.QUERIES)
     return out
 
 
@@ -66,4 +70,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(datapipe.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(analytics.ORACLES)
+    out.update(charts.ORACLES)
+    out.update(observability.ORACLES)
     return out

@@ -386,3 +386,61 @@ def winnow_fingerprints(spark, sf_dir):
         F.countDistinct("fp").cast("int").alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------- multimodal
+
+@q(
+    "multimodal_decode_meta",
+    """SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+              CAST(octet_length(CAST(text AS BLOB)) % 64 + 1 AS INT) AS width,
+              CAST((octet_length(CAST(text AS BLOB)) // 64) % 64 + 1 AS INT)
+                AS height,
+              3 AS channels,
+              sha256(text) AS sha_hex
+       FROM documents""",
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Multimodal decode stage: opaque binary payload -> typed metadata
+    through an Arrow-batched mapInPandas worker (the media codec is a
+    deterministic stub; the Spark plumbing — binary column, batch
+    iteration, schema contract — is the real thing under test)."""
+    from ..functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_payload(docs))
+
+
+@q(
+    "multimodal_frame_sample",
+    """WITH vids AS (
+         SELECT doc_id, CAST(n_chars % 100 + 1 AS INT) AS n_frames
+         FROM documents),
+       frames AS (
+         SELECT doc_id, n_frames, UNNEST(range(0, n_frames, 10)) AS frame_idx
+         FROM vids)
+       SELECT doc_id, n_frames,
+              CAST(COUNT(*) AS INT) AS n_sampled,
+              CAST(MAX(frame_idx) AS INT) AS last_frame
+       FROM frames GROUP BY doc_id, n_frames""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: every-10th-frame indices generated
+    in-engine (sequence/explode), aggregated per clip — the sampling
+    topology a real decoder plugs into."""
+    from ..functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.select(
+        "doc_id", (F.col("n_chars") % 100 + 1).cast("int").alias("n_frames")
+    )
+    frames = vids.select(
+        "doc_id",
+        "n_frames",
+        F.explode(multimodal.frame_sample_indices("n_frames", 10)).alias("frame_idx"),
+    )
+    return frames.groupBy("doc_id", "n_frames").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled"),
+        F.max("frame_idx").cast("int").alias("last_frame"),
+    )
