@@ -24,6 +24,16 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Deliberately oracle-less (iterative model fits are not
+# SQL-expressible; the driver records its rows-only check for these —
+# SURVEY.md §2.13 X3-X8).
+ROWS_ONLY = (
+    "adf_stationarity",
+    "ljung_box_whitenoise",
+    "ar_forecast_intervals",
+    "garch_volatility",
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: 5-way star join + grouped agg + top-N."""
