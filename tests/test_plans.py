@@ -1,0 +1,107 @@
+"""Plan-quality gates (SURVEY.md §4): the physical plans the engine
+must produce at scale — broadcast star joins, pushed filters, pruned
+scans, whole-stage codegen — pinned as assertions so a regression into
+shuffle-heavy or scan-everything plans fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_DIR
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _full(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region: every dim side
+    must be a broadcast-hash join — zero sort-merge shuffles (J5)."""
+    df = entrymod.queries()["star_revenue_by_nation_month"](spark, SF_DIR)
+    p = _physical(df)
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_star_join_prunes_columns(spark):
+    """The fact scan must read only the join/agg columns, never the
+    wide comment/address columns (column pruning reached the scan)."""
+    df = entrymod.queries()["star_revenue_by_nation_month"](spark, SF_DIR)
+    p = _physical(df)
+    assert "l_comment" not in p and "o_comment" not in p and "c_address" not in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P-series predicate must appear in the parquet scan's
+    DataFilters/PushedFilters, not only in a Filter node above it."""
+    df = entrymod.queries()["pruned_scan_projection"](spark, SF_DIR)
+    full = _full(df)
+    assert "PushedFilters: [" in full
+    scan_lines = [l for l in full.splitlines() if "FileScan parquet" in l]
+    assert any("l_shipdate" in l for l in scan_lines), scan_lines
+
+
+def test_broadcast_enrich_is_single_broadcast_join(spark):
+    df = entrymod.queries()["broadcast_left_enrich"](spark, SF_DIR)
+    p = _physical(df)
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Hot-path queries must run inside whole-stage codegen spans —
+    no row-at-a-time Python UDFs in the relational inventory. (With
+    AQE the codegen wrapping only exists in the final executed plan,
+    so run the query first.)"""
+    qs = entrymod.queries()
+    for name in (
+        "star_revenue_by_nation_month",
+        "rolling_stats",
+        "lag_returns",
+        "text_quality_scores",
+    ):
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        p = _physical(df)
+        # codegen'd operators render with a "*(n) " stage marker
+        assert re.search(r"\*\(\d+\) ", p), f"{name}:\n{p}"
+        assert "BatchEvalPython" not in p, name  # row-at-a-time Python
+
+
+def test_ann_broadcasts_query_side(spark):
+    """Brute-force ANN: corpus scanned once, query set broadcast — the
+    only acceptable nested-loop is against the broadcast side."""
+    df = entrymod.queries()["ann_brute_force_topk"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_grouped_model_fits_use_arrow(spark):
+    """applyInPandas stages must be Arrow-batched (FlatMapGroupsInPandas),
+    never row-pickling PythonUDF eval."""
+    df = entrymod.queries()["adf_stationarity"](spark, SF_DIR)
+    p = _physical(df)
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_flagship_shuffle_budget(spark):
+    """The flagship star query gets exactly one aggregation shuffle +
+    one ordering exchange — broadcasts must not reintroduce Exchange
+    nodes per join."""
+    df = entrymod.queries()["star_revenue_by_nation_month"](spark, SF_DIR)
+    p = _physical(df)
+    # shuffles only — BroadcastExchange is the cheap dim-side transfer
+    n_shuffle = sum(
+        p.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+    assert n_shuffle <= 2, f"too many shuffles ({n_shuffle}):\n{p}"
