@@ -1,0 +1,101 @@
+"""Scale-path operators: salted joins stay correct under pathological
+key skew, and bucketed tables join without a shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
+from lakehouse_for_data_streaming_and_analysis_spark.operators import skew
+
+from .conftest import SF_DIR
+
+
+def _skewed(spark):
+    """90% of rows on one key — the shape AQE skew-split or salting
+    must handle."""
+    hot = spark.range(9000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") + 100000).alias("payload")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = _skewed(spark)
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = left.join(right, ["k"]).select("k", "payload", "dim_val")
+    salted = skew.salted_join(left, right, ["k"], n_salts=8).select(
+        "k", "payload", "dim_val"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = _skewed(spark)
+    right = spark.range(5).select(  # most keys unmatched
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = left.join(right, ["k"], "left").select("k", "payload", "dim_val")
+    salted = skew.salted_join(left, right, ["k"], n_salts=4, how="left").select(
+        "k", "payload", "dim_val"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_spreads_hot_key(spark):
+    """The hot key's rows must land on multiple (key, salt) groups."""
+    left = _skewed(spark)
+    salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+    )
+    groups = (
+        salted.filter(F.col("k") == 7)
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(groups) == 8  # all salt values used
+    assert max(r["count"] for r in groups) < 9000  # no single straggler
+
+
+def test_top_hot_keys_diagnostic(spark):
+    hot = skew.top_hot_keys(_skewed(spark), ["k"], k=3).collect()
+    assert hot[0]["k"] == 7 and hot[0]["share"] > 0.8
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the key => sort-merge join with zero
+    Exchange (the write-once-shuffle-never-again contract)."""
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    skew.write_bucketed(o, "b_orders", ["o_orderkey"], 8, path=str(tmp_path / "bo"))
+    skew.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        path=str(tmp_path / "bl"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = skew.bucketed_join_ready(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_shuffle = sum(
+            plan.count(f"Exchange {kind}")
+            for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        )
+        assert n_shuffle == 0, plan
+        assert joined.count() == li.count()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
