@@ -149,3 +149,92 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("qid", id_col, "cosine", "rn")
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties to
+    the lowest centroid id). Centroids are broadcast — assignment is
+    one scan of the corpus, no shuffle until the argmax window."""
+    c = corpus.select(F.col(id_col), vectors.as_double(F.col(vec_col)).alias("e"))
+    cents = centroids.select(
+        F.col(id_col).alias("cid"), vectors.as_double(F.col(vec_col)).alias("ce")
+    )
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "e",
+        "cid",
+        F.round(vectors.cosine(F.col("e"), F.col("ce")), round_to).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "e", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flavoured ANN (the scale path next to lsh_topk).
+
+    Coarse quantizer: the ``n_centroids`` lowest-id corpus vectors act
+    as centroids (deterministic; a production build would k-means
+    them — the query topology is identical). Corpus vectors are
+    bucketed into their nearest centroid's inverted list once; each
+    query probes its ``n_probe`` nearest centroids and scores only
+    those lists. Cost shape: |corpus|·C assignment (broadcast, linear)
+    + per-query work proportional to the probed lists, instead of the
+    full corpus.
+    """
+    cents = corpus.orderBy(id_col).limit(n_centroids)
+    lists = ivf_assign_cells(corpus, cents, id_col, vec_col, round_to)
+    q = queries.select(
+        F.col(id_col).alias("qid"), vectors.as_double(F.col(vec_col)).alias("qe")
+    )
+    qcents = (
+        q.crossJoin(
+            F.broadcast(
+                cents.select(
+                    F.col(id_col).alias("cid"),
+                    vectors.as_double(F.col(vec_col)).alias("ce"),
+                )
+            )
+        )
+        .select(
+            "qid",
+            "qe",
+            "cid",
+            F.round(vectors.cosine(F.col("qe"), F.col("ce")), round_to).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qcents.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+    scored = lists.join(F.broadcast(probes), "cell").select(
+        "qid",
+        id_col,
+        F.round(vectors.cosine(F.col("e"), F.col("qe")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "cosine", "rn")
+    )

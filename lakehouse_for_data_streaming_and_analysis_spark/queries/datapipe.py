@@ -444,3 +444,52 @@ def multimodal_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_sampled"),
         F.max("frame_idx").cast("int").alias("last_frame"),
     )
+
+
+_IVF_COS_SQL = """
+       ivf_elems AS (SELECT vec_id, unnest(embedding) AS v,
+                            generate_subscripts(embedding, 1) AS i
+                     FROM embeddings),
+       ivf_cos AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                          ROUND(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
+                                / (sqrt(SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)))
+                                   * sqrt(SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)))),
+                                6) AS csim
+                   FROM ivf_elems a JOIN ivf_elems b
+                     ON a.i = b.i AND (b.vec_id < 16 OR a.vec_id < 3)
+                   GROUP BY 1, 2),
+       ivf_cells AS (SELECT ida AS vec_id, idb AS cell FROM (
+                       SELECT ida, idb,
+                              ROW_NUMBER() OVER (PARTITION BY ida
+                                                 ORDER BY csim DESC, idb ASC) AS rn
+                       FROM ivf_cos WHERE idb < 16) WHERE rn = 1),
+       ivf_probes AS (SELECT ida AS qid, idb AS cell FROM (
+                        SELECT ida, idb,
+                               ROW_NUMBER() OVER (PARTITION BY ida
+                                                  ORDER BY csim DESC, idb ASC) AS rn
+                        FROM ivf_cos WHERE idb < 16 AND ida < 3) WHERE rn <= 4)
+"""
+
+
+@q(
+    "ann_ivf_topk",
+    f"""WITH {_IVF_COS_SQL.lstrip()}
+       SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+         SELECT p.qid, cl.vec_id, cs.csim AS cosine,
+                ROW_NUMBER() OVER (PARTITION BY p.qid
+                                   ORDER BY cs.csim DESC, cl.vec_id ASC) AS rn
+         FROM ivf_probes p
+         JOIN ivf_cells cl ON cl.cell = p.cell
+         JOIN ivf_cos cs ON cs.ida = p.qid AND cs.idb = cl.vec_id)
+       WHERE rn <= 5""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN, the scale path beside lsh_topk: corpus
+    assigned once to 16 deterministic centroid cells (inverted lists),
+    3 queries probe their 4 nearest cells and score only those lists.
+    Same output contract as ann_brute_force_topk; recall < 1 by
+    construction on out-of-cell neighbors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
