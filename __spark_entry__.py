@@ -32,6 +32,7 @@ ROWS_ONLY = (
     "ljung_box_whitenoise",
     "ar_forecast_intervals",
     "garch_volatility",
+    "ar_walk_forward_eval",
 )
 
 

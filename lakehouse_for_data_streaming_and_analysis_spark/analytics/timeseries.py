@@ -262,3 +262,52 @@ def garch_by_group(
         )
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def walk_forward_eval_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    p: int = 2,
+    n_test: int = 48,
+) -> DataFrame:
+    """X5 (evaluation shape): iterative 1-step-ahead forecast with
+    refit at every step over the last ``n_test`` points — the walk-
+    forward loop of the reference's ARIMA notebook (reference:
+    Jupiter Notebook/garch_model_v4.ipynb cell 6: auto_arima + per-step
+    history.append + refit), with the AR(p) core standing in for
+    auto_arima. Emits per-series mae/rmse/mape over the walk."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_test int, mae double, rmse double, mape double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        n = len(y)
+        t0 = max(p + 2, n - n_test)
+        errs, pct = [], []
+        for t in range(t0, n):
+            fc, _, _ = ar_fit_forecast(y[:t], p, 1)  # refit on history
+            e = y[t] - fc[0]
+            errs.append(e)
+            if y[t] != 0:
+                pct.append(abs(e / y[t]))
+        errs_a = np.asarray(errs)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [
+                    len(errs),
+                    round(float(np.mean(np.abs(errs_a))), 6),
+                    round(float(np.sqrt(np.mean(errs_a**2))), 6),
+                    round(float(np.mean(pct)), 6) if pct else None,
+                ]
+            ],
+            columns=keys + ["n_test", "mae", "rmse", "mape"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -276,3 +276,59 @@ def garch_volatility(spark, sf_dir):
         .filter(F.col("r").isNotNull())
     )
     return timeseries.garch_by_group(rets, ["event_type"], "ds", "r")
+
+
+@q(
+    "cv_fold_rmse",
+    f"""WITH hourly AS ({HOURLY_SQL}),
+       rn AS (
+         SELECT event_type, ds, y,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ds) AS _rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS _n,
+                LAG(y) OVER (PARTITION BY event_type ORDER BY ds) AS yhat
+         FROM hourly),
+       folds AS (
+         SELECT rn.*, f.fold,
+                _n - 24 - (3 - 1 - f.fold) * 24 AS cutoff
+         FROM rn CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS fold) f),
+       scored AS (
+         SELECT event_type, fold,
+                SQRT(AVG((y - yhat) * (y - yhat))) AS fold_rmse
+         FROM folds
+         WHERE _rn > cutoff AND _rn <= cutoff + 24 AND yhat IS NOT NULL
+         GROUP BY event_type, fold)
+       SELECT event_type,
+              ROUND(AVG(fold_rmse), 6) AS mean_rmse,
+              CAST(COUNT(*) AS INT) AS n_folds
+       FROM scored GROUP BY event_type""",
+)
+def cv_fold_rmse(spark, sf_dir):
+    """X7 (scoring): per-fold naive-forecast RMSE on each rolling-origin
+    test window, then the per-series mean across folds — the
+    groupby(['unique_id','cutoff']).apply(rmse).groupby('unique_id')
+    .mean() contract of Garch_v1 cell 26, as pure aggregates."""
+    h = hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ds")
+    with_pred = h.withColumn("yhat", F.lag("y").over(w))
+    assigned = cv.rolling_origin_assign(
+        with_pred, "ds", ["event_type"], horizon=24, step_size=24, n_windows=3
+    )
+    scored = (
+        assigned.filter((F.col("role") == "test") & F.col("yhat").isNotNull())
+        .groupBy("event_type", "fold")
+        .agg(F.sqrt(F.avg(F.pow(F.col("y") - F.col("yhat"), 2))).alias("fold_rmse"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.round(F.avg("fold_rmse"), 6).alias("mean_rmse"),
+        F.count(F.lit(1)).cast("int").alias("n_folds"),
+    )
+
+
+@q("ar_walk_forward_eval")
+def ar_walk_forward_eval(spark, sf_dir):
+    """X5: iterative 1-step refit evaluation (garch_model_v4 cell 6's
+    walk-forward loop) — AR(2) refit at every step over the last 48
+    hours per series; per-series mae/rmse/mape."""
+    return timeseries.walk_forward_eval_by_group(
+        hourly_series(spark, sf_dir), ["event_type"], "ds", "y", p=2, n_test=48
+    )

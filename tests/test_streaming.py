@@ -232,3 +232,44 @@ def test_commitlog_latency_report(spark, scratch):
     summary = commitlog.latency_summary(report).collect()[0]
     assert summary["n_commits"] == 3
     assert summary["min_delay"] <= summary["median_delay"] <= summary["max_delay"]
+
+
+def test_drop_duplicates_within_watermark(spark, scratch):
+    """T10: the reference only watermark-drops late rows (SURVEY.md
+    §2.10 T10 'no dedup'); the rebuild exposes the missing half —
+    dropDuplicatesWithinWatermark removes redelivered events whose
+    duplicates arrive inside the watermark window."""
+    rows = []
+    for i in range(120):
+        rows.append((i, BASE_TS + i * 5, 100.0 + i))
+        if i % 10 == 0:  # duplicate redelivery close to the original
+            rows.append((i, BASE_TS + i * 5, 100.0 + i))
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("unix", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    replay_dir = os.path.join(scratch, "replay_dedup")
+    streams.write_replay_files(df, replay_dir, n_files=3, order_col="seq")
+    stream = (
+        streams.file_replay(spark, replay_dir, schema)
+        .withColumn("ts", F.timestamp_seconds("unix"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["seq"])
+    )
+    sink = os.path.join(scratch, "dedup_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(scratch, "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 120  # 12 duplicates dropped
+    assert got.select("seq").distinct().count() == 120
