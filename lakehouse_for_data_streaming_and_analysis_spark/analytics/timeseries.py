@@ -116,21 +116,32 @@ def garch11_fit(
     r = np.asarray(r, dtype=float)
     r = r - r.mean()
     var = float(r.var()) or 1e-12
-    best = (var, 0.0, 0.0, -np.inf, np.sqrt(var))
-    for a in alpha_grid:
-        for b in beta_grid:
-            if a + b >= 0.999:
-                continue
-            omega = var * (1.0 - a - b)
-            h = np.empty(len(r))
-            h[0] = var
-            for t in range(1, len(r)):
-                h[t] = omega + a * r[t - 1] ** 2 + b * h[t - 1]
-            ll = float(-0.5 * np.sum(np.log(2 * np.pi * h) + r**2 / h))
-            if ll > best[3]:
-                nxt = float(np.sqrt(omega + a * r[-1] ** 2 + b * h[-1]))
-                best = (omega, a, b, ll, nxt)
-    return best
+    # vectorize across the whole (alpha, beta) grid: the variance
+    # recursion is sequential in t but independent across grid points,
+    # so h is a (G,) vector updated n times — ~grid-size× faster than
+    # nested Python loops and identical output (argmax over the same
+    # likelihoods; first-index tie-break preserves grid order)
+    pairs = np.array(
+        [(a, b) for a in alpha_grid for b in beta_grid if a + b < 0.999]
+    )
+    if len(pairs) == 0:
+        return (var, 0.0, 0.0, -np.inf, float(np.sqrt(var)))
+    alphas, betas = pairs[:, 0], pairs[:, 1]
+    omegas = var * (1.0 - alphas - betas)
+    h = np.full(len(pairs), var)
+    ll = -0.5 * (np.log(2 * np.pi * h) + r[0] ** 2 / h)
+    for t in range(1, len(r)):
+        h = omegas + alphas * r[t - 1] ** 2 + betas * h
+        ll += -0.5 * (np.log(2 * np.pi * h) + r[t] ** 2 / h)
+    i = int(np.argmax(ll))
+    nxt = float(np.sqrt(omegas[i] + alphas[i] * r[-1] ** 2 + betas[i] * h[i]))
+    return (
+        float(omegas[i]),
+        float(alphas[i]),
+        float(betas[i]),
+        float(ll[i]),
+        nxt,
+    )
 
 
 def adf_by_group(
