@@ -199,3 +199,63 @@ for _name, _spec, _dataset in SLICES:
     ORACLES[_name] = _spec.to_sql(
         "events" if _dataset == "events" else COINDIM_SQL
     )
+
+
+# Two-level lifecycle (SURVEY.md §3.3): Superset wraps the slice's
+# outer aggregate AROUND the virtual-dataset star-join SQL (dashboard
+# JSON:329 — inner 4-way join + GROUP BY, outer re-aggregation per
+# time grain). Same composition here: the outer layer is a ChartQuery
+# applied to the inner star DataFrame / SQL.
+
+_INNER_STAR_SQL = """(
+  SELECT n.n_name AS name,
+         CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS day,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2) v"""
+
+_TWO_LEVEL_SPEC = ChartQuery(
+    metrics=(Metric("MAX(revenue)", "MAX", "revenue", round_to=4),),
+    groupby=("name",),
+    time_col="day",
+    time_grain="P1M",
+    # slice row_limit 1000 binds (25 names x ~84 months); ordered so
+    # the retained subset is deterministic on both engines
+    order_desc_by="MAX(revenue)",
+    limit=1000,
+)
+
+
+def _inner_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("name"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def chart_two_level_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 entry point 3, faithfully: outer per-grain MAX re-aggregation
+    wrapped around the inner star-join virtual dataset — one spec
+    compiled onto the inner DataFrame."""
+    return _TWO_LEVEL_SPEC.to_df(_inner_star(spark, sf_dir))
+
+
+QUERIES["chart_two_level_reagg"] = chart_two_level_reagg
+ORACLES["chart_two_level_reagg"] = _TWO_LEVEL_SPEC.to_sql(_INNER_STAR_SQL)

@@ -104,10 +104,11 @@ class ChartQuery:
         out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
         if self.order_desc_by is not None:
             # same deterministic tie-break as the oracle SQL: group-by
-            # columns ascending after the metric
-            out = out.orderBy(
-                F.desc(self.order_desc_by), *[F.asc(g) for g in self.groupby]
-            )
+            # columns + time grain ascending after the metric
+            ties = list(self.groupby)
+            if self.time_grain is not None:
+                ties.append(self.grain_alias)
+            out = out.orderBy(F.desc(self.order_desc_by), *[F.asc(t) for t in ties])
         if self.limit is not None:
             out = out.limit(self.limit)
         return out
@@ -137,8 +138,11 @@ class ChartQuery:
             sql += f' ORDER BY "{self.order_desc_by}" DESC'
             # deterministic tie-break for LIMIT: Superset relies on the
             # engine's arbitrary order; the oracle needs a total order
-            if self.groupby:
-                sql += ", " + ", ".join(self.groupby)
+            ties = list(self.groupby)
+            if self.time_grain is not None:
+                ties.append(f'"{self.grain_alias}"')
+            if ties:
+                sql += ", " + ", ".join(ties)
         if self.limit is not None:
             sql += f" LIMIT {self.limit}"
         return sql

@@ -105,3 +105,27 @@ def test_flagship_shuffle_budget(spark):
         for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
     )
     assert n_shuffle <= 2, f"too many shuffles ({n_shuffle}):\n{p}"
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """§4: the fact table is partitioned by coin_id (reference
+    etl.py:75, query.sql:4); an equality predicate on the partition
+    column must prune at the directory level (PartitionFilters), not
+    scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
+
+    tdir = str(tmp_path / "fact_part")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.withColumn("coin_id", F.crc32(F.col("event_type")) % 8).write.partitionBy(
+        "coin_id"
+    ).mode("overwrite").parquet(tdir)
+    df = spark.read.parquet(tdir).filter(F.col("coin_id") == 3)
+    full = _full(df)
+    assert "PartitionFilters: [isnotnull(coin_id" in full or re.search(
+        r"PartitionFilters: \[.*coin_id.*3", full
+    ), full
+    # partition-only predicate => no pushed data filters on the scan
+    scan = [l for l in full.splitlines() if "FileScan" in l]
+    assert scan and "PushedFilters: []" in scan[-1], scan
