@@ -1,0 +1,46 @@
+"""Approximate aggregates — the 100 TB substitutes for exact
+count-distinct / percentile (SURVEY.md §2.5 A4 'approx_count_distinct
+at scale'). Tolerance-checked against exact values; no driver oracle
+because DuckDB's sketches differ bit-wise by design."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
+
+from .conftest import SF_DIR_01
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, SF_DIR_01, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.06  # 3x the configured rsd
+
+
+def test_approx_percentile_within_accuracy(spark):
+    ev = load_table(spark, SF_DIR_01, "events")
+    exact = ev.select(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p")
+    ).first()["p"]
+    approx = ev.select(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias("p")
+    ).first()["p"]
+    spread = ev.select(F.max("value") - F.min("value")).first()[0]
+    for e, a in zip(exact, approx):
+        assert abs(e - a) <= 0.01 * spread + 1e-9
+
+
+def test_hll_sketch_mergeability(spark):
+    """Sketches must merge across partitions/days — the property that
+    lets a 100 TB rollup pre-aggregate per partition and union."""
+    ev = load_table(spark, SF_DIR_01, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).first()["n"]
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    assert abs(merged - exact) / exact < 0.06
