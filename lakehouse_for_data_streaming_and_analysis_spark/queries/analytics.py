@@ -332,3 +332,49 @@ def ar_walk_forward_eval(spark, sf_dir):
     return timeseries.walk_forward_eval_by_group(
         hourly_series(spark, sf_dir), ["event_type"], "ds", "y", p=2, n_test=48
     )
+
+
+@q(
+    "daily_ohlcv",
+    """WITH t AS (
+         SELECT event_type,
+                strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS d,
+                CAST(ts AS TIMESTAMP) AS tts, event_id, value
+         FROM events),
+       w AS (
+         SELECT *,
+                FIRST_VALUE(value) OVER (PARTITION BY event_type, d
+                                         ORDER BY tts, event_id) AS o,
+                FIRST_VALUE(value) OVER (PARTITION BY event_type, d
+                                         ORDER BY tts DESC, event_id DESC) AS c
+         FROM t)
+       SELECT event_type, d,
+              MIN(o) AS open,
+              MAX(value) AS high,
+              MIN(value) AS low,
+              MIN(c) AS close,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS volume,
+              COUNT(*) AS n_ticks
+       FROM w GROUP BY 1, 2""",
+)
+def daily_ohlcv(spark, sf_dir):
+    """S4/udf.py:85-99 parity: the daily OHLCV frame the reference
+    fetches from yfinance, derived in-engine from the tick stream —
+    open/close via min_by/max_by on the (ts, event_id) composite (the
+    id breaks equal-timestamp ties deterministically), one hash
+    aggregate, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6).alias(
+            "volume"
+        ),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
