@@ -180,3 +180,40 @@ def file_stats(spark: SparkSession, table_dir: str, cols: list[str]) -> DataFram
         .groupBy("_file")
         .agg(*aggs, F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY analogue over the generation layout: one row
+    per generation with file count, bytes, and mtime — the audit
+    surface Delta exposes from its log (reference reads it for latency
+    analytics, TimeDelay.ipynb cell 0)."""
+    import datetime
+
+    rows = []
+    gens = _generations(table_dir) or [0]
+    for g in gens:
+        d = (
+            os.path.join(table_dir, f"{GEN_PREFIX}{g}")
+            if _generations(table_dir)
+            else table_dir
+        )
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        rows.append(
+            (
+                g,
+                len(files),
+                sum(os.path.getsize(f) for f in files),
+                datetime.datetime.fromtimestamp(
+                    os.path.getmtime(d), tz=datetime.timezone.utc
+                ),
+                g == gens[-1],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "generation int, n_files int, bytes long, modified timestamp, is_current boolean"
+    )

@@ -75,20 +75,29 @@ def cosine_pairs(
 
 
 def hyperplane_sign_bits(
-    df: DataFrame, vec_col: str, n_planes: int = 8
+    df: DataFrame, vec_col: str, n_planes: int = 8, table: int = 0
 ) -> DataFrame:
     """Deterministic random-hyperplane bucket id per row.
 
-    Plane p's weight for dimension d is derived from md5(p|d) mapped
-    into [-1, 1] — reproducible with no stored model. bucket =
-    sum of sign bits << p.
+    Plane p's weight for dimension d is derived from md5(table|p|d)
+    mapped into [-1, 1] — reproducible with no stored model; distinct
+    ``table`` values give independent hash tables for banded (OR)
+    probing. bucket = sum of sign bits << p.
     """
     def plane_weight(p: int):
-        # first 6 hex chars of md5("p|d") as an int in [0, 16^6) -> [-1, 1]
+        # first 6 hex chars of md5("t|p|d") as an int in [0, 16^6) -> [-1, 1]
         return lambda x, i: x * (
             (
                 F.conv(
-                    F.substring(F.md5(F.concat_ws("|", F.lit(str(p)), i.cast("string"))), 1, 6),
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(str(table)), F.lit(str(p)), i.cast("string")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
                     16,
                     10,
                 ).cast("long")
@@ -122,18 +131,28 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN: bucket corpus + queries by hyperplane signs, score only
-    within the query's bucket. Recall < 1 by construction (candidates
-    sharing all sign bits); multi-probe or band the planes for higher
-    recall at the same cost shape."""
-    cb = hyperplane_sign_bits(corpus, vec_col, n_planes).select(
-        F.col(id_col), F.col(vec_col).alias("ce"), "bucket"
-    )
-    qb = hyperplane_sign_bits(queries, vec_col, n_planes).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
-    )
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    within the query's bucket. Single-table recall < 1 by construction
+    (candidates must share ALL sign bits); ``n_tables`` > 1 ORs
+    independent hash tables (banding), trading ~n_tables× candidate
+    work for much higher recall — the standard LSH recall knob."""
+    per_table = []
+    for t in range(n_tables):
+        cb = hyperplane_sign_bits(corpus, vec_col, n_planes, table=t).select(
+            F.col(id_col), F.col(vec_col).alias("ce"), "bucket"
+        )
+        qb = hyperplane_sign_bits(queries, vec_col, n_planes, table=t).select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
+        )
+        per_table.append(
+            cb.join(F.broadcast(qb), "bucket").select("qid", id_col, "ce", "qe")
+        )
+    cands = per_table[0]
+    for more in per_table[1:]:
+        cands = cands.unionByName(more)
+    scored = cands.dropDuplicates(["qid", id_col]).select(
         "qid",
         id_col,
         F.round(

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
 from lakehouse_for_data_streaming_and_analysis_spark.operators import skew
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_01
 
 
 def _skewed(spark):
@@ -99,3 +99,66 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lsh_topk_recall_against_brute_force(spark):
+    """LSH ANN: deterministic hyperplane buckets; every query finds
+    itself (same bucket by construction) and recall@5 against the
+    exact top-5 is meaningfully above random."""
+    from lakehouse_for_data_streaming_and_analysis_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    # self-match guaranteed: query shares its own bucket
+    for qid, found in approx_sets.items():
+        assert qid in found
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.3, f"recall@5 {recall:.2f}"  # 5/500 random ≈ 0.01
+
+
+def test_surrogate_keys_distributed_matches_global(spark):
+    """The scale-safe keying must produce the same dense deterministic
+    ids as the single-partition window for unique order keys."""
+    from lakehouse_for_data_streaming_and_analysis_spark.operators import windows as wops
+
+    df = load_table(spark, SF_DIR_01, "customer").select("c_custkey", "c_name")
+    a = {
+        r["c_custkey"]: r["surrogate_key"]
+        for r in wops.surrogate_keys(df, ["c_custkey"], offset=100).collect()
+    }
+    b = {
+        r["c_custkey"]: r["surrogate_key"]
+        for r in wops.surrogate_keys_distributed(df, ["c_custkey"], offset=100).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(101, 101 + len(a)))
+
+
+def test_maintenance_history_lists_generations(spark, tmp_path):
+    from lakehouse_for_data_streaming_and_analysis_spark.maintenance import optimize
+
+    tdir = _table_for_history(spark, tmp_path)
+    optimize.compact(spark, tdir)
+    optimize.compact(spark, tdir)
+    h = optimize.history(spark, tdir).collect()
+    assert [r["generation"] for r in h] == [1, 2]
+    assert h[-1]["is_current"] and not h[0]["is_current"]
+    assert all(r["n_files"] >= 1 and r["bytes"] > 0 for r in h)
+
+
+def _table_for_history(spark, tmp_path) -> str:
+    tdir = str(tmp_path / "hist")
+    load_table(spark, SF_DIR_01, "nation").write.mode("overwrite").parquet(tdir)
+    return tdir
