@@ -493,3 +493,59 @@ def ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3)
     out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+
+
+@q(
+    "ann_lsh_topk",
+    """WITH grid AS (
+         SELECT t.t, p.p FROM (SELECT UNNEST([0, 1, 2]) AS t) t
+         CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4, 5]) AS p) p),
+       lsh_elems AS (
+         SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       proj AS (
+         SELECT e.vec_id, g.t, g.p,
+                SUM(CAST(e.v AS DOUBLE)
+                    * (CAST('0x' || substr(md5(g.t || '|' || g.p || '|'
+                                              || CAST(e.i - 1 AS VARCHAR)), 1, 6)
+                            AS BIGINT) / 8388608.0 - 1.0)) AS s
+         FROM lsh_elems e CROSS JOIN grid g GROUP BY 1, 2, 3),
+       buckets AS (
+         SELECT vec_id, t,
+                SUM(CASE WHEN s > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)
+                  AS bucket
+         FROM proj GROUP BY 1, 2),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS qid, c.vec_id
+         FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+         WHERE q.vec_id < 3),
+       dots AS (
+         SELECT cd.qid, cd.vec_id,
+                SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+                SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+                SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+         FROM cands cd
+         JOIN lsh_elems a ON a.vec_id = cd.qid
+         JOIN lsh_elems b ON b.vec_id = cd.vec_id AND b.i = a.i
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT qid, vec_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+         FROM dots)
+       SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id ASC) AS rn
+         FROM scored)
+       WHERE rn <= 5""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Banded random-hyperplane LSH ANN, oracle-matched end-to-end:
+    the md5-derived hyperplanes are bit-reproducible in DuckDB, so the
+    bucket assignment, the OR-of-3-tables candidate set, and the final
+    top-5 all hash-match — the whole approximate index is deterministic
+    cross-engine, not just the exact rescoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=3)
+    return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
