@@ -93,3 +93,51 @@ def bucketed_join_ready(
     """Join two same-bucketed catalog tables; with bucketing enabled the
     plan must contain no shuffle on either side."""
     return spark.table(left_table).join(spark.table(right_table), list(on))
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    **named_aggs,
+):
+    """Skew-safe aggregation for hot grouping keys: group once on
+    (keys, salt) — spreading each hot key over ``n_salts`` reducers —
+    then combine the partials per key. Only valid for aggregates with
+    a partial/final decomposition; supported here: sum, count, min,
+    max, avg (combined as sum-of-sums / sum-of-counts).
+
+    ``named_aggs`` maps output column -> (fn, col) with fn in
+    {'sum','count','min','max','avg'}. Spark's own partial aggregation
+    handles per-partition combining already; this adds a REDUCER-level
+    spread for the case where one key's partials overwhelm a single
+    reduce task (billions of rows on one key at 100 TB).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial_exprs = []
+    final_exprs = []
+    for out, (fn, col) in named_aggs.items():
+        if fn == "sum":
+            partial_exprs.append(F.sum(col).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").alias(out))
+        elif fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(f"_p_{out}"))
+            final_exprs.append(F.sum(f"_p_{out}").cast("long").alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(f"_p_{out}"))
+            final_exprs.append(F.min(f"_p_{out}").alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(f"_p_{out}"))
+            final_exprs.append(F.max(f"_p_{out}").alias(out))
+        elif fn == "avg":
+            partial_exprs.append(F.sum(col).alias(f"_ps_{out}"))
+            partial_exprs.append(F.count(col).alias(f"_pc_{out}"))
+            final_exprs.append(
+                (F.sum(f"_ps_{out}") / F.sum(f"_pc_{out}")).alias(out)
+            )
+        else:
+            raise ValueError(f"unsupported agg {fn!r}")
+    partial = salted.groupBy(*list(keys), "_salt").agg(*partial_exprs)
+    return partial.groupBy(*list(keys)).agg(*final_exprs)

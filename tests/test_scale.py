@@ -162,3 +162,40 @@ def _table_for_history(spark, tmp_path) -> str:
     tdir = str(tmp_path / "hist")
     load_table(spark, SF_DIR_01, "nation").write.mode("overwrite").parquet(tdir)
     return tdir
+
+
+def test_two_stage_agg_matches_plain(spark):
+    """Salted two-stage aggregation must equal the plain groupBy for
+    every supported aggregate (assoc/comm decomposition)."""
+    ev = load_table(spark, SF_DIR_01, "events")
+    plain = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    staged = {
+        r["event_type"]: r
+        for r in skew.two_stage_agg(
+            ev,
+            ["event_type"],
+            n_salts=8,
+            s=("sum", "value"),
+            n=("count", "value"),
+            mn=("min", "value"),
+            mx=("max", "value"),
+            a=("avg", "value"),
+        ).collect()
+    }
+    assert set(plain) == set(staged)
+    for k, p in plain.items():
+        s = staged[k]
+        assert s["n"] == p["n"] and s["mn"] == p["mn"] and s["mx"] == p["mx"]
+        assert abs(s["s"] - p["s"]) < 1e-6 * max(abs(p["s"]), 1)
+        assert abs(s["a"] - p["a"]) < 1e-9 * max(abs(p["a"]), 1)
