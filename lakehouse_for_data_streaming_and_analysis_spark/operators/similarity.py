@@ -13,6 +13,8 @@ are reproducible without a seed store.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -74,54 +76,71 @@ def cosine_pairs(
     )
 
 
+def _plane_weights(table: int, p: int, dim: int) -> list[float]:
+    """Plane p's weight for dimension d: first 6 hex chars of
+    md5("table|p|d") as an int in [0, 16^6) mapped into [-1, 1].
+
+    Computed driver-side with hashlib — md5 of the same UTF-8 string
+    yields the same hex as Spark's/DuckDB's md5, and int/8388608.0-1.0
+    is the same IEEE op as conv(...)::long/8388608.0-1.0, so buckets
+    stay bit-identical to the SQL derivation used by the oracle."""
+    half = float(16**6 / 2)
+    return [
+        int(hashlib.md5(f"{table}|{p}|{d}".encode()).hexdigest()[:6], 16) / half - 1.0
+        for d in range(dim)
+    ]
+
+
+def _bucket_sql(vec_col: str, table: int, n_planes: int, dim: int) -> str:
+    """SQL text for one table's bucket id. Built as a STRING and parsed
+    JVM-side with a single expr() — constructing the same tree through
+    the Column API costs thousands of py4j round-trips (one per weight
+    literal), which dominated wall time. Python float repr round-trips
+    exactly through Java's Double.parseDouble, so the weights are
+    bit-identical to the driver-side derivation."""
+    terms = []
+    for p in range(n_planes):
+        ws = ",".join(repr(v) + "D" for v in _plane_weights(table, p, dim))
+        proj = (
+            f"aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), "
+            f"array({ws}), (x, w) -> x * w), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "cast(" + " + ".join(terms) + " as int)"
+
+
 def hyperplane_sign_bits(
-    df: DataFrame, vec_col: str, n_planes: int = 8, table: int = 0
+    df: DataFrame, vec_col: str, n_planes: int = 8, table: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic random-hyperplane bucket id per row.
 
-    Plane p's weight for dimension d is derived from md5(table|p|d)
-    mapped into [-1, 1] — reproducible with no stored model; distinct
-    ``table`` values give independent hash tables for banded (OR)
-    probing. bucket = sum of sign bits << p.
+    Weights depend only on (table, plane, dim), so they are derived
+    ONCE on the driver and shipped as array literals — the per-row work
+    is n_planes fused dot products, not rows x dims x planes md5 calls.
+    Distinct ``table`` values give independent hash tables for banded
+    (OR) probing. bucket = sum of sign bits << p.
     """
-    def plane_weight(p: int):
-        # first 6 hex chars of md5("t|p|d") as an int in [0, 16^6) -> [-1, 1]
-        return lambda x, i: x * (
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.lit(str(table)), F.lit(str(p)), i.cast("string")
-                            )
-                        ),
-                        1,
-                        6,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                / F.lit(float(16**6 / 2))
-            )
-            - 1.0
-        )
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    return df.withColumn("bucket", F.expr(_bucket_sql(vec_col, table, n_planes, dim)))
 
-    out = df
-    bucket = F.lit(0)
-    arr = vectors.as_double(F.col(vec_col))
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                arr,
-                F.transform(F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                            lambda i: i),
-                plane_weight(p),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out.withColumn("bucket", bucket.cast("int"))
+
+def _table_buckets(
+    df: DataFrame, vec_col: str, n_planes: int, n_tables: int, dim: int
+) -> DataFrame:
+    """Every hash table's bucket id in one pass: per row, an array of
+    struct(table, bucket) exploded to long form. One projection + one
+    explode — no per-table re-scan of the input, and the whole weight
+    matrix ships as one parsed SQL expression (see _bucket_sql)."""
+    entries = ", ".join(
+        f"named_struct('table', {t}, 'bucket', "
+        f"{_bucket_sql(vec_col, t, n_planes, dim)})"
+        for t in range(n_tables)
+    )
+    # inline() explodes the struct array straight into (table, bucket)
+    # columns: one generator, one analysis pass over the big expression.
+    return df.select("*", F.expr(f"inline(array({entries}))"))
 
 
 def lsh_topk(
@@ -132,26 +151,30 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     n_tables: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN: bucket corpus + queries by hyperplane signs, score only
     within the query's bucket. Single-table recall < 1 by construction
     (candidates must share ALL sign bits); ``n_tables`` > 1 ORs
     independent hash tables (banding), trading ~n_tables× candidate
-    work for much higher recall — the standard LSH recall knob."""
-    per_table = []
-    for t in range(n_tables):
-        cb = hyperplane_sign_bits(corpus, vec_col, n_planes, table=t).select(
-            F.col(id_col), F.col(vec_col).alias("ce"), "bucket"
-        )
-        qb = hyperplane_sign_bits(queries, vec_col, n_planes, table=t).select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "bucket"
-        )
-        per_table.append(
-            cb.join(F.broadcast(qb), "bucket").select("qid", id_col, "ce", "qe")
-        )
-    cands = per_table[0]
-    for more in per_table[1:]:
-        cands = cands.unionByName(more)
+    work for much higher recall — the standard LSH recall knob.
+
+    All tables are probed through ONE (table, bucket) equi-join: each
+    row expands to n_tables (table, bucket) entries via a single
+    explode, so candidate generation is one broadcast join + one
+    distinct regardless of n_tables (vs n_tables joins + union).
+    Pass ``dim`` when known to skip the probe job that reads it."""
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    cb = _table_buckets(corpus, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col), F.col(vec_col).alias("ce"), "table", "bucket"
+    )
+    qb = _table_buckets(queries, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "table", "bucket"
+    )
+    cands = cb.join(F.broadcast(qb), ["table", "bucket"]).select(
+        "qid", id_col, "ce", "qe"
+    )
     scored = cands.dropDuplicates(["qid", id_col]).select(
         "qid",
         id_col,

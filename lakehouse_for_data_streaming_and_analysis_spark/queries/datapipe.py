@@ -547,5 +547,7 @@ def ann_lsh_topk(spark, sf_dir):
     cross-engine, not just the exact rescoring."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    out = similarity.lsh_topk(emb, queries, k=5, n_planes=6, n_tables=3)
+    out = similarity.lsh_topk(
+        emb, queries, k=5, n_planes=6, n_tables=3, dim=64  # TESTDATA.md embedding dim
+    )
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
