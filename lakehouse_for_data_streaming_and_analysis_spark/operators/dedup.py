@@ -50,10 +50,8 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
     ).filter(F.col("sh") != "")
-    seeded = sh.join(
-        F.broadcast(
-            df.sparkSession.range(k).select(F.col("id").cast("int").alias("seed"))
-        )
+    seeded = sh.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     )
     return seeded.groupBy(id_col, "seed").agg(
         F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))).alias(
@@ -121,11 +119,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     over xxhash64 for 64 bits.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    pos = tok.join(
-        F.broadcast(
-            df.sparkSession.range(1, 17).select(F.col("id").cast("int").alias("j"))
-        )
-    )
+    pos = tok.withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(16))))
     contrib = pos.select(
         id_col,
         "j",

@@ -120,7 +120,8 @@ def streaming_bronze_final_state(spark, sf_dir):
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)  # 4 files -> 2 micro-batches:
+        # still a real cross-batch state merge, half the trigger overhead
         .parquet(replay_dir)
     )
     agg = (
