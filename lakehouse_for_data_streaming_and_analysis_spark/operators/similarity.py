@@ -31,17 +31,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: crossJoin(broadcast(queries)) ->
     per-row cosine -> windowed rank. Score rounded before ranking so
-    rank order is stable across fp summation orders."""
+    rank order is stable across fp summation orders. Norms are computed
+    once per vector BEFORE the cross join, so the quadratic stage only
+    folds the dot product."""
     q = queries.select(
         F.col(id_col).alias("qid"), vectors.as_double(F.col(vec_col)).alias("qe")
-    )
+    ).withColumn("qn", vectors.norm(F.col("qe")))
     c = corpus.select(
         F.col(id_col), vectors.as_double(F.col(vec_col)).alias("ce")
-    )
+    ).withColumn("cn", vectors.norm(F.col("ce")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "qid",
         id_col,
-        F.round(vectors.cosine(F.col("ce"), F.col("qe")), round_to).alias("cosine"),
+        F.round(
+            vectors.dot(F.col("ce"), F.col("qe")) / (F.col("cn") * F.col("qn")),
+            round_to,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -58,19 +63,29 @@ def cosine_pairs(
     threshold: float = 0.35,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold
-    (all-pairs; restrict the input or LSH-bucket first at scale)."""
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), vectors.as_double(F.col(vec_col)).alias("ea")
+    (all-pairs; restrict the input or LSH-bucket first at scale).
+
+    Norms are computed once per VECTOR before the pair join (linear),
+    so the quadratic stage only evaluates the dot product — same
+    doubles as computing both norms per pair, a third of the fold
+    work."""
+    normed = corpus.select(
+        F.col(id_col), vectors.as_double(F.col(vec_col)).alias("e")
+    ).withColumn("nrm", vectors.norm(F.col("e")))
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), vectors.as_double(F.col(vec_col)).alias("eb")
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(vectors.cosine(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                vectors.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -166,22 +181,27 @@ def lsh_topk(
     Pass ``dim`` when known to skip the probe job that reads it."""
     if dim is None:
         dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    cb = _table_buckets(corpus, vec_col, n_planes, n_tables, dim).select(
-        F.col(id_col), F.col(vec_col).alias("ce"), "table", "bucket"
+    c_n = corpus.withColumn("_nrm", vectors.norm(vectors.as_double(F.col(vec_col))))
+    q_n = queries.withColumn("_nrm", vectors.norm(vectors.as_double(F.col(vec_col))))
+    cb = _table_buckets(c_n, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col), F.col(vec_col).alias("ce"), F.col("_nrm").alias("cn"),
+        "table", "bucket",
     )
-    qb = _table_buckets(queries, vec_col, n_planes, n_tables, dim).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), "table", "bucket"
+    qb = _table_buckets(q_n, vec_col, n_planes, n_tables, dim).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"),
+        F.col("_nrm").alias("qn"), "table", "bucket",
     )
     cands = cb.join(F.broadcast(qb), ["table", "bucket"]).select(
-        "qid", id_col, "ce", "qe"
+        "qid", id_col, "ce", "cn", "qe", "qn"
     )
     scored = cands.dropDuplicates(["qid", id_col]).select(
         "qid",
         id_col,
         F.round(
-            vectors.cosine(
+            vectors.dot(
                 vectors.as_double(F.col("ce")), vectors.as_double(F.col("qe"))
-            ),
+            )
+            / (F.col("cn") * F.col("qn")),
             6,
         ).alias("cosine"),
     )
@@ -202,22 +222,29 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, ties to
     the lowest centroid id). Centroids are broadcast — assignment is
-    one scan of the corpus, no shuffle until the argmax window."""
-    c = corpus.select(F.col(id_col), vectors.as_double(F.col(vec_col)).alias("e"))
+    one scan of the corpus, no shuffle until the argmax window. Norms
+    are folded once per vector/centroid, not per (vector, centroid)."""
+    c = corpus.select(
+        F.col(id_col), vectors.as_double(F.col(vec_col)).alias("e")
+    ).withColumn("en", vectors.norm(F.col("e")))
     cents = centroids.select(
         F.col(id_col).alias("cid"), vectors.as_double(F.col(vec_col)).alias("ce")
-    )
+    ).withColumn("cen", vectors.norm(F.col("ce")))
     scored = c.crossJoin(F.broadcast(cents)).select(
         id_col,
         "e",
+        "en",
         "cid",
-        F.round(vectors.cosine(F.col("e"), F.col("ce")), round_to).alias("csim"),
+        F.round(
+            vectors.dot(F.col("e"), F.col("ce")) / (F.col("en") * F.col("cen")),
+            round_to,
+        ).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(id_col, "e", F.col("cid").alias("cell"))
+        .select(id_col, "e", "en", F.col("cid").alias("cell"))
     )
 
 
@@ -246,33 +273,40 @@ def ivf_topk(
     lists = ivf_assign_cells(corpus, cents, id_col, vec_col, round_to)
     q = queries.select(
         F.col(id_col).alias("qid"), vectors.as_double(F.col(vec_col)).alias("qe")
-    )
+    ).withColumn("qn", vectors.norm(F.col("qe")))
     qcents = (
         q.crossJoin(
             F.broadcast(
                 cents.select(
                     F.col(id_col).alias("cid"),
                     vectors.as_double(F.col(vec_col)).alias("ce"),
-                )
+                ).withColumn("cen", vectors.norm(F.col("ce")))
             )
         )
         .select(
             "qid",
             "qe",
+            "qn",
             "cid",
-            F.round(vectors.cosine(F.col("qe"), F.col("ce")), round_to).alias("csim"),
+            F.round(
+                vectors.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cen")),
+                round_to,
+            ).alias("csim"),
         )
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         qcents.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
-        .select("qid", "qe", F.col("cid").alias("cell"))
+        .select("qid", "qe", "qn", F.col("cid").alias("cell"))
     )
     scored = lists.join(F.broadcast(probes), "cell").select(
         "qid",
         id_col,
-        F.round(vectors.cosine(F.col("e"), F.col("qe")), round_to).alias("cosine"),
+        F.round(
+            vectors.dot(F.col("e"), F.col("qe")) / (F.col("en") * F.col("qn")),
+            round_to,
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -12,6 +12,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def scan(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -44,9 +45,36 @@ def rest_ingest(
     feeds belong on the streaming path, not here.
     """
     rows = list(fetch())
-    df = spark.createDataFrame(rows)  # type: ignore[arg-type]
-    for col, dtype in casts.items():
-        df = df.withColumn(col, F.col(col).cast(dtype))
-    for col, default in (null_defaults or {}).items():
-        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
-    return df
+    # Infer the schema driver-side (payloads are plain JSON scalars) —
+    # createDataFrame without a schema runs an RDD sampling job just to
+    # discover types, which dwarfs the actual work for dim-sized feeds.
+    keys: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    missing = (set(casts) | set(null_defaults or {})) - set(keys)
+    if missing:
+        raise ValueError(f"cast/default columns absent from payload: {sorted(missing)}")
+
+    def py_type(k: str) -> T.DataType:
+        v = next((r[k] for r in rows if r.get(k) is not None), None)
+        if isinstance(v, bool):
+            return T.BooleanType()
+        if isinstance(v, int):
+            return T.LongType()
+        if isinstance(v, float):
+            return T.DoubleType()
+        return T.StringType()
+
+    schema = T.StructType([T.StructField(k, py_type(k), True) for k in keys])
+    df = spark.createDataFrame([tuple(r.get(k) for k in keys) for r in rows], schema)
+    exprs = []
+    for k in keys:
+        c = F.col(k)
+        if k in casts:
+            c = c.cast(casts[k])
+        if k in (null_defaults or {}):
+            c = F.coalesce(c, F.lit((null_defaults or {})[k]))
+        exprs.append(c.alias(k))
+    return df.select(*exprs)
