@@ -37,27 +37,44 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+# Affine params: a_i = 62675*(i+1) + 1, b_i = 12345 + 7919*i. a < 2^30
+# and the base hash < 2^32 keep a*h + b < 2^62 — no 64-bit overflow in
+# Spark (which wraps) or DuckDB (which errors).
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """Long-format MinHash signatures: (id, seed, mh) with
-    mh = min over shingles of md5(seed || '|' || shingle).
+    mh = min over shingles of ((a_seed * h + b_seed) mod P), where h
+    is ONE 32-bit md5-derived hash per shingle.
 
-    Long format (vs an array column) keeps every downstream step an
-    aggregate/join — no array machinery in the shuffle path.
-    """
+    The md5 runs once per shingle (the seed loop is integer affine
+    arithmetic on top), and although the seed explode produces
+    k x |shingles| rows, hash-aggregate map-side combine collapses
+    them to k rows per doc before the shuffle. Long format keeps
+    every expression tiny, so whole-stage codegen compiles in
+    milliseconds (a 16-wide agg variant spent multiple seconds in
+    Janino for the same result)."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
     ).filter(F.col("sh") != "")
-    seeded = sh.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    h = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
-    return seeded.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("sh")))).alias(
-            "mh"
-        )
-    )
+    a0, astep = 62675 + 1, 62675  # a_i = 62675*(i+1) + 1
+    b0, bstep = 12345, 7919  # b_i = 12345 + 7919*i
+    seeded = h.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+    mh = (
+        (F.lit(astep) * F.col("seed") + F.lit(a0)) * F.col("h")
+        + (F.lit(bstep) * F.col("seed") + F.lit(b0))
+    ) % F.lit(MINHASH_PRIME)
+    return seeded.groupBy(id_col, "seed").agg(F.min(mh).alias("mh"))
 
 
 def lsh_band_keys(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataFrame:
@@ -65,14 +82,12 @@ def lsh_band_keys(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataF
     bucket key; docs sharing any (band, band_key) are candidates."""
     banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                "|",
-            )
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s["mh"].cast("string"),
+            ),
+            "|",
         ).alias("band_key")
     )
 
@@ -118,14 +133,17 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (oracle-checkable); the production variant is identical structure
     over xxhash64 for 64 bits.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    # md5 is hoisted BEFORE the 16-way position explode: one hash per
+    # token, and the per-position rows carry only (id, j, ±1) into a
+    # map-side-combined aggregate.
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("m"))
     pos = tok.withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(16))))
     contrib = pos.select(
         id_col,
         "j",
-        F.when(
-            F.expr("instr('0123456789abcdef', substr(md5(tok), j, 1)) - 1") >= 8, 1
-        )
+        F.when(F.expr("instr('0123456789abcdef', substr(m, j, 1)) - 1") >= 8, 1)
         .otherwise(-1)
         .alias("s"),
     )

@@ -94,26 +94,31 @@ def exact_dedup_groups(spark, sf_dir):
     return dedup.exact_dedup(docs.unionByName(dups), "doc_id", "text")
 
 
+_MINHASH_K = 16
+
+
 @q(
     "minhash_lsh_neardup",
     f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
        tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tok),
-       shf AS (SELECT * FROM sh WHERE sh <> ''),
-       seeds AS (SELECT unnest(range(0, 16)) AS seed),
+       shf AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+               FROM sh WHERE sh <> ''),
+       seeds AS (SELECT unnest(range(0, {_MINHASH_K})) AS seed),
        sigs AS (SELECT doc_id, seed,
-                       MIN(md5(concat_ws('|', CAST(seed AS VARCHAR), sh))) AS mh
+                       MIN(((62675 * (seed + 1) + 1) * h + (12345 + 7919 * seed))
+                           % {dedup.MINHASH_PRIME}) AS mh
                 FROM shf, seeds GROUP BY 1, 2),
        bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
-                        md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+                        string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS band_key
                  FROM sigs GROUP BY 1, 2),
        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM bands a JOIN bands b
                    ON a.band = b.band AND a.band_key = b.band_key
                       AND a.doc_id < b.doc_id),
        est AS (SELECT c.doc_a, c.doc_b,
-                      ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0, 4)
-                        AS est_jaccard
+                      ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                            / {_MINHASH_K}.0, 4) AS est_jaccard
                FROM cands c
                JOIN sigs sa ON sa.doc_id = c.doc_a
                JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
@@ -126,10 +131,10 @@ def minhash_lsh_neardup(spark, sf_dir):
     band bucket equi-join -> estimate. No O(n^2) stage. Runs over the
     injected-near-dup corpus so recall is actually exercised."""
     docs = _neardup_corpus(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=16, shingle_n=3)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
     bands = dedup.lsh_band_keys(sigs, "doc_id", rows_per_band=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
-    est = dedup.estimate_pair_jaccard(pairs, sigs, "doc_id", k=16)
+    est = dedup.estimate_pair_jaccard(pairs, sigs, "doc_id", k=_MINHASH_K)
     return est.filter(F.col("est_jaccard") >= 0.25)
 
 

@@ -67,8 +67,17 @@ def rest_ingest(
             return T.DoubleType()
         return T.StringType()
 
-    schema = T.StructType([T.StructField(k, py_type(k), True) for k in keys])
-    df = spark.createDataFrame([tuple(r.get(k) for k in keys) for r in rows], schema)
+    # Build the rows as Catalyst literals instead of createDataFrame:
+    # parallelizing local rows schedules defaultParallelism tasks (and
+    # spins up a Python worker per slice) for what is dim-sized data.
+    # A literal inline(array(struct(...))) stays JVM-side as a single
+    # local projection — no RDD, no Python workers, one task.
+    types = {k: py_type(k) for k in keys}
+    structs = [
+        F.struct(*[F.lit(r.get(k)).cast(types[k]).alias(k) for k in keys])
+        for r in rows
+    ]
+    df = spark.range(0, 1, numPartitions=1).select(F.inline(F.array(*structs)))
     exprs = []
     for k in keys:
         c = F.col(k)
