@@ -18,6 +18,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     charts,
     datapipe,
     observability,
+    olap,
     pipeline,
     relational,
 )
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(analytics.QUERIES)
     out.update(charts.QUERIES)
     out.update(observability.QUERIES)
+    out.update(olap.QUERIES)
     return out
 
 
@@ -83,4 +85,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(analytics.ORACLES)
     out.update(charts.ORACLES)
     out.update(observability.ORACLES)
+    out.update(olap.ORACLES)
     return out

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -349,6 +349,81 @@ def token_counts(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
         F.size(textfns.bpe_ish_tokens("text")).cast("int").alias("n_bpe_tokens"),
         F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@q(
+    "token_heavy_hitters",
+    f"""WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+       SELECT tok, COUNT(*) AS freq
+       FROM tok WHERE tok <> ''
+       GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 20""",
+)
+def token_heavy_hitters(spark, sf_dir):
+    """Corpus-wide top-20 token frequencies (exact). The groupBy is
+    map-side combined so the shuffle carries one row per distinct
+    token per partition; the total order (freq desc, token asc) makes
+    the LIMIT deterministic. Scale path for skewed vocabularies:
+    approx_count_distinct / count-min over the same explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(textfns.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       tokf AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tokf GROUP BY 1, 2),
+       dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (SELECT tf.doc_id, tf.tok,
+                         ROUND(tf.c * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4)
+                           AS tfidf
+                  FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN n)
+       SELECT doc_id, tok, tfidf, CAST(rn AS INT) AS rn FROM (
+         SELECT doc_id, tok, tfidf,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rn
+         FROM scored)
+       WHERE rn <= 3""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. Term frequencies and document
+    frequencies are two map-side-combined aggregates over one token
+    explode; the corpus size joins in as a broadcast scalar, and the
+    per-doc top-k is a window over the (already small) scored set."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.col("doc_id"), F.explode(textfns.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("c") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rn").cast("int").alias("rn"))
     )
 
 

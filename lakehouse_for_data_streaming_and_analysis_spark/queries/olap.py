@@ -1,0 +1,309 @@
+"""OLAP breadth queries: multi-level aggregation (rollup / cube /
+grouping sets), pivot, sessionization, range-band joins, exact
+quantiles, and dedup clustering (connected components).
+
+Every query here is DuckDB-oracle-backed. Float aggregates follow the
+repo rule: SUM over decimal(18,2) (exact, order-insensitive) then one
+round() on the double conversion; quantiles rely on both engines
+implementing linear interpolation over the sorted set (pinned by
+oracle equality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import graphs, sessions
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_REV = "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)"
+
+
+def _orders_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+
+
+def _rev_col() -> F.Column:
+    return F.round(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+    ).alias("revenue")
+
+
+@q(
+    "rollup_year_priority",
+    f"""WITH o AS (SELECT year(o_orderdate) AS o_year, o_orderpriority, o_totalprice
+                  FROM orders)
+       SELECT COALESCE(o_year, -1) AS o_year,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              GROUPING(o_year) AS g_year,
+              GROUPING(o_orderpriority) AS g_priority,
+              {_REV} AS revenue,
+              COUNT(*) AS n_orders
+       FROM o GROUP BY ROLLUP (o_year, o_orderpriority)""",
+)
+def rollup_year_priority(spark, sf_dir):
+    """Hierarchical totals (year, priority) -> (year) -> grand total in
+    one pass — Spark expands the rollup into a single shuffle with
+    partial aggregation per grouping set, not three scans."""
+    o = _orders_year(spark, sf_dir)
+    return (
+        o.rollup("o_year", "o_orderpriority")
+        .agg(
+            F.grouping("o_year").cast("long").alias("g_year"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            _rev_col(),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_year",
+            "g_priority",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@q(
+    "cube_status_priority",
+    f"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+              COALESCE(o_orderpriority, 'ALL') AS priority,
+              {_REV} AS revenue,
+              COUNT(*) AS n_orders
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def cube_status_priority(spark, sf_dir):
+    """Full cross-dimensional totals (status x priority plus all
+    marginals) in one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(_rev_col(), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@q(
+    "grouping_sets_year_priority",
+    f"""WITH o AS (SELECT year(o_orderdate) AS o_year, o_orderpriority, o_totalprice
+                  FROM orders)
+       SELECT COALESCE(CAST(o_year AS VARCHAR), o_orderpriority) AS group_key,
+              {_REV} AS revenue
+       FROM o GROUP BY GROUPING SETS ((o_year), (o_orderpriority))""",
+)
+def grouping_sets_year_priority(spark, sf_dir):
+    """Disjoint grouping sets (by-year totals UNION by-priority
+    totals) without a self-union — one aggregation, two expansion
+    rows per input row."""
+    o = _orders_year(spark, sf_dir)
+    return (
+        o.groupingSets([["o_year"], ["o_orderpriority"]], "o_year", "o_orderpriority")
+        .agg(_rev_col())
+        .select(
+            F.coalesce(F.col("o_year").cast("string"), F.col("o_orderpriority")).alias(
+                "group_key"
+            ),
+            "revenue",
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+_PIVOT_CASES = ",\n              ".join(
+    f"ROUND(CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+    f"THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS {a}"
+    for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+)
+
+
+@q(
+    "pivot_priority_by_year",
+    f"""SELECT year(o_orderdate) AS o_year,
+              {_PIVOT_CASES}
+       FROM orders GROUP BY 1""",
+)
+def pivot_priority_by_year(spark, sf_dir):
+    """Wide yearly revenue by priority. The pivot values are passed
+    explicitly — at scale that skips the extra distinct-values job
+    Spark otherwise runs before planning the pivot."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    pivoted = (
+        o.groupBy("o_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("price").cast("double"), 2))
+    )
+    renames = [F.col("o_year")] + [
+        F.col(f"`{p}`").alias(a) for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    ]
+    return pivoted.select(*renames)
+
+
+_SESSION_GAP_MIN = 480
+
+
+@q(
+    "sessionize_user_events",
+    f"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+       flags AS (SELECT user_id, ts, us,
+                        CASE WHEN us - lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w > {_SESSION_GAP_MIN * 60_000_000}
+                             THEN 1 ELSE 0 END AS new_sess
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       tagged AS (SELECT user_id, ts, us,
+                         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM flags)
+       SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+              COUNT(*) AS n_events,
+              ROUND((MAX(us) - MIN(us)) / 1e6, 3) AS duration_secs
+       FROM tagged GROUP BY user_id, session_idx""",
+)
+def sessionize_user_events(spark, sf_dir):
+    """Activity sessions per user at an 8h inactivity gap, via Spark's
+    built-in session_window aggregate (the oracle runs the equivalent
+    gaps-and-islands SQL; tests/test_sessions.py pins the two
+    formulations equal)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return sessions.session_window_agg(ev, "user_id", "ts", _SESSION_GAP_MIN)
+
+
+_BAND_W = 50_000
+
+
+@q(
+    "price_band_range_join",
+    f"""WITH bands AS (SELECT unnest(range(0, 10)) AS band_id),
+       b AS (SELECT band_id, band_id * {_BAND_W} AS lo, (band_id + 1) * {_BAND_W} AS hi
+             FROM bands)
+       SELECT b.band_id, b.lo, b.hi,
+              COUNT(o.o_orderkey) AS n_orders,
+              {_REV} AS revenue
+       FROM b JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+       GROUP BY 1, 2, 3""",
+)
+def price_band_range_join(spark, sf_dir):
+    """Non-equi range join: orders against a 10-band price grid. The
+    band table is broadcast, so the range predicate evaluates as a
+    broadcast nested-loop over 10 rows per order — no shuffle of the
+    fact side. (With a dense fact-side key, the scale alternative is
+    binning both sides to an equi-join key; here the dim is tiny so
+    broadcast is strictly better.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bands = (
+        spark.range(0, 10)
+        .withColumnRenamed("id", "band_id")
+        .select(
+            "band_id",
+            (F.col("band_id") * _BAND_W).alias("lo"),
+            ((F.col("band_id") + 1) * _BAND_W).alias("hi"),
+        )
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band_id", "lo", "hi").agg(
+        F.count("o_orderkey").alias("n_orders"), _rev_col()
+    )
+
+
+@q(
+    "exact_quantiles_by_type",
+    """SELECT event_type,
+              ROUND(quantile_cont(value, 0.5), 6) AS p50,
+              ROUND(quantile_cont(value, 0.9), 6) AS p90,
+              ROUND(quantile_cont(value, 0.99), 6) AS p99
+       FROM events GROUP BY 1""",
+)
+def exact_quantiles_by_type(spark, sf_dir):
+    """Exact interpolated per-group percentiles (Spark `percentile`;
+    the approx_percentile scale variant is covered by
+    tests/test_approx.py tolerance checks)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_SIMHASH_SIMS_SQL = """
+       tokd AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM (SELECT doc_id, text FROM documents WHERE source = 'src1')),
+       m AS (SELECT doc_id, md5(tok) AS m FROM tokd),
+       pos AS (SELECT doc_id, m, unnest(range(1, 17)) AS j FROM m),
+       contrib AS (SELECT doc_id, j,
+                          CASE WHEN instr('0123456789abcdef', substr(m, j, 1)) - 1 >= 8
+                               THEN 1 ELSE -1 END AS s
+                   FROM pos),
+       bits AS (SELECT doc_id, j, CASE WHEN SUM(s) > 0 THEN 1 ELSE 0 END AS bit
+                FROM contrib GROUP BY 1, 2),
+       sims AS (SELECT doc_id, CAST(SUM(bit * (1 << (j - 1))) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1)
+"""
+
+
+@q(
+    "dedup_components",
+    f"""WITH RECURSIVE {_SIMHASH_SIMS_SQL.strip()},
+       prs AS (SELECT a.doc_id AS src, b.doc_id AS dst
+               FROM sims a JOIN sims b
+                 ON a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       edges AS (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach AS (SELECT node, node AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS node, r.label FROM reach r
+                 JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1)
+       SELECT component, COUNT(*) AS n_docs
+       FROM labels GROUP BY 1 HAVING COUNT(*) >= 2""",
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate GROUPS from near-dup PAIRS: connected components over
+    the simhash hamming<=3 graph by iterative min-label propagation
+    (operators/graphs.py). The oracle computes the same components
+    with a recursive CTE."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src1")
+    sims = dedup.simhash16(docs, "doc_id", "text")
+    prs = dedup.simhash_pairs(sims, "doc_id", max_hamming=3)
+    labels = graphs.connected_components(
+        prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return graphs.component_stats(labels)
