@@ -260,6 +260,119 @@ def exact_quantiles_by_type(spark, sf_dir):
     )
 
 
+_UNPIVOT_COLS = ", ".join(_PRIORITY_ALIASES)
+
+
+@q(
+    "unpivot_priority_revenue",
+    f"""WITH wide AS (
+         SELECT year(o_orderdate) AS o_year,
+              {_PIVOT_CASES}
+         FROM orders GROUP BY 1)
+       UNPIVOT wide ON {_UNPIVOT_COLS} INTO NAME priority VALUE revenue""",
+)
+def unpivot_priority_revenue(spark, sf_dir):
+    """Melt the pivoted wide table back to long form with the built-in
+    unpivot (no UNION-per-column scan repetition — one pass expands
+    each row into five)."""
+    wide = pivot_priority_by_year(spark, sf_dir)
+    return wide.unpivot(
+        ["o_year"], _PRIORITY_ALIASES, "priority", "revenue"
+    ).filter(F.col("revenue").isNotNull())
+
+
+@q(
+    "ranked_orders_window_suite",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+                 FROM orders WHERE year(o_orderdate) = 1995)
+       SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER w AS INT) AS quartile,
+              ROUND(percent_rank() OVER w, 6) AS pct_rank,
+              ROUND(cume_dist() OVER w, 6) AS cume,
+              CAST(dense_rank() OVER w AS BIGINT) AS drank
+       FROM o
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+)
+def ranked_orders_window_suite(spark, sf_dir):
+    """Ranking-function suite (ntile / percent_rank / cume_dist /
+    dense_rank) per priority. The window orders on a TOTAL order
+    (price desc, key asc) so ntile's bucket boundaries are
+    deterministic under price ties."""
+    from pyspark.sql.window import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+@q(
+    "semi_join_recent_customers",
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+)
+def semi_join_recent_customers(spark, sf_dir):
+    """Left-semi join: customers with at least one order since 2000.
+    Semi join ships only the distinct key set of the filtered build
+    side — no fact-row duplication, and the date filter is pushed to
+    the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "embedding_vector_stats",
+    """SELECT vec_id,
+              CAST(len(embedding) AS INT) AS dim,
+              ROUND(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+              ROUND(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_v,
+              ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+              ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v
+       FROM embeddings""",
+)
+def embedding_vector_stats(spark, sf_dir):
+    """Per-vector stats with higher-order array functions — the fold
+    runs element-wise inside the JVM (no explode, no shuffle, no
+    Python): aggregate() for the sums, array_max/min for extrema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    v_sum = F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(v_sum / F.size("embedding"), 6).alias("mean_v"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
+    )
+
+
 _SIMHASH_SIMS_SQL = """
        tokd AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
                 FROM (SELECT doc_id, text FROM documents WHERE source = 'src1')),

@@ -153,6 +153,98 @@ def streaming_bronze_final_state(spark, sf_dir):
     )
 
 
+@q(
+    "stream_stream_attribution_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+              p.ts AS purchase_ts, c.ts AS click_ts,
+              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3) AS lag_secs
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND p.event_type = 'purchase'
+        AND c.event_type IN ('click', 'view')
+        AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts""",
+)
+def stream_stream_attribution_join(spark, sf_dir):
+    """T-coverage extension: a real stream-stream event-time interval
+    join (purchase attribution: each purchase joined to the same
+    user's clicks/views in the preceding 4 hours), run as a
+    micro-batched StreamingQuery and checked against the batch join.
+
+    Exactness argument: replay files are range-partitioned on ts (so
+    micro-batch 2's earliest event >= micro-batch 1's latest), and the
+    8h watermark delay exceeds the 4h join interval — no state needed
+    for a future match is ever evicted, so the streamed result equals
+    the batch inner join row-for-row."""
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = os.path.join("/root/repo/.scratch", f"attr_replay_{sf_tag}")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        # 2 non-overlapping time-range files -> 2 in-order micro-batches
+        ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "8 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 4 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    )
+    tbl = f"attribution_join_{sf_tag}"
+    # Stream-stream join state lives in one store per shuffle partition
+    # per side; at this volume 32 partitions are pure per-batch fixed
+    # cost (store open/commit x partitions x micro-batches), so pin the
+    # stateful shuffle low for the run. Sized up, this is the knob that
+    # matches state-partition count to executor count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        handle = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(tbl).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.round(
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1e6, 3
+        ).alias("lag_secs"),
+    )
+
+
 _REST_ROWS = [
     {"symbol": "BTC", "name": "bitcoin", "supply": "19000000.5", "maxSupply": "21000000", "volume24h": "123.25"},
     {"symbol": "ETH", "name": "ethereum", "supply": "120000000", "maxSupply": None, "volume24h": "456.5"},
