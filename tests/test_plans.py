@@ -129,3 +129,52 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     # partition-only predicate => no pushed data filters on the scan
     scan = [l for l in full.splitlines() if "FileScan" in l]
     assert scan and "PushedFilters: []" in scan[-1], scan
+
+
+def test_rollup_single_shuffle(spark):
+    """ROLLUP must expand grouping sets inside ONE aggregation
+    pipeline — one shuffle, not one scan+shuffle per level."""
+    df = entrymod.queries()["rollup_year_priority"](spark, SF_DIR)
+    p = _physical(df)
+    n_shuffle = sum(
+        p.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+    assert n_shuffle <= 1, f"rollup should be one shuffle, got {n_shuffle}:\n{p}"
+    assert p.count("FileScan") == 1, "rollup must scan orders exactly once"
+
+
+def test_range_band_join_broadcasts_grid(spark):
+    """The non-equi band join must broadcast the 10-row grid, never
+    shuffle or cartesian the fact side."""
+    df = entrymod.queries()["price_band_range_join"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_join_pushes_date_filter(spark):
+    """Left-semi join: the o_orderdate filter must reach the orders
+    parquet scan as a pushed filter."""
+    df = entrymod.queries()["semi_join_recent_customers"](spark, SF_DIR)
+    full = _full(df)
+    scan_lines = [l for l in full.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderdate" in l and "PushedFilters" in l for l in scan_lines), (
+        scan_lines
+    )
+
+
+def test_vector_stats_no_python_no_explode(spark):
+    """Higher-order-function folds must stay JVM-side: no Python eval
+    nodes and no Generate (explode) in the per-vector stats plan."""
+    df = entrymod.queries()["embedding_vector_stats"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "Generate" not in p, "vector stats must not explode the array"
+    n_shuffle = sum(
+        p.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+    assert n_shuffle == 0, f"per-row vector stats must not shuffle:\n{p}"
