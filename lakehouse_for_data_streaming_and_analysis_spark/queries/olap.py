@@ -373,6 +373,62 @@ def embedding_vector_stats(spark, sf_dir):
     )
 
 
+@q(
+    "stats_moments_by_type",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              ROUND(stddev_samp(value), 4) AS sd,
+              ROUND(var_samp(value), 4) AS variance,
+              ROUND(skewness(value) * (COUNT(value) - 2)
+                    / sqrt(COUNT(value) * (COUNT(value) - 1.0)), 4) AS skew,
+              ROUND(kurtosis_pop(value), 4) AS kurt,
+              ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_uid,
+              ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_uid
+       FROM events GROUP BY 1""",
+)
+def stats_moments_by_type(spark, sf_dir):
+    """Higher statistical moments + bivariate stats per group, all
+    single-pass JVM aggregates. Spark's skewness/kurtosis are the
+    POPULATION definitions; the oracle converts DuckDB's
+    sample-corrected skewness with the (n-2)/sqrt(n(n-1)) factor and
+    uses kurtosis_pop directly — definitional parity is pinned, not
+    assumed."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("variance"),
+        F.round(F.skewness("value"), 4).alias("skew"),
+        F.round(F.kurtosis("value"), 4).alias("kurt"),
+        F.round(F.corr(F.col("value"), uid), 4).alias("corr_uid"),
+        F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_uid"),
+    )
+
+
+@q(
+    "user_event_profile",
+    """SELECT user_id,
+              list_sort(list(DISTINCT event_type)) AS event_types,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              arg_min(event_type, event_id) AS first_type,
+              arg_max(event_type, event_id) AS last_type
+       FROM events GROUP BY 1""",
+)
+def user_event_profile(spark, sf_dir):
+    """Per-user behavioral profile: the distinct event-type set
+    collected as a SORTED array (deterministic cross-engine), plus
+    first/last event type keyed on the unique event_id (min_by/max_by
+    with a total key — never on a tie-prone timestamp)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+    )
+
+
 _SIMHASH_SIMS_SQL = """
        tokd AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
                 FROM (SELECT doc_id, text FROM documents WHERE source = 'src1')),

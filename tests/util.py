@@ -13,6 +13,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat().replace("+00:00", "")
     return v
