@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
 from lakehouse_for_data_streaming_and_analysis_spark.queries import (
+    advanced,
     analytics,
     charts,
     datapipe,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(charts.QUERIES)
     out.update(observability.QUERIES)
     out.update(olap.QUERIES)
+    out.update(advanced.QUERIES)
     return out
 
 
@@ -86,4 +88,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(charts.ORACLES)
     out.update(observability.ORACLES)
     out.update(olap.ORACLES)
+    out.update(advanced.ORACLES)
     return out

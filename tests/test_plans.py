@@ -178,3 +178,71 @@ def test_vector_stats_no_python_no_explode(spark):
         for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
     )
     assert n_shuffle == 0, f"per-row vector stats must not shuffle:\n{p}"
+
+
+def _shuffles(p: str) -> int:
+    return sum(
+        p.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+def test_decorrelated_avg_broadcasts_aggregate(spark):
+    """'Above my group's average' must run as per-group agg broadcast
+    back to the fact side — a broadcast hash join, never a per-row
+    subquery or sort-merge shuffle of the big side."""
+    df = entrymod.queries()["customers_above_nation_avg"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_pairs_block_join_is_equi(spark):
+    """Blocked fuzzy matching: the (brand, size) block keys must drive
+    an equi join; levenshtein must never force a nested-loop over the
+    whole table."""
+    df = entrymod.queries()["fuzzy_part_pairs"](spark, SF_DIR)
+    p = _physical(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_histogram_bounds_broadcast_two_scans(spark):
+    """Equi-width histogram: the 1-row bounds aggregate is broadcast
+    back over the scan (nested-loop over one row is fine); the bucket
+    groupBy is the only shuffle beyond the scalar bounds agg."""
+    df = entrymod.queries()["histogram_fixed_buckets"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) <= 2, f"histogram should be bounds+bucket shuffles only:\n{p}"
+
+
+def test_intersect_plans_as_semi_join(spark):
+    """INTERSECT must compile to distinct + left-semi, not a full
+    cartesian or union-groupBy over the concatenated inputs."""
+    df = entrymod.queries()["intersect_repeat_customers"](spark, SF_DIR)
+    p = _physical(df)
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_time_range_window_single_shuffle_no_python(spark):
+    """RANGE-frame rolling average: one hash shuffle on the partition
+    key, everything JVM-side."""
+    df = entrymod.queries()["time_range_rolling_avg"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BatchEvalPython" not in p
+    assert _shuffles(p) == 1, f"range window must be one shuffle:\n{p}"
+
+
+def test_dim_profile_partial_agg_after_explode(spark):
+    """Per-dimension embedding profile: the explode happens map-side
+    (Generate) and the groupBy has a partial-aggregation stage before
+    the single 64-key shuffle."""
+    df = entrymod.queries()["vector_dim_profile"](spark, SF_DIR)
+    p = _physical(df)
+    assert "Generate" in p, p
+    assert "BatchEvalPython" not in p
+    assert p.count("HashAggregate") >= 2, f"need partial+final agg:\n{p}"
+    assert _shuffles(p) == 1, f"dim profile must be one shuffle:\n{p}"
