@@ -17,6 +17,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     advanced,
     analytics,
     charts,
+    curation,
     datapipe,
     observability,
     olap,
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(observability.QUERIES)
     out.update(olap.QUERIES)
     out.update(advanced.QUERIES)
+    out.update(curation.QUERIES)
     return out
 
 
@@ -89,4 +91,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(observability.ORACLES)
     out.update(olap.ORACLES)
     out.update(advanced.ORACLES)
+    out.update(curation.ORACLES)
     return out

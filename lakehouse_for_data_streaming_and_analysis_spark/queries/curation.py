@@ -1,0 +1,471 @@
+"""Training-corpus pipeline operators beyond raw dedup/similarity:
+PII scrubbing, deterministic train/val/test splitting, cross-split
+leakage detection, benchmark-contamination n-gram overlap, stratified
+sampling, composed quality gates, deterministic corpus shuffling, and
+per-label embedding profiles.
+
+These are the governance/curation half of a 100 TB training-data
+pipeline (the discovery half — MinHash/SimHash/ANN — lives in
+queries/datapipe.py). Every query is DuckDB-oracle-backed.
+
+Portability rules shared with datapipe.py:
+- the only hash is md5 (identical hex in both engines); bucket ids are
+  the first 8 hex chars parsed as a BIGINT (`F.conv` ↔ `'0x'||…::BIGINT`),
+- gate thresholds use integer cross-multiplication (`max_cnt*4 <= n_tok`
+  instead of a float ratio compare) so no IEEE boundary can flip a row,
+- float aggregates are ROUND()ed identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as textfns
+from ..functions import vectors
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _pbucket(c: Column, mod: int) -> Column:
+    """Portable md5-derived bucket in [0, mod): first 8 hex chars of
+    md5 as a BIGINT. DuckDB twin: ('0x' || substr(md5(x),1,8))::BIGINT % mod."""
+    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % mod).cast(
+        "long"
+    )
+
+
+def _pbucket_sql(expr: str, mod: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT % {mod})"
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+\.com"
+_NUM_RE = r"\b[0-9]{4,}\b"
+
+
+@q(
+    "pii_scrub_stats",
+    f"""WITH aug AS (
+         SELECT source,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.com ref ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+         FROM documents),
+       scrub AS (
+         SELECT source,
+                length(t) AS raw_len,
+                len(regexp_extract_all(t, '{_EMAIL_RE}')) AS email_hits,
+                len(regexp_extract_all(t, '\\b[0-9]{{4,}}\\b')) AS num_hits,
+                length(regexp_replace(
+                  regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '\\b[0-9]{{4,}}\\b', '<NUM>', 'g')) AS scrubbed_len
+         FROM aug)
+       SELECT source, COUNT(*) AS n_docs,
+              SUM(email_hits) AS emails_scrubbed,
+              SUM(num_hits) AS numbers_scrubbed,
+              ROUND(AVG(raw_len - scrubbed_len), 4) AS avg_chars_removed
+       FROM scrub GROUP BY 1""",
+)
+def pii_scrub_stats(spark, sf_dir):
+    """PII redaction pass (emails + long digit runs → placeholder
+    tokens) with per-source audit counts. The corpus is synthetic, so
+    deterministic PII is injected per-doc before scrubbing — the
+    operator under test is the scrub itself: two chained JVM
+    regexp_replace calls, zero Python, fully codegen'd. At 100 TB this
+    runs as a map-only stage; the audit agg ships 1 row per source.
+    Parity: counts come from regexp_count on the *pre-scrub* text in
+    both engines, so replacement order can't skew them."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    base = docs.select(
+        "source",
+        F.length(aug).alias("raw_len"),
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("email_hits"),
+        F.regexp_count(aug, F.lit(_NUM_RE)).alias("num_hits"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("email_hits").alias("emails_scrubbed"),
+        F.sum("num_hits").alias("numbers_scrubbed"),
+        F.round(F.avg(F.col("raw_len") - F.col("scrubbed_len")), 4).alias(
+            "avg_chars_removed"
+        ),
+    )
+
+
+@q(
+    "train_val_test_split",
+    f"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+              lang, COUNT(*) AS n_docs,
+              ROUND(AVG(n_chars), 4) AS avg_chars
+       FROM (SELECT lang, n_chars,
+                    {_pbucket_sql("CAST(doc_id AS VARCHAR)", 100)} AS b
+             FROM documents)
+       GROUP BY 1, 2""",
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by hashed id — the standard
+    leakage-safe alternative to randomSplit (stable across reruns,
+    cluster sizes, and partitionings; a doc's split never changes when
+    data is added). Map-only bucket assignment; the verification agg
+    shows the achieved proportions per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _pbucket(F.col("doc_id").cast("string"), 100)
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@q(
+    "cross_split_leakage",
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       tagged AS (
+         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                CASE WHEN {_pbucket_sql("CAST(doc_id AS VARCHAR) || '|leak'", 100)} < 80
+                     THEN 1 ELSE 0 END AS is_train
+         FROM corpus),
+       per_fp AS (
+         SELECT fp, SUM(is_train) AS train_n,
+                SUM(1 - is_train) AS eval_n
+         FROM tagged GROUP BY 1)
+       SELECT COUNT(CASE WHEN train_n > 0 AND eval_n > 0 THEN 1 END)
+                AS leaked_fingerprints,
+              SUM(CASE WHEN train_n > 0 AND eval_n > 0 THEN eval_n ELSE 0 END)
+                AS leaked_eval_docs,
+              SUM(eval_n) AS total_eval_docs
+       FROM per_fp""",
+)
+def cross_split_leakage(spark, sf_dir):
+    """Train→eval contamination by exact content: hash-split a corpus
+    with injected duplicates, fingerprint normalized text, and count
+    fingerprints that appear on both sides. This is the check run
+    before any benchmark number is trusted. One shuffle on the
+    fingerprint (partial aggs map-side), then a single global row —
+    the global agg sees one row per distinct fingerprint, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    is_train = (
+        _pbucket(F.concat(F.col("doc_id").cast("string"), F.lit("|leak")), 100) < 80
+    ).cast("long")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    per_fp = (
+        corpus.select(fp.alias("fp"), is_train.alias("is_train"))
+        .groupBy("fp")
+        .agg(
+            F.sum("is_train").alias("train_n"),
+            F.sum(F.lit(1) - F.col("is_train")).alias("eval_n"),
+        )
+    )
+    leaked = (F.col("train_n") > 0) & (F.col("eval_n") > 0)
+    return per_fp.agg(
+        F.count(F.when(leaked, 1)).alias("leaked_fingerprints"),
+        F.sum(F.when(leaked, F.col("eval_n")).otherwise(0)).alias("leaked_eval_docs"),
+        F.sum("eval_n").alias("total_eval_docs"),
+    )
+
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_SHINGLE5_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 4, 0) + 1), "
+    "i -> array_to_string(toks[i:i+4], ' '))"
+)
+
+
+@q(
+    "contamination_ngram_overlap",
+    f"""WITH tagged AS (
+         SELECT doc_id, source, text,
+                {_pbucket_sql("CAST(doc_id AS VARCHAR) || '|bench'", 50)} AS b
+         FROM documents),
+       tok AS (SELECT doc_id, source, b, {_TOKS_SQL} AS toks FROM tagged),
+       sh AS (SELECT DISTINCT doc_id, source, b,
+                     unnest({_SHINGLE5_SQL}) AS sh
+              FROM tok),
+       bench AS (SELECT DISTINCT sh FROM sh WHERE b = 0),
+       train AS (SELECT doc_id, source, s.sh,
+                        CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END AS hit
+                 FROM sh s LEFT JOIN bench ON s.sh = bench.sh
+                 WHERE s.b <> 0),
+       per_doc AS (
+         SELECT doc_id, source, COUNT(*) AS n_sh, SUM(hit) AS n_hit
+         FROM train GROUP BY 1, 2)
+       SELECT source, COUNT(*) AS n_train_docs,
+              COUNT(CASE WHEN n_hit * 5 >= n_sh THEN 1 END) AS contaminated_docs,
+              ROUND(AVG(CAST(n_hit AS DOUBLE) / n_sh), 4) AS avg_overlap_ratio
+       FROM per_doc WHERE n_sh > 0 GROUP BY 1""",
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination scan: hold out a ~2% hash-designated
+    benchmark slice, build its distinct 5-gram set, and measure every
+    training doc's shingle overlap against it (flagged at ≥20%,
+    integer cross-multiplied). The benchmark n-gram set is orders of
+    magnitude smaller than the corpus, so the membership probe is a
+    broadcast hash join at scale (or a bloom filter at 100 TB) — the
+    big side never shuffles. The contaminated flag uses
+    `n_hit * 5 >= n_sh` so no float compare can disagree."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _pbucket(F.concat(F.col("doc_id").cast("string"), F.lit("|bench")), 50)
+    toks = textfns.tokens("text")
+    sh = (
+        docs.select("doc_id", "source", b.alias("b"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            "b",
+            F.explode(textfns.shingles(F.col("toks"), 5)).alias("sh"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("b") == 0).select("sh").distinct()
+    train = (
+        sh.filter(F.col("b") != 0)
+        .join(F.broadcast(bench.withColumn("hit", F.lit(1))), "sh", "left")
+        .select("doc_id", "source", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    per_doc = train.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_sh"), F.sum("hit").alias("n_hit")
+    )
+    return (
+        per_doc.filter(F.col("n_sh") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count(F.when(F.col("n_hit") * 5 >= F.col("n_sh"), 1)).alias(
+                "contaminated_docs"
+            ),
+            F.round(
+                F.avg(F.col("n_hit").cast("double") / F.col("n_sh")), 4
+            ).alias("avg_overlap_ratio"),
+        )
+    )
+
+
+@q(
+    "stratified_sample_rates",
+    f"""WITH tagged AS (
+         SELECT lang,
+                CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250
+                          ELSE 500 END AS rate_pm,
+                {_pbucket_sql("CAST(doc_id AS VARCHAR) || '|strat'", 1000)} AS b
+         FROM documents)
+       SELECT lang, MAX(rate_pm) / 1000.0 AS target_rate,
+              COUNT(*) AS n_total,
+              COUNT(CASE WHEN b < rate_pm THEN 1 END) AS n_sampled,
+              ROUND(COUNT(CASE WHEN b < rate_pm THEN 1 END)
+                    / CAST(COUNT(*) AS DOUBLE), 4) AS achieved_rate
+       FROM tagged GROUP BY 1""",
+)
+def stratified_sample_rates(spark, sf_dir):
+    """Per-stratum downsampling with language-dependent target rates
+    (downweight the dominant language, keep the tail) via the same
+    deterministic hash bucket — reproducible across runs, no RNG state,
+    no extra pass to count strata first. Map-only; the audit agg
+    verifies achieved ≈ target per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 250)
+        .otherwise(500)
+    )
+    b = _pbucket(F.concat(F.col("doc_id").cast("string"), F.lit("|strat")), 1000)
+    tagged = docs.select("lang", rate.alias("rate_pm"), b.alias("b"))
+    return tagged.groupBy("lang").agg(
+        (F.max("rate_pm") / 1000.0).alias("target_rate"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("b") < F.col("rate_pm"), 1)).alias("n_sampled"),
+        F.round(
+            F.count(F.when(F.col("b") < F.col("rate_pm"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("achieved_rate"),
+    )
+
+
+_SW_SQL = "('the', 'a', 'and', 'of', 'to')"
+_SW = ("the", "a", "and", "of", "to")
+
+
+@q(
+    "doc_quality_gates",
+    f"""WITH tok AS (
+         SELECT doc_id, lang, source, n_chars,
+                unnest({_TOKS_SQL}) AS tok
+         FROM documents),
+       cnt AS (SELECT doc_id, lang, source, n_chars, tok, COUNT(*) AS c
+               FROM tok GROUP BY 1, 2, 3, 4, 5),
+       per_doc AS (
+         SELECT doc_id, lang, source, n_chars,
+                SUM(c) AS n_tok, MAX(c) AS max_cnt,
+                SUM(CASE WHEN tok IN {_SW_SQL} THEN c ELSE 0 END) AS sw
+         FROM cnt GROUP BY 1, 2, 3, 4),
+       gated AS (
+         SELECT lang, source,
+                CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1 ELSE 0 END AS len_ok,
+                CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS tok_ok,
+                CASE WHEN max_cnt * 4 <= n_tok THEN 1 ELSE 0 END AS rep_ok,
+                CASE WHEN sw * 2 <= n_tok THEN 1 ELSE 0 END AS sw_ok
+         FROM per_doc)
+       SELECT lang, source, COUNT(*) AS n_docs,
+              SUM(len_ok * tok_ok * rep_ok * sw_ok) AS passed,
+              SUM(1 - len_ok) AS fail_len, SUM(1 - tok_ok) AS fail_tok,
+              SUM(1 - rep_ok) AS fail_rep, SUM(1 - sw_ok) AS fail_sw
+       FROM gated GROUP BY 1, 2""",
+)
+def doc_quality_gates(spark, sf_dir):
+    """Composed quality-gate filter — the C4/FineWeb-style keep/drop
+    decision: length band, minimum token count, intra-doc repetition
+    (max single-token share ≤ 25%), stopword share ≤ 50%. All gates
+    integer cross-multiplied, so Spark and the oracle cannot disagree
+    on a boundary doc. Two shuffles ((doc,tok) count then doc rollup);
+    at 100 TB the (doc,tok) count partial-aggregates map-side because
+    token frequencies within a doc collapse before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", "n_chars", F.explode(textfns.tokens("text")).alias("tok")
+    )
+    cnt = tok.groupBy("doc_id", "lang", "source", "n_chars", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sw_arr = F.array(*[F.lit(w) for w in _SW])
+    per_doc = cnt.groupBy("doc_id", "lang", "source", "n_chars").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("max_cnt"),
+        F.sum(
+            F.when(F.array_contains(sw_arr, F.col("tok")), F.col("c")).otherwise(0)
+        ).alias("sw"),
+    )
+    gated = per_doc.select(
+        "lang",
+        "source",
+        F.col("n_chars").between(100, 10000).cast("long").alias("len_ok"),
+        (F.col("n_tok") >= 20).cast("long").alias("tok_ok"),
+        (F.col("max_cnt") * 4 <= F.col("n_tok")).cast("long").alias("rep_ok"),
+        (F.col("sw") * 2 <= F.col("n_tok")).cast("long").alias("sw_ok"),
+    )
+    return gated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.col("len_ok") * F.col("tok_ok") * F.col("rep_ok") * F.col("sw_ok")
+        ).alias("passed"),
+        F.sum(1 - F.col("len_ok")).alias("fail_len"),
+        F.sum(1 - F.col("tok_ok")).alias("fail_tok"),
+        F.sum(1 - F.col("rep_ok")).alias("fail_rep"),
+        F.sum(1 - F.col("sw_ok")).alias("fail_sw"),
+    )
+
+
+@q(
+    "corpus_shuffle_shards",
+    f"""SELECT doc_id, pos, (pos - 1) % 8 AS shard
+       FROM (SELECT doc_id,
+                    ROW_NUMBER() OVER (
+                      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuf'), doc_id)
+                      AS pos
+             FROM documents)
+       WHERE pos <= 200""",
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle: order by a salted hash of
+    the id, assign a contiguous position and round-robin shard. The
+    oracle form uses a single global ROW_NUMBER (fine at test scale);
+    the 100 TB path is `operators/windows.surrogate_keys_distributed`
+    — per-partition counts + offset cumsum, i.e. a range-partitioned
+    sort by the same hash with no single-reducer stage. Reproducible:
+    same corpus + salt ⇒ identical batch order, unlike randomSplit."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuf")))
+    w = Window.orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 200)
+        .select("doc_id", "pos", ((F.col("pos") - 1) % 8).alias("shard"))
+    )
+
+
+@q(
+    "label_centroid_profile",
+    """WITH norms AS (
+         SELECT label,
+                sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       per_label AS (
+         SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(nrm), 4) AS avg_norm
+         FROM norms GROUP BY 1),
+       dims AS (
+         SELECT label, generate_subscripts(embedding, 1) AS dim,
+                CAST(unnest(embedding) AS DOUBLE) AS val
+         FROM embeddings),
+       cent AS (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY 1, 2),
+       cn AS (SELECT label, ROUND(sqrt(SUM(m * m)), 4) AS centroid_norm
+              FROM cent GROUP BY 1)
+       SELECT p.label, p.n_vecs, p.avg_norm, cn.centroid_norm
+       FROM per_label p JOIN cn ON p.label = cn.label""",
+)
+def label_centroid_profile(spark, sf_dir):
+    """Per-class embedding profile for training-set monitoring: vector
+    count, mean L2 norm (JVM aggregate() fold, no explode), and the
+    norm of the class centroid (posexplode → (label,dim) partial avg —
+    the shuffle carries n_labels × n_dims rows, not the vectors).
+    A centroid norm far below the mean norm flags an incoherent
+    class; drift between snapshots flags distribution shift."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = vectors.as_double("embedding")
+    norms = e.select("label", vectors.norm(emb).alias("nrm"))
+    per_label = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )
+    dims = e.select(
+        "label", F.posexplode(emb).alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "val")
+    cent = dims.groupBy("label", "dim").agg(F.avg("val").alias("m"))
+    cn = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm")
+    )
+    return per_label.join(cn, "label").select(
+        "label", "n_vecs", "avg_norm", "centroid_norm"
+    )
