@@ -249,15 +249,16 @@ def contamination_ngram_overlap(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     b = _pbucket(F.concat(F.col("doc_id").cast("string"), F.lit("|bench")), 50)
     toks = textfns.tokens("text")
-    sh = (
-        docs.select("doc_id", "source", b.alias("b"), toks.alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            "b",
-            F.explode(textfns.shingles(F.col("toks"), 5)).alias("sh"),
-        )
-        .distinct()
+    # per-doc shingle dedup is array_distinct — map-side, so the
+    # exploded stream needs no distinct Exchange (the naive
+    # explode→DISTINCT would shuffle every shingle of the corpus)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        b.alias("b"),
+        F.explode(
+            F.array_distinct(textfns.shingles(toks, 5))
+        ).alias("sh"),
     )
     bench = sh.filter(F.col("b") == 0).select("sh").distinct()
     train = (
@@ -359,23 +360,37 @@ def doc_quality_gates(spark, sf_dir):
     decision: length band, minimum token count, intra-doc repetition
     (max single-token share ≤ 25%), stopword share ≤ 50%. All gates
     integer cross-multiplied, so Spark and the oracle cannot disagree
-    on a boundary doc. Two shuffles ((doc,tok) count then doc rollup);
-    at 100 TB the (doc,tok) count partial-aggregates map-side because
-    token frequencies within a doc collapse before the exchange."""
+    on a boundary doc. The per-doc stats are computed entirely
+    map-side with array HOFs (sort the token array, fold a
+    run-length state for the max token count) — the oracle's
+    explode→groupBy formulation would shuffle every token of a
+    100 TB corpus twice; this plan's only Exchange carries one row
+    per (lang, source)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", "source", "n_chars", F.explode(textfns.tokens("text")).alias("tok")
-    )
-    cnt = tok.groupBy("doc_id", "lang", "source", "n_chars", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    toks = textfns.tokens("text")
     sw_arr = F.array(*[F.lit(w) for w in _SW])
-    per_doc = cnt.groupBy("doc_id", "lang", "source", "n_chars").agg(
-        F.sum("c").alias("n_tok"),
-        F.max("c").alias("max_cnt"),
-        F.sum(
-            F.when(F.array_contains(sw_arr, F.col("tok")), F.col("c")).otherwise(0)
-        ).alias("sw"),
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+    )
+
+    def _step(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
+        )
+
+    max_cnt = F.aggregate(F.array_sort(toks), init, _step, lambda acc: acc["mx"])
+    per_doc = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n_tok"),
+        max_cnt.alias("max_cnt"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).alias("sw"),
     )
     gated = per_doc.select(
         "lang",

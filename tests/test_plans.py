@@ -246,3 +246,57 @@ def test_dim_profile_partial_agg_after_explode(spark):
     assert "BatchEvalPython" not in p
     assert p.count("HashAggregate") >= 2, f"need partial+final agg:\n{p}"
     assert _shuffles(p) == 1, f"dim profile must be one shuffle:\n{p}"
+
+
+def test_quality_gates_map_only_stats(spark):
+    """doc_quality_gates: per-doc token stats come from array HOFs
+    (sort + fold), not explode→groupBy — so the plan has no Generate
+    node and exactly one Exchange (the final (lang, source) rollup).
+    At 100 TB that is the difference between shuffling every token
+    twice and shuffling one row per group."""
+    df = entrymod.queries()["doc_quality_gates"](spark, SF_DIR)
+    p = _physical(df)
+    assert "Generate" not in p, p
+    assert "BatchEvalPython" not in p
+    assert _shuffles(p) == 1, f"gates must be a single rollup shuffle:\n{p}"
+
+
+def test_pii_scrub_single_exchange(spark):
+    """PII scrub + audit: map-only regex pass, one source rollup."""
+    df = entrymod.queries()["pii_scrub_stats"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BatchEvalPython" not in p
+    assert _shuffles(p) == 1, f"scrub must be map-only + one rollup:\n{p}"
+
+
+def test_contamination_membership_probe_broadcasts(spark):
+    """Benchmark-contamination: the big (train) side joins the small
+    benchmark n-gram set by broadcast — never a sort-merge shuffle of
+    the exploded corpus — and per-doc shingle dedup is array_distinct,
+    so no DISTINCT Exchange over exploded shingles exists (bench-set
+    distinct + per-doc rollup + source rollup are the only shuffles)."""
+    df = entrymod.queries()["contamination_ngram_overlap"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) <= 3, f"distinct over exploded shingles crept back:\n{p}"
+
+
+def test_split_and_sample_map_only(spark):
+    """Hash-split and stratified-sample audits: bucket assignment is
+    pure projection; the only Exchange is the audit rollup."""
+    for name in ("train_val_test_split", "stratified_sample_rates"):
+        p = _physical(entrymod.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p
+        assert _shuffles(p) == 1, f"{name} must be one shuffle:\n{p}"
+
+
+def test_label_profile_joins_broadcast(spark):
+    """label_centroid_profile: the two per-label aggregates (10 rows
+    each) must combine via broadcast, and the centroid path keeps the
+    partial-agg-after-explode shape."""
+    df = entrymod.queries()["label_centroid_profile"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p
