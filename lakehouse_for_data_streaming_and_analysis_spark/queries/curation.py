@@ -89,7 +89,7 @@ def pii_scrub_stats(spark, sf_dir):
     runs as a map-only stage; the audit agg ships 1 row per source.
     Parity: counts come from regexp_count on the *pre-scrub* text in
     both engines, so replacement order can't skew them."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -181,7 +181,7 @@ def cross_split_leakage(spark, sf_dir):
     fingerprint (partial aggs map-side), then a single global row —
     the global agg sees one row per distinct fingerprint, not the
     corpus."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -246,7 +246,7 @@ def contamination_ngram_overlap(spark, sf_dir):
     broadcast hash join at scale (or a bloom filter at 100 TB) — the
     big side never shuffles. The contaminated flag uses
     `n_hit * 5 >= n_sh` so no float compare can disagree."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     b = _pbucket(F.concat(F.col("doc_id").cast("string"), F.lit("|bench")), 50)
     toks = textfns.tokens("text")
     # per-doc shingle dedup is array_distinct — map-side, so the
@@ -366,7 +366,7 @@ def doc_quality_gates(spark, sf_dir):
     explode→groupBy formulation would shuffle every token of a
     100 TB corpus twice; this plan's only Exchange carries one row
     per (lang, source)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = textfns.tokens("text")
     sw_arr = F.array(*[F.lit(w) for w in _SW])
     init = F.struct(

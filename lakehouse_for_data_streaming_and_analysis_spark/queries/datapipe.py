@@ -87,7 +87,7 @@ def exact_dedup_groups(spark, sf_dir):
     """Exact dedup via normalized-text hash groupBy. Input corpus has
     injected duplicates (every 7th doc re-appended under a new id) so
     the operator provably collapses them."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -130,7 +130,7 @@ def minhash_lsh_neardup(spark, sf_dir):
     signature-estimated Jaccard. Full pipeline: shingle -> minhash ->
     band bucket equi-join -> estimate. No O(n^2) stage. Runs over the
     injected-near-dup corpus so recall is actually exercised."""
-    docs = _neardup_corpus(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3)
     bands = dedup.lsh_band_keys(sigs, "doc_id", rows_per_band=2)
     pairs = dedup.lsh_candidate_pairs(bands, "doc_id")
@@ -160,7 +160,7 @@ def minhash_lsh_neardup(spark, sf_dir):
 def simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup pairs at hamming distance <= 3 (16-bit portable
     sketch; production = same structure over xxhash64/64-bit)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src1")
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(F.col("source") == "src1")
     sims = dedup.simhash16(docs, "doc_id", "text")
     out = dedup.simhash_pairs(sims, "doc_id", max_hamming=3)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
@@ -186,7 +186,7 @@ def simhash_hamming_pairs(spark, sf_dir):
 def ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard via shingle inverted-index join (the
     verifier for MinHash candidates), over the injected-near-dup corpus."""
-    docs = _neardup_corpus(load_table(spark, sf_dir, "documents"))
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
 
 
@@ -222,7 +222,7 @@ _ANN_DOTS_SQL = """
 def ann_brute_force_topk(spark, sf_dir):
     """Exact cosine top-5 for 3 query vectors against the corpus —
     the ANN correctness baseline (rank on pre-rounded score)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     queries = emb.filter(F.col("vec_id") < 3)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
@@ -269,7 +269,7 @@ def embedding_neardup_pairs(spark, sf_dir):
 def text_quality_scores(spark, sf_dir):
     """Per-document quality features: token counts, distinct ratio,
     avg token length, stopword ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = textfns.tokens("text")
     stats = textfns.token_stats("text")
     n = F.nullif(F.size(toks), F.lit(0)).cast("double")
@@ -306,7 +306,7 @@ def text_quality_scores(spark, sf_dir):
 def langid_stopword_heuristic(spark, sf_dir):
     """Language-ID heuristic: stopword-marker hit counts per language,
     argmax with fixed tie order (en > es > de > fr)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     toks = textfns.tokens("text")
     scores = {
         lg: textfns.stopword_count(toks, textfns.STOPWORDS[lg]).alias(f"s_{lg}")
@@ -343,7 +343,7 @@ def langid_stopword_heuristic(spark, sf_dir):
 )
 def token_counts(spark, sf_dir):
     """Token counting: whitespace split + BPE-ish regex pre-tokenizer."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
@@ -365,7 +365,7 @@ def token_heavy_hitters(spark, sf_dir):
     token per partition; the total order (freq desc, token asc) makes
     the LIMIT deterministic. Scale path for skewed vocabularies:
     approx_count_distinct / count-min over the same explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     tok = docs.select(F.explode(textfns.tokens("text")).alias("tok")).filter(
         F.col("tok") != ""
     )
@@ -401,7 +401,7 @@ def tfidf_top_terms(spark, sf_dir):
     frequencies are two map-side-combined aggregates over one token
     explode; the corpus size joins in as a broadcast scalar, and the
     per-doc top-k is a window over the (already small) scored set."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     tok = docs.select(F.col("doc_id"), F.explode(textfns.tokens("text")).alias("tok")).filter(
         F.col("tok") != ""
     )
@@ -450,7 +450,7 @@ def winnow_fingerprints(spark, sf_dir):
     hashes over a 4-shingle window -> compact sketch per doc."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src2")
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(F.col("source") == "src2")
     sh = docs.select(
         "doc_id",
         F.posexplode(textfns.shingles(textfns.tokens("text"), 3)).alias("pos0", "sh"),
@@ -488,7 +488,7 @@ def multimodal_decode_meta(spark, sf_dir):
     iteration, schema contract — is the real thing under test)."""
     from ..functions import multimodal
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     return multimodal.decode_media(multimodal.attach_payload(docs))
 
 
@@ -511,7 +511,7 @@ def multimodal_frame_sample(spark, sf_dir):
     topology a real decoder plugs into."""
     from ..functions import multimodal
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
     vids = docs.select(
         "doc_id", (F.col("n_chars") % 100 + 1).cast("int").alias("n_frames")
     )
@@ -569,7 +569,7 @@ def ann_ivf_topk(spark, sf_dir):
     3 queries probe their 4 nearest cells and score only those lists.
     Same output contract as ann_brute_force_topk; recall < 1 by
     construction on out-of-cell neighbors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     queries = emb.filter(F.col("vec_id") < 3)
     out = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
@@ -625,7 +625,7 @@ def ann_lsh_topk(spark, sf_dir):
     bucket assignment, the OR-of-3-tables candidate set, and the final
     top-5 all hash-match — the whole approximate index is deterministic
     cross-engine, not just the exact rescoring."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
     queries = emb.filter(F.col("vec_id") < 3)
     out = similarity.lsh_topk(
         emb, queries, k=5, n_planes=6, n_tables=3, dim=64  # TESTDATA.md embedding dim

@@ -469,7 +469,7 @@ def dedup_components(spark, sf_dir):
     with a recursive CTE."""
     from ..operators import dedup
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("source") == "src1")
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(F.col("source") == "src1")
     sims = dedup.simhash16(docs, "doc_id", "text")
     prs = dedup.simhash_pairs(sims, "doc_id", max_hamming=3)
     labels = graphs.connected_components(
