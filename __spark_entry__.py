@@ -18,11 +18,13 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     analytics,
     charts,
     curation,
+    lmstats,
     datapipe,
     observability,
     olap,
     pipeline,
     relational,
+    timeseries,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -75,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(olap.QUERIES)
     out.update(advanced.QUERIES)
     out.update(curation.QUERIES)
+    out.update(timeseries.QUERIES)
+    out.update(lmstats.QUERIES)
     return out
 
 
@@ -92,4 +96,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(olap.ORACLES)
     out.update(advanced.ORACLES)
     out.update(curation.ORACLES)
+    out.update(timeseries.ORACLES)
+    out.update(lmstats.ORACLES)
     return out

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -363,4 +363,166 @@ def nation_balance_flags(spark, sf_dir):
         F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
         F.bool_or(F.col("c_acctbal") < 0).alias("any_neg"),
         F.round(F.median("c_acctbal"), 4).alias("med"),
+    )
+
+
+@q(
+    "running_distinct_users",
+    """WITH firsts AS (
+         SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
+       newby AS (SELECT d, COUNT(*) AS new_users FROM firsts GROUP BY 1)
+       SELECT d, new_users,
+              SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_distinct_users
+       FROM newby""",
+)
+def running_distinct_users(spark, sf_dir):
+    """Cumulative distinct-user curve by day via the first-appearance
+    trick: min(day) per user, count firsts per day, running sum.
+    A naive per-prefix COUNT(DISTINCT) is quadratic and unshardable;
+    this is two ordinary shuffles (user grain, then day grain) and
+    the only window runs over day-grain rows — a few hundred rows
+    regardless of event count, so the single-partition window is a
+    constant, not a scale hazard. All-integer → fp-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    newby = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return newby.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+@q(
+    "revenue_share_of_region",
+    """WITH nat AS (
+         SELECT r.r_name AS region, n.n_name AS nation,
+                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1, 2)
+       SELECT region, nation,
+              rev AS revenue,
+              ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6)
+                AS region_share
+       FROM nat""",
+)
+def revenue_share_of_region(spark, sf_dir):
+    """Share-of-total window over a star-join aggregate: each nation's
+    revenue as a fraction of its region's. The fact stream shuffles
+    once (to nation grain, dims broadcast); the PARTITION BY window
+    then runs over 25 pre-aggregated rows. Revenue is rounded at the
+    stage boundary (cents, ~13 orders above double error at this
+    magnitude), so the share's numerator and denominator see
+    identical inputs on both engines before the rounded division."""
+    t = load_tables(spark, sf_dir)
+    li, o, c, n, r = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["nation"],
+        t["region"],
+    )
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    )
+    nat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(rev.alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+    )
+
+
+@q(
+    "modal_event_type_per_user",
+    """SELECT user_id, event_type AS modal_type, n
+       FROM (SELECT user_id, event_type, COUNT(*) AS n,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY COUNT(*) DESC, event_type)
+                      AS rn
+             FROM events GROUP BY 1, 2)
+       WHERE rn = 1""",
+)
+def modal_event_type_per_user(spark, sf_dir):
+    """Per-user modal category — mode() with a *defined* tie-break
+    (count desc, then type asc), because both engines' built-in
+    mode() pick ties arbitrarily and would never hash-match. One
+    shuffle to (user, type) counts; the ranking window re-uses the
+    user partitioning. All-integer."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+@q(
+    "incremental_agg_merge",
+    """SELECT l_returnflag,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS total_price,
+              MIN(l_quantity) AS min_qty,
+              MAX(l_quantity) AS max_qty,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*), 4) AS avg_price
+       FROM lineitem GROUP BY 1""",
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: the table is split into a
+    'base' snapshot (shipdate < 1997) and a 'delta' batch, each
+    reduced to mergeable partial states (count, decimal sum, min,
+    max), and the states are merged — count+count, sum+sum, min(min),
+    max(max), avg re-derived from merged sum/count. The oracle is the
+    *full recompute*, so a hash-match proves the merge is lossless —
+    the algebraic property that lets a 100 TB nightly aggregate
+    absorb a daily delta without rescanning history. Each partial agg
+    is one map-side-combined shuffle over its slice; the merge
+    itself shuffles only 2×|groups| state rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+
+    states = partial(li.filter(F.col("l_shipdate") < cut)).unionByName(
+        partial(li.filter(F.col("l_shipdate") >= cut))
+    )
+    merged = states.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("min_qty"),
+        F.max("mx").alias("max_qty"),
+    )
+    return merged.select(
+        "l_returnflag",
+        "n",
+        F.col("s").cast("double").alias("total_price"),
+        "min_qty",
+        "max_qty",
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_price"),
     )

@@ -1,0 +1,236 @@
+"""Statistical language-model quality signals over the `documents`
+corpus: bigram-LM surprisal scoring (the perplexity-proxy filter used
+in pretraining-data curation), character-class entropy, and n-gram
+uniqueness (compressibility proxy).
+
+These complete the text-analysis half of the training-data pipeline
+(tokens / quality features / heavy hitters / TF-IDF live in
+queries/datapipe.py; gate-style filters in queries/curation.py). All
+DuckDB-oracle-backed.
+
+Portability: tokenization is the shared whitespace-split
+(`functions/text.tokens` ↔ `string_split_regex`), n-gram windows are
+index slices over the token array on both engines, probability math
+is expressed as the *same* written expression (fixed evaluation
+order) and rounded before hash-compare — ln() can differ by an ulp
+across engines, which is 12 orders of magnitude below the rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as textfns
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> array_to_string(toks[i:i+1], ' '))"
+)
+_FOURGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 3, 0) + 1), "
+    "i -> array_to_string(toks[i:i+3], ' '))"
+)
+
+
+@q(
+    "bigram_lm_surprisal",
+    f"""WITH bg AS (
+         SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg
+         FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)),
+       bgc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1),
+       w1c AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+               FROM bg GROUP BY 1)
+       SELECT doc_id,
+              COUNT(*) AS n_bigrams,
+              ROUND(AVG(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))), 4)
+                AS avg_surprisal
+       FROM bg
+       JOIN bgc USING (bg)
+       JOIN w1c ON split_part(bg, ' ', 1) = w1c.w1
+       GROUP BY doc_id""",
+)
+def bigram_lm_surprisal(spark, sf_dir):
+    """Perplexity-proxy quality score: train a bigram MLE language
+    model on the corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·)), then
+    score every document by its mean surprisal -ln P. Low = formulaic
+    or repetitive text, high = out-of-distribution noise — the
+    standard cheap stand-in for a real LM perplexity filter.
+
+    Train and score are the same explode: bigram counts and
+    first-token counts are two map-side-combined aggregates over one
+    bigram stream, joined back to the stream. Both count tables are
+    vocabulary-sized, orders of magnitude smaller than the corpus —
+    at 100 TB they broadcast (or bloom-prune) so the document stream
+    shuffles only for its own per-doc groupBy. No smoothing needed:
+    every scored bigram is in the training counts by construction."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = textfns.tokens("text")
+    bg = docs.select(
+        "doc_id", F.explode(textfns.shingles(toks, 2)).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1c = bg.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    scored = (
+        bg.join(bgc, "bg")
+        .join(w1c, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .select(
+            "doc_id",
+            (
+                F.log(F.col("c1").cast("double"))
+                - F.log(F.col("c2").cast("double"))
+            ).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("surprisal"), 4).alias("avg_surprisal"),
+    )
+
+
+@q(
+    "char_class_entropy",
+    """WITH cls AS (
+         SELECT source,
+                length(t) AS n,
+                length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS n_alpha,
+                length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+                length(t) - length(regexp_replace(t, '\\s', '', 'g')) AS n_space
+         FROM (SELECT source, lower(text) AS t FROM documents)
+         WHERE length(t) > 0),
+       ent AS (
+         SELECT source,
+                n_alpha, n_digit, n_space,
+                n - n_alpha - n_digit - n_space AS n_other, n,
+                -(CASE WHEN n_alpha > 0 THEN (CAST(n_alpha AS DOUBLE)/n)
+                         * ln(CAST(n_alpha AS DOUBLE)/n) ELSE 0 END
+                  + CASE WHEN n_digit > 0 THEN (CAST(n_digit AS DOUBLE)/n)
+                         * ln(CAST(n_digit AS DOUBLE)/n) ELSE 0 END
+                  + CASE WHEN n_space > 0 THEN (CAST(n_space AS DOUBLE)/n)
+                         * ln(CAST(n_space AS DOUBLE)/n) ELSE 0 END
+                  + CASE WHEN n - n_alpha - n_digit - n_space > 0
+                         THEN (CAST(n - n_alpha - n_digit - n_space AS DOUBLE)/n)
+                         * ln(CAST(n - n_alpha - n_digit - n_space AS DOUBLE)/n)
+                         ELSE 0 END) AS h
+         FROM cls)
+       SELECT source, COUNT(*) AS n_docs,
+              ROUND(AVG(h), 4) AS avg_entropy,
+              ROUND(AVG(CAST(n_alpha AS DOUBLE) / n), 4) AS avg_alpha_share,
+              ROUND(AVG(CAST(n_digit AS DOUBLE) / n), 4) AS avg_digit_share
+       FROM ent GROUP BY 1""",
+)
+def char_class_entropy(spark, sf_dir):
+    """Character-class Shannon entropy per document (letter / digit /
+    whitespace / other over case-folded text), averaged per source —
+    a one-pass garbage detector: base64 blobs and number dumps sit
+    far from prose on this axis. Entirely map-side (class counts are
+    length-differences under regexp_replace, no explode, no
+    histogram shuffle); the only Exchange carries one row per
+    source. The 4-term entropy sum is written in the same fixed
+    order on both engines, so evaluation order — and hence the
+    float result — is identical before rounding."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    t = F.lower(F.col("text"))
+    n = F.length(t)
+    n_alpha = n - F.length(F.regexp_replace(t, "[a-z]", ""))
+    n_digit = n - F.length(F.regexp_replace(t, "[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace(t, r"\s", ""))
+    cls = docs.filter(n > 0).select(
+        "source",
+        n.alias("n"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    n_other = (
+        F.col("n") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space")
+    ).alias("n_other")
+
+    def term(c):
+        p = c.cast("double") / F.col("n")
+        return F.when(c > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    h = -(
+        term(F.col("n_alpha"))
+        + term(F.col("n_digit"))
+        + term(F.col("n_space"))
+        + term(F.col("n") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space"))
+    )
+    ent = cls.select(
+        "source",
+        "n",
+        "n_alpha",
+        "n_digit",
+        h.alias("h"),
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("h"), 4).alias("avg_entropy"),
+        F.round(F.avg(F.col("n_alpha").cast("double") / F.col("n")), 4).alias(
+            "avg_alpha_share"
+        ),
+        F.round(F.avg(F.col("n_digit").cast("double") / F.col("n")), 4).alias(
+            "avg_digit_share"
+        ),
+    )
+
+
+@q(
+    "fourgram_uniqueness",
+    f"""WITH per_doc AS (
+         SELECT lang,
+                len(sh) AS n_sh,
+                len(list_distinct(sh)) AS n_uniq
+         FROM (SELECT lang, {_FOURGRAMS_SQL} AS sh
+               FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents))
+         WHERE len(sh) > 0)
+       SELECT lang, COUNT(*) AS n_docs,
+              SUM(n_sh) AS total_4grams,
+              SUM(n_sh - n_uniq) AS dup_4grams,
+              ROUND(CAST(SUM(n_sh - n_uniq) AS DOUBLE) / SUM(n_sh), 6)
+                AS dup_ratio
+       FROM per_doc GROUP BY 1""",
+)
+def fourgram_uniqueness(spark, sf_dir):
+    """Intra-document 4-gram duplication ratio per language — the
+    cheap compressibility proxy (boilerplate and template text repeat
+    long n-grams; clean prose almost never does). Per-doc distinct
+    counting is `array_distinct` on the shingle array — map-side,
+    JVM-codegen'd, no token ever crosses the wire; the single
+    Exchange carries one integer triple per language. Contrast with
+    the explode→COUNT(DISTINCT) formulation, which would shuffle
+    every 4-gram of a 100 TB corpus twice."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    sh = textfns.shingles(textfns.tokens("text"), 4)
+    per_doc = docs.select(
+        "lang",
+        F.size(sh).alias("n_sh"),
+        F.size(F.array_distinct(sh)).alias("n_uniq"),
+    ).filter(F.col("n_sh") > 0)
+    dup = F.sum(F.col("n_sh") - F.col("n_uniq"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sh").alias("total_4grams"),
+        dup.alias("dup_4grams"),
+        F.round(dup.cast("double") / F.sum("n_sh"), 6).alias("dup_ratio"),
+    )

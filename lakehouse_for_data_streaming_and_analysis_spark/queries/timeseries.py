@@ -1,0 +1,253 @@
+"""Market/time-series operators over the tick-shaped `events` table
+and the `lineitem` fact: time-weighted average price (TWAP),
+volume-weighted average price (VWAP), running-peak max drawdown,
+EWMA smoothing, and z-score anomaly days.
+
+These extend the reference's finance-notebook surface (returns /
+rolling stats / model fits — SURVEY §2.12-2.13, implemented in
+queries/analytics.py) with the standard streaming-finance aggregates
+the notebooks compute ad hoc in pandas (reference
+`data/notebooks/Jupiter Notebook/*.ipynb` resample/ewm/cummax usage).
+
+All DuckDB-oracle-backed. Determinism rules:
+- every window has a total order (`ts, event_id` tiebreak) shared
+  verbatim with the oracle;
+- monetary sums go through DECIMAL(18,2) (exact, order-insensitive);
+- double aggregates are rounded at a stage boundary *before* any
+  sequential computation consumes them, so folds see bit-identical
+  inputs on both engines;
+- the EWMA fold is a left-to-right `aggregate()` / `list_reduce` over
+  an explicitly sorted array — same IEEE op sequence in both engines,
+  not an order-undefined SUM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "twap_daily",
+    """WITH ordered AS (
+         SELECT event_type, CAST(ts AS DATE) AS d, value,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                  OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+                  AS s_next
+         FROM events)
+       SELECT event_type, d,
+              COUNT(s_next) AS n_intervals,
+              SUM(s_next - s) AS span_s,
+              ROUND(SUM(value * (s_next - s)) / SUM(s_next - s), 4) AS twap
+       FROM ordered WHERE s_next IS NOT NULL
+       GROUP BY 1, 2
+       HAVING SUM(s_next - s) > 0""",
+)
+def twap_daily(spark, sf_dir):
+    """Time-weighted average price per (type, day): each tick's value
+    is weighted by its holding time (seconds until the next tick in
+    the same partition). Unlike a plain AVG this is sampling-rate
+    independent — a burst of quotes at one price doesn't drag the
+    mean. One window + one groupBy, both on the same
+    (event_type, day) key, so the second shuffle is partial-agg'd
+    over already-co-located rows. Zero-length days (all ticks in one
+    second) are dropped by the HAVING in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts")
+    d = F.to_date("ts").alias("d")
+    w = Window.partitionBy("event_type", "d").orderBy("s", "event_id")
+    base = ev.select("event_type", d, "event_id", "value", s.alias("s"))
+    stepped = base.withColumn("s_next", F.lead("s").over(w)).filter(
+        F.col("s_next").isNotNull()
+    )
+    dt = F.col("s_next") - F.col("s")
+    return (
+        stepped.groupBy("event_type", "d")
+        .agg(
+            F.count("s_next").alias("n_intervals"),
+            F.sum(dt).alias("span_s"),
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 4).alias("twap"),
+        )
+        .filter(F.col("span_s") > 0)
+    )
+
+
+@q(
+    "vwap_returnflag_month",
+    """SELECT l_returnflag,
+              strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ym,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                    4) AS vwap
+       FROM lineitem
+       GROUP BY 1, 2""",
+)
+def vwap_returnflag_month(spark, sf_dir):
+    """Volume-weighted average price per (returnflag, ship-month):
+    SUM(price)/SUM(qty) with both sums in DECIMAL(18,2), so the ratio
+    is computed over exact numerators — order-insensitive, no float
+    accumulation drift at any scale. Single shuffle, map-side partial
+    decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    vol = F.sum(F.col("l_quantity").cast(dec)).cast("double")
+    rev = F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+    return li.groupBy(
+        "l_returnflag",
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ym"),
+    ).agg(vol.alias("volume"), F.round(rev / vol, 4).alias("vwap"))
+
+
+@q(
+    "max_drawdown_by_type",
+    """WITH runpeak AS (
+         SELECT event_type, value,
+                MAX(value) OVER (PARTITION BY event_type
+                                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS peak
+         FROM events)
+       SELECT event_type,
+              ROUND(MAX(peak - value), 4) AS max_drawdown,
+              ROUND(MAX(CASE WHEN peak > 0 THEN (peak - value) / peak
+                             ELSE 0 END), 6) AS max_drawdown_frac
+       FROM runpeak GROUP BY 1""",
+)
+def max_drawdown_by_type(spark, sf_dir):
+    """Classic running-peak max drawdown per series: cumulative MAX
+    over the (ts, event_id)-total-ordered prefix, then the largest
+    peak-to-trough drop, absolute and fractional. Every per-row value
+    is an identical pure function of an identical prefix set on both
+    engines (max/subtract/divide — no accumulation), so this is
+    fp-exact before the final cosmetic rounds. One sort-shuffle per
+    series partition; at 100 TB the per-key state is a single running
+    max, which is exactly what a streaming fold would keep."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("value").over(w)
+    dd = ev.select(
+        "event_type",
+        "value",
+        peak.alias("peak"),
+    )
+    frac = F.when(
+        F.col("peak") > 0, (F.col("peak") - F.col("value")) / F.col("peak")
+    ).otherwise(F.lit(0.0))
+    return dd.groupBy("event_type").agg(
+        F.round(F.max(F.col("peak") - F.col("value")), 4).alias("max_drawdown"),
+        F.round(F.max(frac), 6).alias("max_drawdown_frac"),
+    )
+
+
+@q(
+    "ewma_daily_value",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE)) AS vs,
+                COUNT(*) AS n_days
+         FROM daily GROUP BY 1)
+       SELECT event_type, n_days,
+              ROUND(list_reduce(vs,
+                    (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+                                + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+       FROM series""",
+)
+def ewma_daily_value(spark, sf_dir):
+    """EWMA (alpha=0.2) of the daily mean value per series — the
+    distributed version of pandas `.ewm(alpha=.2).mean().iloc[-1]`
+    (adjust=False). The daily means are rounded at the stage boundary
+    so the fold consumes bit-identical inputs, then the smoothing is a
+    *sequential left fold* over the date-sorted array (`aggregate()`
+    here, `list_reduce` in the oracle) — both engines execute the same
+    IEEE op sequence, unlike an order-undefined SUM of weighted terms.
+    The collect_list per series is bounded by days-per-series (a few
+    hundred doubles), not row count, so the pattern holds at 100 TB of
+    ticks."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        F.element_at(F.col("vs"), 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return series.select(
+        "event_type", "n_days", F.round(fold, 6).alias("ewma")
+    )
+
+
+@q(
+    "zscore_anomaly_days",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(SUM(value), 4) AS daily_sum
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT event_type,
+                AVG(daily_sum) AS mu,
+                stddev_samp(daily_sum) AS sigma
+         FROM daily GROUP BY 1)
+       SELECT daily.event_type, d,
+              ROUND((daily_sum - mu) / sigma, 4) AS z
+       FROM daily JOIN stats ON daily.event_type = stats.event_type
+       WHERE sigma > 0
+         AND ABS(ROUND((daily_sum - mu) / sigma, 4)) > 2""",
+)
+def zscore_anomaly_days(spark, sf_dir):
+    """Anomalous-volume days: per-series daily totals, z-scored
+    against that series' own mean/stddev, keeping |z| > 2. The daily
+    sums are rounded at the stage boundary; the >2 gate compares the
+    *rounded* z on both engines so no IEEE boundary can flip a row in
+    one engine only. Plan: one shuffle to daily grain, a tiny
+    per-series stats aggregate broadcast back onto the daily rows —
+    the fact stream is aggregated once and never re-shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("daily_sum")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("daily_sum").alias("mu"),
+        F.stddev_samp("daily_sum").alias("sigma"),
+    )
+    z = F.round((F.col("daily_sum") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select("event_type", "d", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+    )

@@ -300,3 +300,66 @@ def test_label_profile_joins_broadcast(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_twap_drawdown_single_shuffle(spark):
+    """twap_daily / max_drawdown_by_type: the groupBy must reuse the
+    window's hash partitioning — one Exchange total, no Python."""
+    for name in ("twap_daily", "max_drawdown_by_type"):
+        p = _physical(entrymod.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p
+        assert _shuffles(p) == 1, f"{name} must reuse window partitioning:\n{p}"
+
+
+def test_ewma_two_stage_fold(spark):
+    """ewma_daily_value: daily grain + series grain, nothing else; the
+    smoothing fold is a JVM array aggregate, not Python."""
+    p = _physical(entrymod.queries()["ewma_daily_value"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert _shuffles(p) == 2, p
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """zscore_anomaly_days: per-series stats re-join the daily rows by
+    broadcast — the daily stream is never sort-merge shuffled."""
+    p = _physical(entrymod.queries()["zscore_anomaly_days"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+def test_lm_surprisal_count_tables_broadcast(spark):
+    """bigram_lm_surprisal: both vocabulary-sized count tables join
+    the bigram stream by broadcast (scale path: bloom-prune), never a
+    sort-merge shuffle of the exploded corpus."""
+    p = _physical(entrymod.queries()["bigram_lm_surprisal"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) <= 3, p
+
+
+def test_entropy_and_uniqueness_map_only(spark):
+    """char_class_entropy / fourgram_uniqueness: per-doc stats stay
+    map-side (regex length-diffs / array_distinct — no Generate), the
+    only Exchange is the group rollup."""
+    for name in ("char_class_entropy", "fourgram_uniqueness"):
+        p = _physical(entrymod.queries()[name](spark, SF_DIR))
+        assert "Generate" not in p, f"{name} exploded:\n{p}"
+        assert "BatchEvalPython" not in p
+        assert _shuffles(p) == 1, f"{name} must be one rollup shuffle:\n{p}"
+
+
+def test_share_window_over_broadcast_star(spark):
+    """revenue_share_of_region: all four dim joins broadcast; the
+    share window adds one exchange over 25 pre-aggregated rows."""
+    p = _physical(entrymod.queries()["revenue_share_of_region"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) <= 2, p
+
+
+def test_incremental_merge_shuffle_budget(spark):
+    """incremental_agg_merge: two partial aggs + a state merge whose
+    union reuses the returnflag partitioning — ≤2 hash exchanges, and
+    the merge ships state rows (sum/count/min/max), not raw rows."""
+    p = _physical(entrymod.queries()["incremental_agg_merge"](spark, SF_DIR))
+    assert _shuffles(p) == 2, p
+    assert "BatchEvalPython" not in p
