@@ -133,28 +133,38 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (oracle-checkable); the production variant is identical structure
     over xxhash64 for 64 bits.
     """
-    # md5 is hoisted BEFORE the 16-way position explode: one hash per
-    # token, and the per-position rows carry only (id, j, ±1) into a
-    # map-side-combined aggregate.
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).select(F.col(id_col), F.md5(F.col("tok")).alias("m"))
-    pos = tok.withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(16))))
-    contrib = pos.select(
-        id_col,
-        "j",
-        F.when(F.expr("instr('0123456789abcdef', substr(m, j, 1)) - 1") >= 8, 1)
-        .otherwise(-1)
-        .alias("s"),
+    # Entirely map-side: md5 once per token, then a single array fold
+    # accumulates all 16 signed bit-sums per document (zip_with over a
+    # 16-long accumulator) — no explode, no shuffle, one row in = one
+    # row out. (The previous formulation exploded 16x|tokens| rows
+    # through two hash aggregates; correct, but the explode dominated
+    # the near-dup pipeline's CPU.)
+    sums = F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.md5(t)),
+        F.expr("array_repeat(0L, 16)"),
+        lambda acc, m: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda a, j: a
+            + F.when(
+                F.instr(F.lit("0123456789abcdef"), F.substring(m, j, F.lit(1)))
+                - 1
+                >= 8,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
     )
-    bits = contrib.groupBy(id_col, "j").agg(
-        F.when(F.sum("s") > 0, 1).otherwise(0).alias("bit")
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(16)])
+    simhash = F.aggregate(
+        F.zip_with(
+            sums,
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    return bits.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.expr("shiftleft(1, j - 1)"))
-        .cast("long")
-        .alias("simhash")
-    )
+    return df.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_pairs(sims: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
