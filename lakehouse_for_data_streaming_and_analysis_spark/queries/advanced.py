@@ -526,3 +526,53 @@ def incremental_agg_merge(spark, sf_dir):
         "max_qty",
         F.round(F.col("s").cast("double") / F.col("n"), 4).alias("avg_price"),
     )
+
+
+@q(
+    "aggnav_priority_rollup",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n_orders,
+              ROUND(SUM(o_totalprice), 2) AS total_value,
+              ROUND(AVG(o_totalprice), 4) AS avg_value,
+              MAX(o_totalprice) AS max_value
+       FROM orders GROUP BY 1""",
+)
+def aggnav_priority_rollup(spark, sf_dir):
+    """Aggregate navigation (plans/aggnav.py): the query asks for
+    priority-grain measures; the navigator answers it from a
+    registered (priority, year) summary — COUNT re-sums, SUM re-sums,
+    MAX re-maxes, AVG re-derives as SUM÷COUNT — never touching fact
+    rows. The oracle is the *direct fact-table aggregate*, so a
+    hash-match proves the rewrite is lossless (the algebraic
+    re-aggregation contract). At 100 TB the summary is a materialized
+    table a scheduler refreshes; here it is built in-flight, which
+    keeps the same plan shape (fact scanned once at summary grain,
+    then a 5-row rollup)."""
+    from ..plans import aggnav
+
+    o = load_table(spark, sf_dir, "orders")
+    summary = aggnav.build_summary(
+        "orders_by_priority_year",
+        o.withColumn("yr", F.year("o_orderdate")),
+        ["o_orderpriority", "yr"],
+        [("sum", "o_totalprice"), ("max", "o_totalprice")],
+    )
+    out, used = aggnav.plan_aggregate(
+        o,
+        ["o_orderpriority"],
+        [
+            aggnav.Measure("count", "", "n_orders"),
+            aggnav.Measure("sum", "o_totalprice", "total_value"),
+            aggnav.Measure("avg", "o_totalprice", "avg_value"),
+            aggnav.Measure("max", "o_totalprice", "max_value"),
+        ],
+        [summary],
+    )
+    assert used == "orders_by_priority_year"
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "max_value",
+    )
