@@ -38,6 +38,7 @@ ROWS_ONLY = (
     "ar_forecast_intervals",
     "garch_volatility",
     "ar_walk_forward_eval",
+    "pagerank_user_influence",
 )
 
 

@@ -76,3 +76,68 @@ def component_stats(labels: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.85,
+    n_iters: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list -> (node,
+    rank), with uniform teleport and dangling-mass redistribution
+    (ranks sum to 1 every iteration).
+
+    Scale design: out-degrees are computed once and fused into the
+    edge list (edge weight = 1/outdeg), so each iteration is exactly
+    one join (ranks ⋈ edges on src — both sides hash-partitioned on
+    the same key) + one groupBy(dst) sum + a 1-row dangling-mass
+    aggregate broadcast into the update expression. `localCheckpoint`
+    truncates lineage per round, keeping the plan flat across
+    iterations — same pattern as connected_components above.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # weight edges once: contribution factor 1/outdeg
+    we = (
+        e.join(outdeg, "s")
+        .select("s", "t", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    has_out = we.select(F.col("s").alias("node")).distinct()
+    for _ in range(n_iters):
+        # mass sitting on dangling nodes (no out-edges) this round —
+        # a 1-row aggregate that joins back in by broadcast, so each
+        # iteration is ONE action (the eager checkpoint), no driver
+        # round-trip for the scalar
+        dm = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        inflow = (
+            ranks.join(we, ranks["node"] == we["s"])
+            .groupBy(F.col("t").alias("node2"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("m"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes["node"] == inflow["node2"], "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * F.col("dm") / F.lit(float(n))
+                    + F.lit(alpha) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -476,3 +476,33 @@ def dedup_components(spark, sf_dir):
         prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     return graphs.component_stats(labels)
+
+
+@q("pagerank_user_influence")  # rows-only: iterative float propagation
+def pagerank_user_influence(spark, sf_dir):
+    """User-influence ranking: PageRank (alpha=.85, 5 power
+    iterations, dangling-mass redistribution) over the temporal
+    hand-off graph — an edge u→v whenever v's event directly follows
+    u's in the same event_type stream. operators/graphs.pagerank runs
+    one co-partitioned join + one aggregate per iteration with
+    lineage truncated per round. No SQL oracle (iterative float
+    propagation is not expressible in one DuckDB query); the driver
+    records the rows-only check, and tests/test_graphs.py pins the
+    numbers against a dense numpy power iteration at 1e-9."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.unix_timestamp("ts"), "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    ranks = graphs.pagerank(edges, "src", "dst", alpha=0.85, n_iters=5)
+    return (
+        ranks.select(F.col("node").alias("user_id"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("user_id"))
+        .limit(50)
+    )

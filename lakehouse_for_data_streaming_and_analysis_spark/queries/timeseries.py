@@ -251,3 +251,163 @@ def zscore_anomaly_days(spark, sf_dir):
         .select("event_type", "d", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2)
     )
+
+
+@q(
+    "pit_feature_join",
+    """WITH feats AS (
+         SELECT user_id,
+                CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS avail,
+                COUNT(*) AS f_cnt,
+                ROUND(SUM(value), 4) AS f_sum
+         FROM events GROUP BY 1, 2),
+       labels AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_id % 97 = 0)
+       SELECT event_id, labels.user_id AS user_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+              CASE WHEN avail IS NULL THEN NULL
+                   WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(avail)) AS BIGINT) > 259200
+                   THEN NULL ELSE f_cnt END AS f_cnt,
+              CASE WHEN avail IS NULL THEN NULL
+                   WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(avail)) AS BIGINT) > 259200
+                   THEN NULL ELSE f_sum END AS f_sum,
+              CASE WHEN avail IS NULL THEN NULL
+                   ELSE CAST(FLOOR(epoch(ts)) AS BIGINT)
+                        - CAST(FLOOR(epoch(avail)) AS BIGINT) > 259200
+                   END AS is_stale
+       FROM labels
+       ASOF LEFT JOIN feats
+         ON labels.user_id = feats.user_id AND labels.ts >= feats.avail""",
+)
+def pit_feature_join(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store pattern
+    for leakage-free training data: daily per-user feature snapshots
+    become *available* at the following midnight, every label row
+    picks the latest feature available at-or-before its own event
+    time (never same-day data = no target leakage), and features
+    staler than 3 days are nulled with an is_stale audit flag.
+
+    Composed from the engine's as-of join (operators/joins.asof_join
+    — union + one ordered window pass per user; no range re-scan).
+    The oracle is DuckDB's *native* ASOF LEFT JOIN, so the
+    composition is cross-validated against an independent as-of
+    implementation, tie semantics included. Staleness compares whole
+    epoch seconds — integer, boundary-safe."""
+    from ..operators import joins
+
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.groupBy(
+        "user_id",
+        (F.to_date("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")).alias(
+            "avail"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("f_cnt"),
+        F.round(F.sum("value"), 4).alias("f_sum"),
+    )
+    labels = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    j = joins.asof_join(
+        labels,
+        feats.withColumn("avail_t", F.col("avail")),
+        on=["user_id"],
+        left_time="ts",
+        right_time="avail",
+        right_vals=["f_cnt", "f_sum", "avail_t"],
+    )
+    age = F.unix_timestamp("ts") - F.unix_timestamp("avail_t")
+    stale = F.when(F.col("avail_t").isNull(), F.lit(None).cast("boolean")).otherwise(
+        age > 259200
+    )
+    fresh = ~F.coalesce(stale, F.lit(True))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+        F.when(fresh, F.col("f_cnt")).alias("f_cnt"),
+        F.when(fresh, F.col("f_sum")).alias("f_sum"),
+        stale.alias("is_stale"),
+    )
+
+
+@q(
+    "realized_vol_monthly",
+    """WITH r AS (
+         SELECT event_type,
+                strftime(date_trunc('month', ts), '%Y-%m') AS ym,
+                ln(value / LAG(value) OVER (PARTITION BY event_type
+                     ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)) AS ret
+         FROM events WHERE value > 0)
+       SELECT event_type, ym,
+              COUNT(ret) AS n_returns,
+              ROUND(sqrt(SUM(ret * ret)), 4) AS realized_vol
+       FROM r WHERE ret IS NOT NULL
+       GROUP BY 1, 2""",
+)
+def realized_vol_monthly(spark, sf_dir):
+    """Realized volatility per (series, month): sqrt of the sum of
+    squared log tick-returns — the standard high-frequency vol
+    estimator (sum of squares converges to integrated variance as
+    sampling density grows). Returns are computed over the
+    (ts, event_id)-total-ordered series with one window pass; the
+    month rollup reuses rows already partitioned by series. Matches
+    the (type, month) grain shuffle-for-shuffle with daily_ohlcv."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(F.unix_timestamp("ts"), "event_id")
+    ret = F.log(F.col("value") / F.lag("value").over(w))
+    r = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("ym"),
+        ret.alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    return r.groupBy("event_type", "ym").agg(
+        F.count("ret").alias("n_returns"),
+        F.round(F.sqrt(F.sum(F.col("ret") * F.col("ret"))), 4).alias(
+            "realized_vol"
+        ),
+    )
+
+
+@q(
+    "beta_vs_market",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       dr AS (
+         SELECT event_type, d,
+                ln(v / LAG(v) OVER (PARTITION BY event_type ORDER BY d)) AS r
+         FROM daily),
+       mkt AS (SELECT d, AVG(r) AS m FROM dr WHERE r IS NOT NULL GROUP BY 1),
+       j AS (SELECT dr.event_type, dr.r, mkt.m
+             FROM dr JOIN mkt ON dr.d = mkt.d WHERE dr.r IS NOT NULL)
+       SELECT event_type,
+              COUNT(*) AS n_days,
+              ROUND(covar_samp(r, m) / var_samp(m), 4) AS beta,
+              ROUND(corr(r, m), 4) AS correlation
+       FROM j GROUP BY 1""",
+)
+def beta_vs_market(spark, sf_dir):
+    """Per-series market beta: regression slope of the series' daily
+    log returns against an equal-weight cross-series index return —
+    covar/var in one JVM aggregate pass (no model fit, no Python).
+    Daily means are rounded at the stage boundary so both engines
+    derive returns from identical inputs; the tiny per-day market
+    index broadcasts back onto the return stream."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    dr = daily.select(
+        "event_type", "d", F.log(F.col("v") / F.lag("v").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    mkt = dr.groupBy("d").agg(F.avg("r").alias("m"))
+    j = dr.join(F.broadcast(mkt), "d")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.covar_samp("r", "m") / F.var_samp("m"), 4).alias("beta"),
+        F.round(F.corr("r", "m"), 4).alias("correlation"),
+    )
