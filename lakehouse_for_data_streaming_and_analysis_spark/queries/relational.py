@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_tables
 from ..dims import generators
 from ..functions import datetime_fns, finance, hashing
 from ..operators import aggregates, joins, sets, windows
@@ -611,3 +611,120 @@ def dim_date_generate(spark, sf_dir):
 def dim_time_generate(spark, sf_dir):
     """M2: dimtime generator (populate_dim.py:11-31) — 86 400 rows."""
     return generators.dim_time(spark)
+
+
+@q(
+    "local_supplier_volume",
+    """SELECT n.n_name AS nation,
+              ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              COUNT(*) AS n_lineitems
+       FROM lineitem l
+       JOIN orders o   ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n   ON s.s_nationkey = n.n_nationkey
+       WHERE c.c_nationkey = s.s_nationkey
+         AND year(o.o_orderdate) = 1995
+       GROUP BY 1""",
+)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from *local* commerce — lineitems where
+    the supplier and the ordering customer share a nation — per
+    nation, one year. Exercises a 5-way join where one predicate
+    links two different dimension branches (c_nationkey =
+    s_nationkey): the fact stream joins orders by shuffle-or-
+    broadcast, every true dim broadcasts, and the cross-branch
+    equality applies as a post-join filter — no extra shuffle. The
+    year predicate pushes into the orders scan."""
+    t = load_tables(spark, sf_dir)
+    li, o, c, s, n = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["supplier"],
+        t["nation"],
+    )
+    j = (
+        li.join(
+            o.filter(F.year("o_orderdate") == 1995).select(
+                "o_orderkey", "o_custkey"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@q(
+    "supplier_revenue_share_filter",
+    """WITH sup AS (
+         SELECT s.s_suppkey, s.s_name,
+                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2),
+       w AS (SELECT s_suppkey, s_name, rev,
+                    ROUND(SUM(rev) OVER (), 2) AS total,
+                    COUNT(*) OVER () AS n_sup
+             FROM sup)
+       SELECT s_suppkey, s_name, rev,
+              ROUND(rev / total, 6) AS share
+       FROM w WHERE rev * n_sup > total""",
+)
+def supplier_revenue_share_filter(spark, sf_dir):
+    """TPC-H Q11 shape: suppliers with above-average revenue share.
+    The global total and supplier count come from an unpartitioned
+    window over the already-reduced per-supplier rows — ONE pass, no
+    self-join, so the fact table is scanned exactly once (a CTE
+    formulation would plan two scans; Spark only deduplicates them at
+    runtime via exchange reuse). The single-partition window holds
+    |suppliers| rows, grain-bounded regardless of fact size. The
+    significance gate is the cross-multiplication rev * n_sup >
+    total — self-scaling at any SF and boundary-safe."""
+    t = load_tables(spark, sf_dir)
+    li, s = t["lineitem"], t["supplier"]
+    sup = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    withtot = sup.select(
+        "s_suppkey",
+        "s_name",
+        "rev",
+        F.round(F.sum("rev").over(w), 2).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_sup"),
+    )
+    return (
+        withtot.filter(F.col("rev") * F.col("n_sup") > F.col("total"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "rev",
+            F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -363,3 +363,24 @@ def test_incremental_merge_shuffle_budget(spark):
     p = _physical(entrymod.queries()["incremental_agg_merge"](spark, SF_DIR))
     assert _shuffles(p) == 2, p
     assert "BatchEvalPython" not in p
+
+
+def test_local_supplier_volume_broadcast_star(spark):
+    """Q5-shape 5-way join: every dim branch broadcasts (orders under
+    the year filter included), the cross-branch nation equality is a
+    post-join filter, and the only Exchange is the nation rollup."""
+    p = _physical(entrymod.queries()["local_supplier_volume"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) == 1, p
+
+
+def test_supplier_share_no_second_fact_scan(spark):
+    """Q11-shape share filter: the global total aggregates the
+    per-supplier rows and broadcasts back — the fact table is scanned
+    once (one supplier-grain shuffle + two 1-row exchanges)."""
+    df = entrymod.queries()["supplier_revenue_share_filter"](spark, SF_DIR)
+    p = _physical(df)
+    assert p.count("FileScan parquet") == 2, p  # lineitem + supplier, once each
+    assert "SortMergeJoin" not in p
+    assert _shuffles(p) <= 3, p
