@@ -23,6 +23,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     observability,
     olap,
     pipeline,
+    product,
     relational,
     timeseries,
 )
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(curation.QUERIES)
     out.update(timeseries.QUERIES)
     out.update(lmstats.QUERIES)
+    out.update(product.QUERIES)
     return out
 
 
@@ -99,4 +101,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(curation.ORACLES)
     out.update(timeseries.ORACLES)
     out.update(lmstats.ORACLES)
+    out.update(product.ORACLES)
     return out

@@ -1,0 +1,238 @@
+"""Product-analytics operators over the event stream: ordered funnel
+conversion, weekly retention cohorts, robust dispersion (median
+absolute deviation), and a chi-square independence scan.
+
+These are the dashboard-adjacent aggregations the reference's BI
+layer computes downstream of the lakehouse (Superset slices over the
+fact table — reference `data/dashboard/*.json`); here they are
+engine-native operators with DuckDB oracles.
+
+Determinism rules follow the repo conventions: event order is the
+total (epoch-second, event_id) order shared with the oracle, gates
+compare integers or pre-rounded values, medians are the exact
+interpolated definition both engines implement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "funnel_view_click_purchase",
+    """WITH ev AS (
+         SELECT user_id, event_type,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+         FROM events),
+       t0 AS (SELECT user_id, MIN(s) AS s0 FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+       t1 AS (SELECT ev.user_id, MIN(s) AS s1
+              FROM ev JOIN t0 ON ev.user_id = t0.user_id
+              WHERE event_type = 'click' AND s > s0 GROUP BY 1),
+       t2 AS (SELECT ev.user_id, MIN(s) AS s2
+              FROM ev JOIN t1 ON ev.user_id = t1.user_id
+              WHERE event_type = 'purchase' AND s > s1 GROUP BY 1)
+       SELECT (SELECT COUNT(*) FROM t0) AS n_view,
+              (SELECT COUNT(*) FROM t1) AS n_click,
+              (SELECT COUNT(*) FROM t2) AS n_purchase,
+              (SELECT ROUND(AVG(s2 - s0), 2) FROM t2
+                JOIN t0 ON t2.user_id = t0.user_id) AS avg_seconds_to_convert""",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first
+    qualifying click — the classic product-analytics operator that a
+    plain GROUP BY cannot express (each step's clock starts at the
+    previous step's completion).
+
+    Implemented as a per-user sorted-array fold: one shuffle to user
+    grain, then the step timestamps come from a single left-to-right
+    aggregate() over the (second, event_id)-sorted events — at 100 TB
+    the alternative 3-stage self-join chain would shuffle the fact
+    three times; this ships each user's events once. The oracle IS
+    that join chain (min-after-min), so the fold is cross-validated
+    against an independent formulation of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    step = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        "event_id",
+        "event_type",
+    )
+    per_user = step.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "event_id", "event_type"))).alias(
+            "evs"
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("long").alias("s0"),
+        F.lit(None).cast("long").alias("s1"),
+        F.lit(None).cast("long").alias("s2"),
+    )
+
+    def _step(acc, e):
+        s0 = F.when(
+            acc["s0"].isNull() & (e["event_type"] == "view"), e["s"]
+        ).otherwise(acc["s0"])
+        s1 = F.when(
+            acc["s1"].isNull()
+            & acc["s0"].isNotNull()
+            & (e["event_type"] == "click")
+            & (e["s"] > acc["s0"]),
+            e["s"],
+        ).otherwise(acc["s1"])
+        s2 = F.when(
+            acc["s2"].isNull()
+            & acc["s1"].isNotNull()
+            & (e["event_type"] == "purchase")
+            & (e["s"] > acc["s1"]),
+            e["s"],
+        ).otherwise(acc["s2"])
+        return F.struct(s0.alias("s0"), s1.alias("s1"), s2.alias("s2"))
+
+    folded = per_user.select(F.aggregate("evs", init, _step).alias("f"))
+    return folded.agg(
+        F.count("f.s0").alias("n_view"),
+        F.count("f.s1").alias("n_click"),
+        F.count("f.s2").alias("n_purchase"),
+        F.round(F.avg(F.col("f.s2") - F.col("f.s0")), 2).alias(
+            "avg_seconds_to_convert"
+        ),
+    )
+
+
+@q(
+    "retention_cohorts",
+    """WITH firsts AS (
+         SELECT user_id,
+                MIN(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE)) AS cohort
+         FROM events GROUP BY 1),
+       activity AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+         FROM events)
+       SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+              CAST((a.w - f.cohort) / 7 AS BIGINT) AS week_offset,
+              COUNT(*) AS active_users
+       FROM firsts f JOIN activity a ON f.user_id = a.user_id
+       GROUP BY 1, 2""",
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users bucketed by first-seen ISO
+    week (cohort), counted in every later week they were active,
+    keyed by week offset (both engines truncate weeks to Monday).
+    Two user-grain aggregates (first week; distinct active weeks)
+    joined at user grain — the join and both groupBys share one
+    partitioning, and the output is |cohorts| x |offsets| rows.
+    All-integer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.to_date(F.date_trunc("week", F.to_date("ts")))
+    firsts = ev.groupBy("user_id").agg(F.min(w).alias("cohort"))
+    activity = ev.select("user_id", w.alias("w")).distinct()
+    j = firsts.join(activity, "user_id")
+    offset = (F.datediff("w", "cohort") / 7).cast("long")
+    return j.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        offset.alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@q(
+    "mad_by_type",
+    """WITH med AS (
+         SELECT event_type, median(value) AS med
+         FROM events GROUP BY 1),
+       dev AS (
+         SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+         FROM events e JOIN med m ON e.event_type = m.event_type)
+       SELECT event_type,
+              ROUND(ANY_VALUE(med), 4) AS median_value,
+              ROUND(median(adev), 4) AS mad
+       FROM dev GROUP BY 1""",
+)
+def mad_by_type(spark, sf_dir):
+    """Median absolute deviation per series — the robust dispersion
+    measure (insensitive to the outliers that inflate stddev). Two
+    median passes: per-type median, broadcast back onto the stream,
+    then the median of absolute deviations. Both engines use the
+    exact interpolated median, and the deviation |v - med| is the
+    same subtraction of the same two doubles, so the second median's
+    input multiset is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 4).alias("median_value"),
+        F.round(F.median("adev"), 4).alias("mad"),
+    )
+
+
+@q(
+    "chi_square_type_dow",
+    """WITH obs AS (
+         SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, dow, o,
+                SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                SUM(o) OVER (PARTITION BY dow) AS col_tot,
+                SUM(o) OVER () AS n
+         FROM obs)
+       SELECT CAST(SUM(o) AS BIGINT) AS n_events,
+              COUNT(*) AS n_cells,
+              ROUND(SUM((o - row_tot * col_tot / CAST(n AS DOUBLE))
+                        * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+                        / (row_tot * col_tot / CAST(n AS DOUBLE))), 4)
+                AS chi_square
+       FROM tot""",
+)
+def chi_square_type_dow(spark, sf_dir):
+    """Chi-square independence statistic for event-type x day-of-week
+    — the screening test for 'does traffic mix shift by weekday'.
+    One shuffle to the contingency cells (|types| x 7 rows), expected
+    counts from three window sums over those few rows, one scalar
+    out. The expected-count expression is written identically on both
+    engines so the only float divergence is sub-round-off."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wa = Window.partitionBy()
+    tot = obs.select(
+        "o",
+        F.sum("o").over(wr).alias("row_tot"),
+        F.sum("o").over(wc).alias("col_tot"),
+        F.sum("o").over(wa).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return tot.agg(
+        F.sum("o").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias(
+            "chi_square"
+        ),
+    )
