@@ -277,3 +277,81 @@ def rest_ingest_typed(spark, sf_dir):
         null_defaults={"supply": 0.0, "maxSupply": 99000000000.0, "volume24h": 0.0},
     )
     return df.select("symbol", "name", "supply", "maxSupply", "volume24h")
+
+
+@q(
+    "cdc_apply_profile",
+    """WITH snap AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+       chg AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + 1000 AS o_totalprice, o_orderdate,
+                o_orderpriority, 'U' AS op, 1 AS seq
+         FROM orders WHERE o_orderkey % 10 IN (6, 7)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + 2000, o_orderdate,
+                o_orderpriority, 'U', 2
+         FROM orders WHERE o_orderkey % 10 = 7
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority, 'I', 1
+         FROM orders WHERE o_orderkey % 10 IN (8, 9)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority, 'D', 3
+         FROM orders WHERE o_orderkey % 100 < 5),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                        ORDER BY seq DESC) AS rn
+           FROM chg) WHERE rn = 1),
+       final AS (
+         SELECT s.* FROM snap s
+         LEFT JOIN latest l ON s.o_orderkey = l.o_orderkey
+         WHERE l.o_orderkey IS NULL
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM latest WHERE op != 'D')
+       SELECT o_orderpriority,
+              COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_value,
+              SUM(o_orderkey) AS key_checksum
+       FROM final GROUP BY 1""",
+)
+def cdc_apply_profile(spark, sf_dir):
+    """CDC MERGE (operators/cdc.cdc_apply): a Debezium-shaped I/U/D
+    batch — inserts of unseen keys, an update, a higher-seq second
+    update for the same keys (latest-wins), and deletes — applied to
+    an 80% snapshot of orders. Output is the post-merge per-priority
+    profile with a key checksum and a DECIMAL value total, so a
+    single resurrected delete, lost insert, or stale update flips the
+    hash. The oracle recomputes the merge with an independent
+    window+anti-join formulation."""
+    from ..operators import cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    snap = o.filter(k % 10 < 8)
+
+    def tagged(df, op, seq, price=None):
+        out = df
+        if price is not None:
+            out = out.withColumn("o_totalprice", F.col("o_totalprice") + price)
+        return out.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+
+    changes = (
+        tagged(o.filter((k % 10).isin(6, 7)), "U", 1, 1000)
+        .unionByName(tagged(o.filter(k % 10 == 7), "U", 2, 2000))
+        .unionByName(tagged(o.filter((k % 10).isin(8, 9)), "I", 1))
+        .unionByName(tagged(o.filter(k % 100 < 5), "D", 3))
+    )
+    final = cdc.cdc_apply(snap, changes, keys=["o_orderkey"])
+    return final.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )

@@ -273,3 +273,76 @@ def test_drop_duplicates_within_watermark(spark, scratch):
     got = spark.read.parquet(sink)
     assert got.count() == 120  # 12 duplicates dropped
     assert got.select("seq").distinct().count() == 120
+
+
+def test_streaming_session_window_agg(spark, scratch):
+    """Streaming session windows (the streaming twin of the batch
+    sessionize_user_events operator): a 2-minute-gap session_window
+    aggregate under a watermark, append mode — sessions split where
+    the gap exceeds the timeout, merge where activity continues, and
+    close (emit) only once the watermark passes their end."""
+    schema = T.StructType(
+        [
+            T.StructField("user", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+
+    def row(user, amount, minute, sec):
+        return spark.range(1).select(
+            F.lit(user).alias("user"),
+            F.lit(amount).alias("amount"),
+            F.timestamp_seconds(F.lit(BASE_TS + minute * 60 + sec)).cast(
+                "timestamp"
+            ).alias("timestamp"),
+        )
+
+    # u1: burst at minutes 0-1 (one session), second burst at minute 10
+    # (separate session: gap > 2 min). u2: single event.
+    b1 = row("u1", 1.0, 0, 0).union(row("u1", 2.0, 1, 0)).union(row("u2", 5.0, 0, 30))
+    b2 = row("u1", 3.0, 10, 0)
+    # advance watermark far enough to close everything
+    b3 = row("u3", 0.0, 30, 0)
+    b4 = row("u3", 0.0, 31, 0)  # filler: watermark applies next batch
+
+    replay_dir = os.path.join(scratch, "sess_replay")
+    streams.write_replay_batches([b1, b2, b3, b4], replay_dir)
+
+    stream = streams.file_replay(spark, replay_dir, schema)
+    agg = (
+        stream.withWatermark("timestamp", "1 minute")
+        .groupBy(
+            F.session_window("timestamp", "2 minutes").alias("sess"),
+            F.col("user"),
+        )
+        .agg(F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    out: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", os.path.join(scratch, "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user"], r["sess"]["start"].minute): (r["total"], r["n"])
+        for r in out
+        if r["user"] in ("u1", "u2")
+    }
+    # u1's first two events merged into one session (0:00..1:00+gap),
+    # the minute-10 event is its own session, u2 is a singleton
+    assert got[("u1", 0)] == (3.0, 2)
+    assert got[("u1", 10)] == (3.0, 1)
+    assert got[("u2", 0)] == (5.0, 1)
+    # session end extends gap past the last event: the merged session
+    # spans events at minute 0 and 1, so it must end at minute 3
+    ends = {
+        (r["user"], r["sess"]["start"].minute): r["sess"]["end"].minute
+        for r in out
+        if r["user"] == "u1"
+    }
+    assert ends[("u1", 0)] == 3
