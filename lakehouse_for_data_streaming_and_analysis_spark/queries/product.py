@@ -236,3 +236,97 @@ def chi_square_type_dow(spark, sf_dir):
             "chi_square"
         ),
     )
+
+
+@q(
+    "triangle_count_handoff_graph",
+    """WITH raw AS (
+         SELECT user_id AS src,
+                LEAD(user_id) OVER (PARTITION BY event_type
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS dst
+         FROM events),
+       e AS (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM raw WHERE dst IS NOT NULL AND dst <> src)
+       SELECT COUNT(*) AS n_triangles,
+              (SELECT COUNT(*) FROM e) AS n_edges
+       FROM e e1
+       JOIN e e2 ON e1.b = e2.a
+       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+)
+def triangle_count_handoff_graph(spark, sf_dir):
+    """Global triangle count over the undirected user hand-off graph
+    — the clustering-structure metric (community cohesion) computed
+    the distributed way: orient every edge low-id -> high-id, then
+    count paths a<b<c where (a,b),(b,c),(a,c) all exist via two
+    equi-joins. The orientation makes each triangle count exactly
+    once and bounds the join fan-out by the lower-id endpoint's
+    degree (the standard skew guard for power-law graphs). Distinct
+    edge set keeps the joins on integer pairs; all-integer output."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
+    e3 = e.select(F.col("a").alias("b3a"), F.col("b").alias("b3b"))
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("b2a"))
+        .join(e3, (F.col("b3a") == F.col("e1.a")) & (F.col("b3b") == F.col("b2b")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+
+
+@q(
+    "seasonal_residual_anomalies",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                ROUND(SUM(value), 4) AS v
+         FROM events GROUP BY 1, 2, 3),
+       base AS (
+         SELECT event_type, dow,
+                AVG(v) AS mu, stddev_samp(v) AS sigma
+         FROM daily GROUP BY 1, 2)
+       SELECT daily.event_type, d,
+              ROUND((v - mu) / sigma, 4) AS resid_z
+       FROM daily JOIN base ON daily.event_type = base.event_type
+                          AND daily.dow = base.dow
+       WHERE sigma > 0
+         AND ABS(ROUND((v - mu) / sigma, 4)) > 1.2""",
+)
+def seasonal_residual_anomalies(spark, sf_dir):
+    """Seasonality-aware anomaly days: daily totals compared against
+    that series' *day-of-week* baseline (mean/std per (type, dow)),
+    not the global mean — a Monday spike is judged against Mondays.
+    The refinement over zscore_anomaly_days: weekly-seasonal traffic
+    stops tripping the alarm. Baselines are |types| x 7 rows,
+    broadcast back; the gate compares the rounded z on both engines
+    so no boundary flips. Threshold 1.2: with a one-month fixture a
+    (type, dow) cell holds ~4 samples and |z| is capped at
+    (n-1)/sqrt(n) ≈ 1.5, so a production-style 3-sigma gate would be
+    vacuous here."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    z = F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(base), ["event_type", "dow"])
+        .filter(F.col("sigma") > 0)
+        .select("event_type", "d", z.alias("resid_z"))
+        .filter(F.abs(F.col("resid_z")) > 1.2)
+    )
