@@ -57,9 +57,13 @@ def minhash_signatures(
     every expression tiny, so whole-stage codegen compiles in
     milliseconds (a 16-wide agg variant spent multiple seconds in
     Janino for the same result)."""
-    sh = df.select(
+    # tokens are materialized in their own projection: a free
+    # tokenization expression inside the shingle lambda would be
+    # re-split per element (no CSE across lambda bodies)
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = tokd.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
+        F.explode(F.array_distinct(shingles(F.col("__toks"), shingle_n))).alias("sh"),
     ).filter(F.col("sh") != "")
     h = sh.select(
         F.col(id_col),
@@ -164,7 +168,14 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    return df.select(F.col(id_col), simhash.alias("simhash"))
+    # coalesce is semantically a no-op (the fold never yields null)
+    # but lets the optimizer fold away inferred isnotnull constraints
+    # — otherwise the hamming join's null checks push the ENTIRE fold
+    # expression down into the parquet scan's row filter, computing
+    # every sketch twice.
+    return df.select(
+        F.col(id_col), F.coalesce(simhash, F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_pairs(sims: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
@@ -195,9 +206,13 @@ def ngram_jaccard_pairs(
     distinct shingles, self-join on shingle, |A∩B| from match count,
     |A∪B| = |A|+|B|-|A∩B|. The join IS the candidate generation — only
     pairs sharing a shingle are ever scored."""
-    sh = df.select(
+    # tokens are materialized in their own projection: a free
+    # tokenization expression inside the shingle lambda would be
+    # re-split per element (no CSE across lambda bodies)
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = tokd.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(text_col), shingle_n))).alias("sh"),
+        F.explode(F.array_distinct(shingles(F.col("__toks"), shingle_n))).alias("sh"),
     ).filter(F.col("sh") != "")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")

@@ -252,12 +252,13 @@ def contamination_ngram_overlap(spark, sf_dir):
     # per-doc shingle dedup is array_distinct — map-side, so the
     # exploded stream needs no distinct Exchange (the naive
     # explode→DISTINCT would shuffle every shingle of the corpus)
-    sh = docs.select(
+    tokd = docs.select("doc_id", "source", b.alias("b"), toks.alias("__toks"))
+    sh = tokd.select(
         "doc_id",
         "source",
-        b.alias("b"),
+        "b",
         F.explode(
-            F.array_distinct(textfns.shingles(toks, 5))
+            F.array_distinct(textfns.shingles(F.col("__toks"), 5))
         ).alias("sh"),
     )
     bench = sh.filter(F.col("b") == 0).select("sh").distinct()

@@ -451,9 +451,10 @@ def winnow_fingerprints(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents", fanout=True).filter(F.col("source") == "src2")
-    sh = docs.select(
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    sh = tokd.select(
         "doc_id",
-        F.posexplode(textfns.shingles(textfns.tokens("text"), 3)).alias("pos0", "sh"),
+        F.posexplode(textfns.shingles(F.col("__toks"), 3)).alias("pos0", "sh"),
     ).filter(F.col("sh") != "")
     hashed = sh.select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("sh").alias("h")

@@ -83,9 +83,9 @@ def bigram_lm_surprisal(spark, sf_dir):
     shuffles only for its own per-doc groupBy. No smoothing needed:
     every scored bigram is in the training counts by construction."""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    toks = textfns.tokens("text")
-    bg = docs.select(
-        "doc_id", F.explode(textfns.shingles(toks, 2)).alias("bg")
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    bg = tokd.select(
+        "doc_id", F.explode(textfns.shingles(F.col("__toks"), 2)).alias("bg")
     )
     bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     w1c = bg.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
@@ -221,17 +221,24 @@ def fourgram_uniqueness(spark, sf_dir):
     the explode→COUNT(DISTINCT) formulation, which would shuffle
     every 4-gram of a 100 TB corpus twice."""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
-    sh = textfns.shingles(textfns.tokens("text"), 4)
-    # Projection boundary: materialize the shingle array ONCE before
-    # referencing it twice (total + distinct size) — inlining it into
-    # both expressions would rebuild every 4-gram string twice per
-    # document (measured 2x wall on this query).
-    shd = docs.select("lang", sh.alias("sh"))
+    # Two projection boundaries: tokens materialize before the shingle
+    # lambda (a free split() expression would re-tokenize per element
+    # — no CSE across lambda bodies), and the shingle array
+    # materializes before being referenced twice (total + distinct
+    # size) — inlining would rebuild every 4-gram string twice.
+    # The "has any 4-grams" gate is the CHEAP equivalent size(toks)>=4
+    # — a `n_sh > 0` filter on the final column gets pushed below the
+    # projections and re-inlines the whole shingle pipeline into the
+    # scan's row filter (measured 5x the query's entire wall time).
+    tokd = docs.select("lang", textfns.tokens("text").alias("__toks")).filter(
+        F.size("__toks") >= 4
+    )
+    shd = tokd.select("lang", textfns.shingles(F.col("__toks"), 4).alias("sh"))
     per_doc = shd.select(
         "lang",
         F.size("sh").alias("n_sh"),
         F.size(F.array_distinct("sh")).alias("n_uniq"),
-    ).filter(F.col("n_sh") > 0)
+    )
     dup = F.sum(F.col("n_sh") - F.col("n_uniq"))
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -384,3 +384,24 @@ def test_supplier_share_no_second_fact_scan(spark):
     assert p.count("FileScan parquet") == 2, p  # lineitem + supplier, once each
     assert "SortMergeJoin" not in p
     assert _shuffles(p) <= 3, p
+
+
+def test_no_hof_expression_in_scan_filters(spark):
+    """Fleet-wide pushdown hygiene: no query's physical plan may have
+    a higher-order-function expression (shingle pipelines, sketch
+    folds) inlined into a Filter or FileScan node. Catalyst pushes
+    filters on derived columns below projections by re-inlining the
+    defining expression — for a HOF over a token array that means
+    re-tokenizing every row in the scan filter (observed 5-13x wall
+    on two queries). Filters must be expressed on cheap columns
+    (e.g. size(tokens) bounds) or provably-non-null folds wrapped in
+    coalesce so inferred isnotnull constraints fold away."""
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        p = _physical(fn(spark, SF_DIR))
+        for line in p.splitlines():
+            stripped = line.strip().lstrip("+-: ")
+            if stripped.startswith(("Filter", "FileScan")) and "lambdafunction" in line:
+                offenders.append(name)
+                break
+    assert not offenders, offenders
