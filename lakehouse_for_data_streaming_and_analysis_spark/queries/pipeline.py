@@ -355,3 +355,67 @@ def cdc_apply_profile(spark, sf_dir):
         .alias("total_value"),
         F.sum("o_orderkey").alias("key_checksum"),
     )
+
+
+@q(
+    "dq_constraint_report",
+    """SELECT 'completeness(o_custkey)' AS constraint_name,
+              ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS metric,
+              1.0 AS threshold,
+              ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) >= 1.0 AS passed
+       FROM orders
+       UNION ALL
+       SELECT 'uniqueness(o_orderkey)',
+              ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6),
+              1.0,
+              ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6) >= 1.0
+       FROM orders
+       UNION ALL
+       SELECT 'in_set(o_orderstatus)',
+              ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6),
+              1.0,
+              ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+       FROM orders
+       UNION ALL
+       SELECT 'non_negative(o_totalprice)',
+              ROUND(AVG(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 6),
+              1.0,
+              ROUND(AVG(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+       FROM orders
+       UNION ALL
+       SELECT 'bounds(o_totalprice)',
+              ROUND(AVG(CASE WHEN o_totalprice BETWEEN 1000 AND 300000 THEN 1.0 ELSE 0.0 END), 6),
+              0.9,
+              ROUND(AVG(CASE WHEN o_totalprice BETWEEN 1000 AND 300000 THEN 1.0 ELSE 0.0 END), 6) >= 0.9
+       FROM orders
+       UNION ALL
+       SELECT 'ref(l_orderkey->o_orderkey)',
+              ROUND(AVG(CASE WHEN o.o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6),
+              1.0,
+              COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
+       FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         ON l.l_orderkey = o.o_orderkey""",
+)
+def dq_constraint_report(spark, sf_dir):
+    """Declarative data-quality gate (operators/quality.py): five
+    constraints over orders — completeness, key uniqueness, domain
+    membership, non-negativity, a 90%-bounds band — compiled into ONE
+    aggregate pass (one scan, one 1-row shuffle regardless of
+    constraint count), plus lineitem->orders referential integrity as
+    a broadcast probe of the distinct parent keys. This is the
+    bronze->silver promotion gate of a medallion pipeline; the oracle
+    recomputes every metric independently."""
+    from ..operators import quality as dq
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        dq.completeness("o_custkey"),
+        dq.uniqueness("o_orderkey"),
+        dq.in_set("o_orderstatus", ("O", "F", "P")),
+        dq.non_negative("o_totalprice"),
+        dq.bounds("o_totalprice", 1000, 300000, min_frac=0.9),
+    ]
+    report = dq.run_checks(o, checks)
+    ri = dq.referential_integrity(li, "l_orderkey", o, "o_orderkey")
+    return report.unionByName(ri)

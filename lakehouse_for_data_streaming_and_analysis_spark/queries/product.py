@@ -330,3 +330,47 @@ def seasonal_residual_anomalies(spark, sf_dir):
         .select("event_type", "d", z.alias("resid_z"))
         .filter(F.abs(F.col("resid_z")) > 1.2)
     )
+
+
+@q(
+    "cumulative_distinct_users_by_type",
+    """WITH du AS (
+         SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+         FROM events)
+       SELECT DISTINCT event_type, d,
+              COUNT(DISTINCT user_id) OVER (
+                PARTITION BY event_type ORDER BY d
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_users
+       FROM du""",
+)
+def cumulative_distinct_users_by_type(spark, sf_dir):
+    """Cumulative distinct-user curve per series — Spark has no
+    COUNT(DISTINCT) window, so the engine rewrites it with the
+    first-appearance identity: a user's first active day is the only
+    day they increment the curve, so cum_users(d) = running sum of
+    first-appearance counts. Three bounded aggregates instead of a
+    per-row distinct-set window state (which holds every user id seen
+    so far PER ROW at 100 TB). The oracle runs DuckDB's *native*
+    distinct window over a RANGE frame, cross-validating the rewrite
+    against an independent implementation, same-day peers included."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    firsts = du.groupBy("event_type", "user_id").agg(F.min("d").alias("fd"))
+    newby = firsts.groupBy("event_type", F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = du.select("event_type", "d").distinct()
+    j = days.join(newby, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type", "d", F.sum("new_users").over(w).alias("cum_users")
+    )
