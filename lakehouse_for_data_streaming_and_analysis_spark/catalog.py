@@ -60,15 +60,20 @@ def load_table(
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[(sf_dir, name)] = df.schema
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the footer, surfaced as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
-        # same truncation DuckDB applies when casting ns→µs timestamps.
+        # The fixture's ts encoding has varied across driver versions:
+        # TIMESTAMP(NANOS) (long under nanosAsLong) or TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) (TIMESTAMP_NTZ in Spark 4). Normalize to
+        # session-UTC TIMESTAMP_LTZ so unix_micros/window/watermark code
+        # sees one type; with session tz UTC this matches DuckDB's naive
+        # epoch() semantics exactly.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div — a float div would round at 2^60 magnitude
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

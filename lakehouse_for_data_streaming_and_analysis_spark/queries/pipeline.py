@@ -361,37 +361,37 @@ def cdc_apply_profile(spark, sf_dir):
     "dq_constraint_report",
     """SELECT 'completeness(o_custkey)' AS constraint_name,
               ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS metric,
-              1.0 AS threshold,
+              CAST(1.0 AS DOUBLE) AS threshold,
               ROUND(AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) >= 1.0 AS passed
        FROM orders
        UNION ALL
        SELECT 'uniqueness(o_orderkey)',
               ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6),
-              1.0,
+              CAST(1.0 AS DOUBLE),
               ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6) >= 1.0
        FROM orders
        UNION ALL
        SELECT 'in_set(o_orderstatus)',
               ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6),
-              1.0,
+              CAST(1.0 AS DOUBLE),
               ROUND(AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END), 6) >= 1.0
        FROM orders
        UNION ALL
        SELECT 'non_negative(o_totalprice)',
               ROUND(AVG(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 6),
-              1.0,
+              CAST(1.0 AS DOUBLE),
               ROUND(AVG(CASE WHEN o_totalprice >= 0 THEN 1.0 ELSE 0.0 END), 6) >= 1.0
        FROM orders
        UNION ALL
        SELECT 'bounds(o_totalprice)',
               ROUND(AVG(CASE WHEN o_totalprice BETWEEN 1000 AND 300000 THEN 1.0 ELSE 0.0 END), 6),
-              0.9,
+              CAST(0.9 AS DOUBLE),
               ROUND(AVG(CASE WHEN o_totalprice BETWEEN 1000 AND 300000 THEN 1.0 ELSE 0.0 END), 6) >= 0.9
        FROM orders
        UNION ALL
        SELECT 'ref(l_orderkey->o_orderkey)',
               ROUND(AVG(CASE WHEN o.o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6),
-              1.0,
+              CAST(1.0 AS DOUBLE),
               COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
        FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
          ON l.l_orderkey = o.o_orderkey""",
