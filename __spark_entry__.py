@@ -18,6 +18,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     analytics,
     charts,
     curation,
+    decision,
     lmstats,
     datapipe,
     observability,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(olap.QUERIES)
     out.update(advanced.QUERIES)
     out.update(curation.QUERIES)
+    out.update(decision.QUERIES)
     out.update(timeseries.QUERIES)
     out.update(lmstats.QUERIES)
     out.update(product.QUERIES)
@@ -99,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(olap.ORACLES)
     out.update(advanced.ORACLES)
     out.update(curation.ORACLES)
+    out.update(decision.ORACLES)
     out.update(timeseries.ORACLES)
     out.update(lmstats.ORACLES)
     out.update(product.ORACLES)
