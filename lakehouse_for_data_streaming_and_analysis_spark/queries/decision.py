@@ -522,10 +522,11 @@ def promo_revenue_share(spark, sf_dir):
 )
 def top_supplier_by_revenue(spark, sf_dir):
     """Q15 shape: supplier(s) achieving the max quarterly revenue —
-    max-over-aggregate selection. Spark: rank the aggregate with an
-    unpartitioned window (input is one row per supplier — tiny by
-    then) instead of re-scanning for the scalar max; the oracle keeps
-    the scalar-subquery formulation."""
+    max-over-aggregate selection. Spark: the scalar max is a 1-row
+    aggregate of the supplier-grain rows, broadcast back as a join
+    filter — never an unpartitioned rank window, which would
+    single-partition-sort millions of supplier rows at scale. Ties
+    all qualify, matching the scalar-subquery oracle."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "1999-04-01")
     )
@@ -533,11 +534,12 @@ def top_supplier_by_revenue(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(F.sum(_rev()), 2).cast("double").alias("total_revenue")
     )
-    ranked = rev.withColumn(
-        "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
-    ).filter(F.col("rk") == 1)
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    best = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
-        ranked.join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        best.join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

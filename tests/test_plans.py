@@ -405,3 +405,94 @@ def test_no_hof_expression_in_scan_filters(spark):
                 offenders.append(name)
                 break
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------- decision suite
+
+
+def test_pricing_summary_single_scan_one_shuffle(spark):
+    """Q1 shape: one lineitem scan, partial+final hash agg, exactly
+    one Exchange — the canonical scan-bound pipeline."""
+    p = _physical(entrymod.queries()["pricing_summary_report"](spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("HashAggregate") >= 2, f"need partial+final agg:\n{p}"
+    assert _shuffles(p) == 1, p
+
+
+def test_shipping_priority_pushes_both_date_filters(spark):
+    """Q3 shape: the order-date and ship-date predicates must reach
+    their respective parquet scans as pushed filters."""
+    full = _full(entrymod.queries()["shipping_priority_topk"](spark, SF_DIR))
+    scans = [l for l in full.splitlines() if "FileScan parquet" in l]
+    assert any("o_orderdate" in l and "PushedFilters: [" in l for l in scans), scans
+    assert any("l_shipdate" in l and "PushedFilters: [" in l for l in scans), scans
+
+
+def test_exists_compiles_to_semi_join(spark):
+    """Q4 shape: EXISTS must plan as a LeftSemi join carrying the
+    non-equi lateness predicate — no aggregate-distinct fallback, no
+    cartesian."""
+    p = _physical(entrymod.queries()["order_priority_exists"](spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_market_share_single_fact_scan(spark):
+    """Q8 shape: numerator and denominator of the share come from ONE
+    lineitem scan via CASE — a second scan means the conditional
+    aggregation degenerated into a self-join."""
+    p = _physical(entrymod.queries()["market_share_yearly"](spark, SF_DIR))
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+    li_scans = [l for l in scans if "lineitem" in l]
+    assert len(li_scans) == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_disjunctive_bands_single_scan(spark):
+    """Q19 shape: the OR-of-conjunctions stays one scan + one
+    broadcast join — never three unioned branches."""
+    p = _physical(entrymod.queries()["disjunctive_band_revenue"](spark, SF_DIR))
+    li_scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(li_scans) == 1, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+def test_small_lot_decorrelates_with_broadcasts(spark):
+    """Q17 shape: the correlated avg is a per-part aggregate joined
+    back; the filtered brand dim broadcasts into both branches."""
+    p = _physical(entrymod.queries()["small_lot_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_dormant_customers_anti_join_broadcasts(spark):
+    """Q22 shape: NOT EXISTS is a broadcast anti join; the only
+    nested-loop is against the 1-row scalar average."""
+    p = _physical(entrymod.queries()["dormant_customer_balances"](spark, SF_DIR))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    # the scalar cross join must be a 1-row broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_min_price_filters_before_aggregate(spark):
+    """Q2 shape: the selective part filter must apply BELOW the
+    (part, supplier) aggregate via a broadcast semi join — aggregating
+    the unfiltered fact first shuffles 20x the data."""
+    p = _physical(entrymod.queries()["min_price_supplier_per_part"](spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    li_scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(li_scans) == 1, p
+    # semi join must appear under the first HashAggregate, i.e. the agg
+    # input is already filtered: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in p, p
+
+
+def test_sole_late_supplier_two_fact_passes(spark):
+    """Q21 shape: the EXISTS/NOT-EXISTS pair resolves with at most two
+    lineitem passes (per-order distinct aggregate + late-row probe),
+    never correlated re-scans or a cartesian."""
+    p = _physical(entrymod.queries()["sole_late_supplier_ranking"](spark, SF_DIR))
+    li_scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
+    assert len(li_scans) <= 2, p
+    assert "CartesianProduct" not in p
