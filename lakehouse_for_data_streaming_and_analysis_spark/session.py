@@ -50,7 +50,12 @@ def get_spark(
         # convert in the catalog (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] hosts all executor threads inside the driver JVM, so
+        # the single heap must be sized for N concurrent tasks: at 8g/32
+        # threads, full-suite runs showed 20 s GC stalls hitting random
+        # queries (measured 190 s -> 93 s total moving 8g -> 24g). On a
+        # real cluster this is spark.executor.memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if streaming:
         # Reference runs 4 concurrent streaming queries under a FAIR pool
