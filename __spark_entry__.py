@@ -41,6 +41,7 @@ ROWS_ONLY = (
     "garch_volatility",
     "ar_walk_forward_eval",
     "pagerank_user_influence",
+    "kmeans_embedding_clusters",
 )
 
 

@@ -576,3 +576,53 @@ def aggnav_priority_rollup(spark, sf_dir):
         F.round("avg_value", 4).alias("avg_value"),
         "max_value",
     )
+
+
+@q(
+    "schema_evolution_union",
+    """WITH gen1 AS (
+         SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 2 = 0),
+       gen2 AS (
+         SELECT event_id, user_id, event_type, value, props,
+                UPPER(event_type) AS channel
+         FROM events WHERE event_id % 2 = 1),
+       unified AS (
+         SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2)
+       SELECT event_type,
+              COUNT(*) AS n_rows,
+              COUNT(props) AS n_with_props,
+              COUNT(channel) AS n_with_channel,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS total_value
+       FROM unified GROUP BY event_type""",
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema-drift unification: an old-generation extract (no props
+    column) and a new-generation extract (adds a channel column) are
+    combined with unionByName(allowMissingColumns=True) — missing
+    columns null-fill per row's generation, the lakehouse
+    schema-evolution contract (Delta mergeSchema semantics expressed
+    at the DataFrame layer). The audit counts how many rows carry
+    each evolved column. Oracle: DuckDB's UNION ALL BY NAME."""
+    ev = load_table(spark, sf_dir, "events")
+    gen1 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.upper("event_type").alias("channel"),
+    )
+    unified = gen1.unionByName(gen2, allowMissingColumns=True)
+    return unified.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").alias("n_with_props"),
+        F.count("channel").alias("n_with_channel"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -632,3 +632,83 @@ def ann_lsh_topk(spark, sf_dir):
         emb, queries, k=5, n_planes=6, n_tables=3, dim=64  # TESTDATA.md embedding dim
     )
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+
+
+def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
+    """Lloyd's k-means over the embedding column, Spark-first and
+    deterministic (rows-only for the driver; pinned against a dense
+    numpy replay in tests/test_advanced.py).
+
+    Init: the k lowest-vec_id vectors (deterministic, no RNG — the
+    fixtures forbid Date.now-style seeds). Per iteration:
+      1. assignment is a pure JVM expression — one zip_with/aggregate
+         squared-distance fold per centroid against array literals,
+         argmin via least(); no Python, no shuffle;
+      2. centroid update posexplodes (row, dim) map-side and averages
+         per (cluster, dim) in ONE shuffle of k*dims*partitions
+         partial rows; the k×dims result (tiny) collects to the
+         driver and becomes the next round's literals, rounded to 6
+         decimals so every round's plan is bit-deterministic.
+    At 100 TB the per-iteration cost is one scan + one k*dims-sized
+    shuffle — the same topology mini-batch k-means uses; k and dims
+    bound the state, never the row count.
+
+    Returns one row per cluster: size, inertia share, centroid norm.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [[round(float(x), 6) for x in r.embedding] for r in init]
+
+    def _dist2(cvec):
+        arr = F.array(*[F.lit(float(c)) for c in cvec])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[_dist2(c) for c in centroids])
+        # coalesce: provably non-null, so the cluster_id join's inferred
+        # isnotnull constraint constant-folds instead of re-inlining the
+        # distance folds into a Filter (the fleet-wide plan-gate hazard).
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            F.coalesce(
+                F.array_position(dists, F.array_min(dists)) - 1, F.lit(-1)
+            ).alias("cluster_id"),
+            F.array_min(dists).alias("d2"),
+        )
+        upd = (
+            assigned.select("cluster_id", F.posexplode("embedding"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r.cluster_id, [0.0] * len(centroids[0]))[r.pos] = round(
+                float(r.m), 6
+            )
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .join(
+            spark.createDataFrame(
+                [(i, round(sum(x * x for x in c) ** 0.5, 4)) for i, c in enumerate(centroids)],
+                "cluster_id int, centroid_norm double",
+            ),
+            "cluster_id",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES["kmeans_embedding_clusters"] = kmeans_embedding_clusters

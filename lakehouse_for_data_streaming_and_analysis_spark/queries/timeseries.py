@@ -411,3 +411,200 @@ def beta_vs_market(spark, sf_dir):
         F.round(F.covar_samp("r", "m") / F.var_samp("m"), 4).alias("beta"),
         F.round(F.corr("r", "m"), 4).alias("correlation"),
     )
+
+
+@q(
+    "bollinger_band_breakouts",
+    """WITH daily AS (
+         SELECT event_type, d, close FROM (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+                  ROUND(value, 4) AS close,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1),
+       bands AS (
+         SELECT event_type, d, close,
+                COUNT(*) OVER w AS n_win,
+                ROUND(AVG(close) OVER w, 4) AS ma20,
+                ROUND(stddev_samp(close) OVER w, 4) AS sd20
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT event_type, d, close, ma20, sd20,
+              ROUND(ma20 + 2 * sd20, 4) AS upper_band,
+              ROUND(ma20 - 2 * sd20, 4) AS lower_band,
+              CASE WHEN close > ROUND(ma20 + 2 * sd20, 4) THEN 'above'
+                   WHEN close < ROUND(ma20 - 2 * sd20, 4) THEN 'below'
+                   ELSE 'inside' END AS breakout
+       FROM bands WHERE n_win = 20""",
+)
+def bollinger_band_breakouts(spark, sf_dir):
+    """Bollinger bands over per-series daily closes (last tick of the
+    day by (ts, event_id)): 20-day rolling mean/stddev, ±2σ bands,
+    breakout classification. Closes round at the stage boundary so
+    both engines feed identical doubles into the rolling stats; band
+    comparisons use the *rounded* bands so no IEEE edge flips a label
+    in one engine. Plan: one shuffle to daily grain (row_number and
+    the rolling frame share the per-series hash partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.round("value", 4).alias("close"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    bands = daily.select(
+        "event_type",
+        "d",
+        "close",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.avg("close").over(w), 4).alias("ma20"),
+        F.round(F.stddev_samp("close").over(w), 4).alias("sd20"),
+    ).filter(F.col("n_win") == 20)
+    upper = F.round(F.col("ma20") + 2 * F.col("sd20"), 4)
+    lower = F.round(F.col("ma20") - 2 * F.col("sd20"), 4)
+    return bands.select(
+        "event_type",
+        "d",
+        "close",
+        "ma20",
+        "sd20",
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        F.when(F.col("close") > upper, "above")
+        .when(F.col("close") < lower, "below")
+        .otherwise("inside")
+        .alias("breakout"),
+    )
+
+
+@q(
+    "rsi_14day",
+    """WITH daily AS (
+         SELECT event_type, d, close FROM (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+                  ROUND(value, 4) AS close,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1),
+       deltas AS (
+         SELECT event_type, d,
+                ROUND(close - LAG(close) OVER (PARTITION BY event_type
+                                               ORDER BY d), 4) AS delta
+         FROM daily),
+       gains AS (
+         SELECT event_type, d,
+                COUNT(delta) OVER w AS n_win,
+                ROUND(AVG(GREATEST(delta, 0)) OVER w, 6) AS avg_gain,
+                ROUND(AVG(GREATEST(-delta, 0)) OVER w, 6) AS avg_loss
+         FROM deltas WHERE delta IS NOT NULL
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       SELECT event_type, d, avg_gain, avg_loss,
+              CASE WHEN avg_loss = 0 THEN 100.0
+                   ELSE ROUND(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 4)
+              END AS rsi
+       FROM gains WHERE n_win = 14""",
+)
+def rsi_14day(spark, sf_dir):
+    """14-day RSI (simple-average Cutler variant — SQL-expressible,
+    unlike Wilder's recursive smoothing which would need the EWMA
+    fold): per-series daily closes, up/down move split, 14-row
+    rolling averages, RSI = 100 − 100/(1+RS) with the avg_loss=0 →
+    100 convention. Deltas and averages round at stage boundaries.
+    Same single per-series shuffle as the Bollinger plan."""
+    ev = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.round("value", 4).alias("close"),
+        )
+    )
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    deltas = daily.select(
+        "event_type",
+        "d",
+        F.round(F.col("close") - F.lag("close").over(wlag), 4).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    gains = deltas.select(
+        "event_type",
+        "d",
+        F.count("delta").over(w).alias("n_win"),
+        F.round(F.avg(F.greatest(F.col("delta"), F.lit(0))).over(w), 6).alias(
+            "avg_gain"
+        ),
+        F.round(F.avg(F.greatest(-F.col("delta"), F.lit(0))).over(w), 6).alias(
+            "avg_loss"
+        ),
+    ).filter(F.col("n_win") == 14)
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")), 4)
+    )
+    return gains.select("event_type", "d", "avg_gain", "avg_loss", rsi.alias("rsi"))
+
+
+@q(
+    "cascading_time_rollup",
+    """SELECT event_type,
+              CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+              COUNT(*) AS n_events,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS total_value,
+              CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+       FROM events GROUP BY 1, 2""",
+)
+def cascading_time_rollup(spark, sf_dir):
+    """Continuous-aggregate cascade (hypertable rollup): raw ticks →
+    1-minute grain → 1-hour grain → 1-day grain, each level
+    aggregating ONLY the level below. count/sum/max are algebraic, so
+    the cascade is exactly lossless — the oracle aggregates the raw
+    table straight to days and must hash-match. At 100 TB this is the
+    incremental-maintenance pattern: the minute layer absorbs the
+    stream, coarser layers re-aggregate thousands of rows, never the
+    raw ticks; per-level decimal sums make the cascade
+    order-insensitive."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.max(F.col("value").cast("decimal(18,4)")).alias("max_value"),
+    )
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "g").alias("g")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    day = hour.groupBy(
+        "event_type", F.date_trunc("day", "g").alias("day")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).cast("double").alias("total_value"),
+        F.max("max_value").cast("double").alias("max_value"),
+    )
+    return day
