@@ -506,3 +506,61 @@ def pagerank_user_influence(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("user_id"))
         .limit(50)
     )
+
+
+@q(
+    "neardup_canonical_selection",
+    f"""WITH RECURSIVE {_SIMHASH_SIMS_SQL.strip()},
+       prs AS (SELECT a.doc_id AS src, b.doc_id AS dst
+               FROM sims a JOIN sims b
+                 ON a.doc_id < b.doc_id
+                    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+       edges AS (SELECT src, dst FROM prs UNION SELECT dst, src FROM prs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach AS (SELECT node, node AS label FROM nodes
+                 UNION
+                 SELECT e.dst AS node, r.label FROM reach r
+                 JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1),
+       ranked AS (
+         SELECT l.component, d.doc_id, d.n_chars,
+                ROW_NUMBER() OVER (PARTITION BY l.component
+                                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+         FROM labels l JOIN documents d ON l.node = d.doc_id)
+       SELECT component,
+              MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
+              COUNT(*) AS n_docs,
+              COUNT(*) - 1 AS n_dropped,
+              SUM(n_chars) AS total_chars
+       FROM ranked GROUP BY component""",
+)
+def neardup_canonical_selection(spark, sf_dir):
+    """Canonical-representative selection — the step after near-dup
+    clustering in a training-data pipeline: every duplicate cluster
+    keeps exactly ONE document (longest text, doc_id as tiebreak) and
+    drops the rest. Spark: component labels join back to the docs and
+    max_by over an orderable (n_chars, -doc_id) struct picks the
+    keeper in the same single component-grain aggregate that counts
+    the drops — no window, no second shuffle. The oracle formulates
+    the same choice independently as a row_number window."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True).filter(
+        F.col("source") == "src1"
+    )
+    sims = dedup.simhash16(docs, "doc_id", "text")
+    prs = dedup.simhash_pairs(sims, "doc_id", max_hamming=3)
+    labels = graphs.connected_components(
+        prs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    member = labels.join(
+        docs.select("doc_id", "n_chars"), labels.node == F.col("doc_id")
+    ).withColumnRenamed("label", "component")
+    return member.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        F.sum("n_chars").alias("total_chars"),
+    )

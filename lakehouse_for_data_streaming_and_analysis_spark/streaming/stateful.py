@@ -69,3 +69,88 @@ def running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API): typed state
+# variables + timers replace applyInPandasWithState's single opaque tuple.
+# Runtime requirement: google.protobuf in the Python workers (the state
+# API speaks protobuf to the JVM); tests skip where it is absent.
+# The reference's change_percent_last_day (Sourcecode/spark/etl.py:60)
+# freezes "last price" at startup (SURVEY §7.3 T9); this operator computes
+# it CORRECTLY against the truly-previous tick held in the state store.
+
+DEVIATION_OUTPUT_SCHEMA = (
+    "key string, unix_ts double, value double, prev_value double, "
+    "change_pct double"
+)
+
+
+def _make_deviation_processor(threshold_pct: float):
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DeviationAlert(StatefulProcessor):
+        """Emit a row whenever a key's value moves more than
+        threshold_pct from its previous observed value. ValueState
+        holds exactly (last_value,) per key — O(keys) state, the same
+        shuffle topology as a streaming groupBy."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", "v double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last = self._last.get()[0] if self._last.exists() else None
+            out = []
+            for pdf in rows:
+                for r in pdf.sort_values("unix_ts").itertuples():
+                    if last is not None and last != 0.0:
+                        pct = (r.value - last) / last * 100.0
+                        if abs(pct) > threshold_pct:
+                            out.append(
+                                (key[0], r.unix_ts, r.value, last, round(pct, 4))
+                            )
+                    last = r.value
+            self._last.update((float(last),))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "key",
+                        "unix_ts",
+                        "value",
+                        "prev_value",
+                        "change_pct",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return DeviationAlert()
+
+
+def deviation_alerts(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold_pct: float = 50.0,
+) -> DataFrame:
+    """Per-key large-move detector on the arbitrary-state API."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).alias("key"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6).alias("unix_ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        _make_deviation_processor(threshold_pct),
+        DEVIATION_OUTPUT_SCHEMA,
+        "append",
+        "none",
+    )

@@ -109,3 +109,80 @@ def test_running_stats_accumulates_across_batches(spark, scratch):
             for r in got.filter(F.col("key") == k).orderBy("n_rows").collect()
         ]
         assert ns == sorted(ns) and len(set(ns)) == len(ns)
+
+
+def test_deviation_alerts_transform_with_state(spark, scratch):
+    """transformWithStateInPandas: per-key ValueState survives across
+    micro-batches, so alerts reference the truly-previous tick even
+    when the previous tick arrived in an earlier batch; the alert set
+    equals a batch lag() replay. The arbitrary-state API needs
+    google.protobuf in the Python workers — skip where absent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf in workers")
+    rows = []
+    vals = {"k0": 100.0, "k1": 200.0}
+    seq = 0
+    for i in range(40):
+        for k in ("k0", "k1"):
+            # deterministic walk with occasional big jumps
+            v = vals[k] * (1.6 if (seq % 13 == 0) else 1.01)
+            vals[k] = v
+            rows.append((k, round(v, 6), BASE_TS + seq, seq))
+            seq += 1
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("unix", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_seconds("unix")
+    )
+    import os
+
+    from lakehouse_for_data_streaming_and_analysis_spark.sources import streams
+
+    replay_dir = os.path.join(scratch, "replay")
+    streams.write_replay_files(df, replay_dir, n_files=4, order_col="seq")
+    stream = streams.file_replay(spark, replay_dir, df.schema).withColumn(
+        "ts", F.timestamp_seconds("unix")
+    )
+    out = stateful.deviation_alerts(
+        stream, key_col="key", ts_col="ts", value_col="value", threshold_pct=20.0
+    )
+    sink = os.path.join(scratch, "alerts")
+
+    def land(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.foreachBatch(land)
+        .option("checkpointLocation", os.path.join(scratch, "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["key"], r["unix_ts"]): r for r in spark.read.parquet(sink).collect()
+    }
+
+    w = Window.partitionBy("key").orderBy("unix")
+    truth = (
+        df.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("pct", (F.col("value") - F.col("prev")) / F.col("prev") * 100)
+        .filter(F.abs("pct") > 20.0)
+        .collect()
+    )
+    assert len(truth) > 2
+    assert len(got) == len(truth), (len(got), len(truth))
+    for t in truth:
+        g = got[(t["key"], float(t["unix"]))]
+        assert abs(g["prev_value"] - t["prev"]) < 1e-9
+        assert abs(g["change_pct"] - round(t["pct"], 4)) < 1e-6
