@@ -246,3 +246,65 @@ def fourgram_uniqueness(spark, sf_dir):
         dup.alias("dup_4grams"),
         F.round(dup.cast("double") / F.sum("n_sh"), 6).alias("dup_ratio"),
     )
+
+
+@q(
+    "lexicon_sentiment_scores",
+    """WITH toks AS (
+         SELECT doc_id, lang,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       scored AS (
+         SELECT doc_id, lang,
+                COUNT(*) AS n_tokens,
+                SUM(CASE WHEN tok IN ('fast', 'big') THEN 1 ELSE 0 END) AS pos_hits,
+                SUM(CASE WHEN tok IN ('slow', 'small') THEN 1 ELSE 0 END) AS neg_hits
+         FROM toks GROUP BY 1, 2)
+       SELECT doc_id, lang, n_tokens, pos_hits, neg_hits,
+              ROUND(CAST(pos_hits - neg_hits AS DOUBLE) / n_tokens, 6) AS polarity,
+              CASE WHEN pos_hits > neg_hits THEN 'positive'
+                   WHEN neg_hits > pos_hits THEN 'negative'
+                   ELSE 'neutral' END AS label
+       FROM scored""",
+)
+def lexicon_sentiment_scores(spark, sf_dir):
+    """Lexicon-based sentiment scoring (the distributed
+    lexicon-counting design of 'Large Scale Sentiment Analysis on
+    Twitter with Spark', EDBT 2016): per-document positive/negative
+    lexicon hit counts and a normalized polarity in ONE map-side pass
+    — tokens stay an array, hits come from size(filter(...)) JVM
+    lambdas, no explode and no shuffle (the plan is scan→project).
+    The oracle independently recomputes via unnest + conditional
+    aggregation. At 100 TB the lexicon (broadcast set / inlined
+    literals) never grows with the corpus."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pos = F.size(
+        F.filter(toks, lambda t: (t == "fast") | (t == "big"))
+    )
+    neg = F.size(
+        F.filter(toks, lambda t: (t == "slow") | (t == "small"))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "pos_hits",
+        "neg_hits",
+        F.round(
+            (F.col("pos_hits") - F.col("neg_hits")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("polarity"),
+        F.when(F.col("pos_hits") > F.col("neg_hits"), "positive")
+        .when(F.col("neg_hits") > F.col("pos_hits"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    )

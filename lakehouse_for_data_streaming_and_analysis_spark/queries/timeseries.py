@@ -608,3 +608,166 @@ def cascading_time_rollup(spark, sf_dir):
         F.max("max_value").cast("double").alias("max_value"),
     )
     return day
+
+
+@q(
+    "yoy_revenue_growth",
+    """WITH yearly AS (
+         SELECT n.n_name AS nation,
+                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2)
+       SELECT nation, o_year, revenue,
+              LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+                AS prev_revenue,
+              ROUND((revenue - LAG(revenue) OVER (PARTITION BY nation
+                                                  ORDER BY o_year))
+                    / LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+                    * 100, 4) AS growth_pct
+       FROM yearly""",
+)
+def yoy_revenue_growth(spark, sf_dir):
+    """Year-over-year growth — the window-over-aggregate shape (TPC-DS
+    store-growth family): star join to (nation, year) grain, then lag
+    within each nation's yearly series. The window input is 25
+    nations × 7 years, so the lag partitioning is free after the
+    aggregate shuffle; decimal revenue rounds before the ratio so both
+    engines divide identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation",
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
+    )
+
+
+# z-normalized ramp query pattern of length 8: ((j+1) - 4.5) / sqrt(6),
+# rounded to 6 so Spark literals and oracle SQL text are identical.
+_SHAPE_M = 8
+_SHAPE_Q = [round(((j + 1) - 4.5) / 2.449489742783178, 6) for j in range(_SHAPE_M)]
+_SHAPE_Q_VALUES = ", ".join(f"({j}, {v})" for j, v in enumerate(_SHAPE_Q))
+
+
+@q(
+    "ts_shape_match_topk",
+    f"""WITH daily AS (
+         SELECT event_type, d, close,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+         FROM (
+           SELECT event_type, d, close FROM (
+             SELECT event_type, CAST(ts AS DATE) AS d,
+                    ROUND(value, 4) AS close,
+                    ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                       ORDER BY ts DESC, event_id DESC) AS rnd
+             FROM events) WHERE rnd = 1)),
+       win AS (
+         SELECT a.event_type, a.d AS start_d, b.rn - a.rn AS j, b.close
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND b.rn BETWEEN a.rn AND a.rn + {_SHAPE_M - 1}),
+       stats AS (
+         SELECT event_type, start_d, COUNT(*) AS n,
+                ROUND(AVG(close), 6) AS mu,
+                ROUND(stddev_samp(close), 6) AS sd
+         FROM win GROUP BY 1, 2),
+       q(j, qz) AS (VALUES {_SHAPE_Q_VALUES}),
+       dist AS (
+         SELECT w.event_type, w.start_d,
+                ROUND(SUM(ROUND(POWER((w.close - s.mu) / s.sd - q.qz, 2), 6)), 4)
+                  AS dist2
+         FROM win w
+         JOIN stats s ON w.event_type = s.event_type AND w.start_d = s.start_d
+         JOIN q ON w.j = q.j
+         WHERE s.n = {_SHAPE_M} AND s.sd > 0
+         GROUP BY 1, 2)
+       SELECT event_type, start_d, dist2
+       FROM dist ORDER BY dist2 ASC, event_type ASC, start_d ASC
+       LIMIT 10""",
+)
+def ts_shape_match_topk(spark, sf_dir):
+    """Subsequence shape search (the distributed z-normalized
+    similarity scan of 'Time Series Similarity Search for Streaming
+    Data in Distributed Systems', EDBT 2019): find the 10 daily-close
+    subsequences of length 8 closest to a ramp (steady up-trend)
+    pattern under z-normalized Euclidean distance. Spark: each
+    series' closes carry their own 8-row forward frame
+    (collect_list + avg/stddev over the same window partitioning —
+    one per-series shuffle total), z-normalization and the distance
+    fold are JVM array lambdas against the inlined pattern literals.
+    The oracle reformulates the sliding window as a rn-band
+    self-join. Per-term rounding before the fold keeps the two
+    engines' sums bit-comparable. At 100 TB: the pattern is O(m)
+    driver state; candidate windows never leave their series
+    partition — the topology of a distributed matrix-profile scan."""
+    ev = load_table(spark, sf_dir, "events")
+    wday = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        ev.withColumn("rnd", F.row_number().over(wday))
+        .filter(F.col("rnd") == 1)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.round("value", 4).alias("close"),
+        )
+    )
+    frame = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(0, _SHAPE_M - 1)
+    )
+    seqs = daily.select(
+        "event_type",
+        F.col("d").alias("start_d"),
+        F.collect_list("close").over(frame).alias("arr"),
+        F.round(F.avg("close").over(frame), 6).alias("mu"),
+        F.round(F.stddev_samp("close").over(frame), 6).alias("sd"),
+    ).filter((F.size("arr") == _SHAPE_M) & (F.col("sd") > 0))
+    qlit = F.array(*[F.lit(v) for v in _SHAPE_Q])
+    zarr = F.transform(
+        F.col("arr"), lambda x: (x - F.col("mu")) / F.col("sd")
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(zarr, qlit, lambda a, b: F.round((a - b) * (a - b), 6)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    return (
+        seqs.select("event_type", "start_d", dist2.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("event_type"), F.asc("start_d"))
+        .limit(10)
+    )
