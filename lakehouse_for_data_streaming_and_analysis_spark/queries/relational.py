@@ -728,3 +728,90 @@ def supplier_revenue_share_filter(spark, sf_dir):
             F.round(F.col("rev") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+@q(
+    "topk_parts_per_nation",
+    """WITH ranked AS (
+         SELECT n.n_name AS nation, l.l_partkey,
+                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                ROW_NUMBER() OVER (
+                  PARTITION BY n.n_name
+                  ORDER BY ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                          AS DECIMAL(18,4))), 2) DESC,
+                           l.l_partkey ASC) AS rk
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         GROUP BY 1, 2)
+       SELECT nation, l_partkey, revenue, rk
+       FROM ranked WHERE rk <= 3""",
+)
+def topk_parts_per_nation(spark, sf_dir):
+    """Top-k per group — the shape global top-N (O4) cannot express:
+    the 3 highest-revenue parts within EVERY supplier nation. Rank
+    over the (nation, part) aggregate with a deterministic
+    (revenue DESC, partkey ASC) order; the rank's partitioning is a
+    subset of the aggregate's grouping keys, so with AQE the window
+    reuses the aggregate's exchange. At scale rk<=3 prunes via
+    WindowGroupLimit push-down (top-k per partition before the final
+    sort) rather than materializing full rankings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    return (
+        per_part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("nation", "l_partkey", "revenue", "rk")
+    )
+
+
+@q(
+    "props_map_profile",
+    """SELECT prop_key,
+              COUNT(*) AS n_events,
+              COUNT(DISTINCT user_id) AS n_users
+       FROM (SELECT unnest(json_keys(props)) AS prop_key, user_id
+             FROM events)
+       GROUP BY 1""",
+)
+def props_map_profile(spark, sf_dir):
+    """Semi-structured profile: parse the JSON props payload into a
+    typed MAP<STRING,STRING>, explode its keys (the generator path),
+    and count usage per property key. This is the schema-on-read
+    bridge the reference's from_json+select('data.*') pattern implies
+    for *open* payloads where the struct fields are not known ahead
+    (reference: Sourcecode/spark/etl.py:16-22 hardcodes them). One
+    Generate + one (tiny) key-grain shuffle; distinct users resolve
+    inside the same aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        ev.select("user_id", F.explode(F.map_keys(m)).alias("prop_key"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

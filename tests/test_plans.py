@@ -496,3 +496,61 @@ def test_sole_late_supplier_two_fact_passes(spark):
     li_scans = [l for l in p.splitlines() if "FileScan parquet" in l and "lineitem" in l]
     assert len(li_scans) <= 2, p
     assert "CartesianProduct" not in p
+
+
+def test_indicator_windows_two_shuffles_no_python(spark):
+    """Bollinger/RSI: daily-close dedup + per-series rolling frames —
+    two hash exchanges, all JVM."""
+    for name in ("bollinger_band_breakouts", "rsi_14day"):
+        p = _physical(entrymod.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p
+        assert _shuffles(p) <= 2, f"{name}:\n{p}"
+
+
+def test_cascade_single_scan_three_grains(spark):
+    """cascading_time_rollup: one raw scan; each coarser grain
+    aggregates ONLY the previous level (3 grain exchanges, shrinking
+    each level)."""
+    p = _physical(entrymod.queries()["cascading_time_rollup"](spark, SF_DIR))
+    assert p.count("FileScan parquet") == 1, p
+    assert _shuffles(p) <= 3, p
+    assert p.count("HashAggregate") >= 4, f"cascade must keep per-level aggs:\n{p}"
+
+
+def test_sentiment_is_map_only(spark):
+    """lexicon_sentiment_scores: scan->project, zero exchanges, no
+    explode, no Python — the lexicon is inlined literals."""
+    p = _physical(entrymod.queries()["lexicon_sentiment_scores"](spark, SF_DIR))
+    assert _shuffles(p) == 0, p
+    assert "Generate" not in p and "BatchEvalPython" not in p
+
+
+def test_shape_match_stays_in_series_partitions(spark):
+    """ts_shape_match_topk: candidate windows never leave their
+    series partition — two exchanges (daily dedup + per-series
+    frames; the final top-k is a driver-side limit), distance folds
+    JVM-side."""
+    p = _physical(entrymod.queries()["ts_shape_match_topk"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert _shuffles(p) <= 3, p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_per_group_reuses_aggregate_exchange(spark):
+    """topk_parts_per_nation: the rank's partitioning (nation) is a
+    subset of the aggregate's grouping keys — ≤2 exchanges total, and
+    rk<=3 must push a WindowGroupLimit below the final window sort."""
+    p = _physical(entrymod.queries()["topk_parts_per_nation"](spark, SF_DIR))
+    assert _shuffles(p) <= 2, p
+    assert "WindowGroupLimit" in p, f"top-k pushdown missing:\n{p}"
+    assert "SortMergeJoin" not in p
+
+
+def test_props_map_generate_then_one_rollup(spark):
+    """props_map_profile: one Generate (map-key explode) feeding one
+    key-grain aggregation — the distinct resolves inside the same
+    agg, no extra distinct exchange beyond the two-phase count."""
+    p = _physical(entrymod.queries()["props_map_profile"](spark, SF_DIR))
+    assert "Generate" in p, p
+    assert _shuffles(p) <= 2, p
+    assert "BatchEvalPython" not in p
