@@ -815,3 +815,69 @@ def props_map_profile(spark, sf_dir):
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@q(
+    "customer_order_timeline",
+    """SELECT o_custkey, o_orderkey,
+              CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(LEAD(o_orderdate) OVER w AS TIMESTAMP) AS next_order_date,
+              DATEDIFF('day', o_orderdate, LEAD(o_orderdate) OVER w)
+                AS gap_days,
+              FIRST_VALUE(o_totalprice) OVER wf AS first_order_value,
+              NTH_VALUE(o_totalprice, 2) OVER wf AS second_order_value,
+              LAST_VALUE(o_totalprice) OVER wf AS latest_order_value
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+              wf AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)""",
+)
+def customer_order_timeline(spark, sf_dir):
+    """Per-customer order timeline — the remaining value-window
+    functions in one pass: lead (next order + gap days), first_value /
+    nth_value(2) / last_value over the full-partition frame. All
+    windows share ONE (custkey) partitioning so the plan is a single
+    exchange + sort; the full frame is explicit in both engines
+    (default frames differ for last_value/nth_value)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        nxt.alias("next_order_date"),
+        F.datediff(nxt, F.col("o_orderdate")).alias("gap_days"),
+        F.first("o_totalprice").over(wf).alias("first_order_value"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_order_value"),
+        F.last("o_totalprice").over(wf).alias("latest_order_value"),
+    )
+
+
+@q(
+    "priority_status_stringagg",
+    """SELECT o_orderpriority,
+              COUNT(*) AS n_orders,
+              string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                AS statuses,
+              COUNT(DISTINCT o_orderstatus) AS n_statuses
+       FROM orders GROUP BY 1""",
+)
+def priority_status_stringagg(spark, sf_dir):
+    """String aggregation with deterministic ordering: the distinct
+    status set per priority rendered as a sorted CSV. Spark composes
+    it from collect_set → array_sort → array_join (JVM-side, no
+    listagg primitive needed); DuckDB uses ordered string_agg
+    DISTINCT — two independent formulations of the same contract."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
