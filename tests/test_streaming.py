@@ -346,3 +346,44 @@ def test_streaming_session_window_agg(spark, scratch):
         if r["user"] == "u1"
     }
     assert ends[("u1", 0)] == 3
+
+
+def test_live_commit_latency_meets_baseline(spark, scratch):
+    """§6 parity bar (BASELINE.md): the reference's fact stream lands
+    commits at median 6 s latency (1 s trigger, ~0.7 msg/s). Run a
+    live rate-source pipeline through the same foreachBatch commit
+    sink at a comparable ingest rate and assert the measured median
+    commit delay (commit wall-clock − min event time, the reference's
+    own TimeDelay.ipynb metric) beats that bar."""
+    import time as _time
+
+    from lakehouse_for_data_streaming_and_analysis_spark.maintenance import commitlog
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "2")
+        .load()
+        .selectExpr("timestamp", "CAST(value AS DOUBLE) AS price")
+    )
+    sink = commitlog.parquet_commit_sink(
+        os.path.join(scratch, "live_out"), os.path.join(scratch, "live_log")
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(scratch, "live_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 20
+    while _time.time() < deadline:
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+
+    report = commitlog.latency_report(spark, os.path.join(scratch, "live_log"))
+    summary = commitlog.latency_summary(report).collect()[0]
+    assert summary["n_commits"] >= 5, summary
+    # Reference bar: median 6 s on local[2]; this engine on local[N]
+    # must land within it with margin.
+    assert summary["median_delay"] <= 6, summary
