@@ -846,3 +846,95 @@ def min_price_supplier_per_part(spark, sf_dir):
         .select("p_partkey", "p_brand", "s_name", "unit_price")
         .orderBy(F.asc("p_partkey"), F.asc("s_name"))
     )
+
+
+# ---------------------------------------------------------------- Q6
+
+@q(
+    "forecast_revenue_change",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS revenue_increase
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         AND l_shipdate < TIMESTAMP '1999-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def forecast_revenue_change(spark, sf_dir):
+    """Q6 shape: what-if revenue from discount elimination — a pure
+    scan-aggregate whose three range predicates ALL reach the parquet
+    reader (pinned by test_q6_pushes_all_three_predicates); at 100 TB
+    this is the row-group-skipping showcase: date/discount/quantity
+    min-max stats prune most of the table before decode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1998-01-01")
+            & (F.col("l_shipdate") < "1999-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue_increase")
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q20
+
+@q(
+    "promotion_part_suppliers",
+    """SELECT s.s_name, n.n_name AS nation
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE s.s_suppkey IN (
+         SELECT l_suppkey FROM lineitem
+         WHERE l_partkey IN (
+           SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+           AND l_shipdate >= TIMESTAMP '1999-01-01'
+           AND l_shipdate < TIMESTAMP '2000-01-01'
+         GROUP BY l_suppkey, l_partkey
+         HAVING SUM(l_quantity) > 50)
+       ORDER BY s_name""",
+)
+def promotion_part_suppliers(spark, sf_dir):
+    """Q20 shape: suppliers who moved real volume of PROMO parts in a
+    year — nested IN subqueries. Spark: the inner IN is a broadcast
+    semi join of the filtered part keys into lineitem BEFORE the
+    (supplier, part) aggregate; the outer IN is a semi join of the
+    HAVING-filtered aggregate into supplier. Two semi joins, one
+    fact-side aggregate, no distinct-materialization of either key
+    set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2000-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    promo_li = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    movers = (
+        promo_li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )

@@ -554,3 +554,36 @@ def test_props_map_generate_then_one_rollup(spark):
     assert "Generate" in p, p
     assert _shuffles(p) <= 2, p
     assert "BatchEvalPython" not in p
+
+
+def test_fleet_no_cartesian_no_row_python(spark):
+    """Whole-inventory invariants (plans/audit.py): zero
+    CartesianProduct and zero row-at-a-time Python across every
+    registered query's executed plan."""
+    from lakehouse_for_data_streaming_and_analysis_spark.plans import audit
+
+    report = audit.plan_audit(spark, SF_DIR, entrymod.queries()).collect()
+    assert len(report) >= 160
+    cart = [r["query"] for r in report if r["has_cartesian"]]
+    rowpy = [r["query"] for r in report if r["has_row_python"]]
+    assert not cart, cart
+    assert not rowpy, rowpy
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """Q6: date, discount, and quantity predicates must all reach the
+    lineitem scan as pushed filters — the row-group-skipping path."""
+    full = _full(entrymod.queries()["forecast_revenue_change"](spark, SF_DIR))
+    scans = [l for l in full.splitlines() if "FileScan parquet" in l]
+    assert scans, full
+    line = scans[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, (col, line)
+
+
+def test_q20_two_semi_joins_one_aggregate(spark):
+    """Q20: nested INs plan as two semi joins around one fact-side
+    aggregate — no distinct materialization, no sort-merge."""
+    p = _physical(entrymod.queries()["promotion_part_suppliers"](spark, SF_DIR))
+    assert p.count("LeftSemi") == 2, p
+    assert "SortMergeJoin" not in p, p
