@@ -199,3 +199,74 @@ def test_two_stage_agg_matches_plain(spark):
         assert s["n"] == p["n"] and s["mn"] == p["mn"] and s["mx"] == p["mx"]
         assert abs(s["s"] - p["s"]) < 1e-6 * max(abs(p["s"]), 1)
         assert abs(s["a"] - p["a"]) < 1e-9 * max(abs(p["a"]), 1)
+
+
+def test_star_plan_and_results_scale_linearly(spark, tmp_path):
+    """Scale-up rehearsal: replicate the fact side 8x (orderkeys
+    shifted so the lineitem->orders join stays valid, dims untouched)
+    and re-run the flagship star query. Two invariants of a plan that
+    survives 100x growth:
+      1. the join strategy is UNCHANGED — dims still broadcast, zero
+         sort-merge joins, because dim size does not grow with the
+         fact side;
+      2. the aggregate is exactly linear — every (nation, month)
+         revenue is 8x the base run (the copies share the dimension
+         rows), so partial aggregation composed correctly under more
+         input splits.
+    """
+    from lakehouse_for_data_streaming_and_analysis_spark.plans import star
+
+    sf = SF_DIR
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+
+    K = 8
+    li8 = None
+    o8 = None
+    for i in range(K):
+        li_i = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") * K + F.lit(i)
+        )
+        o_i = o.withColumn("o_orderkey", F.col("o_orderkey") * K + F.lit(i))
+        li8 = li_i if li8 is None else li8.unionByName(li_i)
+        o8 = o_i if o8 is None else o8.unionByName(o_i)
+    # land the scaled copies so the scan shape (file splits) is real
+    li8_path, o8_path = str(tmp_path / "li8"), str(tmp_path / "o8")
+    li8.write.parquet(li8_path)
+    o8.write.parquet(o8_path)
+    li8 = spark.read.parquet(li8_path)
+    o8 = spark.read.parquet(o8_path)
+
+    base = star.star_revenue_by_nation_month(li, o, c, n, r)
+    scaled = star.star_revenue_by_nation_month(li8, o8, c, n, r)
+
+    p = scaled._jdf.queryExecution().executedPlan().toString()
+    assert p.count("BroadcastHashJoin") == 4, p
+    assert "SortMergeJoin" not in p
+
+    # the flagship is top-N; compare on the full aggregate instead
+    def full_agg(lidf, odf):
+        return (
+            lidf.join(odf, lidf.l_orderkey == odf.o_orderkey)
+            .join(c, odf.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).alias("rev")
+            )
+        )
+
+    base_rows = {(r1["n_name"], r1["m"]): r1["rev"] for r1 in full_agg(li, o).collect()}
+    scaled_rows = {
+        (r1["n_name"], r1["m"]): r1["rev"] for r1 in full_agg(li8, o8).collect()
+    }
+    assert set(base_rows) == set(scaled_rows)
+    for key, rev in base_rows.items():
+        assert scaled_rows[key] == rev * K, (key, rev, scaled_rows[key])
