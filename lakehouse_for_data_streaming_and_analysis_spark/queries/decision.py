@@ -938,3 +938,55 @@ def promotion_part_suppliers(spark, sf_dir):
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+# ------------------------------------------------------- relational division
+
+@q(
+    "loyal_customers_division",
+    """WITH years AS (
+         SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '2000-01-01'),
+       cust_years AS (
+         SELECT DISTINCT o_custkey,
+                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '2000-01-01')
+       SELECT c.c_custkey, c.c_name, c.c_mktsegment
+       FROM customer c
+       WHERE NOT EXISTS (
+         SELECT 1 FROM years y
+         WHERE NOT EXISTS (
+           SELECT 1 FROM cust_years cy
+           WHERE cy.o_custkey = c.c_custkey AND cy.y = y.y))
+         AND EXISTS (SELECT 1 FROM cust_years cy
+                     WHERE cy.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+def loyal_customers_division(spark, sf_dir):
+    """Relational division (FOR ALL): customers who ordered in EVERY
+    year of 1996-1999. The double-NOT-EXISTS of the oracle is the
+    textbook formulation; Spark computes the scalable equivalent —
+    count of distinct order-years per customer equals the (broadcast,
+    1-row) count of required years. One distinct-pair aggregate + one
+    customer-grain count, no nested rescans."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "2000-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    cy = o.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("y")
+    ).distinct()
+    n_years = cy.select("y").distinct().agg(F.count(F.lit(1)).alias("need"))
+    per_cust = cy.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("got"))
+    loyal = per_cust.join(F.broadcast(n_years)).filter(
+        F.col("got") == F.col("need")
+    )
+    return (
+        c.join(loyal, c.c_custkey == loyal.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
