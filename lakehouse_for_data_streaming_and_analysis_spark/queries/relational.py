@@ -881,3 +881,34 @@ def priority_status_stringagg(spark, sf_dir):
         ),
         F.count_distinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+# One engine-portable ANSI SQL text: runs verbatim on Spark SQL (over
+# register_views) AND on DuckDB as its own oracle — the Trino-user
+# migration path (SURVEY §1.4: "Trino SQL layer -> spark.sql() over
+# registered tables") proven by construction.
+_PORTABLE_STAR_SQL = """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, o_year
+"""
+
+
+@q("sql_interface_star_pricing", _PORTABLE_STAR_SQL)
+def sql_interface_star_pricing(spark, sf_dir):
+    """The SQL entry path: register the catalog views and execute the
+    SAME ANSI text DuckDB runs as the oracle — zero translation. A
+    Trino user's star query ports by re-pointing the connection;
+    Catalyst still plans broadcast dim joins + partial aggregation
+    from the SQL exactly as from the DataFrame API."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PORTABLE_STAR_SQL)

@@ -44,3 +44,14 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(qs) - set(oracles))
     allowed_rows_only = set(getattr(entrymod, "ROWS_ONLY", ()))
     assert set(missing) <= allowed_rows_only, missing
+
+
+def test_queries_md_in_sync(tmp_path):
+    """QUERIES.md is generated from the live registry and must not
+    drift from it."""
+    from lakehouse_for_data_streaming_and_analysis_spark import inventory
+
+    generated = inventory.generate(str(tmp_path / "QUERIES.md"))
+    with open("/root/repo/QUERIES.md") as f:
+        committed = f.read()
+    assert generated == committed, "run python -m lakehouse_for_data_streaming_and_analysis_spark.inventory"
