@@ -485,3 +485,85 @@ def label_centroid_profile(spark, sf_dir):
     return per_label.join(cn, "label").select(
         "label", "n_vecs", "avg_norm", "centroid_norm"
     )
+
+
+@q(
+    "corpus_curation_funnel",
+    """WITH flagged AS (
+         SELECT doc_id, text, lang, n_chars,
+                lang = 'en' AS keep_lang,
+                lang = 'en' AND n_chars BETWEEN 60 AND 500
+                  AND length(string_split_regex(lower(trim(text)), '\\s+')) >= 10
+                  AS keep_quality
+         FROM documents),
+       canon AS (
+         SELECT *,
+                keep_quality AND ROW_NUMBER() OVER (
+                  PARTITION BY md5(text), keep_quality ORDER BY doc_id) = 1
+                  AS keep_canonical
+         FROM flagged)
+       SELECT stage, n_docs FROM (
+         SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs FROM canon
+         UNION ALL
+         SELECT 2, 'lang_en', SUM(CASE WHEN keep_lang THEN 1 ELSE 0 END) FROM canon
+         UNION ALL
+         SELECT 3, 'quality', SUM(CASE WHEN keep_quality THEN 1 ELSE 0 END) FROM canon
+         UNION ALL
+         SELECT 4, 'exact_canonical', SUM(CASE WHEN keep_canonical THEN 1 ELSE 0 END) FROM canon
+         UNION ALL
+         SELECT 5, 'train_split',
+                SUM(CASE WHEN keep_canonical
+                          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 < 80
+                     THEN 1 ELSE 0 END)
+         FROM canon)
+       ORDER BY ord""",
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The whole curation pipeline as ONE funnel query: raw →
+    language gate → quality gates (length band + token floor) →
+    exact-dedup canonical pick (first doc_id per content hash) →
+    deterministic 80% train split — with surviving-document counts at
+    every stage. Each stage's predicate composes on the previous
+    (monotone funnel). Plan: per-doc flags are map-side, the
+    canonical pick is one content-hash window, and all five counts
+    come from a single conditional aggregate — two exchanges total
+    regardless of corpus size. This is the per-run observability
+    report a 100 TB curation job emits to catch a gate suddenly
+    dropping 90% of a source."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    keep_lang = F.col("lang") == "en"
+    keep_quality = (
+        keep_lang & F.col("n_chars").between(60, 500) & (F.size(toks) >= 10)
+    )
+    w = Window.partitionBy(F.md5("text"), "keep_quality").orderBy("doc_id")
+    canon = docs.select(
+        "doc_id",
+        "text",
+        keep_lang.alias("keep_lang"),
+        keep_quality.alias("keep_quality"),
+    ).withColumn(
+        "keep_canonical",
+        F.col("keep_quality") & (F.row_number().over(w) == 1),
+    )
+    in_train = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100 < 80
+    agg = canon.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum(F.when(F.col("keep_lang"), 1).otherwise(0)).alias("lang_en"),
+        F.sum(F.when(F.col("keep_quality"), 1).otherwise(0)).alias("quality"),
+        F.sum(F.when(F.col("keep_canonical"), 1).otherwise(0)).alias(
+            "exact_canonical"
+        ),
+        F.sum(
+            F.when(F.col("keep_canonical") & in_train, 1).otherwise(0)
+        ).alias("train_split"),
+    )
+    return agg.selectExpr(
+        "stack(5, 'raw', raw, 'lang_en', lang_en, 'quality', quality, "
+        "'exact_canonical', exact_canonical, 'train_split', train_split) "
+        "AS (stage, n_docs)"
+    )
