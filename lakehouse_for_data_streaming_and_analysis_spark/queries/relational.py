@@ -912,3 +912,47 @@ def sql_interface_star_pricing(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_PORTABLE_STAR_SQL)
+
+
+@q(
+    "tz_localized_fact_keys",
+    """WITH localized AS (
+         SELECT (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Ho_Chi_Minh'
+                  AS local_ts,
+                value
+         FROM events)
+       SELECT CAST(strftime(local_ts, '%Y%m%d') AS INT) AS date_id,
+              COUNT(*) AS n_rows,
+              MIN(CAST(strftime(local_ts, '%H%M%S') AS INT)) AS first_time_id,
+              MAX(CAST(strftime(local_ts, '%H%M%S') AS INT)) AS last_time_id,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS total_value
+       FROM localized GROUP BY 1""",
+)
+def tz_localized_fact_keys(spark, sf_dir):
+    """The reference's fact-key derivation, timezone included: event
+    time is localized to Asia/Ho_Chi_Minh and turned into the star
+    schema's integer surrogate keys — date_id = yyyyMMdd, time_id =
+    HHmmss (reference: Sourcecode/spark/etl.py:25,57 and udf.py:49-50;
+    SURVEY §7.3 flags the tz/calendar interplay as a hard part). A UTC
+    tick at 20:00 lands on the NEXT local calendar day (+7) — exactly
+    what this oracle cross-checks via DuckDB's AT TIME ZONE chain.
+    Map-side projection + one date-grain aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp("ts", "Asia/Ho_Chi_Minh")
+    return (
+        ev.select(
+            F.date_format(local, "yyyyMMdd").cast("int").alias("date_id"),
+            F.date_format(local, "HHmmss").cast("int").alias("time_id"),
+            "value",
+        )
+        .groupBy("date_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("time_id").alias("first_time_id"),
+            F.max("time_id").alias("last_time_id"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

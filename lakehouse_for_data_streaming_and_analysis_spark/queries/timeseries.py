@@ -771,3 +771,68 @@ def ts_shape_match_topk(spark, sf_dir):
         .orderBy(F.asc("dist2"), F.asc("event_type"), F.asc("start_d"))
         .limit(10)
     )
+
+
+@q(
+    "monthly_revenue_moving_avg",
+    """WITH monthly AS (
+         SELECT n.n_name AS nation,
+                CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+                CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2)
+       SELECT nation, month, revenue,
+              COUNT(*) OVER w AS n_window,
+              ROUND(AVG(revenue) OVER w, 4) AS revenue_mavg3
+       FROM monthly
+       WINDOW w AS (PARTITION BY nation ORDER BY month
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+)
+def monthly_revenue_moving_avg(spark, sf_dir):
+    """Smoothed trend reporting: 3-month moving average of each
+    nation's monthly revenue — the frame-over-aggregate composition
+    (dashboard 'price with MA' A8 generalized from time grains to a
+    star-join aggregate). The window partitioning (nation) is a
+    prefix of the aggregate grouping (nation, month): AQE reuses the
+    exchange, so smoothing is free after the rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        "nation",
+        "month",
+        "revenue",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.avg("revenue").over(w), 4).alias("revenue_mavg3"),
+    )
