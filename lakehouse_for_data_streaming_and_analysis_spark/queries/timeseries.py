@@ -836,3 +836,44 @@ def monthly_revenue_moving_avg(spark, sf_dir):
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.round(F.avg("revenue").over(w), 4).alias("revenue_mavg3"),
     )
+
+
+@q(
+    "rolling_median_value",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(SUM(value), 4) AS daily_sum
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, d, daily_sum,
+              COUNT(*) OVER w AS n_win,
+              ROUND(quantile_cont(daily_sum, 0.5) OVER w, 4) AS rolling_median
+       FROM daily
+       WINDOW w AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_median_value(spark, sf_dir):
+    """Rolling exact median (7-day) of per-series daily totals — an
+    ordered-set aggregate used as a window function, the robust
+    alternative to the rolling mean for spiky streams. Spark's
+    percentile() and DuckDB's quantile_cont share linear
+    interpolation, so values hash-match after rounding. Same
+    two-exchange topology as the other rolling plans (daily grain +
+    per-series frames)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("daily_sum")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "daily_sum",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.expr("percentile(daily_sum, 0.5)").over(w), 4).alias(
+            "rolling_median"
+        ),
+    )

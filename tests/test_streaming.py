@@ -387,3 +387,57 @@ def test_live_commit_latency_meets_baseline(spark, scratch):
     # Reference bar: median 6 s on local[2]; this engine on local[N]
     # must land within it with margin.
     assert summary["median_delay"] <= 6, summary
+
+
+def test_complete_mode_emits_full_state_each_batch(spark, scratch):
+    """Output-mode matrix completion: the reference uses update
+    (bronze agg) and append (fact); complete mode re-emits the ENTIRE
+    aggregate every micro-batch. Feed two batches and assert the
+    final emission carries every key with totals equal to the batch
+    ground truth, and that emission cardinality grows to the full key
+    set (not just touched keys, which is update mode's contract)."""
+    raw = _tick_json_df(spark, n=60)
+    stream_raw = _replay(spark, raw, scratch, n_files=2)
+    ticks = streams.parse_ticks(stream_raw, "bitcoin")
+
+    agg = ticks.groupBy(F.window("timestamp", "1 minute")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("bitcoin"), 6).alias("total"),
+    )
+    sink = os.path.join(scratch, "complete_out")
+
+    emissions = []
+
+    def land(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            emissions.append((batch_id, rows))
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(land)
+        .option("checkpointLocation", os.path.join(scratch, "complete_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(emissions) >= 2
+    # complete mode: the last emission IS the whole aggregate
+    final = {r["window"]: (r["n"], r["total"]) for r in emissions[-1][1]}
+    truth = {
+        r["window"]: (r["n"], r["total"])
+        for r in streams.parse_ticks(
+            raw.select("value"), "bitcoin"
+        )  # batch replay of the same parse chain
+        .groupBy(F.window("timestamp", "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("bitcoin"), 6).alias("total"),
+        )
+        .collect()
+    }
+    assert final == truth
+    # monotone: later emissions carry >= as many windows as earlier ones
+    sizes = [len(rows) for _, rows in emissions]
+    assert sizes == sorted(sizes)
