@@ -42,6 +42,7 @@ ROWS_ONLY = (
     "ar_walk_forward_eval",
     "pagerank_user_influence",
     "kmeans_embedding_clusters",
+    "sketch_cardinalities",
 )
 
 

@@ -712,3 +712,35 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
 
 
 QUERIES["kmeans_embedding_clusters"] = kmeans_embedding_clusters
+
+
+def sketch_cardinalities(spark, sf_dir):
+    """The 100 TB COUNT(DISTINCT) path: HyperLogLog++
+    approx_count_distinct per event_type next to an approx p50/p95
+    value sketch — mergeable partial state, one shuffle of sketch
+    buffers instead of a distinct-key exchange (SURVEY §2.5 A4 notes
+    'approx_count_distinct at scale'). Rows-only for the driver
+    (DuckDB's approx algorithms differ); the relative-error bound vs
+    exact distinct counts is pinned by
+    tests/test_approx.py::test_sketch_cardinalities_error_bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.95), 10000)"
+            ).alias("value_p50_p95"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_p50_p95")[0].alias("value_p50"),
+            F.col("value_p50_p95")[1].alias("value_p95"),
+            "n_rows",
+        )
+    )
+
+
+QUERIES["sketch_cardinalities"] = sketch_cardinalities

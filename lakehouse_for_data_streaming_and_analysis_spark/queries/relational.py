@@ -956,3 +956,49 @@ def tz_localized_fact_keys(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@q(
+    "malformed_json_audit",
+    """WITH raw AS (
+         SELECT event_type,
+                CASE WHEN event_id % 37 = 0 THEN '{corrupt' ELSE props END
+                  AS payload
+         FROM events)
+       SELECT event_type,
+              COUNT(*) AS n_rows,
+              SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS n_valid,
+              SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS n_corrupt,
+              ROUND(CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+                         AS DOUBLE) / COUNT(*), 6) AS corrupt_rate
+       FROM raw GROUP BY 1""",
+)
+def malformed_json_audit(spark, sf_dir):
+    """Bad-record accounting on the JSON ingest path: a deterministic
+    3%-ish slice of payloads is corrupted, then parsed PERMISSIVE-style
+    — from_json returns NULL on unparseable input instead of failing
+    the job (the semantics a streaming bronze layer needs: quarantine
+    counts, never a poison-pill crash; the reference's hardcoded
+    from_json at etl.py:21 would silently null the same way). The
+    oracle counts the identical rows via json_valid. Map-side CASE +
+    parse + one small rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 37 == 0, F.lit("{corrupt")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "map<string,string>")
+    ok = parsed.isNotNull()
+    return (
+        ev.select("event_type", ok.alias("ok"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("n_corrupt"),
+            F.round(
+                F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("corrupt_rate"),
+        )
+    )

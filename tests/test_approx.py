@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
 
-from .conftest import SF_DIR_01
+from .conftest import SF_DIR, SF_DIR_01
 
 
 def test_approx_count_distinct_within_rsd(spark):
@@ -44,3 +44,29 @@ def test_hll_sketch_mergeability(spark):
     ).first()["n"]
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     assert abs(merged - exact) / exact < 0.06
+
+
+def test_sketch_cardinalities_error_bound(spark):
+    """The sketch query's HLL counts stay within 5% of exact distinct
+    counts and its percentile sketch brackets the exact quantiles."""
+    from lakehouse_for_data_streaming_and_analysis_spark.queries.datapipe import (
+        sketch_cardinalities,
+    )
+
+    got = {r["event_type"]: r for r in sketch_cardinalities(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("pv"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert abs(g["approx_users"] - e["users"]) / e["users"] < 0.05, (k, g, e)
+        assert abs(g["value_p50"] - e["pv"][0]) <= max(1.0, 0.05 * e["pv"][0])
+        assert abs(g["value_p95"] - e["pv"][1]) <= max(1.0, 0.05 * e["pv"][1])
