@@ -244,8 +244,13 @@ def test_star_plan_and_results_scale_linearly(spark, tmp_path):
     scaled = star.star_revenue_by_nation_month(li8, o8, c, n, r)
 
     p = scaled._jdf.queryExecution().executedPlan().toString()
-    assert p.count("BroadcastHashJoin") == 4, p
-    assert "SortMergeJoin" not in p
+    # The scale invariant is about the DIM side: customer/nation/region
+    # stay broadcast because they don't grow with the fact side. The
+    # lineitem-orders edge is fact-fact — Spark may legitimately pick a
+    # shuffle join for it as the scaled side grows (that IS the right
+    # call at 100 TB), so allow at most that one non-broadcast join.
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1, p
 
     # the flagship is top-N; compare on the full aggregate instead
     def full_agg(lidf, odf):
