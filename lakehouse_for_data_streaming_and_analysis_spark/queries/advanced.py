@@ -626,3 +626,81 @@ def schema_evolution_union(spark, sf_dir):
         .cast("double")
         .alias("total_value"),
     )
+
+
+@q(
+    "semi_additive_month_end_balance",
+    """WITH bal AS (
+         SELECT user_id, date_trunc('month', ts) AS m, ts, event_id,
+                SUM(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS run_bal
+         FROM events),
+       eom AS (
+         SELECT user_id, m,
+                CAST(ROUND(run_bal, 4) AS DECIMAL(18,4)) AS eom_bal,
+                ROW_NUMBER() OVER (PARTITION BY user_id, m
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM bal),
+       last_in_month AS (SELECT user_id, m, eom_bal FROM eom WHERE rn = 1),
+       months AS (SELECT DISTINCT m FROM last_in_month),
+       users AS (SELECT DISTINCT user_id FROM last_in_month),
+       spine AS (SELECT u.user_id, mo.m FROM users u CROSS JOIN months mo),
+       filled AS (
+         SELECT s.user_id, s.m,
+                last_value(l.eom_bal IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.m) AS bal
+         FROM spine s LEFT JOIN last_in_month l
+           ON s.user_id = l.user_id AND s.m = l.m)
+       SELECT CAST(m AS TIMESTAMP) AS month,
+              COUNT(bal) AS n_accounts,
+              CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS total_balance
+       FROM filled GROUP BY 1""",
+)
+def semi_additive_month_end_balance(spark, sf_dir):
+    """Semi-additive measure — the balance-style fact that sums across
+    ACCOUNTS but not across TIME: treat event values as account
+    movements, take each user's month-END running balance, carry it
+    forward through inactive months (spine × last-ignorenulls
+    forward fill), then total per month. The running sum is an
+    ordered sequential window (identical IEEE order both engines),
+    rounded then decimal-cast so the cross-account total is exact.
+    Plan: one user-partition window chain + a tiny months-spine
+    broadcast cross join + one month rollup — the user partitioning
+    is reused across the running-sum, dedup, and fill windows."""
+    ev = load_table(spark, sf_dir, "events")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bal = ev.select(
+        "user_id",
+        F.date_trunc("month", "ts").alias("m"),
+        "ts",
+        "event_id",
+        F.sum("value").over(wrun).alias("run_bal"),
+    )
+    wlast = Window.partitionBy("user_id", "m").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last_in_month = (
+        bal.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "m",
+            F.round("run_bal", 4).cast("decimal(18,4)").alias("eom_bal"),
+        )
+    )
+    months = last_in_month.select("m").distinct()
+    users = last_in_month.select("user_id").distinct()
+    spine = users.join(F.broadcast(months))
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(last_in_month, ["user_id", "m"], "left")
+        .withColumn("bal", F.last("eom_bal", ignorenulls=True).over(wfill))
+    )
+    return filled.groupBy(F.col("m").alias("month")).agg(
+        F.count("bal").alias("n_accounts"),
+        F.round(F.sum("bal"), 2).cast("double").alias("total_balance"),
+    )
