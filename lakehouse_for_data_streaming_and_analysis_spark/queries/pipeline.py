@@ -419,3 +419,46 @@ def dq_constraint_report(spark, sf_dir):
     report = dq.run_checks(o, checks)
     ri = dq.referential_integrity(li, "l_orderkey", o, "o_orderkey")
     return report.unionByName(ri)
+
+
+@q(
+    "hot_key_diagnosis",
+    """WITH counts AS (
+         SELECT user_id, COUNT(*) AS n
+         FROM events GROUP BY 1),
+       stats AS (
+         SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n
+         FROM counts)
+       SELECT c.user_id, c.n,
+              ROUND(c.n / s.total, 6) AS share,
+              ROUND(c.n / s.mean_n, 4) AS skew_factor
+       FROM counts c CROSS JOIN stats s
+       ORDER BY c.n DESC, c.user_id ASC
+       LIMIT 20""",
+)
+def hot_key_diagnosis(spark, sf_dir):
+    """Shuffle-skew pre-flight (operators/skew.top_hot_keys made
+    driver-visible): the 20 heaviest join/agg keys with their share
+    of total rows and skew factor vs the mean key. At 100 TB this is
+    the query you run BEFORE the big join — a skew_factor in the
+    hundreds says salt this key or rely on AQE skew splitting
+    (tests/test_scale.py pins both mitigations). One key-grain
+    aggregate + a 1-row stats broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("mean_n"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
