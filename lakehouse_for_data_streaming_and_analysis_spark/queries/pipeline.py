@@ -462,3 +462,56 @@ def hot_key_diagnosis(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("user_id"))
         .limit(20)
     )
+
+
+ORACLES["scd2_as_of_snapshot"] = f"""
+    WITH dim AS ({ORACLES["scd2_dimension_evolution"]})
+    SELECT DATE '2024-01-15' AS as_of, surrogate_key, coin_id, name, supply
+    FROM dim WHERE start_date <= DATE '2024-01-15'
+             AND DATE '2024-01-15' < end_date
+    UNION ALL
+    SELECT DATE '2024-02-15', surrogate_key, coin_id, name, supply
+    FROM dim WHERE start_date <= DATE '2024-02-15'
+             AND DATE '2024-02-15' < end_date
+"""
+
+
+def scd2_as_of_snapshot(spark, sf_dir):
+    """Temporal dimension read — the query SCD-2 exists to answer:
+    the dimension AS OF a date, reconstructed from validity intervals
+    (start_date <= T < end_date). Snapshot at 2024-01-15 returns
+    every v1 row (pre-second-load); at 2024-02-15 the perturbed rows'
+    v2 versions replace them. The interval predicate is a plain
+    filter over the dim scan — at 100 TB, time travel costs one
+    pruned scan, not a log replay."""
+    from ..dims import scd2
+
+    n = load_table(spark, sf_dir, "nation")
+    snap1 = n.select(
+        F.col("n_nationkey").alias("coin_id"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") * 1000.0).alias("supply"),
+    )
+    c1 = scd2.hash_candidates(snap1, "coin_id", ["coin_id", "name", "supply"])
+    d1 = scd2.empty_dim(c1, "2024-01-01")
+    snap2 = snap1.withColumn(
+        "supply",
+        F.when(F.col("coin_id").between(1, 5), F.col("supply") + 1).otherwise(
+            F.col("supply")
+        ),
+    )
+    c2 = scd2.hash_candidates(snap2, "coin_id", ["coin_id", "name", "supply"])
+    dim = scd2.scd2_apply(d1, c2, "coin_id", "2024-02-01")
+
+    def snap(as_of: str):
+        t = F.lit(as_of).cast("date")
+        return dim.filter(
+            (F.col("start_date") <= t) & (t < F.col("end_date"))
+        ).select(
+            t.alias("as_of"), "surrogate_key", "coin_id", "name", "supply"
+        )
+
+    return snap("2024-01-15").unionByName(snap("2024-02-15"))
+
+
+QUERIES["scd2_as_of_snapshot"] = scd2_as_of_snapshot

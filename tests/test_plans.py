@@ -587,3 +587,35 @@ def test_q20_two_semi_joins_one_aggregate(spark):
     p = _physical(entrymod.queries()["promotion_part_suppliers"](spark, SF_DIR))
     assert p.count("LeftSemi") == 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_registered_pandas_udf_is_arrow_eval(spark):
+    """UDF surface (SURVEY §2.12): when user logic must run in
+    Python, it registers as an Arrow-batched pandas UDF callable from
+    spark.sql — the plan shows ArrowEvalPython (vectorized batches),
+    never BatchEvalPython (row pickling)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _log_return_pct(cur, prev):
+        import numpy as np
+
+        return (np.log(cur / prev)) * 100.0
+
+    log_return_pct = pandas_udf(_log_return_pct, "double")
+
+    spark.udf.register("log_return_pct", log_return_pct)
+    from lakehouse_for_data_streaming_and_analysis_spark.catalog import register_views
+
+    register_views(spark, SF_DIR, ("events",))
+    df = spark.sql(
+        """SELECT event_type,
+                  ROUND(AVG(log_return_pct(value + 100, CAST(100.0 AS DOUBLE))), 4) AS avg_lr
+           FROM events GROUP BY event_type"""
+    )
+    rows = df.collect()
+    assert len(rows) > 0 and all(r["avg_lr"] is not None for r in rows)
+    p = _physical(df)
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p
