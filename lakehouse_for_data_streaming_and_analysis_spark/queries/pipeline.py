@@ -515,3 +515,72 @@ def scd2_as_of_snapshot(spark, sf_dir):
 
 
 QUERIES["scd2_as_of_snapshot"] = scd2_as_of_snapshot
+
+
+@q(
+    "streaming_dedup_final_state",
+    """WITH dup_stream AS (
+         SELECT event_id, user_id, event_type, value FROM events
+         UNION ALL
+         SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_id % 11 = 0)
+       SELECT event_type,
+              COUNT(*) AS n_rows,
+              COUNT(DISTINCT event_id) AS n_distinct_ids,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS total_value
+       FROM (SELECT DISTINCT event_id, user_id, event_type, value
+             FROM dup_stream)
+       GROUP BY 1""",
+)
+def streaming_dedup_final_state(spark, sf_dir):
+    """T10 as a *real streaming run*: a replayed stream with ~9%
+    injected redeliveries (every 11th event appears twice, in
+    DIFFERENT micro-batch files) passes through streaming
+    dropDuplicates keyed on event_id — state carries seen-keys across
+    batches, so the cross-batch duplicate is suppressed exactly once.
+    Final landed counts equal the batch DISTINCT oracle, n_rows ==
+    n_distinct_ids proving zero survivors. At 100 TB the key state is
+    what a watermark bounds (dropDuplicatesWithinWatermark,
+    tests/test_streaming.py); here the corpus is finite so full-key
+    state is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = os.path.join("/root/repo/.scratch", f"dedup_replay_{sf_tag}")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        dup = ev.filter(F.col("event_id") % 11 == 0)
+        # originals in files 0-2, redeliveries land in a separate file
+        # via a second write -> the duplicate arrives in a LATER batch
+        ev.repartition(3).write.mode("overwrite").parquet(replay_dir)
+        dup.repartition(1).write.mode("append").parquet(replay_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_dir)
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    # streaming aggs forbid COUNT(DISTINCT); post-dedup a plain count
+    # of event_id IS the distinct count — and the oracle computes the
+    # true DISTINCT independently, so the hash-match verifies exactly
+    # that no duplicate survived.
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_id").alias("n_distinct_ids"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    tbl = f"dedup_final_state_{sf_tag}"
+    q_handle = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(tbl)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_handle.awaitTermination(300)
+    return spark.table(tbl)
