@@ -704,3 +704,100 @@ def semi_additive_month_end_balance(spark, sf_dir):
         F.count("bal").alias("n_accounts"),
         F.round(F.sum("bal"), 2).cast("double").alias("total_balance"),
     )
+
+
+@q(
+    "customer_rfm_segments",
+    """WITH per_cust AS (
+         SELECT o_custkey,
+                MAX(o_orderdate) AS last_order,
+                COUNT(*) AS frequency,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS monetary
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT o_custkey,
+                NTILE(4) OVER (ORDER BY last_order ASC, o_custkey ASC) AS r_score,
+                NTILE(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
+                NTILE(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+         FROM per_cust)
+       SELECT r_score, f_score, m_score,
+              CONCAT(r_score, '-', f_score, '-', m_score) AS segment,
+              COUNT(*) AS n_customers
+       FROM scored GROUP BY 1, 2, 3, 4""",
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency/frequency/monetary quartiles per
+    customer, counted per 4x4x4 segment cell. Ties break on custkey
+    so NTILE assignment is identical across engines. The quartile
+    windows are global-order over the customer-grain AGGREGATE (not
+    raw orders) — at 100 TB that input is |customers| rows, and the
+    scale path is percentile-threshold bucketing instead of NTILE if
+    even that single-partition sort bites."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("last_order"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment"),
+        F.count(F.lit(1)).alias("n_customers"),
+    ).select("r_score", "f_score", "m_score", "segment", "n_customers")
+
+
+@q(
+    "event_type_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS next_type
+         FROM events)
+       SELECT event_type AS from_type, next_type AS to_type,
+              COUNT(*) AS n_transitions,
+              ROUND(CAST(COUNT(*) AS DOUBLE) /
+                    SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+                AS transition_prob
+       FROM seq WHERE next_type IS NOT NULL
+       GROUP BY 1, 2""",
+)
+def event_type_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event sequence, count (current -> next) event-type
+    pairs and normalize per source state — the Markov-chain estimate
+    behind next-action prediction and funnel-leak analysis. One
+    user-partition lead window + one pair-grain aggregate + a
+    25-row normalization window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wnorm),
+            6,
+        ).alias("transition_prob"),
+    )

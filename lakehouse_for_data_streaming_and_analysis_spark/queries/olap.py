@@ -564,3 +564,53 @@ def neardup_canonical_selection(spark, sf_dir):
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@q(
+    "region_nation_hierarchy_rollup",
+    """SELECT COALESCE(r.r_name, 'ALL') AS region,
+              CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END
+                AS nation,
+              GROUPING(r.r_name) + GROUPING(n.n_name) AS lvl,
+              COUNT(*) AS n_customers,
+              CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                AS total_balance
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY ROLLUP (r.r_name, n.n_name)""",
+)
+def region_nation_hierarchy_rollup(spark, sf_dir):
+    """Dimension-HIERARCHY rollup (region ⊃ nation): subtotals at
+    nation, region, and grand-total levels from one scan of the
+    joined star — the drill-up path of the semantic layer. Both dim
+    joins broadcast; ROLLUP expands grouping sets inside a single
+    aggregation pipeline (one shuffle, pinned for the flat case by
+    test_rollup_single_shuffle). GROUPING() markers disambiguate
+    'ALL' from a real value."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("n_name").alias("g_nation"),
+            (F.grouping("r_name") + F.grouping("n_name")).alias("lvl"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.when(F.col("g_nation") == 1, "ALL")
+            .otherwise(F.col("n_name"))
+            .alias("nation"),
+            "lvl",
+            "n_customers",
+            "total_balance",
+        )
+    )
