@@ -308,3 +308,60 @@ def lexicon_sentiment_scores(spark, sf_dir):
         .otherwise("neutral")
         .alias("label"),
     )
+
+
+_SEARCH_TERMS = ("fast", "table", "merge")
+_SEARCH_TERMS_SQL = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+
+
+@q(
+    "keyword_search_ranked",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       tf AS (
+         SELECT doc_id, tok, COUNT(*) AS tf
+         FROM toks WHERE tok IN ({_SEARCH_TERMS_SQL})
+         GROUP BY 1, 2),
+       df AS (
+         SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id,
+                COUNT(*) AS n_terms_hit,
+                ROUND(SUM(tf.tf * ln(n.n_docs / df.df)), 6) AS score
+         FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         GROUP BY 1)
+       SELECT doc_id, n_terms_hit, score
+       FROM scored
+       ORDER BY score DESC, doc_id ASC
+       LIMIT 20""",
+)
+def keyword_search_ranked(spark, sf_dir):
+    """Inverted-index-style keyword search: TF x log-IDF relevance for
+    a 3-term query, top-20 documents. The term filter applies at
+    tokenization (only query terms survive the map side), document
+    frequencies are a tiny per-term aggregate joined back by
+    broadcast, and the corpus size is a 1-row broadcast — the
+    scatter-gather topology of a distributed search engine, with the
+    posting-list build as the only doc-grain shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("df"))), 6
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)

@@ -877,3 +877,51 @@ def rolling_median_value(spark, sf_dir):
             "rolling_median"
         ),
     )
+
+
+@q(
+    "winsorized_value_stats",
+    """WITH bounds AS (
+         SELECT event_type,
+                quantile_cont(value, 0.05) AS p05,
+                quantile_cont(value, 0.95) AS p95
+         FROM events GROUP BY 1),
+       clipped AS (
+         SELECT e.event_type,
+                e.value,
+                LEAST(GREATEST(e.value, b.p05), b.p95) AS wvalue
+         FROM events e JOIN bounds b ON e.event_type = b.event_type)
+       SELECT event_type,
+              COUNT(*) AS n,
+              ROUND(AVG(value), 6) AS raw_mean,
+              ROUND(AVG(wvalue), 6) AS winsorized_mean,
+              ROUND(stddev_samp(value), 6) AS raw_std,
+              ROUND(stddev_samp(wvalue), 6) AS winsorized_std
+       FROM clipped GROUP BY 1""",
+)
+def winsorized_value_stats(spark, sf_dir):
+    """Winsorized robust statistics: per-series p05/p95 bounds (exact
+    interpolated percentiles, tiny aggregate broadcast back) clip the
+    tails before mean/stddev — the outlier-resistant summary a
+    monitoring pipeline prefers over raw moments. One scan feeds both
+    the bounds aggregate and the clipped re-aggregation; the fact
+    side never shuffles for the bounds join."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "wvalue"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+        F.round(F.avg("wvalue"), 6).alias("winsorized_mean"),
+        F.round(F.stddev_samp("value"), 6).alias("raw_std"),
+        F.round(F.stddev_samp("wvalue"), 6).alias("winsorized_std"),
+    )
