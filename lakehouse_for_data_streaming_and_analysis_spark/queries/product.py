@@ -374,3 +374,68 @@ def cumulative_distinct_users_by_type(spark, sf_dir):
     return j.select(
         "event_type", "d", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@q(
+    "longest_event_streak_per_user",
+    """WITH seq AS (
+         SELECT user_id, event_type, ts, event_id,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn_type
+         FROM events),
+       islands AS (
+         SELECT user_id, event_type, rn - rn_type AS grp, COUNT(*) AS streak
+         FROM seq GROUP BY 1, 2, 3),
+       best AS (
+         SELECT user_id, event_type, streak,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY streak DESC, event_type ASC) AS rk
+         FROM islands)
+       SELECT user_id, event_type AS streak_type, streak AS max_streak
+       FROM best WHERE rk = 1""",
+)
+def longest_event_streak_per_user(spark, sf_dir):
+    """Longest same-type run in each user's event sequence — computed
+    as ONE map-side array fold over the time-sorted per-user event
+    list (aggregate() carrying (current_type, current_run, best_type,
+    best_run) state), against the classic two-window gaps-and-islands
+    SQL as the oracle. The fold replaces three window passes + two
+    aggregations with one user-grain shuffle; tie on streak length
+    resolves to the lexicographically first type in both
+    formulations. The array state is O(events-per-user) — the scale
+    guard is the same per-user bound sessionization already assumes."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda s: s.event_type)
+    # fold state: (cur_type, cur_run, best_type, best_run)
+    init = F.struct(
+        F.lit("").alias("ct"),
+        F.lit(0).alias("cr"),
+        F.lit("").alias("bt"),
+        F.lit(0).alias("br"),
+    )
+
+    def step(acc, t):
+        cr = F.when(t == acc.ct, acc.cr + 1).otherwise(F.lit(1))
+        better = (cr > acc.br) | ((cr == acc.br) & (t < acc.bt))
+        return F.struct(
+            t.alias("ct"),
+            cr.alias("cr"),
+            F.when(better, t).otherwise(acc.bt).alias("bt"),
+            F.when(better, cr).otherwise(acc.br).alias("br"),
+        )
+
+    folded = seq.select(
+        "user_id", F.aggregate(types, init, step).alias("st")
+    )
+    return folded.select(
+        "user_id",
+        F.col("st.bt").alias("streak_type"),
+        F.col("st.br").alias("max_streak"),
+    )
