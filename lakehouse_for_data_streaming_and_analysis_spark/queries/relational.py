@@ -1002,3 +1002,105 @@ def malformed_json_audit(spark, sf_dir):
             ).alias("corrupt_rate"),
         )
     )
+
+
+@q(
+    "null_semantics_audit",
+    """WITH d AS (
+         SELECT CASE WHEN event_id % 2 = 0
+                     THEN json_extract_string(props, '$.k') END AS a,
+                CASE WHEN event_id % 3 = 0
+                     THEN json_extract_string(props, '$.k') END AS b
+         FROM events)
+       SELECT COUNT(*) AS n_rows,
+              COUNT(a) AS a_not_null,
+              COUNT(b) AS b_not_null,
+              SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS eq_matches,
+              SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+                AS null_safe_matches,
+              SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+                AS distinct_pairs
+       FROM d""",
+)
+def null_semantics_audit(spark, sf_dir):
+    """Three-valued-logic rigor: plain equality (NULL = NULL is
+    UNKNOWN, never counted) vs null-safe equality (<=> counts
+    NULL<=>NULL) vs IS DISTINCT FROM, over columns that are NULL on
+    disjoint deterministic slices. The delta between eq_matches and
+    null_safe_matches is exactly the both-null row count — the
+    invariant every join-key-hygiene audit relies on before choosing
+    <=> join conditions. Map-only + one 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    a = F.when(F.col("event_id") % 2 == 0, k)
+    b = F.when(F.col("event_id") % 3 == 0, k)
+    d = ev.select(a.alias("a"), b.alias("b"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("a").alias("a_not_null"),
+        F.count("b").alias("b_not_null"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "eq_matches"
+        ),
+        F.sum(F.when(F.col("a").eqNullSafe(F.col("b")), 1).otherwise(0)).alias(
+            "null_safe_matches"
+        ),
+        F.sum(F.when(~F.col("a").eqNullSafe(F.col("b")), 1).otherwise(0)).alias(
+            "distinct_pairs"
+        ),
+    )
+
+
+@q(
+    "order_lifecycle_snapshot",
+    """SELECT o.o_orderkey,
+              CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(MIN(l.l_shipdate) AS TIMESTAMP) AS first_ship,
+              CAST(MAX(l.l_shipdate) AS TIMESTAMP) AS last_ship,
+              DATEDIFF('day', o.o_orderdate, MIN(l.l_shipdate))
+                AS days_to_first_ship,
+              DATEDIFF('day', MIN(l.l_shipdate), MAX(l.l_shipdate))
+                AS ship_span_days,
+              COUNT(*) AS n_lines,
+              SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS n_returned
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+       GROUP BY o.o_orderkey, o.o_orderdate""",
+)
+def order_lifecycle_snapshot(spark, sf_dir):
+    """Accumulating-snapshot fact (the third Kimball fact style beside
+    transaction facts and the periodic/semi-additive snapshot): one
+    row per order carrying its lifecycle milestones — order date,
+    first/last shipment, lag-to-first-ship, shipment span, line and
+    return counts. Milestone columns are plain MIN/MAX over the
+    orderkey grain, so the snapshot rebuilds incrementally by
+    re-aggregating only orders with new lines."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.datediff(F.min("l_shipdate"), F.col("o_orderdate")).alias(
+            "days_to_first_ship"
+        ),
+        F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).alias(
+            "ship_span_days"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        "first_ship",
+        "last_ship",
+        "days_to_first_ship",
+        "ship_span_days",
+        "n_lines",
+        "n_returned",
+    )
