@@ -567,3 +567,74 @@ def corpus_curation_funnel(spark, sf_dir):
         "'exact_canonical', exact_canonical, 'train_split', train_split) "
         "AS (stage, n_docs)"
     )
+
+
+_MIX_WEIGHTS = {"en": 100, "fr": 50, "es": 50, "de": 25, "zh": 10}
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {w}" for lang, w in _MIX_WEIGHTS.items()
+)
+
+
+@q(
+    "corpus_mixture_weights",
+    f"""WITH weighted AS (
+         SELECT lang, n_chars,
+                CASE lang {_MIX_CASE} ELSE 0 END AS target_pct,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
+                     AS BIGINT) % 100 AS bucket
+         FROM documents),
+       kept AS (SELECT * FROM weighted WHERE bucket < target_pct)
+       SELECT w.lang,
+              MAX(w.target_pct) AS target_pct,
+              COUNT(*) AS n_total,
+              (SELECT COUNT(*) FROM kept k WHERE k.lang = w.lang) AS n_kept,
+              ROUND(CAST((SELECT COUNT(*) FROM kept k WHERE k.lang = w.lang)
+                         AS DOUBLE) / COUNT(*), 6) AS realized_rate,
+              (SELECT COALESCE(SUM(n_chars), 0) FROM kept k
+               WHERE k.lang = w.lang) AS kept_chars
+       FROM weighted w GROUP BY w.lang""",
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Mixture-weight downsampling — the corpus-mixing step of a
+    training-data pipeline: each language keeps a target fraction
+    (en 100%, fr/es 50%, de 25%, zh 10%) chosen by a deterministic
+    content-independent hash bucket, so the mix is reproducible under
+    re-runs and cluster resizing (no RNG, same property as
+    train_val_test_split). The audit reports realized vs target rate
+    and surviving character mass per language — what you check before
+    committing a mixture change. One map-side bucket assignment + one
+    language-grain aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(w))
+            for lang, w in _MIX_WEIGHTS.items()
+        ],
+        F.lit(0),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint") % 100
+    w = docs.select(
+        "lang",
+        "n_chars",
+        target.alias("target_pct"),
+        (bucket < target).alias("keep"),
+    )
+    return w.groupBy("lang").agg(
+        F.max("target_pct").alias("target_pct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("realized_rate"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
+        ).alias("kept_chars"),
+    )

@@ -439,3 +439,62 @@ def longest_event_streak_per_user(spark, sf_dir):
         F.col("st.bt").alias("streak_type"),
         F.col("st.br").alias("max_streak"),
     )
+
+
+@q(
+    "time_to_conversion_stats",
+    """WITH firsts AS (
+         SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS first_purchase
+         FROM events GROUP BY 1),
+       converted AS (
+         SELECT user_id,
+                CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+                - CAST(FLOOR(epoch(first_view)) AS BIGINT) AS secs
+         FROM firsts
+         WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+           AND first_purchase > first_view)
+       SELECT COUNT(*) AS n_converted,
+              ROUND(AVG(secs), 4) AS mean_secs,
+              ROUND(quantile_cont(secs, 0.5), 4) AS median_secs,
+              ROUND(quantile_cont(secs, 0.9), 4) AS p90_secs,
+              MIN(secs) AS min_secs,
+              MAX(secs) AS max_secs
+       FROM converted""",
+)
+def time_to_conversion_stats(spark, sf_dir):
+    """Milestone timing — seconds from a user's FIRST view to their
+    FIRST subsequent purchase, summarized with exact percentiles.
+    The milestone extraction is conditional MIN aggregation (no
+    window, no self-join): one user-grain shuffle, then a 1-row
+    statistics aggregate. The funnel's companion metric: how LONG
+    conversion takes, not just whether it happens."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    secs = (
+        F.unix_micros(F.col("first_purchase").cast("timestamp")) / 1_000_000
+    ).cast("bigint") - (
+        F.unix_micros(F.col("first_view").cast("timestamp")) / 1_000_000
+    ).cast("bigint")
+    converted = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(secs.alias("secs"))
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("secs"), 4).alias("mean_secs"),
+        F.round(F.expr("percentile(secs, 0.5)"), 4).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 4).alias("p90_secs"),
+        F.min("secs").alias("min_secs"),
+        F.max("secs").alias("max_secs"),
+    )
