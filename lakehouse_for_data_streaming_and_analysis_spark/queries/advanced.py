@@ -801,3 +801,82 @@ def event_type_transition_matrix(spark, sf_dir):
             6,
         ).alias("transition_prob"),
     )
+
+
+@q(
+    "brand_basket_affinity",
+    """WITH ob AS (
+         SELECT DISTINCT l.l_orderkey, p.p_brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+             FROM ob),
+       per_brand AS (
+         SELECT p_brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+       pairs AS (
+         SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                COUNT(*) AS n_both
+         FROM ob a JOIN ob b
+           ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+         GROUP BY 1, 2)
+       SELECT pr.brand_a, pr.brand_b, pr.n_both,
+              ROUND((pr.n_both / n.n_orders)
+                    / ((pa.n_brand / n.n_orders) * (pb.n_brand / n.n_orders)),
+                    4) AS lift
+       FROM pairs pr
+       JOIN per_brand pa ON pr.brand_a = pa.p_brand
+       JOIN per_brand pb ON pr.brand_b = pb.p_brand
+       CROSS JOIN n
+       WHERE pr.n_both >= 20
+       ORDER BY lift DESC, brand_a ASC, brand_b ASC
+       LIMIT 20""",
+)
+def brand_basket_affinity(spark, sf_dir):
+    """Market-basket affinity: brand pairs that co-occur in the same
+    order more than independence predicts (lift > 1), min-support 20.
+    The order×brand set is deduped ONCE and self-joined on orderkey —
+    the pair fan-out is bounded by brands-per-order (market-basket's
+    standard guard), per-brand totals and the order count broadcast
+    back into the lift. At 100 TB the same plan runs with the
+    orderkey join co-partitioned; skew guard = cap on basket size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders")
+    )
+    per_brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = ob.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    pa = per_brand.select(
+        F.col("p_brand").alias("ba"), F.col("n_brand").alias("n_a")
+    )
+    pb = per_brand.select(
+        F.col("p_brand").alias("bb"), F.col("n_brand").alias("n_b")
+    )
+    lift = F.round(
+        (F.col("n_both") / F.col("n_orders"))
+        / ((F.col("n_a") / F.col("n_orders")) * (F.col("n_b") / F.col("n_orders"))),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(pa), F.col("brand_a") == F.col("ba"))
+        .join(F.broadcast(pb), F.col("brand_b") == F.col("bb"))
+        .join(F.broadcast(n))
+        .select("brand_a", "brand_b", "n_both", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(20)
+    )
