@@ -59,8 +59,17 @@ def test_adf_stat_finite_for_varying_series(y):
     if np.std(np.diff(y)) < 1e-9:
         return  # (near-)deterministic trend: regression degenerate
     t, nobs = timeseries.adf_stat(y, max_lag=1)
-    assert np.isfinite(t)
     assert nobs == len(y) - 2
+    if not np.isfinite(t):
+        # nan is the documented contract for a rank-deficient design
+        # (e.g. y = [1, 0, 0, ...]: the lagged-level column is all
+        # zeros) — verify the design really is degenerate, so nan can
+        # never mask a numeric bug on a well-posed series.
+        dy = np.diff(y)
+        x = np.column_stack([np.ones(len(dy) - 1), y[1:-1], dy[:-1]])
+        assert np.linalg.matrix_rank(x) < x.shape[1]
+        return
+    assert np.isfinite(t)
 
 
 @settings(max_examples=50, deadline=None)
