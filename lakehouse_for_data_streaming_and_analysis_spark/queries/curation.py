@@ -638,3 +638,45 @@ def corpus_mixture_weights(spark, sf_dir):
             F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)
         ).alias("kept_chars"),
     )
+
+
+@q(
+    "cross_source_duplicate_audit",
+    """WITH fp AS (
+         SELECT source,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                  AS fingerprint
+         FROM documents)
+       SELECT fingerprint,
+              COUNT(*) AS n_copies,
+              COUNT(DISTINCT source) AS n_sources,
+              string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+       FROM fp
+       GROUP BY 1
+       HAVING COUNT(DISTINCT source) > 1""",
+)
+def cross_source_duplicate_audit(spark, sf_dir):
+    """Provenance-aware dedup audit: content (normalized-text hash)
+    that appears under MORE THAN ONE source — the scrape-overlap /
+    mirror-site signal that per-source dedup misses and that inflates
+    a source's apparent contribution to the training mix. One
+    fingerprint-grain aggregate; the sorted source list renders the
+    overlap set deterministically."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_sources") > 1)
+    )

@@ -744,3 +744,65 @@ def sketch_cardinalities(spark, sf_dir):
 
 
 QUERIES["sketch_cardinalities"] = sketch_cardinalities
+
+
+@q(
+    "embedding_norm_outliers",
+    """WITH stats AS (
+         SELECT vec_id, label,
+                ROUND(sqrt(list_sum(list_transform(embedding,
+                                                   x -> CAST(x AS DOUBLE) * x))),
+                      6) AS norm,
+                ROUND(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      6) AS max_abs
+         FROM embeddings)
+       SELECT vec_id, label, norm, max_abs,
+              CASE WHEN ABS(norm - 1.0) > 0.001 THEN 'bad_norm'
+                   ELSE 'dominant_axis' END AS reason
+       FROM stats
+       WHERE ABS(norm - 1.0) > 0.001 OR max_abs > 0.45
+       ORDER BY vec_id""",
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding-pipeline health screen for a unit-normalized corpus:
+    flag vectors whose L2 norm drifts from 1 (broken normalization /
+    dead encoder) or where a single component carries an outsized
+    share of the mass (max |x| > 0.45 on 64-dim unit vectors —
+    degenerate, near-one-hot embeddings that poison cosine
+    neighborhoods). Both statistics are JVM array folds — map-only,
+    no shuffle; the screening pass you run before trusting an ANN
+    index built from a new embedding batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    max_abs = F.round(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        6,
+    )
+    stats = emb.select(
+        "vec_id", "label", norm.alias("norm"), max_abs.alias("max_abs")
+    )
+    return (
+        stats.filter(
+            (F.abs(F.col("norm") - 1.0) > 0.001) | (F.col("max_abs") > 0.45)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "norm",
+            "max_abs",
+            F.when(F.abs(F.col("norm") - 1.0) > 0.001, "bad_norm")
+            .otherwise("dominant_axis")
+            .alias("reason"),
+        )
+        .orderBy("vec_id")
+    )

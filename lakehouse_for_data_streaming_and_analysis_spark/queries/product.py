@@ -498,3 +498,52 @@ def time_to_conversion_stats(spark, sf_dir):
         F.min("secs").alias("min_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@q(
+    "user_activity_gini",
+    """WITH counts AS (
+         SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+       ranked AS (
+         SELECT n,
+                ROW_NUMBER() OVER (ORDER BY n ASC, user_id ASC) AS i
+         FROM counts),
+       agg AS (
+         SELECT COUNT(*) AS k,
+                SUM(n) AS total,
+                SUM(CAST(i AS DOUBLE) * n) AS weighted
+         FROM ranked)
+       SELECT k AS n_users, total AS n_events,
+              ROUND(2.0 * weighted / (k * total) - (k + 1.0) / k, 6) AS gini
+       FROM agg""",
+)
+def user_activity_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity — the concentration
+    metric behind 'do a few power users dominate the stream?' (and,
+    at 100 TB, a direct predictor of shuffle-key skew: high Gini on
+    the join key means salting will pay). Computed by the sorted-rank
+    identity G = 2·Σ(i·x_i)/(k·Σx) − (k+1)/k: one key-grain count,
+    one global-order rank over the (small) per-user aggregate, one
+    scalar aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.asc("n"), F.asc("user_id")))
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("i").cast("double") * F.col("n")).alias("weighted"),
+    )
+    return agg.select(
+        F.col("k").alias("n_users"),
+        F.col("total").alias("n_events"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("k") * F.col("total"))
+            - (F.col("k") + 1.0) / F.col("k"),
+            6,
+        ).alias("gini"),
+    )
