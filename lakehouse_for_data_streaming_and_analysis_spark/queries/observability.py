@@ -113,3 +113,63 @@ def commit_cadence_gaps(spark, sf_dir):
         F.round(F.min("gap_sec"), 4).alias("min_gap"),
         F.round(F.max("gap_sec"), 4).alias("max_gap"),
     )
+
+
+@q(
+    "table_freshness_report",
+    """WITH per_table AS (
+         SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+                CAST(MAX(ts) AS TIMESTAMP) AS max_event_time
+         FROM events
+         UNION ALL
+         SELECT 'orders', COUNT(*), CAST(MAX(o_orderdate) AS TIMESTAMP)
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem', COUNT(*), CAST(MAX(l_shipdate) AS TIMESTAMP)
+         FROM lineitem),
+       anchor AS (SELECT MAX(max_event_time) AS newest FROM per_table)
+       SELECT p.table_name, p.n_rows, p.max_event_time,
+              CAST(FLOOR(epoch(a.newest)) AS BIGINT)
+              - CAST(FLOOR(epoch(p.max_event_time)) AS BIGINT)
+                AS staleness_secs
+       FROM per_table p CROSS JOIN anchor a""",
+)
+def table_freshness_report(spark, sf_dir):
+    """Freshness SLO report: per-table newest event time and its lag
+    behind the freshest table in the lakehouse — the check a
+    medallion pipeline runs before promoting bronze->silver (a stale
+    upstream means the join would silently under-count). Each branch
+    is a 1-row scan-aggregate; the anchor is a 1-row cross join.
+    Wall-clock-free (anchored to data, not now()) so the report is
+    deterministic and testable."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_table = (
+        ev.agg(
+            F.lit("events").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("ts").cast("timestamp").alias("max_event_time"),
+        )
+        .unionByName(
+            o.agg(
+                F.lit("orders").alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("o_orderdate").cast("timestamp").alias("max_event_time"),
+            )
+        )
+        .unionByName(
+            li.agg(
+                F.lit("lineitem").alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("l_shipdate").cast("timestamp").alias("max_event_time"),
+            )
+        )
+    )
+    anchor = per_table.agg(F.max("max_event_time").alias("newest"))
+    secs = (F.unix_micros(F.col("newest")) / 1_000_000).cast("bigint") - (
+        F.unix_micros(F.col("max_event_time")) / 1_000_000
+    ).cast("bigint")
+    return per_table.join(F.broadcast(anchor)).select(
+        "table_name", "n_rows", "max_event_time", secs.alias("staleness_secs")
+    )

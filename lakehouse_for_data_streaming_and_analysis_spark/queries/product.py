@@ -547,3 +547,39 @@ def user_activity_gini(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@q(
+    "top_event_trigrams",
+    """WITH seq AS (
+         SELECT user_id, event_type AS a,
+                LEAD(event_type, 1) OVER w AS b,
+                LEAD(event_type, 2) OVER w AS c
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT a, b, c, COUNT(*) AS n_paths
+       FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+       GROUP BY 1, 2, 3
+       ORDER BY n_paths DESC, a ASC, b ASC, c ASC
+       LIMIT 15""",
+)
+def top_event_trigrams(spark, sf_dir):
+    """Sequence mining one order up from the transition matrix: the
+    15 most common 3-step behavioral paths per user timeline (two
+    lead windows sharing one user partitioning + one trigram-grain
+    aggregate). The jump from bigrams to trigrams is where funnels
+    reveal DETOURS (view→click→view vs view→click→purchase) that
+    pairwise transitions cannot distinguish."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("a"), F.asc("b"), F.asc("c"))
+        .limit(15)
+    )
