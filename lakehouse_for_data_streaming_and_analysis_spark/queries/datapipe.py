@@ -789,8 +789,20 @@ def embedding_norm_outliers(spark, sf_dir):
         6,
     )
     stats = emb.select(
-        "vec_id", "label", norm.alias("norm"), max_abs.alias("max_abs")
+        "vec_id",
+        "label",
+        norm.alias("norm"),
+        max_abs.alias("max_abs"),
     )
+    # Catalyst pushes this filter below the projection, re-inlining
+    # both folds into the scan's row filter. For THIS query that is
+    # the plan you want: the health predicate is the selective gate
+    # (outliers are a tiny fraction), so the scan filter pays the fold
+    # once per row — unavoidable, the predicate needs it — and the
+    # projection re-evaluates only for the survivors. The fleet-wide
+    # HOF-in-scan-filter gate allowlists this query with the same
+    # reasoning (its hazard case is NON-selective filters, where both
+    # Filter and Project run the lambdas over the full corpus).
     return (
         stats.filter(
             (F.abs(F.col("norm") - 1.0) > 0.001) | (F.col("max_abs") > 0.45)
