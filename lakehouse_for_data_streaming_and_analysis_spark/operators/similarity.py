@@ -91,6 +91,65 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs via banded-LSH candidates + exact-cosine
+    verify — the scale path that replaces ``cosine_pairs``'s all-pairs
+    join (kept only as the recall yardstick, mirroring
+    brute_force_topk vs lsh_topk).
+
+    Shape: every vector lands in ``n_tables`` (table, bucket) cells
+    (one linear pass, see _table_buckets); candidate pairs come from a
+    self-EQUI-join on (table, bucket), so the quadratic work is bounded
+    by per-bucket occupancy — at scale pick ``n_planes`` ≈
+    log2(n / wanted_bucket_size) to keep cells small. Pairs surfacing
+    in several tables dedup on (id_a, id_b) AFTER the map-side cosine
+    fold (re-folding a duplicate candidate is cheaper than shuffling
+    both vectors through the dedup exchange). Recall < 1 by
+    construction for pairs near the threshold (sign-agreement
+    probability (1 - theta/pi)^n_planes per table); more tables raise
+    recall, more planes cut candidate volume.
+    """
+    if dim is None:
+        dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    normed = corpus.select(
+        F.col(id_col), vectors.as_double(F.col(vec_col)).alias("e")
+    ).withColumn("nrm", vectors.norm(F.col("e")))
+    tb = _table_buckets(normed, "e", n_planes, n_tables, dim)
+    a = tb.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "table", "bucket",
+    )
+    b = tb.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), "table", "bucket",
+    )
+    scored = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                vectors.dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    return scored.dropDuplicates(["id_a", "id_b"]).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def _plane_weights(table: int, p: int, dim: int) -> list[float]:
     """Plane p's weight for dimension d: first 6 hex chars of
     md5("table|p|d") as an int in [0, 16^6) mapped into [-1, 1].

@@ -41,7 +41,7 @@ def q(name: str, oracle: str | None = None):
 @q(
     "regr_value_trend",
     """SELECT event_type,
-              regr_count(value, xs) AS n,
+              CAST(regr_count(value, xs) AS BIGINT) AS n,
               ROUND(regr_slope(value, xs) * 86400, 6) AS slope_per_day,
               ROUND(regr_intercept(value, xs), 2) AS intercept,
               ROUND(regr_r2(value, xs), 6) AS r2
@@ -245,7 +245,7 @@ def customers_above_nation_avg(spark, sf_dir):
 @q(
     "fuzzy_part_pairs",
     """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-              levenshtein(a.p_name, b.p_name) AS dist
+              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
        FROM part a JOIN part b
          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         AND a.p_partkey < b.p_partkey
@@ -281,7 +281,7 @@ def fuzzy_part_pairs(spark, sf_dir):
 
 @q(
     "vector_dim_profile",
-    """SELECT dim, COUNT(*) AS n,
+    """SELECT CAST(dim AS INTEGER) AS dim, COUNT(*) AS n,
               ROUND(avg(val), 4) AS mean,
               ROUND(stddev_samp(val), 4) AS sd,
               ROUND(min(val), 4) AS vmin,
@@ -346,7 +346,7 @@ def order_value_window_suite(spark, sf_dir):
     "nation_balance_flags",
     """SELECT c_nationkey,
               COUNT(*) AS n,
-              count_if(c_acctbal < 0) AS n_neg,
+              CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg,
               bool_and(c_acctbal > -1000) AS all_above_floor,
               bool_or(c_acctbal < 0) AS any_neg,
               ROUND(median(c_acctbal), 4) AS med
@@ -372,9 +372,9 @@ def nation_balance_flags(spark, sf_dir):
          SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
        newby AS (SELECT d, COUNT(*) AS new_users FROM firsts GROUP BY 1)
        SELECT d, new_users,
-              SUM(new_users) OVER (ORDER BY d
+              CAST(SUM(new_users) OVER (ORDER BY d
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS cum_distinct_users
+                AS BIGINT) AS cum_distinct_users
        FROM newby""",
 )
 def running_distinct_users(spark, sf_dir):
@@ -721,7 +721,9 @@ def semi_additive_month_end_balance(spark, sf_dir):
                 NTILE(4) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f_score,
                 NTILE(4) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
          FROM per_cust)
-       SELECT r_score, f_score, m_score,
+       SELECT CAST(r_score AS INTEGER) AS r_score,
+              CAST(f_score AS INTEGER) AS f_score,
+              CAST(m_score AS INTEGER) AS m_score,
               CONCAT(r_score, '-', f_score, '-', m_score) AS segment,
               COUNT(*) AS n_customers
        FROM scored GROUP BY 1, 2, 3, 4""",

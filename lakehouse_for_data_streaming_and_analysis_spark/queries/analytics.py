@@ -104,7 +104,7 @@ def acf_by_lag(spark, sf_dir):
        fit AS (
          SELECT event_type,
                 REGR_SLOPE(dy, ylag) AS slope,
-                REGR_COUNT(dy, ylag) AS n,
+                CAST(REGR_COUNT(dy, ylag) AS BIGINT) AS n,
                 REGR_SXX(dy, ylag) AS sxx,
                 REGR_SYY(dy, ylag) AS syy
          FROM reg WHERE dy IS NOT NULL GROUP BY event_type)

@@ -75,8 +75,8 @@ _NUM_RE = r"\b[0-9]{4,}\b"
                   '\\b[0-9]{{4,}}\\b', '<NUM>', 'g')) AS scrubbed_len
          FROM aug)
        SELECT source, COUNT(*) AS n_docs,
-              SUM(email_hits) AS emails_scrubbed,
-              SUM(num_hits) AS numbers_scrubbed,
+              CAST(SUM(email_hits) AS BIGINT) AS emails_scrubbed,
+              CAST(SUM(num_hits) AS BIGINT) AS numbers_scrubbed,
               ROUND(AVG(raw_len - scrubbed_len), 4) AS avg_chars_removed
        FROM scrub GROUP BY 1""",
 )
@@ -168,9 +168,10 @@ def train_val_test_split(spark, sf_dir):
          FROM tagged GROUP BY 1)
        SELECT COUNT(CASE WHEN train_n > 0 AND eval_n > 0 THEN 1 END)
                 AS leaked_fingerprints,
-              SUM(CASE WHEN train_n > 0 AND eval_n > 0 THEN eval_n ELSE 0 END)
-                AS leaked_eval_docs,
-              SUM(eval_n) AS total_eval_docs
+              CAST(SUM(CASE WHEN train_n > 0 AND eval_n > 0
+                            THEN eval_n ELSE 0 END)
+                   AS BIGINT) AS leaked_eval_docs,
+              CAST(SUM(eval_n) AS BIGINT) AS total_eval_docs
        FROM per_fp""",
 )
 def cross_split_leakage(spark, sf_dir):
@@ -351,9 +352,11 @@ _SW = ("the", "a", "and", "of", "to")
                 CASE WHEN sw * 2 <= n_tok THEN 1 ELSE 0 END AS sw_ok
          FROM per_doc)
        SELECT lang, source, COUNT(*) AS n_docs,
-              SUM(len_ok * tok_ok * rep_ok * sw_ok) AS passed,
-              SUM(1 - len_ok) AS fail_len, SUM(1 - tok_ok) AS fail_tok,
-              SUM(1 - rep_ok) AS fail_rep, SUM(1 - sw_ok) AS fail_sw
+              CAST(SUM(len_ok * tok_ok * rep_ok * sw_ok) AS BIGINT) AS passed,
+              CAST(SUM(1 - len_ok) AS BIGINT) AS fail_len,
+              CAST(SUM(1 - tok_ok) AS BIGINT) AS fail_tok,
+              CAST(SUM(1 - rep_ok) AS BIGINT) AS fail_rep,
+              CAST(SUM(1 - sw_ok) AS BIGINT) AS fail_sw
        FROM gated GROUP BY 1, 2""",
 )
 def doc_quality_gates(spark, sf_dir):
@@ -415,7 +418,8 @@ def doc_quality_gates(spark, sf_dir):
 
 @q(
     "corpus_shuffle_shards",
-    f"""SELECT doc_id, pos, (pos - 1) % 8 AS shard
+    f"""SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+              CAST((pos - 1) % 8 AS INTEGER) AS shard
        FROM (SELECT doc_id,
                     ROW_NUMBER() OVER (
                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuf'), doc_id)
@@ -505,16 +509,16 @@ def label_centroid_profile(spark, sf_dir):
        SELECT stage, n_docs FROM (
          SELECT 1 AS ord, 'raw' AS stage, COUNT(*) AS n_docs FROM canon
          UNION ALL
-         SELECT 2, 'lang_en', SUM(CASE WHEN keep_lang THEN 1 ELSE 0 END) FROM canon
+         SELECT 2, 'lang_en', CAST(SUM(CASE WHEN keep_lang THEN 1 ELSE 0 END) AS BIGINT) FROM canon
          UNION ALL
-         SELECT 3, 'quality', SUM(CASE WHEN keep_quality THEN 1 ELSE 0 END) FROM canon
+         SELECT 3, 'quality', CAST(SUM(CASE WHEN keep_quality THEN 1 ELSE 0 END) AS BIGINT) FROM canon
          UNION ALL
-         SELECT 4, 'exact_canonical', SUM(CASE WHEN keep_canonical THEN 1 ELSE 0 END) FROM canon
+         SELECT 4, 'exact_canonical', CAST(SUM(CASE WHEN keep_canonical THEN 1 ELSE 0 END) AS BIGINT) FROM canon
          UNION ALL
          SELECT 5, 'train_split',
-                SUM(CASE WHEN keep_canonical
+                CAST(SUM(CASE WHEN keep_canonical
                           AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 < 80
-                     THEN 1 ELSE 0 END)
+                     THEN 1 ELSE 0 END) AS BIGINT)
          FROM canon)
        ORDER BY ord""",
 )
@@ -590,8 +594,8 @@ _MIX_CASE = " ".join(
               (SELECT COUNT(*) FROM kept k WHERE k.lang = w.lang) AS n_kept,
               ROUND(CAST((SELECT COUNT(*) FROM kept k WHERE k.lang = w.lang)
                          AS DOUBLE) / COUNT(*), 6) AS realized_rate,
-              (SELECT COALESCE(SUM(n_chars), 0) FROM kept k
-               WHERE k.lang = w.lang) AS kept_chars
+              CAST((SELECT COALESCE(SUM(n_chars), 0) FROM kept k
+                    WHERE k.lang = w.lang) AS BIGINT) AS kept_chars
        FROM weighted w GROUP BY w.lang""",
 )
 def corpus_mixture_weights(spark, sf_dir):

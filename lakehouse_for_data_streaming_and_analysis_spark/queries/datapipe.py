@@ -230,24 +230,56 @@ def ann_brute_force_topk(spark, sf_dir):
 
 @q(
     "embedding_neardup_pairs",
-    f"""WITH pe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-       elems AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+    """WITH pe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+       grid AS (
+         SELECT t.t, p.p FROM (SELECT UNNEST([0, 1, 2, 3]) AS t) t
+         CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS p) p),
+       elems AS (SELECT vec_id, unnest(embedding) AS v,
+                        generate_subscripts(embedding, 1) AS i
                  FROM pe),
-       dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
-                       SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
-                       SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
-                FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+       proj AS (
+         SELECT e.vec_id, g.t, g.p,
+                SUM(CAST(e.v AS DOUBLE)
+                    * (CAST('0x' || substr(md5(g.t || '|' || g.p || '|'
+                                              || CAST(e.i - 1 AS VARCHAR)), 1, 6)
+                            AS BIGINT) / 8388608.0 - 1.0)) AS s
+         FROM elems e CROSS JOIN grid g GROUP BY 1, 2, 3),
+       buckets AS (
+         SELECT vec_id, t,
+                SUM(CASE WHEN s > 0 THEN CAST(POW(2, p) AS BIGINT) ELSE 0 END)
+                  AS bucket
+         FROM proj GROUP BY 1, 2),
+       cands AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       dots AS (SELECT c.id_a, c.id_b,
+                       SUM(CAST(x.v AS DOUBLE) * CAST(y.v AS DOUBLE)) AS dot,
+                       SUM(CAST(x.v AS DOUBLE) * CAST(x.v AS DOUBLE)) AS na,
+                       SUM(CAST(y.v AS DOUBLE) * CAST(y.v AS DOUBLE)) AS nb
+                FROM cands c
+                JOIN elems x ON x.vec_id = c.id_a
+                JOIN elems y ON y.vec_id = c.id_b AND y.i = x.i
                 GROUP BY 1, 2)
        SELECT id_a, id_b, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
        FROM dots
        WHERE ROUND(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35""",
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs above 0.35 over a bounded
-    subset (LSH-bucket first at scale — see similarity.lsh_topk)."""
+    """Embedding-cosine near-duplicate pairs above 0.35 — the SCALE
+    path: banded-LSH candidate generation (4 tables × 4 hyperplanes,
+    one (table, bucket) self-equi-join, linear shuffle) verified with
+    exact cosine, instead of the all-pairs O(n²) join r01 shipped.
+    The md5-derived hyperplanes are bit-reproducible in DuckDB, so the
+    candidate set — and therefore the output — is deterministic
+    cross-engine. Recall vs the exact all-pairs yardstick
+    (similarity.cosine_pairs) is pinned in tests/test_scale.py; pairs
+    near the 0.35 threshold can be missed by construction (that is the
+    LSH trade), high-cosine true near-dups are caught by any table."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return similarity.cosine_pairs(emb, threshold=0.35)
+    return similarity.lsh_cosine_pairs(
+        emb, threshold=0.35, n_planes=4, n_tables=4, dim=64
+    )
 
 
 # ---------------------------------------------------------------- text analysis

@@ -205,8 +205,8 @@ def char_class_entropy(spark, sf_dir):
                FROM (SELECT lang, {_TOKS_SQL} AS toks FROM documents))
          WHERE len(sh) > 0)
        SELECT lang, COUNT(*) AS n_docs,
-              SUM(n_sh) AS total_4grams,
-              SUM(n_sh - n_uniq) AS dup_4grams,
+              CAST(SUM(n_sh) AS BIGINT) AS total_4grams,
+              CAST(SUM(n_sh - n_uniq) AS BIGINT) AS dup_4grams,
               ROUND(CAST(SUM(n_sh - n_uniq) AS DOUBLE) / SUM(n_sh), 6)
                 AS dup_ratio
        FROM per_doc GROUP BY 1""",
@@ -256,9 +256,11 @@ def fourgram_uniqueness(spark, sf_dir):
          FROM documents),
        scored AS (
          SELECT doc_id, lang,
-                COUNT(*) AS n_tokens,
-                SUM(CASE WHEN tok IN ('fast', 'big') THEN 1 ELSE 0 END) AS pos_hits,
-                SUM(CASE WHEN tok IN ('slow', 'small') THEN 1 ELSE 0 END) AS neg_hits
+                CAST(COUNT(*) AS INTEGER) AS n_tokens,
+                CAST(SUM(CASE WHEN tok IN ('fast', 'big') THEN 1 ELSE 0 END)
+                     AS INTEGER) AS pos_hits,
+                CAST(SUM(CASE WHEN tok IN ('slow', 'small') THEN 1 ELSE 0 END)
+                     AS INTEGER) AS neg_hits
          FROM toks GROUP BY 1, 2)
        SELECT doc_id, lang, n_tokens, pos_hits, neg_hits,
               ROUND(CAST(pos_hits - neg_hits AS DOUBLE) / n_tokens, 6) AS polarity,

@@ -55,7 +55,7 @@ def _rev_col() -> F.Column:
     "rollup_year_priority",
     f"""WITH o AS (SELECT year(o_orderdate) AS o_year, o_orderpriority, o_totalprice
                   FROM orders)
-       SELECT COALESCE(o_year, -1) AS o_year,
+       SELECT CAST(COALESCE(o_year, -1) AS INTEGER) AS o_year,
               COALESCE(o_orderpriority, 'ALL') AS priority,
               GROUPING(o_year) AS g_year,
               GROUPING(o_orderpriority) AS g_priority,
@@ -147,7 +147,7 @@ _PIVOT_CASES = ",\n              ".join(
 
 @q(
     "pivot_priority_by_year",
-    f"""SELECT year(o_orderdate) AS o_year,
+    f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
               {_PIVOT_CASES}
        FROM orders GROUP BY 1""",
 )
@@ -266,7 +266,7 @@ _UNPIVOT_COLS = ", ".join(_PRIORITY_ALIASES)
 @q(
     "unpivot_priority_revenue",
     f"""WITH wide AS (
-         SELECT year(o_orderdate) AS o_year,
+         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
               {_PIVOT_CASES}
          FROM orders GROUP BY 1)
        UNPIVOT wide ON {_UNPIVOT_COLS} INTO NAME priority VALUE revenue""",
@@ -531,7 +531,7 @@ def pagerank_user_influence(spark, sf_dir):
               MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc,
               COUNT(*) AS n_docs,
               COUNT(*) - 1 AS n_dropped,
-              SUM(n_chars) AS total_chars
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
        FROM ranked GROUP BY component""",
 )
 def neardup_canonical_selection(spark, sf_dir):
@@ -571,7 +571,7 @@ def neardup_canonical_selection(spark, sf_dir):
     """SELECT COALESCE(r.r_name, 'ALL') AS region,
               CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END
                 AS nation,
-              GROUPING(r.r_name) + GROUPING(n.n_name) AS lvl,
+              CAST(GROUPING(r.r_name) + GROUPING(n.n_name) AS TINYINT) AS lvl,
               COUNT(*) AS n_customers,
               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
                 AS total_balance

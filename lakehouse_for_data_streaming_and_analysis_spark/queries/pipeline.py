@@ -42,7 +42,7 @@ _SCD2_HASH = (
 @q(
     "scd2_dimension_evolution",
     f"""WITH snap1 AS (SELECT n_nationkey AS coin_id, n_name AS name,
-                             n_nationkey * 1000.0 AS supply FROM nation),
+                             CAST(n_nationkey * 1000.0 AS DOUBLE) AS supply FROM nation),
        c1 AS (SELECT *, {_SCD2_HASH} AS hash FROM snap1),
        d1 AS (SELECT ROW_NUMBER() OVER (ORDER BY coin_id, hash) AS surrogate_key,
                      coin_id, name, supply, hash,
@@ -317,7 +317,7 @@ def rest_ingest_typed(spark, sf_dir):
               COUNT(*) AS n_orders,
               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
                    AS DOUBLE) AS total_value,
-              SUM(o_orderkey) AS key_checksum
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
        FROM final GROUP BY 1""",
 )
 def cdc_apply_profile(spark, sf_dir):

@@ -393,7 +393,8 @@ def cumulative_distinct_users_by_type(spark, sf_dir):
                 ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY streak DESC, event_type ASC) AS rk
          FROM islands)
-       SELECT user_id, event_type AS streak_type, streak AS max_streak
+       SELECT user_id, event_type AS streak_type,
+              CAST(streak AS INTEGER) AS max_streak
        FROM best WHERE rk = 1""",
 )
 def longest_event_streak_per_user(spark, sf_dir):
@@ -513,7 +514,7 @@ def time_to_conversion_stats(spark, sf_dir):
                 SUM(n) AS total,
                 SUM(CAST(i AS DOUBLE) * n) AS weighted
          FROM ranked)
-       SELECT k AS n_users, total AS n_events,
+       SELECT k AS n_users, CAST(total AS BIGINT) AS n_events,
               ROUND(2.0 * weighted / (k * total) - (k + 1.0) / k, 6) AS gini
        FROM agg""",
 )

@@ -70,7 +70,8 @@ def conjunctive_filter(spark, sf_dir):
 @q(
     "null_default_coalesce",
     """SELECT c.c_custkey,
-              COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS total_spend,
+              CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                   AS DECIMAL(28,2)) AS total_spend,
               COUNT(o.o_orderkey) AS n_orders
        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
        GROUP BY c.c_custkey""",
@@ -95,7 +96,8 @@ def null_default_coalesce(spark, sf_dir):
     "json_extract_group",
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
               COUNT(*) AS n,
-              SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+              CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                   AS DECIMAL(28,2)) AS total_value
        FROM events GROUP BY 1""",
 )
 def json_extract_group(spark, sf_dir):
@@ -171,7 +173,9 @@ def left_anti_new_rows(spark, sf_dir):
     "two_key_left_merge",
     """SELECT o.o_orderkey, o.o_totalprice, q.qty
        FROM orders o
-       LEFT JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+       LEFT JOIN (SELECT l_orderkey,
+                         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DECIMAL(28,2)) AS qty
                   FROM lineitem GROUP BY l_orderkey) q
          ON o.o_orderkey = q.l_orderkey
        WHERE o.o_totalprice > 300000""",
@@ -276,7 +280,8 @@ def grouped_max_topn(spark, sf_dir):
 
 @q(
     "global_sum_filtered",
-    """SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_balance,
+    """SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+                   AS DECIMAL(28,2)) AS total_balance,
               COUNT(*) AS n_suppliers
        FROM supplier WHERE s_acctbal > 0""",
 )
@@ -745,7 +750,7 @@ def supplier_revenue_share_filter(spark, sf_dir):
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN nation n ON s.s_nationkey = n.n_nationkey
          GROUP BY 1, 2)
-       SELECT nation, l_partkey, revenue, rk
+       SELECT nation, l_partkey, revenue, CAST(rk AS INTEGER) AS rk
        FROM ranked WHERE rk <= 3""",
 )
 def topk_parts_per_nation(spark, sf_dir):
@@ -822,8 +827,8 @@ def props_map_profile(spark, sf_dir):
     """SELECT o_custkey, o_orderkey,
               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
               CAST(LEAD(o_orderdate) OVER w AS TIMESTAMP) AS next_order_date,
-              DATEDIFF('day', o_orderdate, LEAD(o_orderdate) OVER w)
-                AS gap_days,
+              CAST(DATEDIFF('day', o_orderdate, LEAD(o_orderdate) OVER w)
+                   AS INTEGER) AS gap_days,
               FIRST_VALUE(o_totalprice) OVER wf AS first_order_value,
               NTH_VALUE(o_totalprice, 2) OVER wf AS second_order_value,
               LAST_VALUE(o_totalprice) OVER wf AS latest_order_value
@@ -967,8 +972,10 @@ def tz_localized_fact_keys(spark, sf_dir):
          FROM events)
        SELECT event_type,
               COUNT(*) AS n_rows,
-              SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS n_valid,
-              SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS n_corrupt,
+              CAST(SUM(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_valid,
+              CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_corrupt,
               ROUND(CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END)
                          AS DOUBLE) / COUNT(*), 6) AS corrupt_rate
        FROM raw GROUP BY 1""",
@@ -1015,11 +1022,12 @@ def malformed_json_audit(spark, sf_dir):
        SELECT COUNT(*) AS n_rows,
               COUNT(a) AS a_not_null,
               COUNT(b) AS b_not_null,
-              SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS eq_matches,
-              SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
-                AS null_safe_matches,
-              SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
-                AS distinct_pairs
+              CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS eq_matches,
+              CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_safe_matches,
+              CAST(SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS distinct_pairs
        FROM d""",
 )
 def null_semantics_audit(spark, sf_dir):
@@ -1057,13 +1065,13 @@ def null_semantics_audit(spark, sf_dir):
               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
               CAST(MIN(l.l_shipdate) AS TIMESTAMP) AS first_ship,
               CAST(MAX(l.l_shipdate) AS TIMESTAMP) AS last_ship,
-              DATEDIFF('day', o.o_orderdate, MIN(l.l_shipdate))
-                AS days_to_first_ship,
-              DATEDIFF('day', MIN(l.l_shipdate), MAX(l.l_shipdate))
-                AS ship_span_days,
+              CAST(DATEDIFF('day', o.o_orderdate, MIN(l.l_shipdate))
+                   AS INTEGER) AS days_to_first_ship,
+              CAST(DATEDIFF('day', MIN(l.l_shipdate), MAX(l.l_shipdate))
+                   AS INTEGER) AS ship_span_days,
               COUNT(*) AS n_lines,
-              SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
-                AS n_returned
+              CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_returned
        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
        GROUP BY o.o_orderkey, o.o_orderdate""",

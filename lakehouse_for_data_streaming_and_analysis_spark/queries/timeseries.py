@@ -56,7 +56,7 @@ def q(name: str, oracle: str | None = None):
          FROM events)
        SELECT event_type, d,
               COUNT(s_next) AS n_intervals,
-              SUM(s_next - s) AS span_s,
+              CAST(SUM(s_next - s) AS BIGINT) AS span_s,
               ROUND(SUM(value * (s_next - s)) / SUM(s_next - s), 4) AS twap
        FROM ordered WHERE s_next IS NOT NULL
        GROUP BY 1, 2
@@ -943,9 +943,9 @@ def winsorized_value_stats(spark, sf_dir):
                 COALESCE(c.n_closed, 0) AS n_closed
          FROM opened o FULL OUTER JOIN closed_by_day c ON o.d = c.d)
        SELECT d, n_opened, n_closed,
-              SUM(n_opened - n_closed) OVER (ORDER BY d
-                                             ROWS UNBOUNDED PRECEDING)
-                AS backlog
+              CAST(SUM(n_opened - n_closed) OVER (ORDER BY d
+                                                  ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS backlog
        FROM deltas""",
 )
 def open_order_backlog(spark, sf_dir):
