@@ -39,6 +39,8 @@ ROWS_ONLY = (
     "ljung_box_whitenoise",
     "ar_forecast_intervals",
     "garch_volatility",
+    "arima_order_search",
+    "garch_order_grid",
     "ar_walk_forward_eval",
     "pagerank_user_influence",
     "kmeans_embedding_clusters",

@@ -144,6 +144,173 @@ def garch11_fit(
     )
 
 
+def choose_d(y: np.ndarray, d_max: int = 2, max_lag: int = 1) -> int:
+    """Differencing order: the smallest d whose d-th difference is
+    ADF-stationary at 5% (the unit-root-test d-selection pmdarima's
+    auto_arima performs before its (p, q) information-criterion grid;
+    reference: garch_model_v4.ipynb cell 6)."""
+    y = np.asarray(y, dtype=float)
+    for d in range(d_max + 1):
+        w = np.diff(y, n=d) if d else y
+        if len(w) < max_lag + 8:
+            break
+        t, _ = adf_stat(w, max_lag)
+        if np.isfinite(t) and t < ADF_CRIT_CONST["5%"]:
+            return d
+    return d_max
+
+
+def arma_fit_hr(w: np.ndarray, p: int, q: int) -> tuple[np.ndarray, float, int]:
+    """ARMA(p, q) with intercept by the Hannan-Rissanen two-stage
+    regression: a long-AR fit supplies residual estimates, then w_t is
+    regressed on its own p lags and q lagged residuals. Pure least
+    squares — deterministic, no optimizer seed — which is what lets
+    the order search stay reproducible cross-run. Returns
+    (coefficients, innovation variance, effective sample size)."""
+    w = np.asarray(w, dtype=float)
+    if q == 0:
+        if p == 0:
+            resid = w - w.mean()
+            return (
+                np.array([w.mean()]),
+                float(resid @ resid) / max(len(w), 1),
+                len(w),
+            )
+        x = np.column_stack(
+            [np.ones(len(w) - p)] + [w[p - i - 1 : len(w) - i - 1] for i in range(p)]
+        )
+        beta, _ = _ols(x, w[p:])
+        resid = w[p:] - x @ beta
+        return beta, float(resid @ resid) / max(len(resid), 1), len(resid)
+    m = min(max(2 * (p + q), 4), max(len(w) // 4, p + q + 1))
+    xm = np.column_stack(
+        [np.ones(len(w) - m)] + [w[m - i - 1 : len(w) - i - 1] for i in range(m)]
+    )
+    bm, _ = _ols(xm, w[m:])
+    e = np.concatenate([np.zeros(m), w[m:] - xm @ bm])
+    t0 = m + max(p, q)
+    rows = len(w) - t0
+    cols = [np.ones(rows)]
+    cols += [w[t0 - i - 1 : len(w) - i - 1] for i in range(p)]
+    cols += [e[t0 - j - 1 : len(w) - j - 1] for j in range(q)]
+    x = np.column_stack(cols)
+    beta, _ = _ols(x, w[t0:])
+    resid = w[t0:] - x @ beta
+    return beta, float(resid @ resid) / max(len(resid), 1), len(resid)
+
+
+def arima_order_search(
+    y: np.ndarray, p_max: int = 3, q_max: int = 2, d_max: int = 2
+) -> tuple[int, int, int, float, float]:
+    """auto-ARIMA order selection (reference capability:
+    garch_model_v4.ipynb cell 6): d from repeated unit-root tests
+    (choose_d), then an exhaustive (p, q) grid on the d-th difference
+    scored by AIC = n·ln(sigma²) + 2(p+q+1) under the Gaussian
+    least-squares approximation. Ties break toward the smaller
+    (p+q, p) — the parsimony order pmdarima uses. Returns
+    (p, d, q, aic, sigma2)."""
+    y = np.asarray(y, dtype=float)
+    d = choose_d(y, d_max)
+    w = np.diff(y, n=d) if d else y
+    best: tuple[float, int, int, float] | None = None  # (aic, p, q, sigma2)
+    for p in range(p_max + 1):
+        for q in range(q_max + 1):
+            if len(w) < (p + q) * 4 + 12:
+                continue
+            try:
+                _, sigma2, n_eff = arma_fit_hr(w, p, q)
+            except np.linalg.LinAlgError:
+                continue
+            if not np.isfinite(sigma2) or sigma2 <= 0:
+                continue
+            aic = n_eff * float(np.log(sigma2)) + 2.0 * (p + q + 1)
+            key = (round(aic, 10), p + q, p)
+            if best is None or key < (round(best[0], 10), best[1] + best[2], best[1]):
+                best = (aic, p, q, sigma2)
+    if best is None:
+        return 0, d, 0, float("nan"), float("nan")
+    return best[1], d, best[2], float(best[0]), float(best[3])
+
+
+def garch_pq_fit(
+    r: np.ndarray,
+    p: int,
+    q: int,
+    alpha_choices: Sequence[float] = (0.02, 0.05, 0.08, 0.10, 0.13, 0.17, 0.22),
+    beta_choices: Sequence[float] = (0.20, 0.35, 0.50, 0.65, 0.75, 0.82, 0.88, 0.93),
+) -> tuple[tuple[float, ...], tuple[float, ...], float, float, int]:
+    """GARCH(p, q) Gaussian quasi-likelihood over a deterministic
+    parameter grid with variance targeting (omega = var·(1-Σa-Σb)).
+    The variance recursion is sequential in t but independent across
+    grid points, so it runs vectorized over the whole grid. Returns
+    (alphas, betas, omega, loglik, k)."""
+    from itertools import product as _product
+
+    r = np.asarray(r, dtype=float)
+    r = r - r.mean()
+    var = float(r.var()) or 1e-12
+    combos = [
+        (a, b)
+        for a in _product(alpha_choices, repeat=p)
+        for b in _product(beta_choices, repeat=q)
+        if sum(a) + sum(b) < 0.999
+    ]
+    if not combos:
+        return ((),) * 2 + (var, -np.inf, p + q + 1)  # type: ignore[return-value]
+    A = np.array([c[0] for c in combos])  # (G, p)
+    B = np.array([c[1] for c in combos])  # (G, q)
+    omega = var * (1.0 - A.sum(axis=1) - B.sum(axis=1))
+    g = len(combos)
+    r2 = r**2
+    hbuf = np.full((max(q, 1), g), var)  # h_{t-1}..h_{t-q}, newest first
+    ll = np.zeros(g)
+    for t in range(len(r)):
+        if t == 0:
+            h = np.full(g, var)
+        else:
+            h = omega.copy()
+            for i in range(p):
+                h += A[:, i] * (r2[t - 1 - i] if t - 1 - i >= 0 else var)
+            for j in range(q):
+                h += B[:, j] * hbuf[j]
+        ll += -0.5 * (np.log(2 * np.pi * h) + r2[t] / h)
+        if q:
+            hbuf = np.vstack([h, hbuf[:-1]])
+    i = int(np.argmax(ll))
+    return (
+        tuple(float(a) for a in A[i]),
+        tuple(float(b) for b in B[i]),
+        float(omega[i]),
+        float(ll[i]),
+        p + q + 1,
+    )
+
+
+def garch_order_search(
+    r: np.ndarray,
+    orders: Sequence[tuple[int, int]] = ((1, 1), (1, 2), (2, 1), (2, 2)),
+) -> tuple[int, int, float, float]:
+    """GARCH order selection by AIC = 2k - 2·loglik over candidate
+    (p, q) orders (the reference's grid: test5.ipynb cell 10 scores a
+    (p, q) grid on AIC/BIC before picking the fit). Ties break toward
+    the smaller (p+q, p). Returns (p, q, aic, loglik)."""
+    best: tuple[float, int, int, float] | None = None
+    for p, q in orders:
+        _, _, _, ll, k = garch_pq_fit(np.asarray(r, dtype=float), p, q)
+        if not np.isfinite(ll):
+            continue
+        aic = 2.0 * k - 2.0 * ll
+        if best is None or (round(aic, 10), p + q, p) < (
+            round(best[0], 10),
+            best[1] + best[2],
+            best[1],
+        ):
+            best = (aic, p, q, ll)
+    if best is None:
+        return 1, 1, float("nan"), float("nan")
+    return best[1], best[2], float(best[0]), float(best[3])
+
+
 def adf_by_group(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -270,6 +437,85 @@ def garch_by_group(
             ],
             columns=keys
             + ["n_obs", "omega", "alpha", "beta", "loglik", "next_sigma"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def arima_order_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    p_max: int = 3,
+    q_max: int = 2,
+    d_max: int = 2,
+) -> DataFrame:
+    """X5 (order-selection shape): per-series auto-ARIMA (p, d, q)
+    chosen by unit-root d + AIC grid (reference:
+    garch_model_v4.ipynb cell 6 auto_arima). One shuffle on the series
+    key; every grid fit is closed-form least squares inside the Arrow
+    worker, so a million series parallelize like any grouped agg."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, p int, d int, q int, aic double, sigma2 double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        p, d, q, aic, sigma2 = arima_order_search(y, p_max, q_max, d_max)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [
+                    len(y),
+                    p,
+                    d,
+                    q,
+                    round(aic, 4) if np.isfinite(aic) else None,
+                    round(sigma2, 8) if np.isfinite(sigma2) else None,
+                ]
+            ],
+            columns=keys + ["n_obs", "p", "d", "q", "aic", "sigma2"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
+def garch_order_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    orders: Sequence[tuple[int, int]] = ((1, 1), (1, 2), (2, 1), (2, 2)),
+) -> DataFrame:
+    """X6 (order-selection shape): per-series GARCH(p, q) chosen by
+    AIC across candidate orders (reference: test5.ipynb cell 10's
+    AIC/BIC/p-value grid). Same grouped-map topology as garch_by_group."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, p int, q int, aic double, loglik double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        r = pdf[value_col].to_numpy(dtype=float)
+        p, q, aic, ll = garch_order_search(r, orders)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [
+                    len(r),
+                    p,
+                    q,
+                    round(aic, 4) if np.isfinite(aic) else None,
+                    round(ll, 4) if np.isfinite(ll) else None,
+                ]
+            ],
+            columns=keys + ["n_obs", "p", "q", "aic", "loglik"],
         )
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)

@@ -324,6 +324,32 @@ def cv_fold_rmse(spark, sf_dir):
     )
 
 
+@q("arima_order_search")
+def arima_order_search(spark, sf_dir):
+    """X5: per-series auto-ARIMA (p, d, q) selection — d by repeated
+    unit-root tests, (p, q) by an AIC grid over Hannan-Rissanen
+    least-squares fits (reference: garch_model_v4.ipynb cell 6
+    auto_arima). Deterministic, so rows are stable across runs."""
+    return timeseries.arima_order_by_group(
+        hourly_series(spark, sf_dir), ["event_type"], "ds", "y",
+        p_max=3, q_max=2, d_max=2,
+    )
+
+
+@q("garch_order_grid")
+def garch_order_grid(spark, sf_dir):
+    """X6: per-series GARCH(p, q) order chosen by AIC across
+    {(1,1),(1,2),(2,1),(2,2)} (reference: test5.ipynb cell 10's
+    AIC/BIC grid), on hourly pct-returns."""
+    h = hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ds")
+    rets = (
+        h.withColumn("r", (F.col("y") / F.lag("y").over(w) - 1) * 100)
+        .filter(F.col("r").isNotNull())
+    )
+    return timeseries.garch_order_by_group(rets, ["event_type"], "ds", "r")
+
+
 @q("ar_walk_forward_eval")
 def ar_walk_forward_eval(spark, sf_dir):
     """X5: iterative 1-step refit evaluation (garch_model_v4 cell 6's

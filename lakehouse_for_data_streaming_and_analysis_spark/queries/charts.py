@@ -180,6 +180,69 @@ SLICES: list[tuple[str, ChartQuery, str]] = [
         ),
         "events",
     ),
+    # The dashboard's per-coin twin slices (dashboard JSON:31,67,115,127)
+    # are the SAME chart spec as their BTC counterparts plus a Superset
+    # adhoc coin filter — materialized distinctly so all 14 slices have
+    # a 1:1 query (the filter exercises the P7 equality-filter path
+    # through the chart builder; fixture coin stand-in: event_type).
+    # "Ethereum realtime" = "Bitcoin real-time price" + coin filter
+    (
+        "chart_realtime_price_eth",
+        ChartQuery(
+            metrics=(
+                Metric("Price", "MAX", "value", round_to=6),
+                Metric("Average price", "AVG", "value", round_to=6),
+            ),
+            filters=(("event_type", "click"),),
+            time_col="ts",
+            time_grain="PT1M",
+        ),
+        "events",
+    ),
+    # "Ethereum Price with MA" = "BTC price with MA" + coin filter
+    (
+        "chart_price_with_ma_eth",
+        ChartQuery(
+            metrics=(
+                Metric("Daily Price", "MAX", "value", round_to=6),
+                Metric("Average Price", "AVG", "value", round_to=6),
+            ),
+            filters=(("event_type", "click"),),
+            time_col="ts",
+            time_grain="P1D",
+            limit=10000,
+        ),
+        "events",
+    ),
+    # "ETH Daily Highest price and trend" = "Highest price and trend"
+    # + coin filter
+    (
+        "chart_big_number_trend_eth",
+        ChartQuery(
+            metrics=(Metric("MAX(price)", "MAX", "value", round_to=6),),
+            filters=(("event_type", "click"),),
+            time_col="ts",
+            time_grain="P1D",
+        ),
+        "events",
+    ),
+    # "eth supply" = "BTC supply" gauge pinned to one symbol
+    (
+        "chart_supply_gauge_eth",
+        ChartQuery(
+            metrics=(
+                Metric(
+                    "supply/maxsupply",
+                    sql="ROUND(MAX(supply/maxsupply), 6)",
+                ),
+            ),
+            groupby=("symbol",),
+            filters=(("is_current", "Y"), ("symbol", "C2")),
+            order_desc_by="supply/maxsupply",
+            limit=10,
+        ),
+        "dimcoin",
+    ),
 ]
 
 

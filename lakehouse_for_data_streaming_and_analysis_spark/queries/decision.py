@@ -549,45 +549,50 @@ def top_supplier_by_revenue(spark, sf_dir):
 
 @q(
     "small_lot_revenue",
-    """SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+    """WITH pq AS (
+         SELECT l_partkey,
+                SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY 1)
+       SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
                 / 7.0 AS avg_yearly
        FROM lineitem l
        JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN pq ON pq.l_partkey = l.l_partkey
        WHERE p.p_brand = 'Brand#1'
-         AND l.l_quantity < (
-           SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
-           WHERE l2.l_partkey = l.l_partkey)""",
+         AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sum_qty""",
 )
 def small_lot_revenue(spark, sf_dir):
     """Q17 shape: revenue from small-lot orders (quantity below 20% of
     the part's average). The correlated scalar subquery is
     decorrelated into a per-part aggregate joined back — one extra
     partkey-grain agg instead of a per-row re-scan; the filtered brand
-    side broadcasts into both."""
+    side broadcasts into both. The 20%-of-average gate is evaluated as
+    the cross-multiplied DECIMAL inequality qty * 5 * cnt < sum_qty —
+    exact in both engines, so no float-average ulp at a boundary row
+    can flip membership in one engine only (DECISIONS.md §8)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    part_avg = (
+    part_q = (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey")
         .agg(
-            (
-                0.2
-                * (
-                    F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1))
-                )
-            ).alias("qty_cutoff")
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .withColumnRenamed("l_partkey", "avg_partkey")
     )
     return (
         branded.join(
-            F.broadcast(part_avg), branded.l_partkey == F.col("avg_partkey")
+            F.broadcast(part_q), branded.l_partkey == F.col("avg_partkey")
         )
-        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("cnt")
+            < F.col("sum_qty")
+        )
         .agg(
             (
                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast(
@@ -758,29 +763,35 @@ def sole_late_supplier_ranking(spark, sf_dir):
               CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
                 AS totacctbal
        FROM customer c
-       WHERE c.c_acctbal > (
-           SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+       CROSS JOIN (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS sum_bal,
+                          COUNT(*) AS cnt
+                   FROM customer c2 WHERE c2.c_acctbal > 0.0) st
+       WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * st.cnt > st.sum_bal
          AND NOT EXISTS (
            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
        GROUP BY cust_digit""",
 )
 def dormant_customer_balances(spark, sf_dir):
     """Q22 shape: well-funded customers who never ordered — scalar
-    subquery (global positive-balance average, broadcast as a 1-row
+    subquery (global positive-balance aggregate, broadcast as a 1-row
     cross join) + NOT EXISTS (left-anti join on custkey), grouped by a
-    derived code (last digit of the customer name)."""
+    derived code (last digit of the customer name). The above-average
+    gate is the cross-multiplied DECIMAL inequality bal * cnt >
+    sum_bal — exact in both engines, no float-average boundary ulp
+    (DECISIONS.md §8)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    avg_bal = (
+    bal_stats = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_bal")
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sum_bal"),
+            F.count(F.lit(1)).alias("cnt"),
         )
     )
-    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    rich = c.join(F.broadcast(bal_stats)).filter(
+        F.col("c_acctbal").cast("decimal(18,6)") * F.col("cnt")
+        > F.col("sum_bal")
+    )
     dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     digit = F.substring(
         F.col("c_name"), F.length("c_name").cast("int"), 1

@@ -39,6 +39,25 @@ _SCD2_HASH = (
 )
 
 
+def _replay_dir(sf_dir: str, tag: str) -> str:
+    """Scratch dir for a file-replay stream. Root comes from
+    $SPARK_GRAFT_SCRATCH or <repo>/.scratch derived from this module's
+    path (never a hardcoded checkout location); the name is keyed on
+    the source fixture's (size, mtime) fingerprint so a regenerated
+    fixture can never serve a stale cached replay."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch = os.environ.get(
+        "SPARK_GRAFT_SCRATCH", os.path.join(repo_root, ".scratch")
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        scratch, f"{tag}_replay_{sf_tag}_{st.st_size}_{int(st.st_mtime)}"
+    )
+
+
 @q(
     "scd2_dimension_evolution",
     f"""WITH snap1 AS (SELECT n_nationkey AS coin_id, n_name AS name,
@@ -111,7 +130,7 @@ def streaming_bronze_final_state(spark, sf_dir):
     the batch aggregate (streaming/batch unification)."""
     ev = load_table(spark, sf_dir, "events")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = os.path.join("/root/repo/.scratch", f"bronze_replay_{sf_tag}")
+    replay_dir = _replay_dir(sf_dir, "bronze")
     if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
         os.makedirs(replay_dir, exist_ok=True)
         # 4 part files -> 4 micro-batches (order irrelevant: complete
@@ -144,7 +163,8 @@ def streaming_bronze_final_state(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q_handle.awaitTermination(300)
+    finished = q_handle.awaitTermination(300)
+    assert finished, "streaming bronze run did not finish within 300 s"
     return spark.table(tbl).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
         "avg_value",
@@ -177,7 +197,7 @@ def stream_stream_attribution_join(spark, sf_dir):
     the batch inner join row-for-row."""
     ev = load_table(spark, sf_dir, "events")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = os.path.join("/root/repo/.scratch", f"attr_replay_{sf_tag}")
+    replay_dir = _replay_dir(sf_dir, "attr")
     if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
         os.makedirs(replay_dir, exist_ok=True)
         # 2 non-overlapping time-range files -> 2 in-order micro-batches
@@ -230,7 +250,8 @@ def stream_stream_attribution_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        handle.awaitTermination(300)
+        finished = handle.awaitTermination(300)
+        assert finished, "attribution join run did not finish within 300 s"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(tbl).select(
@@ -548,7 +569,7 @@ def streaming_dedup_final_state(spark, sf_dir):
         "event_id", "user_id", "event_type", "value"
     )
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = os.path.join("/root/repo/.scratch", f"dedup_replay_{sf_tag}")
+    replay_dir = _replay_dir(sf_dir, "dedup")
     if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
         os.makedirs(replay_dir, exist_ok=True)
         dup = ev.filter(F.col("event_id") % 11 == 0)

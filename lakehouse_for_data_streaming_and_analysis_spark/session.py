@@ -27,6 +27,18 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_driver_mem() -> str:
+    """24g where the host affords it, else half of physical RAM (min
+    2g). The 24g figure is measured (see the GC note at the config
+    site); halving leaves room for the OS, Python workers, and Arrow
+    buffers on smaller machines."""
+    try:
+        total_gib = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(2, min(24, int(total_gib // 2)))}g"
+
+
 def get_spark(
     app_name: str = "lakehouse_spark",
     master: str | None = None,
@@ -54,8 +66,13 @@ def get_spark(
         # the single heap must be sized for N concurrent tasks: at 8g/32
         # threads, full-suite runs showed 20 s GC stalls hitting random
         # queries (measured 190 s -> 93 s total moving 8g -> 24g). On a
-        # real cluster this is spark.executor.memory instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # real cluster this is spark.executor.memory instead. The 24g
+        # target is capped at half of physical RAM so smaller hosts
+        # neither fail JVM startup nor swap (ADVICE r01).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
     )
     if streaming:
         # Reference runs 4 concurrent streaming queries under a FAIR pool

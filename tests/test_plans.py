@@ -628,3 +628,13 @@ def test_registered_pandas_udf_is_arrow_eval(spark):
     p = _physical(df)
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p
+
+
+def test_neardup_pairs_banded_equi_join(spark):
+    """embedding_neardup_pairs must generate candidates through the
+    banded (table, bucket) equi-join — never the all-pairs
+    id_a < id_b nested loop r01 shipped (quadratic at scale)."""
+    df = entrymod.queries()["embedding_neardup_pairs"](spark, SF_DIR)
+    p = _physical(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -275,3 +275,28 @@ def test_star_plan_and_results_scale_linearly(spark, tmp_path):
     assert set(base_rows) == set(scaled_rows)
     for key, rev in base_rows.items():
         assert scaled_rows[key] == rev * K, (key, rev, scaled_rows[key])
+
+
+def test_lsh_cosine_pairs_subset_and_recall(spark):
+    """Banded near-dup pairs must be a SUBSET of the exact all-pairs
+    result (identical cosines — LSH only prunes candidates, never
+    invents or perturbs a pair) with recall well above random; misses
+    concentrate at the 0.35 threshold boundary by construction."""
+    from lakehouse_for_data_streaming_and_analysis_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR_01, "embeddings").filter(F.col("vec_id") < 300)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(emb, threshold=0.35).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.lsh_cosine_pairs(
+            emb, threshold=0.35, n_planes=4, n_tables=4, dim=64
+        ).collect()
+    }
+    assert set(banded) <= set(exact), set(banded) - set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair]
+    recall = len(banded) / max(len(exact), 1)
+    assert recall >= 0.25, f"recall {recall:.2f} over {len(exact)} pairs"
