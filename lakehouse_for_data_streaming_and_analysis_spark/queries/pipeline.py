@@ -58,6 +58,54 @@ def _replay_dir(sf_dir: str, tag: str) -> str:
     )
 
 
+def _ensure_bronze_replay(spark, sf_dir: str) -> str:
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = _replay_dir(sf_dir, "bronze")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        # 4 part files -> micro-batches (order irrelevant: complete
+        # mode, no watermark)
+        ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    return replay_dir
+
+
+def _ensure_attr_replay(spark, sf_dir: str) -> str:
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = _replay_dir(sf_dir, "attr")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        # 2 non-overlapping time-range files -> 2 in-order micro-batches
+        ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(replay_dir)
+    return replay_dir
+
+
+def _ensure_dedup_replay(spark, sf_dir: str) -> str:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    replay_dir = _replay_dir(sf_dir, "dedup")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        dup = ev.filter(F.col("event_id") % 11 == 0)
+        # originals in files 0-2, redeliveries land in a separate file
+        # via a second write -> the duplicate arrives in a LATER batch
+        ev.repartition(3).write.mode("overwrite").parquet(replay_dir)
+        dup.repartition(1).write.mode("append").parquet(replay_dir)
+    return replay_dir
+
+
+def ensure_replay_dirs(spark, sf_dir: str) -> None:
+    """Pre-build every streaming-replay fixture dir. Benchmark warmup
+    hook: replay-dir creation is one-time fixture setup (like the
+    parquet fixtures themselves), not part of any query's cost, so
+    bench.py calls this before the timed loop."""
+    _ensure_bronze_replay(spark, sf_dir)
+    _ensure_attr_replay(spark, sf_dir)
+    _ensure_dedup_replay(spark, sf_dir)
+
+
 @q(
     "scd2_dimension_evolution",
     f"""WITH snap1 AS (SELECT n_nationkey AS coin_id, n_name AS name,
@@ -130,12 +178,7 @@ def streaming_bronze_final_state(spark, sf_dir):
     the batch aggregate (streaming/batch unification)."""
     ev = load_table(spark, sf_dir, "events")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = _replay_dir(sf_dir, "bronze")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        # 4 part files -> 4 micro-batches (order irrelevant: complete
-        # mode, no watermark)
-        ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    replay_dir = _ensure_bronze_replay(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -197,13 +240,7 @@ def stream_stream_attribution_join(spark, sf_dir):
     the batch inner join row-for-row."""
     ev = load_table(spark, sf_dir, "events")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = _replay_dir(sf_dir, "attr")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        # 2 non-overlapping time-range files -> 2 in-order micro-batches
-        ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
-            "overwrite"
-        ).parquet(replay_dir)
+    replay_dir = _ensure_attr_replay(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -569,14 +606,7 @@ def streaming_dedup_final_state(spark, sf_dir):
         "event_id", "user_id", "event_type", "value"
     )
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    replay_dir = _replay_dir(sf_dir, "dedup")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        dup = ev.filter(F.col("event_id") % 11 == 0)
-        # originals in files 0-2, redeliveries land in a separate file
-        # via a second write -> the duplicate arrives in a LATER batch
-        ev.repartition(3).write.mode("overwrite").parquet(replay_dir)
-        dup.repartition(1).write.mode("append").parquet(replay_dir)
+    replay_dir = _ensure_dedup_replay(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(ev.schema)

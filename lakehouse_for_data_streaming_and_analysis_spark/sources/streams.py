@@ -29,24 +29,62 @@ def tick_schema(coin: str) -> T.StructType:
     )
 
 
+def kafka_reader_options(
+    topic: str,
+    brokers: str = "localhost:9092",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """The full Kafka source option surface as a pure dict, so the
+    contract is unit-testable without the spark-sql-kafka jar on the
+    classpath. Keys are the documented spark-kafka source options:
+      - startingOffsets: "latest" | "earliest" | per-partition JSON —
+        where a NEW query begins (restarts resume from the checkpoint).
+      - maxOffsetsPerTrigger: per-micro-batch record cap, the
+        backpressure knob that bounds batch latency at 100 TB/day
+        ingest (reference runs uncapped; streaming_pipeline.py:41-42).
+      - failOnDataLoss: false tolerates aged-out offsets after long
+        downtime instead of poisoning the query.
+      - groupIdPrefix: stable consumer-group naming for lag monitoring.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id_prefix is not None:
+        opts["groupIdPrefix"] = group_id_prefix
+    return opts
+
+
 def kafka_ticks(
     spark: SparkSession,
     topic: str,
     coin: str,
     brokers: str = "localhost:9092",
     starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """S1 + P1-P3: Kafka source -> decode -> from_json -> typed columns.
     Requires the spark-sql-kafka package on the classpath (not in the
-    test env — exercised via parse_ticks on file streams instead)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_ticks(raw, coin)
+    test env — the option contract is pinned via kafka_reader_options
+    and the decode path via parse_ticks on file streams)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        topic,
+        brokers,
+        starting_offsets,
+        max_offsets_per_trigger,
+        fail_on_data_loss,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_ticks(reader.load(), coin)
 
 
 def parse_ticks(raw: DataFrame, coin: str) -> DataFrame:

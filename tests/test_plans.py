@@ -638,3 +638,13 @@ def test_neardup_pairs_banded_equi_join(spark):
     p = _physical(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_simhash_pairs_banded_equi_join(spark):
+    """simhash near-dup pairs must generate candidates via the exact
+    pigeonhole (chunk, value) equi-join — never the all-pairs
+    doc_a < doc_b nested loop (quadratic at scale)."""
+    df = entrymod.queries()["simhash_hamming_pairs"](spark, SF_DIR)
+    p = _physical(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

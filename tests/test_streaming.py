@@ -441,3 +441,38 @@ def test_complete_mode_emits_full_state_each_batch(spark, scratch):
     # monotone: later emissions carry >= as many windows as earlier ones
     sizes = [len(rows) for _, rows in emissions]
     assert sizes == sorted(sizes)
+
+
+def test_kafka_reader_option_contract(spark):
+    """S1: the Kafka source option surface (the part testable without
+    the spark-sql-kafka jar). Every knob must land under the exact
+    documented spark-kafka option name; the kafka source itself is
+    absent from this classpath, so attempting to build the reader must
+    raise the well-known missing-data-source error — not something
+    else (which would mean our reader construction is broken)."""
+    opts = streams.kafka_reader_options(
+        "ticks",
+        brokers="b1:9092,b2:9092",
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100000,
+        fail_on_data_loss=False,
+        group_id_prefix="lakehouse",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "100000",
+        "groupIdPrefix": "lakehouse",
+    }
+    # defaults: latest offsets, loud on data loss, no optional keys
+    d = streams.kafka_reader_options("t")
+    assert d["startingOffsets"] == "latest"
+    assert d["failOnDataLoss"] == "true"
+    assert "maxOffsetsPerTrigger" not in d and "groupIdPrefix" not in d
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="kafka"):
+        streams.kafka_ticks(spark, "ticks", "bitcoin")
