@@ -446,6 +446,56 @@ def corpus_shuffle_shards(spark, sf_dir):
 
 
 @q(
+    "sequence_packing_map",
+    f"""WITH t AS (
+         SELECT doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tok,
+                md5(CAST(doc_id AS VARCHAR) || '|pack') AS h
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tok,
+                SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tok AS strt
+         FROM t)
+       SELECT doc_id, n_tok,
+              CAST(strt // 4096 AS INT) AS shard,
+              CAST(strt % 4096 AS INT) AS pos,
+              (strt % 4096) + n_tok > 4096 AS straddles
+       FROM c""",
+)
+def sequence_packing_map(spark, sf_dir):
+    """Training-sequence packing map — the concat-and-chunk step that
+    turns a curated corpus into fixed-budget (4096-token) training
+    sequences: documents are laid out in a deterministic salted-hash
+    shuffle order and the running token offset assigns each doc its
+    shard, intra-shard position, and a straddles flag (doc crosses a
+    chunk boundary — the span a trainer masks or splits). The oracle
+    uses a single global running-sum window (fine at test scale); the
+    100 TB path replaces it with per-partition token subtotals +
+    offset cumsum over a range-partitioned sort on the same hash
+    (operators/windows.surrogate_keys_distributed topology), which
+    packs identically with no single-reducer stage."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|pack")))
+    base = docs.select(
+        "doc_id",
+        F.size(textfns.tokens("text")).cast("int").alias("n_tok"),
+        h.alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    strt = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("strt")
+    budget = F.lit(4096)
+    return base.select("doc_id", "n_tok", strt).select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("strt") / budget).cast("int").alias("shard"),
+        (F.col("strt") % budget).cast("int").alias("pos"),
+        ((F.col("strt") % budget) + F.col("n_tok") > budget).alias("straddles"),
+    )
+
+
+@q(
     "label_centroid_profile",
     """WITH norms AS (
          SELECT label,

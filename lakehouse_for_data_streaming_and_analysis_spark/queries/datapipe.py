@@ -863,3 +863,62 @@ def embedding_norm_outliers(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@q(
+    "doc_chunking_map",
+    f"""WITH t AS (
+         SELECT doc_id, toks, len(toks) AS n_tok
+         FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+         WHERE len(toks) > 0),
+       nc AS (
+         SELECT doc_id, toks, n_tok,
+                CASE WHEN n_tok <= 64 THEN 1
+                     ELSE (n_tok - 64 + 47) // 48 + 1 END AS n_chunks
+         FROM t),
+       ch AS (
+         SELECT doc_id, toks, n_tok,
+                unnest(range(0, n_chunks)) AS ci
+         FROM nc)
+       SELECT doc_id,
+              CAST(ci AS INT) AS chunk_idx,
+              CAST(ci * 48 + 1 AS INT) AS start_tok,
+              CAST(least(64, n_tok - ci * 48) AS INT) AS chunk_len,
+              md5(array_to_string(
+                    toks[(ci * 48 + 1):(ci * 48 + least(64, n_tok - ci * 48))],
+                    ' ')) AS chunk_hash
+       FROM ch""",
+)
+def doc_chunking_map(spark, sf_dir):
+    """Retrieval/context chunking — split every document into
+    64-token windows with 16-token overlap (stride 48), the per-doc
+    chunk map an embedding or RAG indexing stage consumes: chunk
+    index, 1-based token offset, actual length (tail chunks run
+    short), and an md5 content hash of the chunk's tokens so the
+    slicing itself is oracle-verified, not just the arithmetic.
+    Entirely map-side — chunk count is integer math on the token
+    count, the windows come from one sequence+explode per doc, and
+    the slice is an array op; no shuffle at any size (contrast
+    sequence_packing_map, which needs the global running sum)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    t = docs.select(
+        "doc_id", textfns.tokens("text").alias("toks")
+    ).withColumn("n_tok", F.size("toks")).filter(F.col("n_tok") > 0)
+    n_chunks = F.when(F.col("n_tok") <= 64, F.lit(1)).otherwise(
+        F.floor((F.col("n_tok") - 64 + 47) / 48) + 1
+    )
+    ch = t.withColumn(
+        "ci", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    chunk_len = F.least(F.lit(64), F.col("n_tok") - F.col("ci") * 48)
+    return ch.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci") * 48 + 1).cast("int").alias("start_tok"),
+        chunk_len.cast("int").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("ci") * 48 + 1, chunk_len)
+            )
+        ).alias("chunk_hash"),
+    )

@@ -367,3 +367,100 @@ def keyword_search_ranked(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+_TRIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+@q(
+    "boilerplate_trigram_share",
+    f"""WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, unnest({_TRIGRAMS_SQL}) AS sh FROM tok),
+       scored AS (SELECT doc_id, sh,
+                         COUNT(*) OVER (PARTITION BY sh) AS df
+                  FROM sh)
+       SELECT doc_id,
+              CAST(COUNT(*) AS INT) AS n_trigrams,
+              CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+              ROUND(CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*), 6) AS boiler_share
+       FROM scored GROUP BY 1""",
+)
+def boilerplate_trigram_share(spark, sf_dir):
+    """Cross-document boilerplate detection — the C4/RefinedWeb-style
+    prune of spans that recur across many documents (nav chrome,
+    license footers): per document, the fraction of its DISTINCT
+    trigrams whose document frequency is >= 5. Distinct from
+    fourgram_uniqueness (intra-doc repetition) and
+    contamination_ngram_overlap (overlap vs a held-out benchmark).
+    One lineage, tfidf-shaped: map-side array_distinct before the
+    explode, document frequency as COUNT(*) OVER (PARTITION BY sh)
+    on the exploded stream (no self-join, no recompute), then one
+    doc-grain rollup."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    sh = tokd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textfns.shingles(F.col("__toks"), 3))
+        ).alias("sh"),
+    )
+    from pyspark.sql import Window
+
+    scored = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
+    boiler = F.sum(F.when(F.col("df") >= 5, 1).otherwise(0))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+        boiler.cast("int").alias("n_boiler"),
+        F.round(boiler.cast("double") / F.count(F.lit(1)), 6).alias(
+            "boiler_share"
+        ),
+    )
+
+
+@q(
+    "vocab_oov_rate",
+    f"""WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+       freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+       vocab AS (SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 16)
+       SELECT doc_id,
+              CAST(COUNT(*) AS INT) AS n_tok,
+              CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS INT)
+                AS n_oov,
+              ROUND(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+                         AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       FROM tok LEFT JOIN vocab v ON tok.t = v.t
+       GROUP BY 1""",
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit: induce a top-K vocabulary
+    from corpus token frequencies (deterministic freq-desc/token-asc
+    cutoff; K=16 sized to the fixture's tiny token domain — at real
+    scale this is the 32k-128k tokenizer vocab) and score every
+    document's out-of-vocabulary token rate. Two passes by
+    construction — vocab induction is one token-grain aggregate whose
+    top-K result broadcasts into the scoring pass's membership probe;
+    the corpus-sized side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "doc_id", F.explode(textfns.tokens("text")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.orderBy(F.desc("c"), F.asc("t"))
+        .limit(16)
+        .select("t")
+        .withColumn("__iv", F.lit(1))
+    )
+    scored = tok.join(F.broadcast(vocab), "t", "left")
+    oov = F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tok"),
+        oov.cast("int").alias("n_oov"),
+        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
