@@ -648,3 +648,24 @@ def test_simhash_pairs_banded_equi_join(spark):
     p = _physical(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_boilerplate_share_single_lineage_window(spark):
+    """Document frequency must come from a window over the exploded
+    trigram stream — exactly one explode (Generate) in the plan, no
+    self-join recompute of the tokenize pass."""
+    df = entrymod.queries()["boilerplate_trigram_share"](spark, SF_DIR)
+    p = _physical(df)
+    assert p.count("Generate") == 1, p
+
+
+def test_doc_chunking_map_only(spark):
+    """Chunking is map-side: no key-based shuffle anywhere — the only
+    permitted Exchange is the catalog's deliberate round-robin fan-out
+    of the single small input file (parallelism, not data movement by
+    key)."""
+    df = entrymod.queries()["doc_chunking_map"](spark, SF_DIR)
+    p = _physical(df)
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+    assert "Exchange SinglePartition" not in p, p

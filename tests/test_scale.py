@@ -300,3 +300,32 @@ def test_lsh_cosine_pairs_subset_and_recall(spark):
         assert cos == exact[pair]
     recall = len(banded) / max(len(exact), 1)
     assert recall >= 0.25, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_simhash_pairs_banding_equals_brute_force(spark):
+    """The pigeonhole banding is EXACT: on random 16-bit sketches the
+    banded operator must return precisely the all-pairs hamming<=3 set
+    (recall 1 and no false pairs), including boundary distances."""
+    import random
+
+    from lakehouse_for_data_streaming_and_analysis_spark.operators import dedup
+
+    rng = random.Random(42)
+    sketches = [(i, rng.getrandbits(16)) for i in range(200)]
+    # force some boundary pairs: clones at distance exactly 3 and 4
+    sketches += [(1000, sketches[0][1] ^ 0b111)]       # d=3 from id 0
+    sketches += [(1001, sketches[1][1] ^ 0b10101000)]  # d=4 from id 1 (excluded)
+    df = spark.createDataFrame(sketches, "doc_id int, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    want = set()
+    for i, (ida, sa) in enumerate(sketches):
+        for idb, sb in sketches[i + 1 :]:
+            a, b = (ida, idb) if ida < idb else (idb, ida)
+            d = bin((sa ^ sb) & 0xFFFF).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
+    assert any(h == 3 for *_, h in want), "fixture must include a d=3 pair"
