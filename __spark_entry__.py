@@ -37,6 +37,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 ROWS_ONLY = (
     "adf_stationarity",
     "ljung_box_whitenoise",
+    "pacf_by_lag",
     "ar_forecast_intervals",
     "garch_volatility",
     "arima_order_search",

@@ -64,15 +64,92 @@ def adf_stat(y: np.ndarray, max_lag: int) -> tuple[float, int]:
 
 def ljung_box_q(y: np.ndarray, lags: int) -> float:
     """Ljung-Box Q = n(n+2) * sum_k acf_k^2 / (n-k)."""
+    return ljung_box_and_box_pierce(y, lags)[0]
+
+
+def ljung_box_and_box_pierce(y: np.ndarray, lags: int) -> tuple[float, float]:
+    """Both portmanteau statistics from one ACF pass: Ljung-Box
+    Q = n(n+2)·Σ acf_k²/(n-k) and the original Box-Pierce
+    Q* = n·Σ acf_k² (always ≤ Q; the reference's notebooks report
+    both — test5.ipynb cell 8)."""
     y = np.asarray(y, dtype=float)
     y = y - y.mean()
     n = len(y)
     denom = float(y @ y)
     q = 0.0
+    bp = 0.0
     for k in range(1, lags + 1):
         rk = float(y[k:] @ y[:-k]) / denom
         q += rk * rk / (n - k)
-    return n * (n + 2) * q
+        bp += rk * rk
+    return n * (n + 2) * q, n * bp
+
+
+def pacf_durbin_levinson(y: np.ndarray, nlags: int) -> np.ndarray:
+    """Sample partial autocorrelations via the Durbin-Levinson
+    recursion on the sample ACF (the 'ywm' method statsmodels uses) —
+    pacf[k] is the lag-k coefficient of the order-k Yule-Walker AR
+    fit, the quantity the PACF correlogram plots for AR order
+    identification (Garch_v1.ipynb cell 13). Deterministic, no
+    optimizer."""
+    y = np.asarray(y, dtype=float)
+    y = y - y.mean()
+    denom = float(y @ y)
+    acf = np.array(
+        [1.0] + [float(y[k:] @ y[:-k]) / denom for k in range(1, nlags + 1)]
+    )
+    phi_prev = np.zeros(nlags + 1)
+    phi = np.zeros(nlags + 1)
+    out = np.zeros(nlags)
+    for k in range(1, nlags + 1):
+        if k == 1:
+            phi[1] = acf[1]
+        else:
+            num = acf[k] - float(
+                sum(phi_prev[j] * acf[k - j] for j in range(1, k))
+            )
+            den = 1.0 - float(sum(phi_prev[j] * acf[j] for j in range(1, k)))
+            phi[k] = num / den if den != 0 else float("nan")
+            for j in range(1, k):
+                phi[j] = phi_prev[j] - phi[k] * phi_prev[k - j]
+        out[k - 1] = phi[k]
+        phi_prev = phi.copy()
+    return out
+
+
+def pacf_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    nlags: int = 3,
+) -> DataFrame:
+    """X4 (PACF): per-series partial autocorrelations at lags
+    1..nlags via Durbin-Levinson inside the grouped-map worker —
+    same shuffle topology as adf_by_group."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, "
+        + ", ".join(f"pacf_{k} double" for k in range(1, nlags + 1))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        p = pacf_durbin_levinson(y, nlags)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [len(y)]
+                + [round(float(v), 6) for v in p]
+            ],
+            columns=keys
+            + ["n_obs"]
+            + [f"pacf_{k}" for k in range(1, nlags + 1)],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
 
 
 def ar_fit_forecast(
@@ -351,20 +428,22 @@ def ljung_box_by_group(
     keys = list(key_cols)
     schema = (
         ", ".join(f"{k} string" for k in keys)
-        + ", n_obs int, lb_stat double, lags int, reject_whitenoise_5pct boolean"
+        + ", n_obs int, lb_stat double, bp_stat double, lags int,"
+        + " reject_whitenoise_5pct boolean"
     )
     crit = CHI2_CRIT_5PCT.get(lags, 18.307)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
         y = pdf[value_col].to_numpy()
-        q = ljung_box_q(y, lags)
+        q, bp = ljung_box_and_box_pierce(y, lags)
         return pd.DataFrame(
             [
                 [str(pdf[k].iloc[0]) for k in keys]
-                + [len(y), round(q, 6), lags, bool(q > crit)]
+                + [len(y), round(q, 6), round(bp, 6), lags, bool(q > crit)]
             ],
-            columns=keys + ["n_obs", "lb_stat", "lags", "reject_whitenoise_5pct"],
+            columns=keys
+            + ["n_obs", "lb_stat", "bp_stat", "lags", "reject_whitenoise_5pct"],
         )
 
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)

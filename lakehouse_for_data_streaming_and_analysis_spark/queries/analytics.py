@@ -94,6 +94,61 @@ def acf_by_lag(spark, sf_dir):
 
 
 @q(
+    "arch_lm_test",
+    f"""WITH hourly AS ({HOURLY_SQL}),
+       ret AS (
+         SELECT event_type, ds,
+                y / LAG(y) OVER (PARTITION BY event_type ORDER BY ds) - 1 AS r
+         FROM hourly),
+       cen AS (
+         SELECT event_type, ds,
+                r - AVG(r) OVER (PARTITION BY event_type) AS e
+         FROM ret WHERE r IS NOT NULL),
+       lagged AS (
+         SELECT event_type, e * e AS e2,
+                LAG(e * e) OVER (PARTITION BY event_type ORDER BY ds) AS e2l
+         FROM cen)
+       SELECT event_type,
+              CAST(regr_count(e2, e2l) AS BIGINT) AS n,
+              ROUND(regr_count(e2, e2l) * regr_r2(e2, e2l), 4) AS lm_stat,
+              ROUND(regr_count(e2, e2l) * regr_r2(e2, e2l), 4) > 3.841
+                AS arch_effect_5pct
+       FROM lagged GROUP BY 1""",
+)
+def arch_lm_test(spark, sf_dir):
+    """X4 (ARCH-LM, het_arch): Engle's Lagrange-multiplier test for
+    conditional heteroskedasticity at one lag — regress squared
+    demeaned returns on their own lag; LM = n·R² is chi²(1) under the
+    no-ARCH null (5% critical value 3.841). Entirely in-engine: the
+    single-regressor form makes R² a regr_r2 aggregate, so the test
+    that statsmodels runs driver-side (test5.ipynb cell 4) becomes a
+    window + one hash aggregate per series, hash-checked against the
+    identical DuckDB expression. The 5% flag compares the ROUNDED
+    statistic so no cross-engine ulp can flip it (DECISIONS.md §8)."""
+    h = hourly_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ds")
+    wp = Window.partitionBy("event_type")
+    ret = h.select(
+        "event_type", "ds", (F.col("y") / F.lag("y").over(w) - 1).alias("r")
+    )
+    cen = ret.filter(F.col("r").isNotNull()).select(
+        "event_type", "ds", (F.col("r") - F.avg("r").over(wp)).alias("e")
+    )
+    e2 = (F.col("e") * F.col("e")).alias("e2")
+    lagged = cen.select(
+        "event_type",
+        e2,
+        F.lag(F.col("e") * F.col("e")).over(w).alias("e2l"),
+    )
+    lm = F.round(F.regr_count("e2", "e2l") * F.regr_r2("e2", "e2l"), 4)
+    return lagged.groupBy("event_type").agg(
+        F.regr_count("e2", "e2l").cast("bigint").alias("n"),
+        lm.alias("lm_stat"),
+        (lm > 3.841).alias("arch_effect_5pct"),
+    )
+
+
+@q(
     "dickey_fuller_tstat",
     f"""WITH hourly AS ({HOURLY_SQL}),
        reg AS (
@@ -256,6 +311,18 @@ def ljung_box_whitenoise(spark, sf_dir):
         .filter(F.col("r").isNotNull())
     )
     return timeseries.ljung_box_by_group(rets, ["event_type"], "ds", "r", lags=10)
+
+
+@q("pacf_by_lag")
+def pacf_by_lag(spark, sf_dir):
+    """X4 (PACF): per-series partial autocorrelations at lags 1..3 via
+    Durbin-Levinson (the AR-order-identification correlogram,
+    Garch_v1.ipynb cell 13). Rows-only: the recursion is not
+    SQL-expressible; pinned against a numpy lstsq AR-fit reference in
+    tests/test_analytics.py."""
+    return timeseries.pacf_by_group(
+        hourly_series(spark, sf_dir), ["event_type"], "ds", "y", nlags=3
+    )
 
 
 @q("ar_forecast_intervals")

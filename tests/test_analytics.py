@@ -150,3 +150,39 @@ def test_order_search_operators_over_fixture(spark):
     for r in rows:
         assert 0 <= r["p"] <= 2 and 0 <= r["d"] <= 1 and 0 <= r["q"] <= 1
         assert r["aic"] is not None
+
+
+def test_pacf_recovers_ar1_cutoff():
+    """On AR(1) data the PACF must match the AR coefficient at lag 1
+    and cut off (≈0) at higher lags; cross-check lag-2/3 against an
+    exact least-squares AR(k) fit (pacf_k = last coefficient of the
+    order-k regression)."""
+    rng = np.random.default_rng(11)
+    e = rng.standard_normal(2000)
+    y = np.zeros(2000)
+    for t in range(1, 2000):
+        y[t] = 0.7 * y[t - 1] + e[t]
+    p = timeseries.pacf_durbin_levinson(y, 3)
+    assert abs(p[0] - 0.7) < 0.05
+    assert abs(p[1]) < 0.08 and abs(p[2]) < 0.08
+
+    # exact OLS cross-check at each order
+    yc = y - y.mean()
+    for k in (1, 2, 3):
+        x = np.column_stack([yc[k - i - 1 : len(yc) - i - 1] for i in range(k)])
+        beta, *_ = np.linalg.lstsq(x, yc[k:], rcond=None)
+        assert abs(p[k - 1] - beta[k - 1]) < 0.02, (k, p[k - 1], beta[k - 1])
+
+
+def test_box_pierce_below_ljung_box():
+    """Q* (Box-Pierce) < Q (Ljung-Box) always, and both agree with a
+    direct ACF computation."""
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(500)
+    q, bp = timeseries.ljung_box_and_box_pierce(y, 10)
+    assert 0 < bp < q
+    yc = y - y.mean()
+    denom = yc @ yc
+    acf = [float(yc[k:] @ yc[:-k]) / denom for k in range(1, 11)]
+    n = len(y)
+    assert abs(bp - n * sum(r * r for r in acf)) < 1e-9
