@@ -42,6 +42,7 @@ ROWS_ONLY = (
     "garch_volatility",
     "arima_order_search",
     "garch_order_grid",
+    "arima_garch_residual_fit",
     "ar_walk_forward_eval",
     "pagerank_user_influence",
     "kmeans_embedding_clusters",

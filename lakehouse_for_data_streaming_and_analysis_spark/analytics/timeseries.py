@@ -600,6 +600,70 @@ def garch_order_by_group(
     return df.groupBy(*keys).applyInPandas(fit, schema=schema)
 
 
+def arima_garch_residual_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    p: int = 2,
+) -> DataFrame:
+    """X6 (combined shape): AR(p) mean model, then GARCH(1,1) on the
+    AR residuals — the two-stage ARIMA-GARCH the reference builds in
+    test6.ipynb cells 0-1 (mean dynamics out of the way first, then
+    volatility clustering on what remains). One grouped-map pass per
+    series emits the mean-model coefficients, the residual-volatility
+    parameters, and the 1-step-ahead conditional sigma."""
+    keys = list(key_cols)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_obs int, ar_intercept double, ar_phi_1 double, ar_phi_2 double,"
+        + " resid_var double, omega double, alpha double, beta double,"
+        + " next_sigma double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        x = np.column_stack(
+            [np.ones(len(y) - p)]
+            + [y[p - i - 1 : len(y) - i - 1] for i in range(p)]
+        )
+        beta, _ = _ols(x, y[p:])
+        resid = y[p:] - x @ beta
+        omega, a, b, _ll, nxt = garch11_fit(resid)
+        phi = list(beta[1:]) + [0.0] * (2 - p)
+        return pd.DataFrame(
+            [
+                [str(pdf[k].iloc[0]) for k in keys]
+                + [
+                    len(y),
+                    round(float(beta[0]), 6),
+                    round(float(phi[0]), 6),
+                    round(float(phi[1]), 6),
+                    round(float(resid.var()), 8),
+                    round(omega, 8),
+                    round(a, 4),
+                    round(b, 4),
+                    round(nxt, 6),
+                ]
+            ],
+            columns=keys
+            + [
+                "n_obs",
+                "ar_intercept",
+                "ar_phi_1",
+                "ar_phi_2",
+                "resid_var",
+                "omega",
+                "alpha",
+                "beta",
+                "next_sigma",
+            ],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fit, schema=schema)
+
+
 def walk_forward_eval_by_group(
     df: DataFrame,
     key_cols: Sequence[str],

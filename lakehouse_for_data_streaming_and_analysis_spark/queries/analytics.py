@@ -417,6 +417,17 @@ def garch_order_grid(spark, sf_dir):
     return timeseries.garch_order_by_group(rets, ["event_type"], "ds", "r")
 
 
+@q("arima_garch_residual_fit")
+def arima_garch_residual_fit(spark, sf_dir):
+    """X6: two-stage ARIMA-GARCH — AR(2) mean model per series, then
+    GARCH(1,1) on the AR residuals with the 1-step conditional sigma
+    (test6.ipynb cells 0-1). Rows-only; component recovery is pinned
+    in tests/test_analytics.py on synthetic AR+GARCH data."""
+    return timeseries.arima_garch_residual_by_group(
+        hourly_series(spark, sf_dir), ["event_type"], "ds", "y", p=2
+    )
+
+
 @q("ar_walk_forward_eval")
 def ar_walk_forward_eval(spark, sf_dir):
     """X5: iterative 1-step refit evaluation (garch_model_v4 cell 6's

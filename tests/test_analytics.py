@@ -186,3 +186,30 @@ def test_box_pierce_below_ljung_box():
     acf = [float(yc[k:] @ yc[:-k]) / denom for k in range(1, 11)]
     n = len(y)
     assert abs(bp - n * sum(r * r for r in acf)) < 1e-9
+
+
+def test_arima_garch_residual_recovery(spark):
+    """Two-stage ARIMA-GARCH: on synthetic AR(1)+GARCH(1,1) data the
+    grouped-map operator must recover the mean coefficient and the
+    residual volatility parameters, and emit one row per series."""
+    rng = np.random.default_rng(19)
+    n = 3000
+    r = np.zeros(n)
+    h = 0.5
+    y = np.zeros(n)
+    for t in range(1, n):
+        h = 0.1 + 0.12 * r[t - 1] ** 2 + 0.8 * h
+        r[t] = np.sqrt(h) * rng.standard_normal()
+        y[t] = 1.0 + 0.6 * y[t - 1] + r[t]
+    pdf = [("s", i, float(v)) for i, v in enumerate(y)]
+    df = spark.createDataFrame(pdf, "event_type string, ds long, y double")
+    rows = timeseries.arima_garch_residual_by_group(
+        df, ["event_type"], "ds", "y", p=1
+    ).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert abs(row["ar_phi_1"] - 0.6) < 0.05
+    assert row["ar_phi_2"] == 0.0  # padded for p=1
+    assert abs(row["alpha"] - 0.12) < 0.08
+    assert abs(row["beta"] - 0.8) < 0.12
+    assert row["next_sigma"] > 0
