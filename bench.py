@@ -63,7 +63,16 @@ def main() -> None:
     spark.range(par).repartition(par).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
     total = 0.0
+    steal0 = _steal_jiffies()
+    t_wall0 = time.perf_counter()
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -73,9 +82,19 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # attribution of run-to-run variance (BASELINE.md: host CPU steal
+    # inflates single runs up to ~2x): record host steal observed
+    # DURING this run so a slow total is distinguishable from a slow
+    # engine.
+    env = {
+        "steal_seconds_during_run": round((_steal_jiffies() - steal0) / 100.0, 1),
+        "wall_seconds_timed_loop": round(time.perf_counter() - t_wall0, 1),
+    }
     with open(os.path.join(REPO, "bench_timings.json"), "w") as f:
         json.dump(
-            {"sf": sf, "n_queries": len(timings), "queries": timings}, f, indent=1
+            {"sf": sf, "n_queries": len(timings), "env": env, "queries": timings},
+            f,
+            indent=1,
         )
 
     print(

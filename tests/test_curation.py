@@ -81,3 +81,26 @@ def test_stratified_rates_close_to_target(spark):
         # hash-uniformity: achieved within ±60% relative of target at
         # small sf (hundreds of docs per stratum)
         assert abs(r["achieved_rate"] - r["target_rate"]) < 0.6 * r["target_rate"]
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing conservation: offsets are a gapless concat layout —
+    consecutive docs in layout order satisfy next_start = start + n_tok
+    (reconstructed from shard*4096 + pos), non-straddling docs fit
+    inside their shard, straddling docs provably cross the boundary."""
+    from lakehouse_for_data_streaming_and_analysis_spark.queries import curation
+
+    rows = curation.QUERIES["sequence_packing_map"](spark, SF_DIR).collect()
+    assert rows
+    laid = sorted(
+        ((r["shard"] * 4096 + r["pos"]), r["n_tok"], r["straddles"])
+        for r in rows
+    )
+    # gapless: each doc starts exactly where the previous ended
+    off = 0
+    for start, n_tok, straddles in laid:
+        assert start == off
+        in_shard = start % 4096
+        assert straddles == (in_shard + n_tok > 4096)
+        off = start + n_tok
+    assert off == sum(n for _, n, _ in laid)
