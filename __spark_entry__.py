@@ -27,6 +27,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     product,
     relational,
     timeseries,
+    training,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -47,6 +48,8 @@ ROWS_ONLY = (
     "pagerank_user_influence",
     "kmeans_embedding_clusters",
     "sketch_cardinalities",
+    "bpe_vocab_merges",
+    "quality_classifier_scores",
 )
 
 # --- Driver-verification rotation -----------------------------------
@@ -217,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(timeseries.QUERIES)
     out.update(lmstats.QUERIES)
     out.update(product.QUERIES)
+    out.update(training.QUERIES)
     return _rotation_order(out)
 
 
@@ -238,4 +242,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(timeseries.ORACLES)
     out.update(lmstats.ORACLES)
     out.update(product.ORACLES)
+    out.update(training.ORACLES)
     return out

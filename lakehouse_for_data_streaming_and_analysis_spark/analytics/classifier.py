@@ -1,0 +1,174 @@
+"""Distributed linear-classifier training via per-iteration aggregates.
+
+Quality classifiers are the learned half of pretraining-data curation:
+heuristic gates (queries/curation.py doc_quality_gates) label a corpus,
+then a cheap linear model distills the rule into a smooth score that
+generalizes past the rule's hard edges (the fastText-classifier
+pattern, public). This module trains L2-regularized logistic
+regression by Newton–Raphson / IRLS, Spark-first:
+
+* The model state (d+1 floats) lives on the driver — like k-means
+  centroids it is legitimately tiny metadata; the DATA never leaves
+  the executors.
+* Each Newton iteration is ONE scan + ONE 1-row aggregate: the
+  gradient ``avg((p - y) * x_j)`` and the full Gram/Hessian upper
+  triangle ``avg(p(1-p) x_j x_k)`` are (d+1)(d+4)/2 aggregate columns
+  of a single ``agg`` — JVM expressions end to end, no Python row
+  path. The (d+1)x(d+1) solve happens on the driver (numpy, O(d^3)
+  on a handful of floats).
+* Newton converges quadratically: ~8 iterations reach 1e-10 where
+  plain gradient descent needs hundreds — at 100 TB that is the
+  difference between 8 and 400 corpus scans. The L2 term (lambda
+  on non-intercept weights) keeps the Hessian positive definite even
+  on linearly separable labels, where unregularized Newton diverges.
+* At 100 TB: cache the projected feature frame once (a thin column
+  slice of the corpus); each iteration then costs one in-memory scan
+  plus a 1-row shuffle. The same topology serves any model whose
+  gradient/Hessian are sums over rows.
+
+Determinism: float aggregation order varies with partitioning, so
+training is reproducible to ~1e-12 per iteration, not bit-exact;
+``tests/test_classifier.py`` pins the full trajectory against a dense
+numpy replay at 1e-6 and the learned rule's accuracy against the
+labeling gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def standardize(df: DataFrame, xcols: list[str]) -> DataFrame:
+    """Z-score each feature using one corpus aggregate (constant
+    columns are left centered-only: std clamps at 1)."""
+    stats = df.agg(
+        *[F.avg(c).alias(f"mu_{c}") for c in xcols],
+        *[F.stddev_pop(c).alias(f"sd_{c}") for c in xcols],
+    ).collect()[0]
+    out = df
+    for c in xcols:
+        mu = float(stats[f"mu_{c}"])
+        sd = float(stats[f"sd_{c}"]) or 1.0
+        if sd == 0.0:
+            sd = 1.0
+        out = out.withColumn(c, (F.col(c) - F.lit(mu)) / F.lit(sd))
+    return out
+
+
+def _margin(weights: list[float], bias: float, xcols: list[str]):
+    m = F.lit(bias)
+    for w, c in zip(weights, xcols):
+        m = m + F.lit(w) * F.col(c)
+    return m
+
+
+def logreg_fit(
+    df: DataFrame,
+    xcols: list[str],
+    ycol: str,
+    iters: int = 10,
+    l2: float = 1e-3,
+) -> dict:
+    """Newton/IRLS for L2-regularized logistic regression. Returns
+    weights, bias, and the per-iteration regularized-log-loss trace
+    (one 1-row job each)."""
+    import numpy as np
+
+    d = len(xcols)
+    # extended design: index d is the intercept (x_d == 1, not
+    # regularized)
+    theta = np.zeros(d + 1)
+    losses: list[float] = []
+    eps = 1e-12
+    cols = list(xcols)
+    for _ in range(iters):
+        m = _margin(list(theta[:d]), float(theta[d]), cols)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        resid = p - F.col(ycol)
+        w_ii = p * (F.lit(1.0) - p)
+        xs = [F.col(c) for c in cols] + [F.lit(1.0)]
+        aggs = [
+            F.avg(resid * xs[j]).alias(f"g_{j}") for j in range(d + 1)
+        ]
+        aggs += [
+            F.avg(w_ii * xs[j] * xs[k]).alias(f"h_{j}_{k}")
+            for j in range(d + 1)
+            for k in range(j, d + 1)
+        ]
+        aggs.append(
+            F.avg(
+                -(
+                    F.col(ycol) * F.log(p + F.lit(eps))
+                    + (F.lit(1.0) - F.col(ycol))
+                    * F.log(F.lit(1.0) - p + F.lit(eps))
+                )
+            ).alias("nll")
+        )
+        row = df.agg(*aggs).collect()[0]
+        g = np.array([float(row[f"g_{j}"]) for j in range(d + 1)])
+        H = np.zeros((d + 1, d + 1))
+        for j in range(d + 1):
+            for k in range(j, d + 1):
+                H[j, k] = H[k, j] = float(row[f"h_{j}_{k}"])
+        # L2 on the non-intercept weights only
+        g[:d] += l2 * theta[:d]
+        H[:d, :d] += l2 * np.eye(d)
+        losses.append(
+            float(row["nll"]) + 0.5 * l2 * float(theta[:d] @ theta[:d])
+        )
+        theta = theta - np.linalg.solve(H, g)
+    return {
+        "weights": [float(v) for v in theta[:d]],
+        "bias": float(theta[d]),
+        "losses": losses,
+    }
+
+
+def logreg_score(
+    df: DataFrame, model: dict, xcols: list[str]
+):
+    """Sigmoid score column for a fitted model — a pure JVM expression."""
+    m = _margin(model["weights"], model["bias"], xcols)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def numpy_replay(X, y, iters: int = 10, l2: float = 1e-3):
+    """Dense single-node replay of the exact same arithmetic, for
+    test-time cross-validation of the distributed trajectory."""
+    import numpy as np
+
+    Xn = np.asarray(X, dtype=float)
+    yn = np.asarray(y, dtype=float)
+    n, d = Xn.shape
+    Xe = np.hstack([Xn, np.ones((n, 1))])
+    theta = np.zeros(d + 1)
+    losses = []
+    eps = 1e-12
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xe @ theta)))
+        resid = p - yn
+        g = (resid[:, None] * Xe).mean(axis=0)
+        w = p * (1.0 - p)
+        H = (Xe * w[:, None]).T @ Xe / n
+        g[:d] += l2 * theta[:d]
+        H[:d, :d] += l2 * np.eye(d)
+        losses.append(
+            float(
+                -(
+                    yn * np.log(p + eps) + (1 - yn) * np.log(1 - p + eps)
+                ).mean()
+            )
+            + 0.5 * l2 * float(theta[:d] @ theta[:d])
+        )
+        theta = theta - np.linalg.solve(H, g)
+    return {
+        "weights": [float(v) for v in theta[:d]],
+        "bias": float(theta[d]),
+        "losses": losses,
+    }
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -633,5 +633,11 @@ def streaming_dedup_final_state(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q_handle.awaitTermination(300)
+    finished = q_handle.awaitTermination(300)
+    if not finished:
+        q_handle.stop()
+        raise TimeoutError(
+            "streaming_dedup_final_state did not drain within 300s; "
+            "a partial memory table would silently fail the oracle"
+        )
     return spark.table(tbl)
