@@ -1,0 +1,559 @@
+"""Deltaish table: Spark parquet data files + the Delta-shaped commit
+log of ``delta/log.py`` (see package docstring for protocol scope).
+
+Reference parity anchors:
+  create/append/overwrite  — Sourcecode/spark/etl.py:34-46 writes
+  merge (upsert)           — populate_dim.py:153-163 (whenMatchedUpdateAll
+                             + whenNotMatchedInsertAll)
+  optimize/vacuum/zorder   — delta_manager.py:4-24
+  streaming sink           — streaming_pipeline.py sink + udf.py:74-83
+  per-commit stats         — TimeDelay.ipynb cell 0 (minValues parse)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+import uuid
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import log as dlog
+from .log import ConcurrentCommitError
+
+
+def _json_safe(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def file_footer_stats(path: str) -> dict:
+    """numRecords + per-column min/max straight from the parquet
+    footer — the same statistics Delta writers persist into ``add``
+    actions (and that the reference's latency notebook consumes)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested columns: top-level stats only
+                continue
+            mn, mx = st.min, st.max
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: _json_safe(v) for k, v in mins.items()},
+        "maxValues": {k: _json_safe(v) for k, v in maxs.items()},
+    }
+
+
+def _parse_partition_dirs(rel_dir: str) -> dict[str, str]:
+    pv: dict[str, str] = {}
+    if rel_dir in (".", ""):
+        return pv
+    for part in rel_dir.replace(os.sep, "/").split("/"):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            pv[k] = v
+    return pv
+
+
+class DeltaishTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+    ) -> "DeltaishTable":
+        t = cls(spark, path)
+        if dlog.list_versions(t.path):
+            raise ValueError(f"table already exists at {t.path}")
+        os.makedirs(t.path, exist_ok=True)
+        adds = t._write_files(df, partition_by)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                }
+            },
+            *[{"add": a} for a in adds],
+            dlog.commit_info("CREATE TABLE AS SELECT"),
+        ]
+        dlog.write_commit(t.path, 0, actions)
+        return t
+
+    def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
+        snap = dlog.replay(self.path, until=version)
+        if snap.version < 0:
+            raise FileNotFoundError(f"no Deltaish log at {self.path}")
+        return snap
+
+    @property
+    def version(self) -> int:
+        return self._snapshot().version
+
+    def history(self) -> list[dict]:
+        return dlog.history(self.path)
+
+    # ------------------------------------------------------------ writes
+
+    def _write_files(
+        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+    ) -> list[dict]:
+        """Write ``df`` through Spark into fresh uniquely-named parquet
+        files under the table root (partition dirs per the Hive
+        layout), returning their ``add`` payloads with footer stats."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        adds: list[dict] = []
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                pv = _parse_partition_dirs(rel_dir)
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel_path = (
+                    f"{rel_dir.replace(os.sep, '/')}/{new_name}"
+                    if rel_dir not in (".", "")
+                    else new_name
+                )
+                dest = os.path.join(self.path, rel_path)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(root, fn), dest)
+                adds.append(
+                    {
+                        "path": rel_path,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dest),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            file_footer_stats(dest), separators=(",", ":")
+                        ),
+                    }
+                )
+        shutil.rmtree(staging)
+        return adds
+
+    def _commit_next(
+        self, actions: list[dict], retry_append: bool = False
+    ) -> int:
+        """Optimistic concurrency: try latest+1; blind-retry only for
+        appends (they commute with any concurrent commit), surface the
+        conflict otherwise — Delta's OCC split."""
+        for _ in range(20):
+            v = self._snapshot().version + 1
+            try:
+                dlog.write_commit(self.path, v, actions)
+                return v
+            except ConcurrentCommitError:
+                if not retry_append:
+                    raise
+        raise ConcurrentCommitError("gave up after 20 append retries")
+
+    def append(self, df: DataFrame) -> int:
+        snap = self._snapshot()
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        adds = self._write_files(df, pcols)
+        return self._commit_next(
+            [*({"add": a} for a in adds), dlog.commit_info("WRITE", mode="Append")],
+            retry_append=True,
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        snap = self._snapshot()
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        adds = self._write_files(df, pcols)
+        removes = [
+            {"remove": self._tombstone(p)} for p in snap.files
+        ]
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *removes,
+                dlog.commit_info("WRITE", mode="Overwrite"),
+            ]
+        )
+
+    @staticmethod
+    def _tombstone(path: str, data_change: bool = True) -> dict:
+        return {
+            "path": path,
+            "deletionTimestamp": int(time.time() * 1000),
+            "dataChange": data_change,
+        }
+
+    # ------------------------------------------------------------ reads
+
+    def _read_files(self, rel_paths: list[str]) -> DataFrame:
+        snap = self._snapshot()
+        schema = T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*[os.path.join(self.path, p) for p in rel_paths])
+        )
+        # partition columns come back via directory inference; cast
+        # them to their declared types and restore column order
+        for pc in snap.metadata.get("partitionColumns", ()):  # typed
+            df = df.withColumn(pc, F.col(pc).cast(schema[pc].dataType))
+        return df.select(*[f.name for f in schema.fields])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        snap = self._snapshot(version)
+        schema = T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+        if not snap.files:
+            return self.spark.createDataFrame([], schema)
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*[os.path.join(self.path, p) for p in snap.files])
+        )
+        for pc in snap.metadata.get("partitionColumns", ()):
+            df = df.withColumn(pc, F.col(pc).cast(schema[pc].dataType))
+        return df.select(*[f.name for f in schema.fields])
+
+    # ------------------------------------------------------------ skipping
+
+    def files_matching(self, col: str, lo, hi) -> list[str]:
+        """Stats-based file skipping: live files whose [min, max] for
+        ``col`` (footer stats, or partition value) intersects
+        [lo, hi]. Files without stats are conservatively kept."""
+        snap = self._snapshot()
+        pcols = snap.metadata.get("partitionColumns", ())
+        out = []
+        for path, add in snap.files.items():
+            if col in pcols:
+                pv = add.get("partitionValues", {}).get(col)
+                if pv is None:
+                    out.append(path)
+                    continue
+                try:
+                    v = type(lo)(pv)
+                except (TypeError, ValueError):
+                    v = pv
+                if lo <= v <= hi:
+                    out.append(path)
+                continue
+            stats = add.get("stats")
+            if not stats:
+                out.append(path)
+                continue
+            s = json.loads(stats)
+            mn = s.get("minValues", {}).get(col)
+            mx = s.get("maxValues", {}).get(col)
+            if mn is None or mx is None:
+                out.append(path)
+            elif mn <= hi and mx >= lo:
+                out.append(path)
+        return out
+
+    def read_pruned(self, col: str, lo, hi) -> DataFrame:
+        """Range scan that opens only stat-matching files, then applies
+        the exact predicate — Delta data skipping's contract."""
+        df = self._read_files(self.files_matching(col, lo, hi))
+        return df.filter(F.col(col).between(lo, hi))
+
+    # ------------------------------------------------------------ merge
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        matched_update: dict | None = None,
+        matched_condition=None,
+        insert: bool = True,
+    ) -> int:
+        """MERGE with Delta's clause semantics. Default
+        (``matched_update=None, insert=True``) is upsert —
+        whenMatchedUpdateAll + whenNotMatchedInsertAll, the
+        populate_dim.py:153-163 shape. ``matched_update`` switches to
+        whenMatchedUpdate SET: a dict of target column -> Column
+        expression, applied only where ``matched_condition`` (which
+        may reference ``t.<col>`` / ``s.<col>``) also holds — the
+        reference's SCD-2 expire merge. ``insert=False`` drops the
+        not-matched clause.
+
+        ONLY files whose key-range statistics intersect the source's
+        key range are rewritten; every other file is untouched. At
+        100 TB this file pruning is what makes MERGE affordable — a
+        merge touching one day of a date-partitioned table rewrites
+        one partition, not the table.
+
+        Source must be unique per key (checked — multi-match is an
+        error in Delta MERGE too)."""
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(f"source has duplicate merge keys: {dup[0]}")
+        k = keys[0]
+        bounds = source.agg(
+            F.min(k).alias("lo"), F.max(k).alias("hi")
+        ).collect()[0]
+        if bounds.lo is None:
+            return self._snapshot().version  # empty source: no-op
+        touched = self.files_matching(k, bounds.lo, bounds.hi)
+        snap = self._snapshot()
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        target = self._read_files(touched)
+        if matched_update is None:
+            kept = target.join(
+                source.select(*keys).distinct(), list(keys), "left_anti"
+            )
+            if insert:
+                incoming = source.select(*target.columns)
+            else:
+                incoming = source.join(
+                    target.select(*keys).distinct(), list(keys), "left_semi"
+                ).select(*target.columns)
+            result = kept.unionByName(incoming)
+            matched_desc = "updateAll"
+        else:
+            t = target.alias("t")
+            s = source.withColumn("__matched", F.lit(True)).alias("s")
+            joined = t.join(s, list(keys), "left")
+            cond = F.col("__matched").isNotNull()
+            if matched_condition is not None:
+                cond = cond & matched_condition
+            proj = []
+            for c in target.columns:
+                if c in matched_update:
+                    proj.append(
+                        F.when(cond, matched_update[c])
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                elif c in keys:
+                    proj.append(F.col(c))
+                else:
+                    proj.append(F.col(f"t.{c}").alias(c))
+            result = joined.select(*proj)
+            if insert:
+                result = result.unionByName(
+                    source.join(
+                        target.select(*keys).distinct(), list(keys), "left_anti"
+                    ).select(*target.columns)
+                )
+            matched_desc = f"updateSet({sorted(matched_update)})"
+        adds = self._write_files(result, pcols)
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *({"remove": self._tombstone(p)} for p in touched),
+                dlog.commit_info(
+                    "MERGE",
+                    matchedPredicates=matched_desc,
+                    notMatchedPredicates="insertAll" if insert else "none",
+                ),
+            ]
+        )
+
+    # ------------------------------------------------------------ maintenance
+
+    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """Bin-pack small files per partition (dataChange=false, as the
+        spec requires for pure compaction — streams reading the table
+        skip these commits)."""
+        snap = self._snapshot()
+        groups: dict[tuple, list[str]] = {}
+        sizes: dict[tuple, int] = {}
+        for path, add in snap.files.items():
+            key = tuple(sorted(add.get("partitionValues", {}).items()))
+            groups.setdefault(key, []).append(path)
+            sizes[key] = sizes.get(key, 0) + add.get("size", 0)
+        actions: list[dict] = []
+        for key, paths in groups.items():
+            if len(paths) < 2:
+                continue
+            n_out = max(1, math.ceil(sizes[key] / target_bytes))
+            if n_out >= len(paths):
+                continue
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            ).coalesce(n_out)
+            part_dir = "/".join(f"{k}={v}" for k, v in key)
+            adds = self._write_files_into(df, part_dir, dict(key))
+            actions.extend({"add": a} for a in adds)
+            actions.extend(
+                {"remove": self._tombstone(p, data_change=False)}
+                for p in paths
+            )
+        if not actions:
+            return snap.version
+        actions.append(dlog.commit_info("OPTIMIZE"))
+        return self._commit_next(actions)
+
+    def _write_files_into(
+        self, df: DataFrame, part_dir: str, partition_values: dict[str, str]
+    ) -> list[dict]:
+        """Write pre-partition-scoped data files directly under one
+        partition directory (compaction/clustering path: the data no
+        longer carries partition columns)."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        adds = []
+        for fn in os.listdir(staging):
+            if not fn.endswith(".parquet"):
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            rel_path = f"{part_dir}/{new_name}" if part_dir else new_name
+            dest = os.path.join(self.path, rel_path)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(staging, fn), dest)
+            adds.append(
+                {
+                    "path": rel_path,
+                    "partitionValues": dict(partition_values),
+                    "size": os.path.getsize(dest),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": False,
+                    "stats": json.dumps(
+                        file_footer_stats(dest), separators=(",", ":")
+                    ),
+                }
+            )
+        shutil.rmtree(staging)
+        return adds
+
+    def zorder_by(self, zcols: list[str], n_files: int = 8, bits: int = 8) -> int:
+        """Z-ORDER clustering via the shared Morton-curve rewrite
+        (maintenance/optimize.interleave_bits): range-partitioned on
+        the z-value so every file's min/max stays narrow on EVERY
+        zcol — making files_matching selective on all of them."""
+        from ..maintenance.optimize import interleave_bits
+
+        snap = self._snapshot()
+        if snap.metadata.get("partitionColumns"):
+            raise NotImplementedError(
+                "zorder within partitions: compose optimize() + "
+                "per-partition zorder as needed"
+            )
+        df = self.read()
+        dtypes = dict(df.dtypes)
+        numeric = [c for c in zcols if dtypes[c] != "string"]
+        bounds = (
+            df.agg(
+                *[
+                    f(c).alias(f"{n}_{c}")
+                    for c in numeric
+                    for n, f in (("mn", F.min), ("mx", F.max))
+                ]
+            ).first()
+            if numeric
+            else None
+        )
+        normed = []
+        for c in zcols:
+            if dtypes[c] == "string":
+                normed.append(F.pmod(F.xxhash64(c), F.lit(2**bits)))
+            else:
+                lo, hi = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+                span = float(hi - lo) or 1.0
+                normed.append(
+                    F.least(
+                        F.lit(2**bits - 1),
+                        F.floor(
+                            (F.col(c) - F.lit(lo)) / F.lit(span) * (2**bits - 1)
+                        ),
+                    ).cast("long")
+                )
+        clustered = (
+            df.withColumn("_z", interleave_bits(normed, bits))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        adds = self._write_files(clustered, ())
+        for a in adds:
+            a["dataChange"] = False
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *(
+                    {"remove": self._tombstone(p, data_change=False)}
+                    for p in snap.files
+                ),
+                dlog.commit_info("OPTIMIZE", zOrderBy=zcols),
+            ]
+        )
+
+    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+        """Physically delete tombstoned files older than the retention
+        window. Time travel to versions referencing them stops working
+        afterwards — exactly Delta's trade-off."""
+        cutoff = (time.time() - retention_hours * 3600.0) * 1000.0
+        snap = self._snapshot()
+        deleted = []
+        for path, rm in snap.tombstones.items():
+            if rm.get("deletionTimestamp", 0) <= cutoff:
+                full = os.path.join(self.path, path)
+                if os.path.exists(full):
+                    os.remove(full)
+                    deleted.append(path)
+        if deleted:
+            self._commit_next(
+                [dlog.commit_info("VACUUM END", numDeletedFiles=len(deleted))],
+                retry_append=True,
+            )
+        return deleted
+
+    # ------------------------------------------------------------ streaming
+
+    def streaming_sink(self):
+        """foreachBatch body committing one log version per micro-batch
+        — the reference's streaming->Delta landing path, with the
+        commit stats the latency notebooks need (TimeDelay.ipynb)."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.append(batch_df)
+
+        return _sink

@@ -106,3 +106,45 @@ def scd2_apply(
         .unionByName(unchanged.select(cols))
         .unionByName(new_keyed.select(cols))
     )
+
+
+def scd2_apply_delta(table, candidates: DataFrame, business_key: str, as_of: str):
+    """The reference's ACTUAL two-step SCD-2 choreography against the
+    real transaction log (populate_dim.py:153-171): one in-place MERGE
+    expiring matched-but-changed current rows (whenMatchedUpdate SET
+    end_date/is_current with a hash-differs condition), then an append
+    of the new versions keyed above the current max surrogate. Two
+    commits — an auditor sees MERGE + WRITE in DESCRIBE HISTORY, as
+    they would on Delta. Equivalence with the single-shot DataFrame
+    algebra (``scd2_apply``) is pinned in tests/test_deltalog.py.
+
+    ``table`` is a delta.DeltaishTable holding the dimension.
+    """
+    dim = table.read()
+    cur = dim.filter(F.col("is_current") == "Y")
+    table.merge(
+        candidates.select(business_key, "hash"),
+        [business_key],
+        matched_update={
+            "end_date": F.lit(as_of).cast("date"),
+            "is_current": F.lit("N"),
+        },
+        matched_condition=(F.col("t.hash") != F.col("s.hash"))
+        & (F.col("t.is_current") == F.lit("Y")),
+        insert=False,
+    )
+    new_rows = candidates.join(
+        cur.select(business_key, "hash"), [business_key, "hash"], "left_anti"
+    )
+    max_key = (dim.agg(F.max("surrogate_key")).collect()[0][0]) or 0
+    new_keyed = surrogate_keys(
+        new_rows, [business_key, "hash"], offset=max_key
+    ).select(
+        "surrogate_key",
+        *candidates.columns,
+        F.lit(as_of).cast("date").alias("start_date"),
+        F.lit("9999-12-31").cast("date").alias("end_date"),
+        F.lit("Y").alias("is_current"),
+    )
+    table.append(new_keyed.select(*dim.columns))
+    return table.read()

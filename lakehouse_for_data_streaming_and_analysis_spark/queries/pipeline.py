@@ -641,3 +641,85 @@ def streaming_dedup_final_state(spark, sf_dir):
             "a partial memory table would silently fail the oracle"
         )
     return spark.table(tbl)
+
+
+@q(
+    "deltalog_snapshot_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
+       v1 AS (SELECT * FROM base WHERE o_orderkey % 3 <= 1),
+       src AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+               FROM base WHERE o_orderkey % 5 = 0),
+       v2 AS (SELECT * FROM v1
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL SELECT * FROM src),
+       stats AS (
+         SELECT 0 AS version, COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM v0
+         UNION ALL
+         SELECT 1, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v1
+         UNION ALL
+         SELECT 2, COUNT(*), SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v2)
+       SELECT CAST(version AS INT) AS version,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM stats""",
+)
+def deltalog_snapshot_audit(spark, sf_dir):
+    """End-to-end audit of the Deltaish transaction log
+    (lakehouse_for_data_streaming_and_analysis_spark/delta): build a real table from the orders
+    fixture — v0 CREATE (keys ≡0 mod 3, range-partitioned files), v1
+    APPEND (keys ≡1 mod 3), v2 MERGE upsert (double the price of every
+    key ≡0 mod 5: updates for loaded keys, inserts for the rest) — then
+    read each version back BY TIME TRAVEL through the committed log and
+    aggregate it. The oracle recomputes all three version states
+    relationally, so the hash match certifies the log's snapshot
+    isolation: every version's add/remove replay reproduces exactly the
+    relational state at that commit. Decimal-exact sums (order
+    independent) keep the hash portable."""
+    import shutil
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(_replay_dir(sf_dir, "deltalog"), "tbl")
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    t = DeltaishTable.create(
+        spark,
+        table_dir,
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.merge(
+        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["o_orderkey"],
+    )
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            t.read(version=v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "total_price",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

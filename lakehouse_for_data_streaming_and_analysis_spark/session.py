@@ -61,6 +61,11 @@ def get_spark(
         # fixture events.parquet carries TIMESTAMP(NANOS); read as long and
         # convert in the catalog (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the Spark default) is deprecated AND carries no
+        # footer min/max statistics, which would blind timestamp-based
+        # file skipping (delta/table.file_footer_stats, TimeDelay-style
+        # commit stats). Standard µs timestamps restore both.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # local[N] hosts all executor threads inside the driver JVM, so
         # the single heap must be sized for N concurrent tasks: at 8g/32

@@ -1,0 +1,327 @@
+"""Deltaish transaction log: create/append/overwrite, time travel,
+stats-based skipping, file-pruned MERGE, OPTIMIZE/Z-ORDER/VACUUM,
+optimistic concurrency, streaming sink commits, and reader
+compatibility with a delta-spark-style handwritten log."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
+from lakehouse_for_data_streaming_and_analysis_spark.delta import (
+    ConcurrentCommitError,
+    DeltaishTable,
+    commit_stats_df,
+)
+from lakehouse_for_data_streaming_and_analysis_spark.delta import log as dlog
+
+from .conftest import SF_DIR
+
+
+def _orders(spark, n=None):
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    return df.limit(n) if n else df
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    src = _orders(spark, 300)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    assert t.version == 0
+    got = t.read()
+    assert got.schema == src.schema
+    assert _rows(got) == _rows(src)
+
+
+def test_append_time_travel_history(spark, tmp_path):
+    src = _orders(spark)
+    lo = src.filter(F.col("o_orderkey") <= 1000)
+    hi = src.filter(F.col("o_orderkey") > 1000)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), lo)
+    v1 = t.append(hi)
+    assert v1 == 1
+    assert _rows(t.read()) == _rows(src)
+    assert _rows(t.read(version=0)) == _rows(lo)
+    hist = t.history()
+    assert [h["operation"] for h in hist] == [
+        "CREATE TABLE AS SELECT",
+        "WRITE",
+    ]
+    assert hist[1]["n_records_added"] == hi.count()
+
+
+def test_overwrite_keeps_old_version_readable(spark, tmp_path):
+    src = _orders(spark, 200)
+    small = _orders(spark, 50)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.overwrite(small)
+    assert _rows(t.read()) == _rows(small)
+    assert _rows(t.read(version=0)) == _rows(src)
+
+
+def test_stats_file_skipping(spark, tmp_path):
+    src = _orders(spark).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    all_files = t.files_matching("o_orderkey", 0, 10**9)
+    assert len(all_files) == 4
+    narrow = t.files_matching("o_orderkey", 1, 5)
+    assert len(narrow) < 4, "range-partitioned stats must prune files"
+    want = src.filter(F.col("o_orderkey").between(1, 5))
+    assert _rows(t.read_pruned("o_orderkey", 1, 5)) == _rows(want)
+
+
+def test_partitioned_table_roundtrip_and_pruning(spark, tmp_path):
+    src = _orders(spark, 400)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src, partition_by=("o_orderstatus",)
+    )
+    assert _rows(t.read()) == _rows(src)
+    assert t.read().schema == src.schema
+    only_f = t.files_matching("o_orderstatus", "F", "F")
+    assert 0 < len(only_f) < len(t._snapshot().files)
+    got = t._read_files(only_f)
+    assert _rows(got.select(*src.columns)) == _rows(
+        src.filter(F.col("o_orderstatus") == "F")
+    )
+
+
+def test_merge_upsert_semantics_and_file_pruning(spark, tmp_path):
+    src = _orders(spark).repartitionByRange(6, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    n_files = len(t._snapshot().files)
+    # source: update every order above the 90th key percentile, plus
+    # brand-new keys — confined to the top of the key range so stats
+    # pruning must leave the low-range files untouched
+    hi_cut = src.approxQuantile("o_orderkey", [0.9], 0.0)[0]
+    updates = (
+        src.filter(F.col("o_orderkey") > hi_cut)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserts = updates.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**7)
+    )
+    source = updates.unionByName(inserts)
+    t.merge(source, ["o_orderkey"])
+    expected = (
+        src.filter(F.col("o_orderkey") <= hi_cut)
+        .unionByName(source)
+    )
+    assert _rows(t.read()) == _rows(expected)
+    last = t.history()[-1]
+    assert last["operation"] == "MERGE"
+    assert 0 < last["n_files_removed"] < n_files, (
+        "merge must rewrite only the stat-intersecting files"
+    )
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    dup = src.limit(10).unionByName(src.limit(10))
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(dup, ["o_orderkey"])
+
+
+def test_concurrency_put_if_absent_and_append_retry(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    # a competing writer lands version 1 first
+    dlog.write_commit(t.path, 1, [dlog.commit_info("WRITE", mode="Append")])
+    with pytest.raises(ConcurrentCommitError):
+        dlog.write_commit(t.path, 1, [dlog.commit_info("WRITE")])
+    # an append re-reads the log and lands after the competitor
+    v = t.append(src.limit(10))
+    assert v == 2
+    assert t.read().count() == 110
+
+
+def test_optimize_compacts_and_preserves_time_travel(spark, tmp_path):
+    src = _orders(spark, 500).repartition(8)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.append(_orders(spark, 100).repartition(4))
+    before = len(t._snapshot().files)
+    assert before == 12
+    pre_version = t.version
+    t.optimize()
+    after = t._snapshot().files
+    assert len(after) < before
+    # compaction commits carry dataChange=false adds (spec: streams
+    # must be able to skip them)
+    last_commit = dlog.read_commit(t.path, t.version)
+    adds = [a["add"] for a in last_commit if "add" in a]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    full = _orders(spark, 500).unionByName(_orders(spark, 100))
+    assert _rows(t.read()) == _rows(full)
+    assert _rows(t.read(version=pre_version)) == _rows(full)
+
+
+def test_vacuum_deletes_tombstones_and_breaks_old_versions(spark, tmp_path):
+    src = _orders(spark, 300).repartition(6)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.optimize()
+    tombs = list(t._snapshot().tombstones)
+    assert tombs
+    deleted = t.vacuum(retention_hours=0.0)
+    assert sorted(deleted) == sorted(tombs)
+    for p in deleted:
+        assert not os.path.exists(os.path.join(t.path, p))
+    # current snapshot unaffected; pre-compaction versions now broken
+    assert t.read().count() == 300
+    assert t.history()[-1]["operation"] == "VACUUM END"
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    src = _orders(spark).repartition(6)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.zorder_by(["o_custkey", "o_orderkey"], n_files=6)
+    assert _rows(t.read()) == _rows(src)
+    n_live = len(t._snapshot().files)
+    lo, hi = 1, 30
+    pruned = t.files_matching("o_custkey", lo, hi)
+    assert len(pruned) < n_live, "z-order must make custkey stats selective"
+    want = src.filter(F.col("o_custkey").between(lo, hi))
+    assert _rows(t.read_pruned("o_custkey", lo, hi)) == _rows(want)
+
+
+def test_streaming_sink_one_commit_per_batch(spark, tmp_path):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .limit(300)
+    )
+    src_dir = str(tmp_path / "stream_src")
+    ev.repartition(3).write.parquet(src_dir)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), ev.limit(0)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(t.streaming_sink())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert t.read().count() == 300
+    assert t.version >= 3, "one commit per non-empty micro-batch"
+    stats = commit_stats_df(spark, t.path, "ts")
+    got = stats.agg(F.sum("numRecords")).collect()[0][0]
+    assert got == 300
+    assert stats.filter(F.col("min_event").isNull() & (F.col("numRecords") > 0)).count() == 0
+
+
+def test_reads_delta_spark_style_log(spark, tmp_path):
+    """A minimal _delta_log handwritten in the exact shape delta-spark
+    emits (ndjson actions, stats as a JSON string) must be readable —
+    pinning compatibility with real Delta tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ext"
+    root.mkdir()
+    data = pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+    fname = "part-00000-abc123.snappy.parquet"
+    pq.write_table(data, str(root / fname))
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000000",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": fname,
+                "partitionValues": {},
+                "size": os.path.getsize(str(root / fname)),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": 3,
+                        "minValues": {"id": 1, "v": "a"},
+                        "maxValues": {"id": 3, "v": "c"},
+                    }
+                ),
+            }
+        },
+        {
+            "commitInfo": {
+                "timestamp": 1700000000000,
+                "operation": "WRITE",
+                "operationParameters": {"mode": "ErrorIfExists"},
+            }
+        },
+    ]
+    with open(log_dir / f"{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaishTable(spark, str(root))
+    assert _rows(t.read()) == [("1", "a"), ("2", "b"), ("3", "c")]
+    assert t.files_matching("id", 5, 9) == []
+    assert t.history()[0]["operation"] == "WRITE"
+
+
+def test_scd2_choreography_on_real_log(spark, tmp_path):
+    """populate_dim's two-merge SCD-2 lifecycle against the real log
+    must equal the single-shot DataFrame algebra (dims/scd2.scd2_apply)
+    row-for-row, and leave an auditable MERGE + WRITE history."""
+    from lakehouse_for_data_streaming_and_analysis_spark.dims import scd2
+
+    n = load_table(spark, SF_DIR, "nation")
+    snap1 = n.select(
+        F.col("n_nationkey").alias("coin_id"),
+        F.col("n_name").alias("name"),
+        (F.col("n_nationkey") * 1000.0).alias("supply"),
+    )
+    c1 = scd2.hash_candidates(snap1, "coin_id", ["coin_id", "name", "supply"])
+    d1 = scd2.empty_dim(c1, "2024-01-01")
+    snap2 = snap1.withColumn(
+        "supply",
+        F.when(F.col("coin_id").between(1, 5), F.col("supply") + 1).otherwise(
+            F.col("supply")
+        ),
+    )
+    c2 = scd2.hash_candidates(snap2, "coin_id", ["coin_id", "name", "supply"])
+
+    t = DeltaishTable.create(spark, str(tmp_path / "dim"), d1)
+    got = scd2.scd2_apply_delta(t, c2, "coin_id", "2024-02-01")
+    want = scd2.scd2_apply(d1, c2, "coin_id", "2024-02-01")
+    assert _rows(got) == _rows(want)
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CREATE TABLE AS SELECT", "MERGE", "WRITE"]
+    # idempotency on the log too: re-applying the same snapshot is a no-op
+    again = scd2.scd2_apply_delta(t, c2, "coin_id", "2024-03-01")
+    assert _rows(again) == _rows(want)
