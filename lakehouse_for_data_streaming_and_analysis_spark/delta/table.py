@@ -546,6 +546,44 @@ class DeltaishTable:
 
     # ------------------------------------------------------------ streaming
 
+    def as_stream(self) -> DataFrame:
+        """Table-as-stream (the reference's bronze re-read pattern,
+        streaming_pipeline.py:47-48): a file-source stream over the
+        table directory with the DECLARED schema. Spark's file source
+        ignores ``_delta_log`` (underscore prefix) and discovers each
+        newly committed data file as it lands, so for APPEND-ONLY
+        tables this is exactly Delta's streaming read. Constraint
+        (documented, asserted): the real Delta source reads the log to
+        skip ``dataChange=false`` files; a plain file stream cannot,
+        so this raises if the table has ever been compacted or
+        overwritten — run maintenance on the downstream copy instead,
+        which is also the reference's layout (bronze append-only,
+        OPTIMIZE on silver)."""
+        snap = self._snapshot()
+        for v in dlog.list_versions(self.path):
+            for action in dlog.read_commit(self.path, v):
+                if "remove" in action:
+                    raise ValueError(
+                        "as_stream requires an append-only history; "
+                        f"version {v} removed files (optimize/overwrite/"
+                        "merge). Stream from an append-only upstream "
+                        "table instead."
+                    )
+        schema = T.StructType.fromJson(
+            json.loads(snap.metadata["schemaString"])
+        )
+        if snap.metadata.get("partitionColumns"):
+            raise NotImplementedError(
+                "as_stream on partitioned tables: partition values "
+                "are directory-encoded; stream the unpartitioned "
+                "bronze layout as the reference does"
+            )
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(self.path)
+        )
+
     def streaming_sink(self):
         """foreachBatch body committing one log version per micro-batch
         — the reference's streaming->Delta landing path, with the

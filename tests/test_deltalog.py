@@ -325,3 +325,32 @@ def test_scd2_choreography_on_real_log(spark, tmp_path):
     # idempotency on the log too: re-applying the same snapshot is a no-op
     again = scd2.scd2_apply_delta(t, c2, "coin_id", "2024-03-01")
     assert _rows(again) == _rows(want)
+
+
+def test_as_stream_reads_appends_and_guards_compaction(spark, tmp_path):
+    """Table-as-stream (bronze re-read pattern): an append-only
+    Deltaish table streams every committed row; after OPTIMIZE the
+    guard refuses (a plain file stream would double-count compacted
+    files)."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 800)
+    n_total = src.count()
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") <= 400)
+    )
+    t.append(src.filter(F.col("o_orderkey") > 400))
+    q = (
+        t.as_stream()
+        .groupBy()
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("deltaish_stream_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("deltaish_stream_counts").collect()[0]["count"]
+    assert got == n_total
+    t.optimize()
+    with pytest.raises(ValueError, match="append-only"):
+        t.as_stream()
