@@ -193,14 +193,38 @@ class DeltaishTable:
                     raise
         raise ConcurrentCommitError("gave up after 20 append retries")
 
-    def append(self, df: DataFrame) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+    ) -> int:
+        """Append; with ``txn_app_id``/``txn_version`` the commit also
+        carries the protocol's ``txn`` action, making the append
+        idempotent per (appId, version) — ``last_txn_version`` lets a
+        retried writer detect it already committed."""
         snap = self._snapshot()
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
-        return self._commit_next(
-            [*({"add": a} for a in adds), dlog.commit_info("WRITE", mode="Append")],
-            retry_append=True,
-        )
+        actions = [*({"add": a} for a in adds)]
+        if txn_app_id is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
+            )
+        actions.append(dlog.commit_info("WRITE", mode="Append"))
+        return self._commit_next(actions, retry_append=True)
+
+    def last_txn_version(self, txn_app_id: str) -> int:
+        """Highest committed ``txn`` version for an application id
+        (-1 if none) — the exactly-once watermark for streaming
+        writers."""
+        best = -1
+        for v in dlog.list_versions(self.path):
+            for action in dlog.read_commit(self.path, v):
+                txn = action.get("txn")
+                if txn and txn.get("appId") == txn_app_id:
+                    best = max(best, int(txn.get("version", -1)))
+        return best
 
     def overwrite(self, df: DataFrame) -> int:
         snap = self._snapshot()
@@ -584,14 +608,25 @@ class DeltaishTable:
             .parquet(self.path)
         )
 
-    def streaming_sink(self):
+    def streaming_sink(self, txn_app_id: str | None = None):
         """foreachBatch body committing one log version per micro-batch
         — the reference's streaming->Delta landing path, with the
-        commit stats the latency notebooks need (TimeDelay.ipynb)."""
+        commit stats the latency notebooks need (TimeDelay.ipynb).
+
+        With ``txn_app_id`` the sink is EXACTLY-ONCE under micro-batch
+        retries: each commit records the protocol's ``txn`` action and
+        a redelivered batch_id at or below the committed watermark is
+        skipped (Delta's txnAppId/txnVersion idempotence contract)."""
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.append(batch_df)
+            if txn_app_id is not None and batch_id <= self.last_txn_version(
+                txn_app_id
+            ):
+                return
+            self.append(
+                batch_df, txn_app_id=txn_app_id, txn_version=batch_id
+            )
 
         return _sink

@@ -354,3 +354,27 @@ def test_as_stream_reads_appends_and_guards_compaction(spark, tmp_path):
     t.optimize()
     with pytest.raises(ValueError, match="append-only"):
         t.as_stream()
+
+
+def test_txn_action_makes_retries_exactly_once(spark, tmp_path):
+    """Delta's txnAppId/txnVersion idempotence: redelivering a
+    micro-batch (foreachBatch retry after a sink failure) must not
+    duplicate rows; a NEW batch id still lands."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 600)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src.limit(0))
+    sink = t.streaming_sink(txn_app_id="fact_writer")
+    b0 = src.filter(F.col("o_orderkey") <= 300)
+    b1 = src.filter(F.col("o_orderkey") > 300)
+    assert b0.count() > 0 and b1.count() > 0
+    sink(b0, 0)
+    sink(b1, 1)
+    n = t.read().count()
+    sink(b0, 0)  # redelivery of an already-committed batch
+    sink(b1, 1)
+    assert t.read().count() == n
+    assert t.last_txn_version("fact_writer") == 1
+    sink(b0.limit(5), 2)  # genuinely new batch id
+    assert t.read().count() == n + 5
+    assert t.last_txn_version("fact_writer") == 2
+    # a different appId has its own watermark
+    assert t.last_txn_version("other_app") == -1
