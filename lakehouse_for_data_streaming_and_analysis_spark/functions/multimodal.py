@@ -98,3 +98,207 @@ def frame_sample_indices(n_frames_col: str, every_n: int):
     return F.sequence(
         F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)
     )
+
+
+# ---------------------------------------------------------------- real codecs
+#
+# The container has no media libraries, but two container formats are
+# fully decodable with the standard library alone: RIFF/WAVE PCM (the
+# ``wave`` module) and uncompressed 24-bit BMP (``struct``). These
+# paths are REAL end to end — actual bytes through an actual parser —
+# and their payloads are synthesized deterministically from doc_id, so
+# a DuckDB oracle can recompute every decoded feature in closed form:
+# the driver's hash match certifies the encode->parse->extract
+# roundtrip bit-for-bit (queries: audio_wav_features,
+# image_bmp_features).
+
+WAV_SAMPLE_RATE = 8000
+
+
+def wav_n_frames(doc_id: int) -> int:
+    return 64 + doc_id % 64
+
+
+def wav_sample(doc_id: int, i: int) -> int:
+    """Deterministic int16 PCM sample (the closed form the oracle
+    recomputes)."""
+    return (doc_id * 17 + i * 11) % 32768 - 16384
+
+
+def wav_bytes(doc_id: int) -> bytes:
+    """A real RIFF/WAVE file: mono 16-bit PCM at 8 kHz."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        n = wav_n_frames(doc_id)
+        w.writeframes(
+            struct.pack(f"<{n}h", *(wav_sample(doc_id, i) for i in range(n)))
+        )
+    return buf.getvalue()
+
+
+WAV_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, n_frames int, "
+    "duration_ms double, rms double"
+)
+
+
+def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas WAV decode: parse the RIFF container with the
+    ``wave`` module, unpack PCM frames, and extract audio features
+    (duration, RMS amplitude). Pure per-row -> scales by executors."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "channels": [], "sample_rate": [],
+                "n_frames": [], "duration_ms": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    nch, sw, rate, n = (
+                        w.getnchannels(), w.getsampwidth(),
+                        w.getframerate(), w.getnframes(),
+                    )
+                    samples = struct.unpack(
+                        f"<{n * nch}h", w.readframes(n)
+                    )
+                sumsq = sum(s * s for s in samples)  # exact int
+                out["doc_id"].append(doc_id)
+                out["channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["rms"].append(
+                    round(math.sqrt(sumsq / len(samples)), 6)
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(decode, schema=WAV_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize the WAV payload column (at scale: the object read
+    from blob storage)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [wav_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, payload binary"
+    )
+
+
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 16 + 4, doc_id % 8 + 2
+
+
+def bmp_pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Deterministic channel value, c in (0=R, 1=G, 2=B)."""
+    return (doc_id * 31 + x * 7 + y * 13 + c * 5) % 256
+
+
+def bmp_bytes(doc_id: int) -> bytes:
+    """A real uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding, BGR byte order)."""
+    import struct
+
+    w, h = bmp_dims(doc_id)
+    row_size = (w * 3 + 3) & ~3
+    pixel_bytes = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            rows += bytes(
+                (
+                    bmp_pixel(doc_id, x, y, 2),  # B
+                    bmp_pixel(doc_id, x, y, 1),  # G
+                    bmp_pixel(doc_id, x, y, 0),  # R
+                )
+            )
+        rows += b"\x00" * (row_size - w * 3)
+    return header + bytes(rows)
+
+
+BMP_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas BMP decode: parse the header with ``struct``, walk
+    the padded bottom-up pixel rows, and extract per-channel means —
+    a real image feature-extraction stage with no external codec."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bpp": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", b, 0)
+                assert magic == b"BM", "not a BMP payload"
+                _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", b, 14)
+                row_size = (w * 3 + 3) & ~3
+                sums = [0, 0, 0]  # R, G, B
+                for row in range(h):
+                    y = h - 1 - row  # bottom-up storage
+                    base = off + row * row_size
+                    for x in range(w):
+                        p = base + x * 3
+                        sums[2] += b[p]      # B
+                        sums[1] += b[p + 1]  # G
+                        sums[0] += b[p + 2]  # R
+                n_px = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["mean_r"].append(round(sums[0] / n_px, 6))
+                out["mean_g"].append(round(sums[1] / n_px, 6))
+                out["mean_b"].append(round(sums[2] / n_px, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(decode, schema=BMP_SCHEMA)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [bmp_bytes(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, payload binary"
+    )
