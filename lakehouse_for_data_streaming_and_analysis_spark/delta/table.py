@@ -193,20 +193,67 @@ class DeltaishTable:
                     raise
         raise ConcurrentCommitError("gave up after 20 append retries")
 
+    def _schema_for(self, snap: dlog.Snapshot) -> T.StructType:
+        return T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+
+    def _enforce_or_evolve(
+        self, df: DataFrame, snap: dlog.Snapshot, merge_schema: bool
+    ) -> T.StructType | None:
+        """Delta's write-side schema contract: reject unknown columns
+        and type changes unless ``merge_schema`` (mergeSchema option)
+        evolves the table schema by appending the new nullable fields.
+        Returns the evolved schema, or None if unchanged. Missing
+        columns are always fine — old files simply lack them and read
+        back as null."""
+        declared = self._schema_for(snap)
+        dmap = {f.name: f.dataType for f in declared.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            if f.name in dmap:
+                if f.dataType != dmap[f.name]:
+                    raise ValueError(
+                        f"type change for column {f.name!r}: table has "
+                        f"{dmap[f.name].simpleString()}, write has "
+                        f"{f.dataType.simpleString()}"
+                    )
+            elif merge_schema:
+                new_fields.append(T.StructField(f.name, f.dataType, True))
+            else:
+                raise ValueError(
+                    f"column {f.name!r} is not in the table schema; "
+                    "pass merge_schema=True to evolve"
+                )
+        if not new_fields:
+            return None
+        return T.StructType(list(declared.fields) + new_fields)
+
+    def _metadata_action(self, snap: dlog.Snapshot, schema: T.StructType) -> dict:
+        md = dict(snap.metadata)
+        md["schemaString"] = schema.json()
+        return {"metaData": md}
+
     def append(
         self,
         df: DataFrame,
         txn_app_id: str | None = None,
         txn_version: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
-        """Append; with ``txn_app_id``/``txn_version`` the commit also
-        carries the protocol's ``txn`` action, making the append
-        idempotent per (appId, version) — ``last_txn_version`` lets a
-        retried writer detect it already committed."""
+        """Append with Delta's schema enforcement (unknown columns and
+        type changes rejected; ``merge_schema=True`` evolves the table
+        schema instead, like the mergeSchema write option). With
+        ``txn_app_id``/``txn_version`` the commit also carries the
+        protocol's ``txn`` action, making the append idempotent per
+        (appId, version) — ``last_txn_version`` lets a retried writer
+        detect it already committed."""
         snap = self._snapshot()
+        evolved = self._enforce_or_evolve(df, snap, merge_schema)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
-        actions = [*({"add": a} for a in adds)]
+        actions: list[dict] = []
+        if evolved is not None:
+            actions.append(self._metadata_action(snap, evolved))
+        actions.extend({"add": a} for a in adds)
         if txn_app_id is not None:
             actions.append(
                 {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
@@ -226,20 +273,24 @@ class DeltaishTable:
                     best = max(best, int(txn.get("version", -1)))
         return best
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, overwrite_schema: bool = False) -> int:
+        """Overwrite under schema enforcement; ``overwrite_schema=True``
+        REPLACES the table schema with the frame's (Delta's
+        overwriteSchema option — legal only together with a data
+        overwrite, since old files stop matching)."""
         snap = self._snapshot()
+        actions: list[dict] = []
+        if overwrite_schema:
+            actions.append(self._metadata_action(snap, df.schema))
+        else:
+            evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
+            assert evolved is None  # merge_schema=False never evolves
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
-        removes = [
-            {"remove": self._tombstone(p)} for p in snap.files
-        ]
-        return self._commit_next(
-            [
-                *({"add": a} for a in adds),
-                *removes,
-                dlog.commit_info("WRITE", mode="Overwrite"),
-            ]
-        )
+        actions.extend({"add": a} for a in adds)
+        actions.extend({"remove": self._tombstone(p)} for p in snap.files)
+        actions.append(dlog.commit_info("WRITE", mode="Overwrite"))
+        return self._commit_next(actions)
 
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
@@ -251,33 +302,30 @@ class DeltaishTable:
 
     # ------------------------------------------------------------ reads
 
-    def _read_files(self, rel_paths: list[str]) -> DataFrame:
-        snap = self._snapshot()
-        schema = T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
+    def _read_snapshot_files(
+        self, snap: dlog.Snapshot, rel_paths
+    ) -> DataFrame:
+        """Read files under the snapshot's DECLARED schema (not
+        inference): files predating a schema evolution lack the new
+        columns and read back as null, and partition-column values come
+        from directory paths at their declared types."""
+        schema = self._schema_for(snap)
+        rel_paths = list(rel_paths)
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
         df = (
-            self.spark.read.option("basePath", self.path)
+            self.spark.read.schema(schema)
+            .option("basePath", self.path)
             .parquet(*[os.path.join(self.path, p) for p in rel_paths])
         )
-        # partition columns come back via directory inference; cast
-        # them to their declared types and restore column order
-        for pc in snap.metadata.get("partitionColumns", ()):  # typed
-            df = df.withColumn(pc, F.col(pc).cast(schema[pc].dataType))
         return df.select(*[f.name for f in schema.fields])
+
+    def _read_files(self, rel_paths: list[str]) -> DataFrame:
+        return self._read_snapshot_files(self._snapshot(), rel_paths)
 
     def read(self, version: int | None = None) -> DataFrame:
         snap = self._snapshot(version)
-        schema = T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))
-        if not snap.files:
-            return self.spark.createDataFrame([], schema)
-        df = (
-            self.spark.read.option("basePath", self.path)
-            .parquet(*[os.path.join(self.path, p) for p in snap.files])
-        )
-        for pc in snap.metadata.get("partitionColumns", ()):
-            df = df.withColumn(pc, F.col(pc).cast(schema[pc].dataType))
-        return df.select(*[f.name for f in schema.fields])
+        return self._read_snapshot_files(snap, snap.files)
 
     # ------------------------------------------------------------ skipping
 

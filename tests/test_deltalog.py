@@ -378,3 +378,50 @@ def test_txn_action_makes_retries_exactly_once(spark, tmp_path):
     assert t.last_txn_version("fact_writer") == 2
     # a different appId has its own watermark
     assert t.last_txn_version("other_app") == -1
+
+
+def test_schema_enforcement_rejects_unknown_and_type_changes(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.append(src.withColumn("surprise", F.lit(1)))
+    with pytest.raises(ValueError, match="type change"):
+        t.append(src.withColumn("o_custkey", F.col("o_custkey").cast("string")))
+
+
+def test_merge_schema_evolution_and_time_travel_schema(spark, tmp_path):
+    """mergeSchema append: new nullable column lands in the table
+    schema; rows from pre-evolution files read back null; the
+    pre-evolution VERSION still carries the old schema."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 400)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    newer = (
+        _orders(spark)
+        .filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800))
+        .withColumn("priority_rank", (F.col("o_orderkey") % 5).cast("int"))
+    )
+    t.append(newer, merge_schema=True)
+    cur = t.read()
+    assert cur.columns == [*src.columns, "priority_rank"]
+    old_rows = cur.filter(F.col("o_orderkey") <= 400)
+    assert old_rows.filter(F.col("priority_rank").isNotNull()).count() == 0
+    assert old_rows.count() == src.count()
+    got_new = cur.filter(F.col("o_orderkey") > 400)
+    assert _rows(got_new) == _rows(newer)
+    # time travel resurrects the pre-evolution schema
+    assert t.read(version=0).columns == src.columns
+
+
+def test_overwrite_schema_replaces_schema(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    slim = src.select("o_orderkey", "o_totalprice")
+    with pytest.raises(ValueError):
+        t.overwrite(slim.withColumnRenamed("o_totalprice", "price"))
+    t.overwrite(
+        slim.withColumnRenamed("o_totalprice", "price"),
+        overwrite_schema=True,
+    )
+    assert t.read().columns == ["o_orderkey", "price"]
+    assert t.read().count() == 100
+    assert t.read(version=0).columns == src.columns
