@@ -49,6 +49,7 @@ ROWS_ONLY = (
     "kmeans_embedding_clusters",
     "sketch_cardinalities",
     "bpe_vocab_merges",
+    "bpe_tokenize_docs",
     "quality_classifier_scores",
 )
 

@@ -122,3 +122,33 @@ def quality_classifier_scores(spark, sf_dir, iters: int = 10):
         F.round(score, 4).alias("score"),
         (score >= 0.5).cast("int").alias("predicted"),
     )
+
+
+@q("bpe_tokenize_docs")
+def bpe_tokenize_docs(spark, sf_dir, n_merges: int = 24):
+    """The APPLY side of the tokenizer — the operation that actually
+    runs at 100 TB (training the vocab is offline; segmenting the
+    corpus is the scale job): learn the merge table, then segment
+    every document by broadcasting the word -> symbol-count vocabulary
+    against the exploded token stream (segmentation is per-word, so
+    the corpus-sized side never shuffles — one broadcast hash join +
+    one doc-grain aggregate). Returns per-doc word and subword counts;
+    per-doc parity with the sequential Python reference pinned in
+    tests/test_bpe.py."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = textfns.tokens("text")
+    words = bpe.word_symbol_table(docs, toks)
+    _, final = bpe.learn_merges(words, n_merges)
+    vocab = final.select("word", F.size("syms").alias("n_sub"))
+    stream = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    return (
+        stream.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+    )

@@ -145,3 +145,30 @@ def test_merges_compress_the_corpus(spark):
         assert m["pair_count"] >= 1
         assert m["merged"] == m["left"] + m["right"]
         assert not re.fullmatch(r"\s*", m["merged"])
+
+
+def test_tokenize_docs_matches_python_segmentation(spark):
+    from lakehouse_for_data_streaming_and_analysis_spark.queries.training import bpe_tokenize_docs
+
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_tokenize_docs(spark, SF_DIR, n_merges=N_MERGES).collect()
+    }
+    _, vocab = _python_bpe(_word_counts_from_fixture(), N_MERGES)
+    sub_len = {
+        "".join(s for s in k)[: -len(bpe.EOW)]: len(k) for k in vocab
+    }
+    con = duckdb.connect()
+    doc_words = con.execute(
+        f"""SELECT doc_id, w FROM (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM read_parquet('{SF_DIR}/documents.parquet'))
+            WHERE len(w) > 0"""
+    ).fetchall()
+    con.close()
+    want: dict = {}
+    for doc_id, w in doc_words:
+        n_words, n_sub = want.get(doc_id, (0, 0))
+        want[doc_id] = (n_words + 1, n_sub + sub_len[w])
+    assert got == want
