@@ -15,18 +15,21 @@ read by plain Python around Spark parquet writers.
 
 In scope (tested in tests/test_deltalog.py):
   atomic put-if-absent commits + optimistic concurrency, snapshot
-  replay, time travel, history, per-file footer statistics, stats- and
-  partition-based file skipping, file-pruned MERGE upsert, OPTIMIZE
-  bin-packing (dataChange=false), Z-ORDER clustering, VACUUM with the
-  tombstone retention window, and a streaming foreachBatch sink that
-  commits one version per micro-batch.
+  replay resuming from parquet checkpoints (`<v>.checkpoint.parquet` +
+  `_last_checkpoint`, auto-written every 10 commits), time travel,
+  history, schema enforcement + mergeSchema/overwriteSchema evolution,
+  per-file footer statistics, stats- and partition-based file
+  skipping, file-pruned MERGE (upsert and whenMatchedUpdate SET),
+  OPTIMIZE bin-packing (dataChange=false), Z-ORDER clustering, VACUUM
+  with the tombstone retention window, table-as-stream reads
+  (append-only guard), and a streaming foreachBatch sink with the
+  `txn` action for exactly-once micro-batch retries.
 
-Out of scope, documented: parquet checkpoint files + _last_checkpoint
-(replay starts at version 0 — fine below ~10^4 commits; production
-Delta writes a checkpoint every 10), multi-cluster LogStores (atomic
-create is the local/HDFS put-if-absent contract; S3 needs an external
-coordination service, same as OSS Delta), and column-mapping /
-deletion-vector reader features.
+Out of scope, documented: checkpoint rows are JSON-encoded action
+columns rather than the spec's typed nested structs; multi-cluster
+LogStores (atomic create is the local/HDFS put-if-absent contract; S3
+needs an external coordination service, same as OSS Delta); and
+column-mapping / deletion-vector reader features.
 """
 
 from .log import ConcurrentCommitError, commit_stats_df

@@ -85,11 +85,18 @@ class Snapshot:
 
 
 def replay(table_path: str, until: int | None = None) -> Snapshot:
-    """Reconstruct table state by replaying the log in version order
-    (production Delta starts from the newest parquet checkpoint; this
-    implementation replays from 0 — see package docstring)."""
+    """Reconstruct table state: resume from the newest usable parquet
+    checkpoint (if any at or before ``until``), then replay only the
+    later JSON commits — the production Delta read path."""
     snap = Snapshot()
+    start = 0
+    cp = last_checkpoint_version(table_path)
+    if cp is not None and (until is None or cp <= until):
+        snap = read_checkpoint(table_path, cp)
+        start = cp + 1
     for v in list_versions(table_path):
+        if v < start:
+            continue
         if until is not None and v > until:
             break
         snap.version = v
@@ -178,3 +185,87 @@ def commit_stats_df(spark, table_path: str, time_col: str):
             "min_event string, max_event string"
         ),
     )
+
+
+# ---------------------------------------------------------------- checkpoints
+#
+# Spec-shaped checkpointing: a parquet file `<version 020d>.checkpoint
+# .parquet` holding the full replayed state as one action per row
+# (columns protocol/metaData/add/remove/txn, exactly one non-null per
+# row), plus the `_last_checkpoint` JSON pointer. Readers resume from
+# the newest checkpoint and replay only later commits — at 1e5 commits
+# this is the difference between opening 14 files and 1e5.
+
+LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def checkpoint_file(table_path: str, version: int) -> str:
+    return os.path.join(
+        log_path(table_path), f"{version:020d}.checkpoint.parquet"
+    )
+
+
+def write_checkpoint(table_path: str, version: int | None = None) -> int:
+    """Materialize the snapshot at ``version`` (default: latest) as a
+    parquet checkpoint and advance ``_last_checkpoint``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = list_versions(table_path)
+    if version is None:
+        version = versions[-1]
+    snap = replay(table_path, until=version)
+    rows: list[dict] = [
+        {"protocol": snap.protocol or None},
+        {"metaData": snap.metadata or None},
+        *({"add": a} for a in snap.files.values()),
+        *({"remove": r} for r in snap.tombstones.values()),
+    ]
+    # one JSON-encoded action column per action type; parquet-friendly
+    # without hand-maintaining the full nested spec schema (documented
+    # divergence: the spec stores typed nested structs)
+    cols = {"protocol": [], "metaData": [], "add": [], "remove": []}
+    for r in rows:
+        for k in cols:
+            v = r.get(k)
+            cols[k].append(
+                json.dumps(v, separators=(",", ":")) if v else None
+            )
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}),
+        checkpoint_file(table_path, version),
+    )
+    with open(os.path.join(log_path(table_path), LAST_CHECKPOINT), "w") as f:
+        json.dump({"version": version, "parts": 1}, f)
+    return version
+
+
+def last_checkpoint_version(table_path: str) -> int | None:
+    p = os.path.join(log_path(table_path), LAST_CHECKPOINT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        v = int(json.load(f)["version"])
+    return v if os.path.exists(checkpoint_file(table_path, v)) else None
+
+
+def read_checkpoint(table_path: str, version: int) -> Snapshot:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(checkpoint_file(table_path, version)).to_pydict()
+    snap = Snapshot(version=version)
+    for j in tbl["protocol"]:
+        if j:
+            snap.protocol = json.loads(j)
+    for j in tbl["metaData"]:
+        if j:
+            snap.metadata = json.loads(j)
+    for j in tbl["add"]:
+        if j:
+            add = json.loads(j)
+            snap.files[add["path"]] = add
+    for j in tbl["remove"]:
+        if j:
+            rm = json.loads(j)
+            snap.tombstones[rm["path"]] = rm
+    return snap

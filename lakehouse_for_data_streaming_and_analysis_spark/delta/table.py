@@ -187,11 +187,17 @@ class DeltaishTable:
             v = self._snapshot().version + 1
             try:
                 dlog.write_commit(self.path, v, actions)
+                if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
+                    dlog.write_checkpoint(self.path, v)
                 return v
             except ConcurrentCommitError:
                 if not retry_append:
                     raise
         raise ConcurrentCommitError("gave up after 20 append retries")
+
+    # Delta's default cadence: parquet-checkpoint the log every 10
+    # commits so readers open O(10) files regardless of history length.
+    CHECKPOINT_INTERVAL = 10
 
     def _schema_for(self, snap: dlog.Snapshot) -> T.StructType:
         return T.StructType.fromJson(json.loads(snap.metadata["schemaString"]))

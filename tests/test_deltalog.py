@@ -425,3 +425,30 @@ def test_overwrite_schema_replaces_schema(spark, tmp_path):
     assert t.read().columns == ["o_orderkey", "price"]
     assert t.read().count() == 100
     assert t.read(version=0).columns == src.columns
+
+
+def test_checkpoint_resumes_without_early_commits(spark, tmp_path):
+    """Every 10th commit writes a parquet checkpoint + _last_checkpoint;
+    a reader resumes from it and replays only later JSON commits —
+    proven by deleting the pre-checkpoint JSONs and reading anyway."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 1300)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") <= 100)
+    )
+    for i in range(1, 13):
+        t.append(
+            src.filter(
+                (F.col("o_orderkey") > i * 100)
+                & (F.col("o_orderkey") <= (i + 1) * 100)
+            )
+        )
+    assert t.version == 12
+    assert dlog.last_checkpoint_version(t.path) == 10
+    assert os.path.exists(dlog.checkpoint_file(t.path, 10))
+    want = _rows(src)
+    assert _rows(t.read()) == want
+    # the checkpoint stands in for history: drop JSON commits 0-9
+    for v in range(10):
+        os.remove(dlog.version_file(t.path, v))
+    assert _rows(t.read()) == want
+    assert t.version == 12
