@@ -985,3 +985,81 @@ def open_order_backlog(spark, sf_dir):
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("backlog"),
     )
+
+
+@q(
+    "holt_linear_forecast",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE)) AS vs,
+                COUNT(*) AS n_days
+         FROM daily GROUP BY 1),
+       steps AS (
+         SELECT event_type, n_days, vs, 2 AS t,
+                vs[2] AS l, vs[2] - vs[1] AS b
+         FROM series WHERE n_days >= 3
+         UNION ALL
+         SELECT event_type, n_days, vs, t + 1,
+                vs[t + 1] * CAST(0.5 AS DOUBLE)
+                  + (l + b) * CAST(0.5 AS DOUBLE),
+                (vs[t + 1] * CAST(0.5 AS DOUBLE)
+                  + (l + b) * CAST(0.5 AS DOUBLE) - l) * CAST(0.25 AS DOUBLE)
+                  + b * CAST(0.75 AS DOUBLE)
+         FROM steps WHERE t < n_days)
+       SELECT event_type, n_days,
+              ROUND(l, 6) AS level,
+              ROUND(b, 6) AS trend,
+              ROUND(l + 3 * b, 6) AS forecast_3
+       FROM steps WHERE t = n_days""",
+)
+def holt_linear_forecast(spark, sf_dir):
+    """Holt linear-trend (double) exponential smoothing per series —
+    the forecasting-family extension of the X-suite (alpha=0.5,
+    beta=0.25; Hyndman-style init l2=v2, b2=v2-v1, recurrence from the
+    third observation). Like ewma_daily_value, the smoothing is a
+    SEQUENTIAL left fold over the date-sorted daily array, executed as
+    the same IEEE op sequence in both engines (aggregate() with a
+    struct state here, list_reduce over struct elements in DuckDB) —
+    exact-binary smoothing constants (0.5/0.25) keep every step a
+    clean scaling. The collect_list per series is bounded by
+    days-per-series, not tick count, so the pattern holds at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 3)
+
+    v = F.col("vs")
+    init = F.struct(
+        F.element_at(v, 2).alias("l"),
+        (F.element_at(v, 2) - F.element_at(v, 1)).alias("b"),
+    )
+
+    def step(acc, x):
+        new_l = x * F.lit(0.5) + (acc["l"] + acc["b"]) * F.lit(0.5)
+        return F.struct(
+            new_l.alias("l"),
+            (
+                (new_l - acc["l"]) * F.lit(0.25) + acc["b"] * F.lit(0.75)
+            ).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(v, 3, F.greatest(F.size(v) - 2, F.lit(0))), init, step
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(3) * st["b"], 6).alias("forecast_3"),
+    )
