@@ -1063,3 +1063,107 @@ def holt_linear_forecast(spark, sf_dir):
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + F.lit(3) * st["b"], 6).alias("forecast_3"),
     )
+
+
+@q(
+    "holt_winters_seasonal",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE)) AS vs,
+                COUNT(*) AS n_days
+         FROM daily GROUP BY 1),
+       seeded AS (
+         SELECT *,
+                list_reduce(vs[1:7], (a, x) -> a + x) / 7 AS m1,
+                list_reduce(vs[8:14], (a, x) -> a + x) / 7 AS m2
+         FROM series WHERE n_days >= 14),
+       steps AS (
+         SELECT event_type, n_days, vs, 7 AS t,
+                m1 AS l, (m2 - m1) / 7 AS b,
+                list_transform(vs[1:7], x -> x - m1) AS s
+         FROM seeded
+         UNION ALL
+         SELECT event_type, n_days, vs, t + 1,
+                (vs[t + 1] - s[1]) * CAST(0.5 AS DOUBLE)
+                  + (l + b) * CAST(0.5 AS DOUBLE),
+                ((vs[t + 1] - s[1]) * CAST(0.5 AS DOUBLE)
+                  + (l + b) * CAST(0.5 AS DOUBLE) - l) * CAST(0.25 AS DOUBLE)
+                  + b * CAST(0.75 AS DOUBLE),
+                s[2:] || [(vs[t + 1]
+                           - ((vs[t + 1] - s[1]) * CAST(0.5 AS DOUBLE)
+                              + (l + b) * CAST(0.5 AS DOUBLE)))
+                            * CAST(0.25 AS DOUBLE)
+                          + s[1] * CAST(0.75 AS DOUBLE)]
+         FROM steps WHERE t < n_days)
+       SELECT event_type, n_days,
+              ROUND(l, 6) AS level,
+              ROUND(b, 6) AS trend,
+              ROUND(s[3], 6) AS season_3,
+              ROUND(l + 3 * b + s[3], 6) AS forecast_3
+       FROM steps WHERE t = n_days""",
+)
+def holt_winters_seasonal(spark, sf_dir, period: int = 7):
+    """Holt-Winters additive triple smoothing (alpha=0.5, beta=0.25,
+    gamma=0.25; weekly season P=7; classical init: level = first-week
+    mean, trend = week-over-week mean difference / P, seasonals =
+    first-week deviations). State is (level, trend, rolling P-vector
+    of seasonals) folded sequentially over the date-sorted daily
+    array — a JVM struct+array fold here, the identical recurrence
+    unrolled as a recursive CTE in DuckDB (same list-state mechanics:
+    drop the consumed seasonal, append the refreshed one). h-step
+    forecast = level + h*trend + seasonal[h]. Exact-binary smoothing
+    constants; state size is P+2 doubles per series regardless of
+    tick count."""
+    P = period
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 2 * P)
+
+    v = F.col("vs")
+
+    def lsum(sl):
+        return F.aggregate(sl, F.lit(0.0), lambda a, x: a + x)
+
+    m1 = lsum(F.slice(v, 1, P)) / P
+    m2 = lsum(F.slice(v, P + 1, P)) / P
+    init = F.struct(
+        m1.alias("l"),
+        ((m2 - m1) / P).alias("b"),
+        F.transform(F.slice(v, 1, P), lambda x: x - m1).alias("s"),
+    )
+
+    def step(acc, x):
+        sp = F.element_at(acc["s"], 1)
+        nl = (x - sp) * F.lit(0.5) + (acc["l"] + acc["b"]) * F.lit(0.5)
+        nb = (nl - acc["l"]) * F.lit(0.25) + acc["b"] * F.lit(0.75)
+        ns = (x - nl) * F.lit(0.25) + sp * F.lit(0.75)
+        return F.struct(
+            nl.alias("l"),
+            nb.alias("b"),
+            F.concat(F.slice(acc["s"], 2, P - 1), F.array(ns)).alias("s"),
+        )
+
+    st = F.aggregate(
+        F.slice(v, P + 1, F.greatest(F.size(v) - P, F.lit(0))), init, step
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(F.element_at(st["s"], 3), 6).alias("season_3"),
+        F.round(
+            st["l"] + F.lit(3) * st["b"] + F.element_at(st["s"], 3), 6
+        ).alias("forecast_3"),
+    )
