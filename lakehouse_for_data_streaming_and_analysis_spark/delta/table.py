@@ -622,6 +622,38 @@ class DeltaishTable:
             )
         return deleted
 
+    # ------------------------------------------------------------ change feed
+
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Rows ADDED by data-changing commits in (v_from, v_to] — the
+        append-only change feed that drives incremental maintenance
+        (read the delta, fold it into downstream aggregates instead of
+        recomputing; queries/advanced.incremental_agg_merge is the
+        algebra). dataChange=false files (compaction/clustering) are
+        skipped, exactly why the spec tracks that flag. Raises if the
+        range contains a commit that REMOVED data-changing files
+        (overwrite/merge): those need per-row pre-images (full CDF
+        with _change_type), which this log does not record —
+        documented limit, same failure mode as Delta streaming reads
+        without CDF."""
+        paths: list[str] = []
+        for v in dlog.list_versions(self.path):
+            if v <= v_from or v > v_to:
+                continue
+            for action in dlog.read_commit(self.path, v):
+                if "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    raise ValueError(
+                        f"version {v} removed data files; row-level "
+                        "change feed requires pre-images (CDF) — "
+                        "recompute downstream state from the snapshot "
+                        "instead"
+                    )
+                if "add" in action and action["add"].get("dataChange", True):
+                    paths.append(action["add"]["path"])
+        return self._read_files(paths)
+
     # ------------------------------------------------------------ streaming
 
     def as_stream(self) -> DataFrame:

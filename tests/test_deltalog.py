@@ -452,3 +452,44 @@ def test_checkpoint_resumes_without_early_commits(spark, tmp_path):
         os.remove(dlog.version_file(t.path, v))
     assert _rows(t.read()) == want
     assert t.version == 12
+
+
+def test_changes_between_feeds_incremental_maintenance(spark, tmp_path):
+    """Change feed: the rows added in (v_from, v_to] drive incremental
+    aggregate maintenance — base aggregate + delta aggregate must equal
+    the full recompute. Compaction commits are invisible to the feed;
+    data-removing commits refuse (no pre-images)."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 900)
+    b0 = src.filter(F.col("o_orderkey") <= 300)
+    b1 = src.filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 600))
+    b2 = src.filter(F.col("o_orderkey") > 600)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), b0.repartition(3))
+    v0 = t.version
+    t.append(b1.repartition(2))
+    t.optimize()  # dataChange=false — must NOT appear in the feed
+    t.append(b2)
+    delta = t.changes_between(v0, t.version)
+    assert _rows(delta) == _rows(b1.unionByName(b2))
+    # incremental maintenance: base agg + delta agg == full recompute
+    def agg(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tp"),
+        )
+    merged = (
+        agg(b0).unionByName(agg(delta))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("tp").alias("tp"))
+    )
+    full = (
+        agg(t.read())
+        .select("o_orderstatus", "n", F.col("tp").cast("decimal(28,2)").alias("tp"))
+    )
+    assert _rows(merged) == _rows(full)
+    # merge rewrites files -> the feed refuses over that range
+    t.merge(
+        b0.limit(5).withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        ["o_orderkey"],
+    )
+    with pytest.raises(ValueError, match="pre-images"):
+        t.changes_between(v0, t.version)
