@@ -1167,3 +1167,216 @@ def holt_winters_seasonal(spark, sf_dir, period: int = 7):
             st["l"] + F.lit(3) * st["b"] + F.element_at(st["s"], 3), 6
         ).alias("forecast_3"),
     )
+
+
+@q(
+    "kalman_local_level",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE)) AS vs,
+                COUNT(*) AS n_days
+         FROM daily GROUP BY 1),
+       steps AS (
+         SELECT event_type, n_days, vs, 1 AS t,
+                vs[1] AS x, CAST(4 AS DOUBLE) AS p,
+                CAST(0 AS DOUBLE) AS k
+         FROM series WHERE n_days >= 2
+         UNION ALL
+         SELECT event_type, n_days, vs, t + 1,
+                x + ((p + CAST(1 AS DOUBLE))
+                     / (p + CAST(1 AS DOUBLE) + CAST(4 AS DOUBLE)))
+                    * (vs[t + 1] - x),
+                (CAST(1 AS DOUBLE)
+                 - (p + CAST(1 AS DOUBLE))
+                   / (p + CAST(1 AS DOUBLE) + CAST(4 AS DOUBLE)))
+                * (p + CAST(1 AS DOUBLE)),
+                (p + CAST(1 AS DOUBLE))
+                  / (p + CAST(1 AS DOUBLE) + CAST(4 AS DOUBLE))
+         FROM steps WHERE t < n_days)
+       SELECT event_type, n_days,
+              ROUND(x, 6) AS level,
+              ROUND(k, 6) AS gain,
+              ROUND(p, 6) AS variance
+       FROM steps WHERE t = n_days""",
+)
+def kalman_local_level(spark, sf_dir):
+    """Kalman filter for the local-level (random-walk + noise) state
+    space model, process variance q=1, observation variance r=4,
+    init x1=v1 / P1=r: per step P_pred = P + q, K = P_pred/(P_pred+r),
+    x += K(v - x), P = (1-K)P_pred. The filter is a sequential scalar
+    fold over the date-sorted daily series — a JVM struct fold here,
+    the identical recurrence unrolled as a recursive CTE in DuckDB
+    (same IEEE op order, incl. the division). The gain converges to
+    the steady-state Riccati solution, so `gain` doubles as a
+    convergence check. Per-series state is 2 doubles — streamable."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 2)
+
+    v = F.col("vs")
+    q, r = F.lit(1.0), F.lit(4.0)
+    init = F.struct(
+        F.element_at(v, 1).alias("x"),
+        F.lit(4.0).alias("p"),
+        F.lit(0.0).alias("k"),
+    )
+
+    def step(acc, obs):
+        p_pred = acc["p"] + q
+        k = p_pred / (p_pred + r)
+        return F.struct(
+            (acc["x"] + k * (obs - acc["x"])).alias("x"),
+            ((F.lit(1.0) - k) * p_pred).alias("p"),
+            k.alias("k"),
+        )
+
+    st = F.aggregate(
+        F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))), init, step
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(st["x"], 6).alias("level"),
+        F.round(st["k"], 6).alias("gain"),
+        F.round(st["p"], 6).alias("variance"),
+    )
+
+
+@q(
+    "cusum_changepoints",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE)) AS vs,
+                COUNT(*) AS n_days
+         FROM daily GROUP BY 1),
+       seeded AS (
+         SELECT *, list_reduce(vs[1:7], (a, x) -> a + x) / 7 AS mu0
+         FROM series WHERE n_days >= 8),
+       steps AS (
+         SELECT event_type, n_days, vs, mu0, 7 AS t,
+                CAST(0 AS DOUBLE) AS sp, CAST(0 AS DOUBLE) AS sn,
+                CAST(0 AS DOUBLE) AS max_sp, CAST(0 AS DOUBLE) AS max_sn,
+                0 AS alarm_t
+         FROM seeded
+         UNION ALL
+         SELECT event_type, n_days, vs, mu0, t + 1,
+                GREATEST(CAST(0 AS DOUBLE),
+                         sp + (vs[t + 1] - mu0 - CAST(1 AS DOUBLE))),
+                GREATEST(CAST(0 AS DOUBLE),
+                         sn - (vs[t + 1] - mu0 + CAST(1 AS DOUBLE))),
+                GREATEST(max_sp,
+                         GREATEST(CAST(0 AS DOUBLE),
+                                  sp + (vs[t + 1] - mu0 - CAST(1 AS DOUBLE)))),
+                GREATEST(max_sn,
+                         GREATEST(CAST(0 AS DOUBLE),
+                                  sn - (vs[t + 1] - mu0 + CAST(1 AS DOUBLE)))),
+                CASE WHEN alarm_t > 0 THEN alarm_t
+                     WHEN GREATEST(CAST(0 AS DOUBLE),
+                                   sp + (vs[t + 1] - mu0 - CAST(1 AS DOUBLE)))
+                            > CAST(8 AS DOUBLE)
+                       OR GREATEST(CAST(0 AS DOUBLE),
+                                   sn - (vs[t + 1] - mu0 + CAST(1 AS DOUBLE)))
+                            > CAST(8 AS DOUBLE)
+                     THEN t + 1 ELSE 0 END
+         FROM steps WHERE t < n_days)
+       SELECT event_type, n_days, ROUND(mu0, 6) AS mu0,
+              ROUND(max_sp, 6) AS max_cusum_pos,
+              ROUND(max_sn, 6) AS max_cusum_neg,
+              alarm_t
+       FROM steps WHERE t = n_days""",
+)
+def cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM changepoint monitor (Page's test): baseline
+    mu0 = first-week mean, slack k=1, threshold h=8 (units of the
+    daily mean). S+ accumulates upward drift, S- downward; `alarm_t`
+    is the 1-based day index of the FIRST threshold crossing (0 =
+    in control) — the sequential-monitoring semantics a streaming
+    deployment would run, here as the same fold/recursive-CTE pair as
+    the other sequential operators. Monitoring starts after the
+    baseline week, state is 4 doubles + a flag per series.
+
+    The daily mean goes through an EXACT decimal numerator (sum as
+    DECIMAL, one double division) rather than ROUND(AVG(..)): CUSUM
+    accumulates deviations undiscounted, so a single cross-engine
+    rounding-boundary flip in one day's mean would drift the sums
+    past the output rounding — the discounted folds (EWMA / Holt /
+    Kalman) forgive that, a pure sum does not."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).filter(F.col("n_days") >= 8)
+
+    v = F.col("vs")
+    mu0 = F.aggregate(
+        F.slice(v, 1, 7), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(7)
+    # "__mu0", NOT "mu0": the output column below is ROUND(mu0) AS mu0,
+    # and if the inner column shares that name, projection collapsing
+    # re-binds the fold's by-name reference to the ROUNDED value —
+    # observed as a 2.86e-7-per-step drift (23 steps -> 6e-6) vs the
+    # Python replay and the DuckDB oracle, which agree with the
+    # unrounded baseline. Distinct names make the binding unambiguous.
+    series = series.withColumn("__mu0", mu0)
+    k, h = F.lit(1.0), F.lit(8.0)
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("max_sp"),
+        F.lit(0.0).alias("max_sn"),
+        F.lit(7).alias("t"),
+        F.lit(0).alias("alarm_t"),
+    )
+
+    def step(acc, obs):
+        sp = F.greatest(F.lit(0.0), acc["sp"] + (obs - F.col("__mu0") - k))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - (obs - F.col("__mu0") + k))
+        t = acc["t"] + 1
+        alarm = F.when(acc["alarm_t"] > 0, acc["alarm_t"]).otherwise(
+            F.when((sp > h) | (sn > h), t).otherwise(F.lit(0))
+        )
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["max_sp"], sp).alias("max_sp"),
+            F.greatest(acc["max_sn"], sn).alias("max_sn"),
+            t.alias("t"),
+            alarm.alias("alarm_t"),
+        )
+
+    st = F.aggregate(
+        F.slice(v, 8, F.greatest(F.size(v) - 7, F.lit(0))), init, step
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round("__mu0", 6).alias("mu0"),
+        F.round(st["max_sp"], 6).alias("max_cusum_pos"),
+        F.round(st["max_sn"], 6).alias("max_cusum_neg"),
+        st["alarm_t"].alias("alarm_t"),
+    )
