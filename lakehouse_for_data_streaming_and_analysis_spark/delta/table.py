@@ -333,6 +333,28 @@ class DeltaishTable:
         snap = self._snapshot(version)
         return self._read_snapshot_files(snap, snap.files)
 
+    def version_as_of_timestamp(self, ts_millis: int) -> int:
+        """TIMESTAMP AS OF resolution: the newest version whose commit
+        wall-clock is <= the given epoch-milliseconds (Delta resolves
+        timestamp time travel the same way). Raises if the timestamp
+        predates the table."""
+        best = -1
+        for v in dlog.list_versions(self.path):
+            t = 0
+            for action in dlog.read_commit(self.path, v):
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp", 0)
+            if t <= ts_millis:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_millis}"
+            )
+        return best
+
+    def read_as_of_timestamp(self, ts_millis: int) -> DataFrame:
+        return self.read(version=self.version_as_of_timestamp(ts_millis))
+
     # ------------------------------------------------------------ skipping
 
     def files_matching(self, col: str, lo, hi) -> list[str]:
@@ -540,20 +562,9 @@ class DeltaishTable:
         shutil.rmtree(staging)
         return adds
 
-    def zorder_by(self, zcols: list[str], n_files: int = 8, bits: int = 8) -> int:
-        """Z-ORDER clustering via the shared Morton-curve rewrite
-        (maintenance/optimize.interleave_bits): range-partitioned on
-        the z-value so every file's min/max stays narrow on EVERY
-        zcol — making files_matching selective on all of them."""
+    def _clustered(self, df: DataFrame, zcols, n_files: int, bits: int):
         from ..maintenance.optimize import interleave_bits
 
-        snap = self._snapshot()
-        if snap.metadata.get("partitionColumns"):
-            raise NotImplementedError(
-                "zorder within partitions: compose optimize() + "
-                "per-partition zorder as needed"
-            )
-        df = self.read()
         dtypes = dict(df.dtypes)
         numeric = [c for c in zcols if dtypes[c] != "string"]
         bounds = (
@@ -582,25 +593,63 @@ class DeltaishTable:
                         ),
                     ).cast("long")
                 )
-        clustered = (
+        return (
             df.withColumn("_z", interleave_bits(normed, bits))
             .repartitionByRange(n_files, "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
         )
-        adds = self._write_files(clustered, ())
-        for a in adds:
-            a["dataChange"] = False
-        return self._commit_next(
-            [
-                *({"add": a} for a in adds),
-                *(
-                    {"remove": self._tombstone(p, data_change=False)}
-                    for p in snap.files
-                ),
-                dlog.commit_info("OPTIMIZE", zOrderBy=zcols),
-            ]
-        )
+
+    def zorder_by(self, zcols: list[str], n_files: int = 8, bits: int = 8) -> int:
+        """Z-ORDER clustering via the shared Morton-curve rewrite
+        (maintenance/optimize.interleave_bits): range-partitioned on
+        the z-value so every file's min/max stays narrow on EVERY
+        zcol — making files_matching selective on all of them. On a
+        partitioned table, clustering runs WITHIN each partition
+        (Delta's semantics — zcols must not include partition columns)
+        with per-partition normalization bounds."""
+        snap = self._snapshot()
+        pcols = snap.metadata.get("partitionColumns", ())
+        if set(zcols) & set(pcols):
+            raise ValueError("zorder columns cannot be partition columns")
+        if not pcols:
+            clustered = self._clustered(self.read(), zcols, n_files, bits)
+            adds = self._write_files(clustered, ())
+            for a in adds:
+                a["dataChange"] = False
+            return self._commit_next(
+                [
+                    *({"add": a} for a in adds),
+                    *(
+                        {"remove": self._tombstone(p, data_change=False)}
+                        for p in snap.files
+                    ),
+                    dlog.commit_info("OPTIMIZE", zOrderBy=zcols),
+                ]
+            )
+        groups: dict[tuple, list[str]] = {}
+        for path, add in snap.files.items():
+            key = tuple(sorted(add.get("partitionValues", {}).items()))
+            groups.setdefault(key, []).append(path)
+        actions: list[dict] = []
+        for key, paths in groups.items():
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+            clustered = self._clustered(
+                df, zcols, max(1, min(n_files, len(paths))), bits
+            )
+            part_dir = "/".join(f"{k}={v}" for k, v in key)
+            actions.extend(
+                {"add": a}
+                for a in self._write_files_into(clustered, part_dir, dict(key))
+            )
+            actions.extend(
+                {"remove": self._tombstone(p, data_change=False)}
+                for p in paths
+            )
+        actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
+        return self._commit_next(actions)
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Physically delete tombstoned files older than the retention

@@ -493,3 +493,40 @@ def test_changes_between_feeds_incremental_maintenance(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pre-images"):
         t.changes_between(v0, t.version)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    src = _orders(spark, 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t0 = [a for a in dlog.read_commit(t.path, 0) if "commitInfo" in a][0][
+        "commitInfo"
+    ]["timestamp"]
+    t.append(src.limit(10))
+    t1 = [a for a in dlog.read_commit(t.path, 1) if "commitInfo" in a][0][
+        "commitInfo"
+    ]["timestamp"]
+    assert t.version_as_of_timestamp(t0) == 0
+    assert t.version_as_of_timestamp(t1) == 1
+    assert t.version_as_of_timestamp(t1 + 10_000) == 1
+    assert t.read_as_of_timestamp(t0).count() == 200
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_as_of_timestamp(t0 - 1)
+
+
+def test_zorder_within_partitions(spark, tmp_path):
+    src = _orders(spark).repartition(4)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src, partition_by=("o_orderstatus",)
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        t.zorder_by(["o_orderstatus"])
+    t.zorder_by(["o_custkey"], n_files=4)
+    assert _rows(t.read()) == _rows(src)
+    # files remain scoped to their partitions and custkey stats got
+    # selective inside each
+    snap = t._snapshot()
+    assert all(a["partitionValues"] for a in snap.files.values())
+    pruned = t.files_matching("o_custkey", 1, 25)
+    assert len(pruned) < len(snap.files)
+    want = src.filter(F.col("o_custkey").between(1, 25))
+    assert _rows(t.read_pruned("o_custkey", 1, 25)) == _rows(want)
