@@ -373,3 +373,140 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("qid", id_col, "cosine", "rn")
     )
+
+
+# ---------------------------------------------------------------- product
+# quantization (Jégou et al. 2011, public) — the memory-compression arm
+# of the ANN ladder (brute -> LSH -> IVF -> PQ): vectors become M small
+# codes, queries scan codes with per-subspace lookup tables (ADC)
+# instead of raw floats. At 100 TB of embeddings this is the difference
+# between keeping 256 bytes/vector and 8 bytes/vector hot.
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Deterministic codebooks: the ``n_codes`` lowest-id corpus
+    vectors donate their subvectors as codewords (same documented
+    simplification as ivf_topk's coarse quantizer — production would
+    k-means each subspace; encode/ADC mechanics are identical).
+    Returns a tiny (m, code, cw) frame, M*K rows — always broadcast.
+    """
+    spark = corpus.sparkSession
+    seed = (
+        corpus.orderBy(id_col)
+        .limit(n_codes)
+        .select(id_col, vectors.as_double(F.col(vec_col)).alias("e"))
+        .collect()
+    )
+    dim = len(seed[0].e)
+    width = dim // m_subspaces
+    rows = [
+        {
+            "m": m,
+            "code": int(r[id_col]),
+            "cw": [float(x) for x in r.e[m * width : (m + 1) * width]],
+        }
+        for r in seed
+        for m in range(m_subspaces)
+    ]
+    return spark.createDataFrame(
+        rows, schema="m int, code int, cw array<double>"
+    )
+
+
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m_subspaces: int, out_id: str
+) -> DataFrame:
+    """Explode each vector into its M subvectors — set-oriented, so
+    encode/ADC are literal-free broadcast joins instead of M*K inlined
+    constant folds (which would blow up codegen, kmeans-style)."""
+    e = vectors.as_double(F.col(vec_col))
+    width = F.floor(F.size(F.col("__e")) / m_subspaces).cast("int")
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.sequence(F.lit(0), F.lit(m_subspaces - 1))).alias("m"),
+        e.alias("__e"),
+    ).select(
+        out_id,
+        "m",
+        F.slice(F.col("__e"), F.col("m") * width + 1, width).alias("sub"),
+    )
+
+
+def _sq_dist(a: Column, b: Column, round_to: int) -> Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        round_to,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Vector -> M codes: per (vector, subspace), argmin squared
+    distance over that subspace's codewords (ties to the lowest code).
+    One broadcast join + one (id, m)-grain aggregate; the corpus is
+    scanned once and never shuffled at full width again."""
+    sub = _subvectors(corpus, id_col, vec_col, m_subspaces, id_col)
+    scored = sub.join(F.broadcast(codebooks), "m").select(
+        id_col,
+        "m",
+        "code",
+        _sq_dist(F.col("sub"), F.col("cw"), round_to).alias("d2"),
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by("code", F.struct("d2", "code")).alias("code")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: queries stay exact, the corpus
+    is its PQ codes. Per query, an M*K subspace distance table is
+    computed once (tiny, broadcast); each corpus vector's approximate
+    distance is the SUM of M table lookups — a broadcast join on
+    (m, code) plus one (qid, vec_id)-grain aggregate. No full-width
+    vector math ever touches the corpus side."""
+    books = pq_codebooks(corpus, id_col, vec_col, m_subspaces, n_codes)
+    codes = pq_encode(corpus, books, id_col, vec_col, m_subspaces, round_to)
+    qsub = _subvectors(queries, id_col, vec_col, m_subspaces, "qid")
+    qtables = qsub.join(F.broadcast(books), "m").select(
+        "qid",
+        "m",
+        "code",
+        _sq_dist(F.col("sub"), F.col("cw"), round_to).alias("qd2"),
+    )
+    adc = (
+        codes.join(F.broadcast(qtables), ["m", "code"])
+        .filter(F.col("qid") != F.col(id_col))
+        .groupBy("qid", id_col)
+        .agg(F.round(F.sum("qd2"), round_to).alias("approx_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc(id_col))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "approx_dist", F.col("rn").cast("int").alias("rn"))
+    )

@@ -993,3 +993,56 @@ def doc_chunking_map(spark, sf_dir):
             )
         ).alias("chunk_hash"),
     )
+
+
+@q(
+    "ann_pq_topk",
+    """WITH pq_elems AS (
+         SELECT vec_id, unnest(embedding) AS v,
+                generate_subscripts(embedding, 1) AS i
+         FROM embeddings),
+       pq_sub AS (
+         SELECT vec_id, CAST(FLOOR((i - 1) / 8) AS INT) AS m,
+                (i - 1) % 8 AS j, CAST(v AS DOUBLE) AS v
+         FROM pq_elems),
+       pq_cw AS (SELECT m, vec_id AS code, j, v FROM pq_sub
+                 WHERE vec_id < 16),
+       pq_encd AS (
+         SELECT s.vec_id, s.m, c.code,
+                ROUND(SUM((s.v - c.v) * (s.v - c.v)), 6) AS d2
+         FROM pq_sub s JOIN pq_cw c ON s.m = c.m AND s.j = c.j
+         GROUP BY 1, 2, 3),
+       pq_codes AS (
+         SELECT vec_id, m, code FROM (
+           SELECT vec_id, m, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2 ASC, code ASC) AS rn
+           FROM pq_encd) WHERE rn = 1),
+       pq_qt AS (SELECT vec_id AS qid, m, code, d2 AS qd2
+                 FROM pq_encd WHERE vec_id < 3),
+       pq_adc AS (
+         SELECT q.qid, t.vec_id, ROUND(SUM(q.qd2), 6) AS approx_dist
+         FROM pq_codes t JOIN pq_qt q ON q.m = t.m AND q.code = t.code
+         WHERE q.qid <> t.vec_id
+         GROUP BY 1, 2)
+       SELECT qid, vec_id, approx_dist, CAST(rn AS INT) AS rn FROM (
+         SELECT qid, vec_id, approx_dist,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY approx_dist ASC, vec_id ASC) AS rn
+         FROM pq_adc) WHERE rn <= 5""",
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.pq_topk) — the
+    memory-compression arm of the ANN ladder: 64-dim vectors become 8
+    one-byte codes; queries scan codes via per-subspace ADC lookup
+    tables, never touching full-width corpus floats. The oracle
+    reproduces the ENTIRE index — codebook selection, per-subspace
+    encode argmin, ADC table sums, final top-5 — so the hash match
+    certifies the quantizer itself, not just the output shape
+    (codebooks are the deterministic lowest-id sample, documented like
+    ivf_topk's coarse quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.pq_topk(
+        emb, queries, k=5, m_subspaces=8, n_codes=16
+    )
