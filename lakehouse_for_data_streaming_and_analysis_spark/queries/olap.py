@@ -614,3 +614,114 @@ def region_nation_hierarchy_rollup(spark, sf_dir):
             "total_balance",
         )
     )
+
+
+@q(
+    "interval_overlap_join",
+    """WITH t0 AS (
+         SELECT CAST(epoch(date_trunc('day', MIN(ts))) AS BIGINT) AS t0e
+         FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       ns AS (SELECT unnest(generate_series(0, 179)) AS n),
+       iv AS (SELECT event_type, n,
+                     t0e + n * 14400 AS start_e,
+                     t0e + n * 14400 + 5400 AS end_e
+              FROM types CROSS JOIN ns CROSS JOIN t0),
+       hits AS (
+         SELECT iv.event_type, iv.n, e.value
+         FROM iv JOIN events e
+           ON e.event_type = iv.event_type
+          AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= iv.start_e
+          AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) < iv.end_e)
+       SELECT event_type, CAST(n AS INT) AS window_n,
+              COUNT(*) AS n_events,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                AS total_value
+       FROM hits GROUP BY 1, 2""",
+)
+def interval_overlap_join(spark, sf_dir):
+    """Point-in-interval join at scale: 90-minute maintenance windows
+    every 4 hours per series, matched against every tick. The naive
+    plan is a theta join (the oracle's formulation — at 100 TB a
+    nested-loop disaster); this plan EXPANDS each interval into the
+    hour buckets it covers (<= 2 rows), equi-joins on (series, hour
+    bucket), then applies the exact range predicate — a linear-shuffle
+    hash join whose fan-out is bounded by interval_length/bucket + 1.
+    All boundary math is integer epoch seconds, so the engines cannot
+    disagree on a boundary tick. Plan-gated: no CartesianProduct (the
+    tiny series x window-index grid builds via broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.unix_timestamp(F.date_trunc("day", F.min("ts"))).alias("t0e")
+    )
+    types = ev.select("event_type").distinct()
+    ns = spark.range(180).select(F.col("id").cast("int").alias("n"))
+    iv = (
+        types.join(F.broadcast(ns))
+        .join(F.broadcast(t0))
+        .select(
+            "event_type",
+            "n",
+            (F.col("t0e") + F.col("n") * 14400).alias("start_e"),
+            (F.col("t0e") + F.col("n") * 14400 + 5400).alias("end_e"),
+        )
+    )
+    ivb = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_e") / 3600),
+                F.floor((F.col("end_e") - 1) / 3600),
+            )
+        ),
+    )
+    evb = ev.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("epoch"),
+        "value",
+    ).withColumn("bucket", F.floor(F.col("epoch") / 3600))
+    hits = ivb.join(evb, ["event_type", "bucket"]).filter(
+        (F.col("epoch") >= F.col("start_e")) & (F.col("epoch") < F.col("end_e"))
+    )
+    return hits.groupBy(
+        "event_type", F.col("n").cast("int").alias("window_n")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@q(
+    "salted_skew_join_revenue",
+    """SELECT o.o_orderpriority,
+              COUNT(*) AS n_lines,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1""",
+)
+def salted_skew_join_revenue(spark, sf_dir):
+    """Skew-resilient fact join surfaced as a driver query: the
+    lineitem->orders equi-join runs through operators/skew.salted_join
+    (left rows salted uniformly, right side replicated n_salts ways),
+    so one hot orderkey spreads across n_salts reducers instead of one
+    straggler. The oracle is the PLAIN join — hash-matching it proves
+    salting is a pure physical rewrite with zero semantic drift
+    (every left row meets its key's right rows exactly once)."""
+    from ..operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, orders, ["k"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
