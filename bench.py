@@ -39,6 +39,9 @@ HEADLINE = (
     "token_counts",
     "large_volume_customers",
     "sole_late_supplier_ranking",
+    "deltalog_snapshot_audit",
+    "bpe_vocab_merges",
+    "ann_pq_topk",
 )
 
 

@@ -1380,3 +1380,90 @@ def cusum_changepoints(spark, sf_dir):
         F.round(st["max_sn"], 6).alias("max_cusum_neg"),
         st["alarm_t"].alias("alarm_t"),
     )
+
+
+@q(
+    "resample_ffill_daily",
+    """WITH daily0 AS (
+         SELECT event_type, CAST(ts AS DATE) AS d, value,
+                ROW_NUMBER() OVER (
+                  PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT) DESC,
+                           event_id DESC) AS rn
+         FROM events),
+       daily AS (
+         SELECT event_type, d, ROUND(value, 4) AS close
+         FROM daily0 WHERE rn = 1 AND dayofmonth(d) % 3 != 0),
+       bounds AS (SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+                  FROM daily GROUP BY 1),
+       spine AS (
+         SELECT event_type,
+                CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                            CAST(hi AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS d
+         FROM bounds),
+       joined AS (
+         SELECT s.event_type, s.d, daily.close,
+                CASE WHEN daily.close IS NULL THEN 1 ELSE 0 END AS was_gap
+         FROM spine s
+         LEFT JOIN daily ON daily.event_type = s.event_type
+                        AND daily.d = s.d)
+       SELECT event_type, d,
+              LAST_VALUE(close IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+              was_gap
+       FROM joined""",
+)
+def resample_ffill_daily(spark, sf_dir):
+    """Calendar resampling with forward fill — pandas
+    ``resample('D').last().ffill()`` as a distributed plan: last tick
+    per (series, day) via one max_by aggregate, a per-series day spine
+    generated in-engine (sequence/explode between that series' min and
+    max day), a left join marking the gaps, and
+    last(ignorenulls) over the date-ordered window carrying the prior
+    close forward. Gaps are synthesized deterministically (every
+    day-of-month divisible by 3 is dropped) so the fill path is
+    actually exercised. Per-series state is one row — the pattern
+    holds for any series count at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(
+                F.max_by(
+                    "value",
+                    F.struct(F.unix_timestamp("ts"), F.col("event_id")),
+                ),
+                4,
+            ).alias("close")
+        )
+        .filter(F.dayofmonth("d") % 3 != 0)
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"))
+            ).alias("d"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        "close",
+        F.when(F.col("close").isNull(), 1).otherwise(0).alias("was_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "d",
+        F.last("close", ignorenulls=True).over(w).alias("close"),
+        "was_gap",
+    )
