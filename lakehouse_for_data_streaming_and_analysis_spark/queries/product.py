@@ -584,3 +584,103 @@ def top_event_trigrams(spark, sf_dir):
         .orderBy(F.desc("n_paths"), F.asc("a"), F.asc("b"), F.asc("c"))
         .limit(15)
     )
+
+
+@q(
+    "ks_two_sample",
+    """WITH vals AS (
+         SELECT value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+         FROM events WHERE event_type IN ('click', 'view')),
+       per_val AS (
+         SELECT value, SUM(g1) AS k1, SUM(g2) AS k2
+         FROM vals GROUP BY 1),
+       tot AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2 FROM per_val),
+       cum AS (
+         SELECT SUM(k1) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c1,
+                SUM(k2) OVER (ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c2
+         FROM per_val),
+       d AS (
+         SELECT MAX(ABS(c1 * (SELECT n2 FROM tot)
+                        - c2 * (SELECT n1 FROM tot))) AS d_num
+         FROM cum)
+       SELECT CAST(n1 AS BIGINT) AS n1,
+              CAST(n2 AS BIGINT) AS n2,
+              CAST(d_num AS BIGINT) AS d_num,
+              ROUND(CAST(d_num AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+              CAST(CASE WHEN 1000000 * CAST(d_num AS HUGEINT) * d_num
+                          > 1844164 * CAST(n1 + n2 AS HUGEINT) * n1 * n2
+                        THEN 1 ELSE 0 END AS INT) AS reject_05
+       FROM d CROSS JOIN tot""",
+)
+def ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (click vs view value
+    distributions): D = max |F1 - F2| over the pooled support,
+    computed ENTIRELY in integers — per-value group counts, one
+    cumulative window, and the sup as max |c1*n2 - c2*n1| — so both
+    engines agree exactly; the only doubles are cosmetic. The 5%
+    decision (critical value 1.358*sqrt((n1+n2)/(n1*n2))) is
+    cross-squared into integer arithmetic (1e6*D_num^2 vs
+    1844164*(n1+n2)*n1*n2, HUGEINT/DECIMAL(38,0)), so even the reject
+    flag cannot flip on an ulp. The cumulative window is a global
+    order over DISTINCT values — bounded by value cardinality; at
+    100 TB, pre-bin values (the test on binned data is the standard
+    large-n variant) or range-partition the prefix sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("k1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("k2"),
+    )
+    tot = per_val.agg(
+        F.sum("k1").alias("n1"), F.sum("k2").alias("n2")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        F.sum("k1").over(w).alias("c1"), F.sum("k2").over(w).alias("c2")
+    )
+    d = (
+        cum.join(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+            ).alias("dn")
+        )
+        .agg(F.max("dn").alias("d_num"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        d.join(F.broadcast(tot))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+            (
+                F.lit(1000000).cast(dec)
+                * F.col("d_num").cast(dec)
+                * F.col("d_num").cast(dec)
+                > F.lit(1844164).cast(dec)
+                * (F.col("n1") + F.col("n2")).cast(dec)
+                * F.col("n1").cast(dec)
+                * F.col("n2").cast(dec)
+            )
+            .cast("int")
+            .alias("reject_05"),
+        )
+    )
