@@ -684,3 +684,110 @@ def ks_two_sample(spark, sf_dir):
             .alias("reject_05"),
         )
     )
+
+
+@q(
+    "mann_whitney_u",
+    """WITH vals AS (
+         SELECT value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g2
+         FROM events WHERE event_type IN ('click', 'view')),
+       per_val AS (
+         SELECT value, SUM(g1) AS k1, SUM(g2) AS k2,
+                SUM(g1) + SUM(g2) AS c
+         FROM vals GROUP BY 1),
+       ranked AS (
+         SELECT k1, c,
+                COALESCE(SUM(c) OVER (ORDER BY value
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior
+         FROM per_val),
+       tot AS (SELECT SUM(k1) AS n1, SUM(k2) AS n2
+               FROM per_val),
+       rsum AS (
+         -- doubled rank sum of group 1 with average ranks for ties:
+         -- tie block starting after `prior` of size c contributes
+         -- k1 * (2*(prior+1) + c - 1) — all integers
+         SELECT SUM(k1 * (2 * (prior + 1) + c - 1)) AS r1_x2
+         FROM ranked)
+       SELECT CAST(n1 AS BIGINT) AS n1,
+              CAST(n2 AS BIGINT) AS n2,
+              CAST(r1_x2 AS BIGINT) AS r1_x2,
+              CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+              ROUND((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+                     - n1 * n2 / 2.0)
+                    / SQRT(n1 * n2 * (n1 + n2 + 1) / 12.0), 4) AS z,
+              CAST(CASE WHEN 30000
+                          * CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS HUGEINT)
+                          * (r1_x2 - n1 * (n1 + 1) - n1 * n2)
+                          > 38416 * CAST(n1 AS HUGEINT) * n2 * (n1 + n2 + 1)
+                        THEN 1 ELSE 0 END AS INT) AS reject_05
+       FROM rsum CROSS JOIN tot""",
+)
+def mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (click vs view): average-rank tie
+    handling carried in DOUBLED integer ranks (a tie block after
+    ``prior`` pooled rows of size c contributes k1*(2*(prior+1)+c-1)
+    to 2*R1), so the statistic is exact in both engines; z is the
+    normal approximation (no tie-variance correction, documented) and
+    the 5% decision is cross-squared into HUGEINT/DECIMAL(38,0)
+    integers: 30000*(2U1 - n1*n2)^2 > 38416*n1*n2*(n1+n2+1). Same
+    distinct-value cumulative-window topology as ks_two_sample."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per_val = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("k1"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("k2"),
+    ).withColumn("c", F.col("k1") + F.col("k2"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_val.select(
+        "k1",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("prior"),
+    )
+    tot = per_val.agg(
+        F.sum("k1").alias("n1"), F.sum("k2").alias("n2")
+    )
+    rsum = ranked.agg(
+        F.sum(
+            F.col("k1") * (2 * (F.col("prior") + 1) + F.col("c") - 1)
+        ).alias("r1_x2")
+    )
+    dec = "decimal(38,0)"
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    diff_x2 = u1_x2 - F.col("n1") * F.col("n2")
+    return (
+        rsum.join(F.broadcast(tot))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("r1_x2").cast("long").alias("r1_x2"),
+            u1_x2.cast("long").alias("u1_x2"),
+            F.round(
+                (u1_x2.cast("double") / 2
+                 - F.col("n1") * F.col("n2") / 2.0)
+                / F.sqrt(
+                    F.col("n1") * F.col("n2")
+                    * (F.col("n1") + F.col("n2") + 1) / 12.0
+                ),
+                4,
+            ).alias("z"),
+            (
+                F.lit(30000).cast(dec) * diff_x2.cast(dec) * diff_x2.cast(dec)
+                > F.lit(38416).cast(dec)
+                * F.col("n1").cast(dec)
+                * F.col("n2").cast(dec)
+                * (F.col("n1") + F.col("n2") + 1).cast(dec)
+            )
+            .cast("int")
+            .alias("reject_05"),
+        )
+    )
