@@ -21,7 +21,7 @@ import uuid
 from datetime import date, datetime
 from decimal import Decimal
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -763,5 +763,61 @@ class DeltaishTable:
             self.append(
                 batch_df, txn_app_id=txn_app_id, txn_version=batch_id
             )
+
+        return _sink
+
+    def upsert_sink(
+        self,
+        keys: list[str],
+        order_col: str,
+        txn_app_id: str | None = None,
+    ):
+        """foreachBatch body applying each micro-batch as a MERGE
+        upsert — the streaming CDC-apply pattern (latest row per key
+        lands, earlier versions are replaced in place). Within a batch,
+        the winner per key is the row with the highest ``order_col``
+        (ties to arbitrary among equals is unacceptable for CDC, so
+        order_col must be a monotonic change sequence). Re-merging an
+        identical batch is idempotent by construction (matched rows
+        update to the same values); with ``txn_app_id`` a redelivered
+        batch id short-circuits before doing any work, via a txn
+        marker committed right after the merge."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            if txn_app_id is not None and batch_id <= self.last_txn_version(
+                txn_app_id
+            ):
+                return
+            latest = (
+                batch_df.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(*keys).orderBy(F.desc(order_col))
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            v = self.merge(latest, keys)
+            if txn_app_id is not None:
+                # the merge commit cannot carry the txn action through
+                # merge()'s signature; record it as a follow-up
+                # commitInfo+txn marker (commutes — append-retry safe)
+                self._commit_next(
+                    [
+                        {
+                            "txn": {
+                                "appId": txn_app_id,
+                                "version": int(batch_id),
+                            }
+                        },
+                        dlog.commit_info(
+                            "TXN MARKER", mergeVersion=v
+                        ),
+                    ],
+                    retry_append=True,
+                )
 
         return _sink

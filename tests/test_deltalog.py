@@ -530,3 +530,53 @@ def test_zorder_within_partitions(spark, tmp_path):
     assert len(pruned) < len(snap.files)
     want = src.filter(F.col("o_custkey").between(1, 25))
     assert _rows(t.read_pruned("o_custkey", 1, 25)) == _rows(want)
+
+
+def test_upsert_sink_cdc_apply(spark, tmp_path):
+    """MERGE-per-micro-batch CDC apply: per-key latest wins within a
+    batch (by change sequence), later batches update earlier state in
+    place, redelivered batches are skipped, and a re-merge of an
+    identical batch is idempotent."""
+    base = _orders(spark).filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("seq", F.lit(0).cast("long"))
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), base)
+    sink = t.upsert_sink(["o_orderkey"], "seq", txn_app_id="cdc")
+    # batch 0: two versions of the same keys — seq 2 must win
+    k = F.col("o_orderkey") <= 50
+    b0 = (
+        base.filter(k).withColumn("o_totalprice", F.lit(1.0)).withColumn("seq", F.lit(1).cast("long"))
+        .unionByName(
+            base.filter(k).withColumn("o_totalprice", F.lit(2.0)).withColumn("seq", F.lit(2).cast("long"))
+        )
+    )
+    sink(b0, 0)
+    cur = t.read()
+    assert cur.filter(k & (F.col("o_totalprice") != 2.0)).count() == 0
+    assert cur.filter(k).count() == base.filter(k).count()
+    n_after_b0 = cur.count()
+    v_after_b0 = t.version
+    # redelivery of batch 0: no new commits, no changes
+    sink(b0, 0)
+    assert t.version == v_after_b0
+    # batch 1: updates + brand-new keys
+    b1 = (
+        base.filter(F.col("o_orderkey") <= 20)
+        .withColumn("o_totalprice", F.lit(3.0))
+        .withColumn("seq", F.lit(3).cast("long"))
+        .unionByName(
+            base.limit(5)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10**7)
+            .withColumn("seq", F.lit(3).cast("long"))
+        )
+    )
+    sink(b1, 1)
+    cur = t.read()
+    assert cur.count() == n_after_b0 + 5
+    assert (
+        cur.filter(
+            (F.col("o_orderkey") <= 20) & (F.col("o_totalprice") != 3.0)
+        ).count()
+        == 0
+    )
+    assert t.last_txn_version("cdc") == 1
