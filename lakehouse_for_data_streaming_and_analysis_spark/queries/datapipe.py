@@ -1046,3 +1046,65 @@ def ann_pq_topk(spark, sf_dir):
     return similarity.pq_topk(
         emb, queries, k=5, m_subspaces=8, n_codes=16
     )
+
+
+@q(
+    "hashed_bow_vectorize",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         FROM documents),
+       bkt AS (
+         SELECT doc_id,
+                CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INT)
+                  AS bucket
+         FROM tok WHERE tok <> ''),
+       cnt AS (SELECT doc_id, bucket, COUNT(*) AS c
+               FROM bkt GROUP BY 1, 2),
+       top AS (SELECT doc_id, bucket AS top_bucket, c AS top_count FROM (
+                 SELECT doc_id, bucket, c,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, bucket ASC) AS rn
+                 FROM cnt) WHERE rn = 1)
+       SELECT cnt.doc_id,
+              CAST(COUNT(*) AS INT) AS nnz,
+              ROUND(SQRT(CAST(SUM(c * c) AS DOUBLE)), 6) AS l2_norm,
+              CAST(MIN(top_bucket) AS INT) AS top_bucket,
+              CAST(MIN(top_count) AS BIGINT) AS top_count
+       FROM cnt JOIN top ON cnt.doc_id = top.doc_id
+       GROUP BY 1""",
+)
+def hashed_bow_vectorize(spark, sf_dir):
+    """In-engine text vectorization by the hashing trick: tokens hash
+    into a fixed 64-bucket space (md5-derived, bit-identical cross
+    engine), per-doc bucket counts ARE the sparse bag-of-words vector
+    — the zero-vocabulary, zero-shuffle-state featurizer that feeds
+    the ANN / clustering / classifier operators when no trained
+    embedding model exists. No vocabulary table, no OOV: the hash IS
+    the index, which is what makes the method viable on an unbounded
+    100 TB stream. Output summarizes each vector exactly (support
+    size, integer-exact L2 norm, arg-max bucket with a total
+    tie-break)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "doc_id", F.explode(textfns.tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    bkt = tok.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(64),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    cnt = bkt.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("nnz"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")), 6)
+          .alias("l2_norm"),
+        F.min_by("bucket", F.struct(-F.col("c"), F.col("bucket")))
+          .cast("int")
+          .alias("top_bucket"),
+        F.max("c").cast("long").alias("top_count"),
+    )
