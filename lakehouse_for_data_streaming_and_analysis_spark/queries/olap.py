@@ -725,3 +725,129 @@ def salted_skew_join_revenue(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+_BLOOM_M = 8192
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), {1 + 8 * i}, 8))"
+        f"::BIGINT % {_BLOOM_M}"
+    )
+
+
+@q(
+    "bloom_prefilter_join",
+    f"""WITH keys AS (
+         SELECT o_orderkey FROM orders
+         WHERE o_orderpriority = '1-URGENT'),
+       bits AS (
+         SELECT DISTINCT b FROM keys, (VALUES (0), (1), (2), (3)) AS h(i),
+         LATERAL (SELECT CASE i
+                    WHEN 0 THEN {_bloom_pos_sql('o_orderkey', 0)}
+                    WHEN 1 THEN {_bloom_pos_sql('o_orderkey', 1)}
+                    WHEN 2 THEN {_bloom_pos_sql('o_orderkey', 2)}
+                    ELSE {_bloom_pos_sql('o_orderkey', 3)} END AS b) AS p),
+       probe AS (
+         SELECT l_orderkey,
+                {_bloom_pos_sql('l_orderkey', 0)} AS b0,
+                {_bloom_pos_sql('l_orderkey', 1)} AS b1,
+                {_bloom_pos_sql('l_orderkey', 2)} AS b2,
+                {_bloom_pos_sql('l_orderkey', 3)} AS b3
+         FROM lineitem),
+       passed AS (
+         SELECT l_orderkey FROM probe
+         WHERE b0 IN (SELECT b FROM bits)
+           AND b1 IN (SELECT b FROM bits)
+           AND b2 IN (SELECT b FROM bits)
+           AND b3 IN (SELECT b FROM bits)),
+       truth AS (
+         SELECT l_orderkey FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM keys))
+       SELECT (SELECT COUNT(*) FROM keys) AS n_keys,
+              (SELECT COUNT(*) FROM bits) AS n_bits_set,
+              (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+              (SELECT COUNT(*) FROM truth) AS n_true_match,
+              (SELECT COUNT(*) FROM passed)
+                - (SELECT COUNT(*) FROM truth) AS n_false_pos""",
+)
+def bloom_prefilter_join(spark, sf_dir):
+    """Runtime-filter pattern, portable: a bloom filter over the build
+    side's join keys (4 md5-derived hash positions into 8192 bits)
+    pre-filters the probe side BEFORE the real join — the semi-join
+    pushdown that saves shuffling 100 TB of probe rows that cannot
+    match. Both the bit set and the probe are deterministic
+    expressions, so the DuckDB oracle reproduces the filter bit for
+    bit: the hash match certifies zero false negatives BY VALUE (every
+    true match passes) and pins the exact false-positive count this
+    filter produces on this data. Spark-side the bit set stays a
+    DataFrame (broadcast hash joins on the bit positions) — no
+    driver-side collect of the filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+
+    def pos(col, i):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1 + 8 * i, 8), 16, 10
+            ).cast("long"),
+            F.lit(_BLOOM_M),
+        )
+
+    bits = (
+        keys.select(
+            F.explode(
+                F.array(*[pos(F.col("o_orderkey"), i) for i in range(4)])
+            ).alias("b")
+        )
+        .distinct()
+    )
+    # probe at KEY grain (lineitem repeats l_orderkey ~4x; summing
+    # hits across duplicate rows would let partial matches pass), then
+    # fan the per-key verdict back out to rows for the counts
+    probe_keys = li.select("l_orderkey").distinct().withColumn(
+        "positions",
+        F.array_distinct(
+            F.array(*[pos(F.col("l_orderkey"), i) for i in range(4)])
+        ),
+    )
+    matched = (
+        probe_keys.select(
+            "l_orderkey", F.explode("positions").alias("b")
+        )
+        .join(F.broadcast(bits), "b")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    passed_keys = (
+        probe_keys.select(
+            "l_orderkey", F.size("positions").alias("n_pos")
+        )
+        .join(matched, "l_orderkey", "left")
+        .filter(F.coalesce(F.col("n_hit"), F.lit(0)) >= F.col("n_pos"))
+        .select("l_orderkey")
+    )
+    passed = li.join(F.broadcast(passed_keys), "l_orderkey", "left_semi")
+    truth = li.join(
+        F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi"
+    )
+    n = lambda df, name: df.agg(F.count(F.lit(1)).alias(name))  # noqa: E731
+    return (
+        n(keys, "n_keys")
+        .join(n(bits, "n_bits_set"))
+        .join(n(passed, "n_bloom_pass"))
+        .join(n(truth, "n_true_match"))
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_pos"
+            ),
+        )
+    )
