@@ -734,3 +734,53 @@ def cross_source_duplicate_audit(spark, sf_dir):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+@q(
+    "weighted_sample_topk",
+    """WITH u AS (
+         SELECT doc_id, lang, n_chars,
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 + 1.0) / 4294967296.0 AS u
+         FROM documents),
+       keyed AS (
+         SELECT doc_id, lang, n_chars,
+                ROUND(ln(u) / n_chars, 10) AS es_key
+         FROM u WHERE n_chars > 0)
+       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+              es_key, CAST(rn AS INT) AS rn
+       FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC)
+                       AS rn
+             FROM keyed)
+       WHERE rn <= 25""",
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis, public): each doc draws u from a HASH of its
+    id (reproducible across runs and cluster sizes — the property
+    randomSplit lacks), and the top-k by ln(u)/weight IS a weighted
+    sample without replacement (weight here: n_chars, standing in for
+    a quality score — longer docs proportionally likelier). One scan +
+    one top-k; at 100 TB this is how you draw a quality-weighted
+    curation sample in a single pass with no RNG state. Keys rounded
+    to 1e-10 with a doc_id tie-break so the rank order is
+    hash-portable."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.log(u) / F.col("n_chars"), 10).alias("es_key"),
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang", "n_chars", "es_key",
+                F.col("rn").cast("int").alias("rn"))
+    )
