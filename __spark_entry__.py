@@ -51,6 +51,7 @@ ROWS_ONLY = (
     "bpe_vocab_merges",
     "bpe_tokenize_docs",
     "quality_classifier_scores",
+    "compression_ratio_quality",
 )
 
 # --- Driver-verification rotation -----------------------------------

@@ -464,3 +464,56 @@ def vocab_oov_rate(spark, sf_dir):
         oov.cast("int").alias("n_oov"),
         F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+@q("compression_ratio_quality")  # rows-only: zlib is not expressible in SQL
+def compression_ratio_quality(spark, sf_dir):
+    """Compression-ratio quality gate (the RefinedWeb/Dolma-class
+    signal the n-gram proxies approximate): deflate every document
+    and bucket by compressed/raw byte ratio — very low means
+    template/boilerplate repetition, very high means incompressible
+    noise (base64, minified blobs); natural prose sits in a mid band.
+
+    The deflate itself is the textbook Arrow-batched ``mapInPandas``
+    hot path: pure per-row work, no state, no shuffle — each executor
+    compresses only its own partition's documents and emits 3 small
+    columns, so the corpus-sized text column never moves. The only
+    shuffle is the final source-grain aggregate over (doc_id, ratio)
+    rows. No DuckDB oracle (SQL has no deflate); the driver records
+    the rows-only check and tests/test_timeseries.py pins the per-source
+    report byte-for-byte against a local zlib replay."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+
+    def ratios(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            nraw = raw.str.len().clip(lower=1)
+            nz = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "ratio": (nz / nraw).round(6),
+                }
+            )
+
+    per_doc = docs.mapInPandas(ratios, "source string, ratio double")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+            F.sum(F.when(F.col("ratio") < 0.35, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repetitive"),
+            F.sum(F.when(F.col("ratio") > 0.9, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_incompressible"),
+        )
+        .orderBy("source")
+    )

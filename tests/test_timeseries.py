@@ -114,3 +114,32 @@ def test_incremental_merge_equals_direct(spark):
     )
     for r in direct.collect():
         assert got[r["l_returnflag"]] == (r["n"], r["s"], r["mn"], r["mx"])
+
+
+def test_compression_ratio_matches_zlib_replay(spark):
+    """The mapInPandas deflate path must reproduce a driver-local
+    zlib replay exactly: same per-source counts, same rounded ratio
+    aggregates, same bucket counts."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    got = {
+        r["source"]: r
+        for r in lmstats.compression_ratio_quality(spark, SF_DIR).collect()
+    }
+    pdf = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    pdf["__raw"] = pdf["text"].fillna("").str.encode("utf-8")
+    pdf["__ratio"] = (
+        pdf["__raw"].map(lambda b: len(zlib.compress(b, 6)))
+        / pdf["__raw"].str.len().clip(lower=1)
+    ).round(6)
+    for src, grp in pdf.groupby("source"):
+        r = got[src]
+        assert r["n_docs"] == len(grp)
+        assert math.isclose(r["avg_ratio"], round(grp["__ratio"].mean(), 4), abs_tol=1e-9)
+        assert r["min_ratio"] == round(grp["__ratio"].min(), 4)
+        assert r["max_ratio"] == round(grp["__ratio"].max(), 4)
+        assert r["n_repetitive"] == int((grp["__ratio"] < 0.35).sum())
+        assert r["n_incompressible"] == int((grp["__ratio"] > 0.9).sum())
+    assert set(got) == set(pdf["source"].unique())
