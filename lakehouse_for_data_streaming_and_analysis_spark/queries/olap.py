@@ -727,7 +727,7 @@ def salted_skew_join_revenue(spark, sf_dir):
     )
 
 
-_BLOOM_M = 8192
+_BLOOM_M = 1 << 20  # ~12% fill at sf0.1 build cardinality; FP^4 ~ 2e-4
 
 
 def _bloom_pos_sql(expr: str, i: int) -> str:
@@ -774,7 +774,7 @@ def _bloom_pos_sql(expr: str, i: int) -> str:
 )
 def bloom_prefilter_join(spark, sf_dir):
     """Runtime-filter pattern, portable: a bloom filter over the build
-    side's join keys (4 md5-derived hash positions into 8192 bits)
+    side's join keys (4 md5-derived hash positions into 2^20 bits)
     pre-filters the probe side BEFORE the real join — the semi-join
     pushdown that saves shuffling 100 TB of probe rows that cannot
     match. Both the bit set and the probe are deterministic
@@ -783,7 +783,10 @@ def bloom_prefilter_join(spark, sf_dir):
     true match passes) and pins the exact false-positive count this
     filter produces on this data. Spark-side the bit set stays a
     DataFrame (broadcast hash joins on the bit positions) — no
-    driver-side collect of the filter."""
+    driver-side collect of the filter. The probe is four chained
+    broadcast LEFT SEMI joins (one per hash position) over the raw
+    row stream: map-side only, so the 100 TB probe side is never
+    shuffled."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     keys = orders.filter(
@@ -806,39 +809,81 @@ def bloom_prefilter_join(spark, sf_dir):
         )
         .distinct()
     )
-    # probe at KEY grain (lineitem repeats l_orderkey ~4x; summing
-    # hits across duplicate rows would let partial matches pass), then
-    # fan the per-key verdict back out to rows for the counts
-    probe_keys = li.select("l_orderkey").distinct().withColumn(
-        "positions",
-        F.array_distinct(
-            F.array(*[pos(F.col("l_orderkey"), i) for i in range(4)])
-        ),
-    )
-    matched = (
-        probe_keys.select(
-            "l_orderkey", F.explode("positions").alias("b")
+    # Pack the filter into its literal form — m/64 longs keyed by word
+    # index — as ONE broadcast row, and test membership with pure
+    # bitwise expressions: the probe side is a single scan with no
+    # shuffle, no dedup, no explode, no join build per position. The
+    # md5 is materialized once per row (``__h``); Catalyst keeps the
+    # projection because the alias is referenced four times and md5 is
+    # not collapse-cheap.
+    # Dense word array, NOT a map: Spark maps are array-backed, so
+    # element_at on a 16k-entry map is a linear scan per probe; a
+    # dense array indexed by word is O(1). Densify absent words to 0
+    # via a range join; array order is pinned by array_sort over
+    # (w, word) structs, not by collect_list partition order.
+    words = (
+        bits.select(
+            F.floor(F.col("b") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(b, 64) AS INT))"
+            ).alias("bit"),
         )
-        .join(F.broadcast(bits), "b")
-        .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
     )
-    passed_keys = (
-        probe_keys.select(
-            "l_orderkey", F.size("positions").alias("n_pos")
+    bloom = (
+        spark.range(_BLOOM_M // 64)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(w, word))), "
+                "s -> s.word)"
+            ).alias("__bloom")
         )
-        .join(matched, "l_orderkey", "left")
-        .filter(F.coalesce(F.col("n_hit"), F.lit(0)) >= F.col("n_pos"))
-        .select("l_orderkey")
     )
-    passed = li.join(F.broadcast(passed_keys), "l_orderkey", "left_semi")
+    probed = (
+        li.withColumn("__h", F.md5(F.col("l_orderkey").cast("string")))
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "l_orderkey",
+            "__bloom",
+            *[
+                F.pmod(
+                    F.conv(F.substring("__h", 1 + 8 * i, 8), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(_BLOOM_M),
+                ).alias(f"__b{i}")
+                for i in range(4)
+            ],
+        )
+    )
+    hits = [
+        F.expr(
+            f"element_at(__bloom, CAST(floor(__b{i} / 64) AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__b{i}, 64) AS INT)) != 0"
+        )
+        for i in range(4)
+    ]
+    passed = probed.filter(
+        hits[0] & hits[1] & hits[2] & hits[3]
+    ).select("l_orderkey")
     truth = li.join(
         F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi"
     )
     n = lambda df, name: df.agg(F.count(F.lit(1)).alias(name))  # noqa: E731
     return (
         n(keys, "n_keys")
-        .join(n(bits, "n_bits_set"))
+        .join(
+            bloom.select(
+                F.expr(
+                    "aggregate(__bloom, CAST(0 AS BIGINT), "
+                    "(acc, w) -> acc + bit_count(w))"
+                ).alias("n_bits_set")
+            )
+        )
         .join(n(passed, "n_bloom_pass"))
         .join(n(truth, "n_true_match"))
         .select(
