@@ -835,30 +835,41 @@ def event_type_transition_matrix(spark, sf_dir):
 def brand_basket_affinity(spark, sf_dir):
     """Market-basket affinity: brand pairs that co-occur in the same
     order more than independence predicts (lift > 1), min-support 20.
-    The order×brand set is deduped ONCE and self-joined on orderkey —
-    the pair fan-out is bounded by brands-per-order (market-basket's
-    standard guard), per-brand totals and the order count broadcast
-    back into the lift. At 100 TB the same plan runs with the
-    orderkey join co-partitioned; skew guard = cap on basket size."""
+    The fact stream shuffles once per consumer, to order grain:
+    collect_set builds each order's deduped brand basket directly (no
+    separate (order, brand)-grain distinct pass), and pairs are
+    generated inside the row by array combination — the pair fan-out
+    is bounded by brands-per-order (market-basket's standard guard)
+    with no second fact-sized self-join. (A measured dead end, kept
+    as a note: folding n/per-brand/pairs into one tagged multi-grain
+    explode halves the shuffles but TRIPLES the shuffled rows — the
+    lookup-row fan-out costs more than the extra map-side scans it
+    saves.) At 100 TB the same plan is co-partitioned order-grain
+    shuffles; skew guard = cap on basket size."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("__bs"))
     )
-    n = ob.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("double").alias("n_orders")
-    )
-    per_brand = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    a = ob.select(
-        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
-    )
-    b = ob.select(
-        F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b")
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    per_brand = (
+        baskets.select(F.explode("__bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
     )
     pairs = (
-        a.join(b, (F.col("k") == F.col("k2")) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__bs, (x, i) -> "
+                    "transform(slice(__bs, i + 2, size(__bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("__pr")
+        )
+        .select("__pr.brand_a", "__pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 20)
