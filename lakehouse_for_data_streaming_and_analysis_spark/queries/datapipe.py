@@ -1108,3 +1108,118 @@ def hashed_bow_vectorize(spark, sf_dir):
           .alias("top_bucket"),
         F.max("c").cast("long").alias("top_count"),
     )
+
+
+_K_SUB = 5  # token span length for exact-substring dedup
+
+
+@q(
+    "exact_substring_dup_coverage",
+    f"""WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+       base AS (SELECT doc_id, source, len(toks) AS n_tok, toks FROM tok
+                WHERE len(toks) > 0),
+       sh AS (SELECT doc_id, source, n_tok,
+                     list_transform(range(1, greatest(len(toks) - {_K_SUB - 1}, 0) + 1),
+                                    i -> array_to_string(toks[i:i+{_K_SUB - 1}], ' '))
+                       AS shl
+              FROM base),
+       grams AS (SELECT doc_id, source, n_tok,
+                        unnest(shl) AS g,
+                        unnest(range(0, len(shl))) AS pos0
+                 FROM sh),
+       repeated AS (SELECT g FROM grams
+                    GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       rep AS (SELECT doc_id, source, n_tok, pos0
+               FROM grams JOIN repeated USING (g)),
+       brk AS (SELECT doc_id, source, n_tok, pos0,
+                      CASE WHEN lag(pos0) OVER w IS NULL
+                                OR pos0 - lag(pos0) OVER w > {_K_SUB}
+                           THEN 1 ELSE 0 END AS is_brk
+               FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)),
+       tagged AS (SELECT doc_id, source, n_tok, pos0,
+                         SUM(is_brk) OVER (PARTITION BY doc_id ORDER BY pos0
+                                           ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM brk),
+       per_isl AS (SELECT doc_id, source, n_tok, isl,
+                          MAX(pos0) - MIN(pos0) + {_K_SUB} AS cov
+                   FROM tagged GROUP BY 1, 2, 3, 4),
+       per_doc AS (SELECT doc_id, SUM(cov) AS covered
+                   FROM per_isl GROUP BY 1),
+       alldocs AS (SELECT b.source, b.n_tok,
+                          COALESCE(p.covered, 0) AS covered
+                   FROM base b LEFT JOIN per_doc p USING (doc_id))
+       SELECT source, COUNT(*) AS n_docs,
+              COUNT(CASE WHEN covered * 5 >= n_tok THEN 1 END) AS n_dup_heavy,
+              ROUND(AVG(CAST(covered AS DOUBLE) / n_tok), 4) AS avg_dup_share
+       FROM alldocs GROUP BY 1""",
+)
+def exact_substring_dup_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (the ExactSubstr dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public): for every document, the share
+    of its tokens covered by 5-token spans that also occur
+    verbatim in at least one OTHER document, with overlapping /
+    adjacent spans merged into islands (gaps-and-islands over span
+    start positions: a new island starts when the gap exceeds the
+    span length) so coverage never double-counts. Reported per
+    source: doc count, dup-heavy docs (>=20 pct covered, integer
+    cross-multiplied), mean coverage share.
+
+    Scale shape: one corpus explode to (gram, pos) rows, one
+    gram-grain aggregate for the cross-doc repeated set, one equi-join
+    back (both sides shuffle on the gram key — linear, no all-pairs),
+    then per-doc windows at doc grain. The repeated-gram set is the
+    corpus's duplicated tail only; at 100 TB the join is the same
+    co-partitioned shuffle MinHash banding uses, and the window state
+    is bounded by spans-per-doc."""
+    k = _K_SUB
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tokd = docs.select(
+        "doc_id", "source", textfns.tokens("text").alias("__toks")
+    )
+    base = tokd.select(
+        "doc_id", "source", F.size("__toks").alias("n_tok"), "__toks"
+    ).filter(F.col("n_tok") > 0)
+    grams = base.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.posexplode(textfns.shingles(F.col("__toks"), k)).alias("pos0", "g"),
+    )
+    repeated = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("g")
+    )
+    rep = grams.join(repeated, "g").select("doc_id", "n_tok", "pos0")
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    brk = F.when(
+        F.lag("pos0").over(w).isNull()
+        | (F.col("pos0") - F.lag("pos0").over(w) > k),
+        1,
+    ).otherwise(0)
+    tagged = rep.withColumn(
+        "__isl",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        tagged.groupBy("doc_id", "__isl")
+        .agg((F.max("pos0") - F.min("pos0") + k).alias("__cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("__cov").alias("covered"))
+    )
+    alldocs = base.join(per_doc, "doc_id", "left").select(
+        "source",
+        "n_tok",
+        F.coalesce("covered", F.lit(0)).alias("covered"),
+    )
+    return alldocs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("covered") * 5 >= F.col("n_tok"), 1)).alias(
+            "n_dup_heavy"
+        ),
+        F.round(
+            F.avg(F.col("covered").cast("double") / F.col("n_tok")), 4
+        ).alias("avg_dup_share"),
+    )

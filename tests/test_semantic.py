@@ -104,3 +104,21 @@ def test_decode_image_real_is_gated():
     if not multimodal.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_exact_substring_dup_coverage_oracle(spark, duck):
+    assert_matches_oracle(
+        datapipe.QUERIES["exact_substring_dup_coverage"](spark, SF_DIR),
+        duck,
+        datapipe.ORACLES["exact_substring_dup_coverage"],
+    )
+
+
+def test_exact_substring_dup_coverage_bounded(spark):
+    """Merged-island coverage can never exceed the document: share in
+    [0, 1], dup-heavy docs bounded by doc count."""
+    for r in datapipe.QUERIES["exact_substring_dup_coverage"](
+        spark, SF_DIR
+    ).collect():
+        assert 0.0 <= r["avg_dup_share"] <= 1.0
+        assert 0 <= r["n_dup_heavy"] <= r["n_docs"]
