@@ -1223,3 +1223,156 @@ def exact_substring_dup_coverage(spark, sf_dir):
             F.avg(F.col("covered").cast("double") / F.col("n_tok")), 4
         ).alias("avg_dup_share"),
     )
+
+
+@q(
+    "semdedup_cluster_prune",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       cents AS (SELECT embedding AS cemb,
+                        ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+                 FROM e ORDER BY vec_id LIMIT 8),
+       elems AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM e),
+       celems AS (SELECT cidx,
+                         ROUND(CAST(unnest(cemb) AS DOUBLE), 6) AS c,
+                         generate_subscripts(cemb, 1) AS i
+                  FROM cents),
+       d2 AS (SELECT e.vec_id, c.cidx,
+                     ROUND(SUM((e.v - c.c) * (e.v - c.c)), 6) AS d2
+              FROM elems e JOIN celems c USING (i) GROUP BY 1, 2),
+       asg AS (SELECT vec_id, cidx AS cluster_id FROM (
+                 SELECT vec_id, cidx,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d2 ASC, cidx ASC) AS rn
+                 FROM d2) WHERE rn = 1),
+       nrm AS (SELECT vec_id, SUM(v * v) AS n2 FROM elems GROUP BY 1),
+       flagged AS (
+         SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b
+         FROM asg a
+         JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         JOIN elems ea ON ea.vec_id = a.vec_id
+         JOIN elems eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         GROUP BY 1, 2, 3, na.n2, nb.n2
+         HAVING ROUND(SUM(ea.v * eb.v) / (sqrt(na.n2) * sqrt(nb.n2)), 6)
+                >= 0.35),
+       per_cluster AS (
+         SELECT cluster_id,
+                COUNT(*) AS n_neardup_pairs,
+                COUNT(DISTINCT id_b) AS n_dropped
+         FROM flagged GROUP BY 1)
+       SELECT CAST(a.cluster_id AS INTEGER) AS cluster_id,
+              COUNT(*) AS n_vectors,
+              COALESCE(MAX(p.n_neardup_pairs), 0) AS n_neardup_pairs,
+              COALESCE(MAX(p.n_dropped), 0) AS n_dropped,
+              COUNT(*) - COALESCE(MAX(p.n_dropped), 0) AS n_kept
+       FROM asg a LEFT JOIN per_cluster p ON a.cluster_id = p.cluster_id
+       GROUP BY 1""",
+)
+def semdedup_cluster_prune(spark, sf_dir, k: int = 8, tau: float = 0.35):
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup that
+    bounds the quadratic — embeddings are first assigned to k
+    clusters, then exact-cosine near-duplicate pairs are searched
+    only WITHIN each cluster, and every vector with a lower-id
+    near-duplicate in its cluster is dropped (one deterministic
+    representative per duplicate neighborhood survives). Per cluster:
+    size, near-dup pair count, dropped and kept counts.
+
+    Determinism across engines: centroids are the k lowest-vec_id
+    vectors rounded to 6 decimals (no RNG — same init as
+    kmeans_embedding_clusters); squared distances and cosines are
+    rounded to 6 before the argmin / threshold compare, ties break on
+    centroid index, so no ulp difference can flip an assignment or a
+    flag. Scale shape: assignment is a pure JVM fold against centroid
+    literals (no shuffle); the pair search is an equi-join on
+    cluster_id — the all-pairs blowup is capped at the largest
+    cluster, which is exactly the knob SemDeDup's k controls at
+    100 TB. Norms hoist before the join; the k x dims init collect is
+    the same tiny driver round-trip the k-means operator documents."""
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True).select(
+        "vec_id", "embedding"
+    )
+    init = emb.orderBy("vec_id").limit(k).collect()
+    cents = [[round(float(x), 6) for x in r.embedding] for r in init]
+
+    def _d2(cvec):
+        arr = F.array(*[F.lit(float(c)) for c in cvec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    arr,
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        )
+
+    dists = F.array(*[_d2(c) for c in cents])
+    assigned = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("__e"),
+        F.coalesce(
+            F.array_position(dists, F.array_min(dists)) - 1, F.lit(-1)
+        )
+        .cast("int")
+        .alias("cluster_id"),
+    ).withColumn(
+        "__n2",
+        F.aggregate(
+            F.transform(F.col("__e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n2").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("__cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n2").alias("__nb"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__ea"), F.col("__eb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        / (F.sqrt("__na") * F.sqrt("__nb")),
+        6,
+    )
+    flagged = (
+        a.join(
+            b,
+            (F.col("cluster_id") == F.col("__cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= tau)
+        .select("cluster_id", "id_a", "id_b")
+    )
+    per_cluster = flagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs"),
+        F.count_distinct("id_b").alias("n_dropped"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    return sizes.join(per_cluster, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vectors",
+        F.coalesce("n_neardup_pairs", F.lit(0)).alias("n_neardup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0))).alias(
+            "n_kept"
+        ),
+    )

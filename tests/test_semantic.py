@@ -122,3 +122,22 @@ def test_exact_substring_dup_coverage_bounded(spark):
     ).collect():
         assert 0.0 <= r["avg_dup_share"] <= 1.0
         assert 0 <= r["n_dup_heavy"] <= r["n_docs"]
+
+
+def test_semdedup_cluster_prune_oracle(spark, duck):
+    assert_matches_oracle(
+        datapipe.QUERIES["semdedup_cluster_prune"](spark, SF_DIR),
+        duck,
+        datapipe.ORACLES["semdedup_cluster_prune"],
+    )
+
+
+def test_semdedup_invariants(spark):
+    """Every vector lands in exactly one cluster; dropped never exceeds
+    cluster size minus the surviving representative; kept+dropped
+    partitions the cluster."""
+    rows = datapipe.QUERIES["semdedup_cluster_prune"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
+        assert 0 <= r["n_dropped"] < r["n_vectors"] or r["n_vectors"] == 0
