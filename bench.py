@@ -42,6 +42,8 @@ HEADLINE = (
     "deltalog_snapshot_audit",
     "bpe_vocab_merges",
     "ann_pq_topk",
+    "exact_substring_dup_coverage",
+    "semdedup_cluster_prune",
 )
 
 
