@@ -784,3 +784,87 @@ def weighted_sample_topk(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "es_key",
                 F.col("rn").cast("int").alias("rn"))
     )
+
+
+_DSIR_B = 64  # hashed-feature buckets
+
+
+@q(
+    "dsir_importance_weights",
+    f"""WITH tok AS (SELECT doc_id, source,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+                FROM documents),
+       bkt AS (SELECT doc_id, source,
+                      {_pbucket_sql('t', _DSIR_B)} AS b
+               FROM tok),
+       counts AS (SELECT b,
+                         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+                         SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+                  FROM bkt GROUP BY 1),
+       tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+       ratios AS (SELECT b,
+                         ln((ct + 1.0) / (nt + {_DSIR_B}.0))
+                           - ln((cr + 1.0) / (nr + {_DSIR_B}.0)) AS lr
+                  FROM counts CROSS JOIN tot),
+       scored AS (SELECT doc_id, source, ROUND(SUM(lr), 4) AS w
+                  FROM bkt JOIN ratios USING (b) GROUP BY 1, 2)
+       SELECT source, COUNT(*) AS n_docs,
+              ROUND(AVG(w), 4) AS avg_weight,
+              COUNT(CASE WHEN w > 0 THEN 1 END) AS n_target_like
+       FROM scored GROUP BY 1""",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): score every
+    document by its log importance weight under hashed-n-gram bag
+    models of a TARGET domain vs the RAW pool — here target =
+    source 'src0', features = unigram tokens hashed into 64 buckets
+    (md5, portable), add-1 smoothing on both distributions. A doc's
+    weight is the sum over its token stream of
+    ln p_target(bucket) - ln p_raw(bucket); weight > 0 means the doc
+    looks more target-like than pool-like and would survive the
+    importance resample. Reported per source: doc count, mean weight,
+    target-like count.
+
+    Scale shape: one token explode feeds ONE 64-row bucket-count
+    aggregate (map-side combined) and one per-doc sum; the 64-row
+    log-ratio table broadcasts back into the stream, and the global
+    totals it needs come from a window over those 64 rows — no
+    corpus-sized side ever shuffles twice, no driver collect. The
+    identical ln expression is written on both engines and the per-doc
+    sum is rounded before any compare."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "doc_id", "source", F.explode(textfns.tokens("text")).alias("t")
+    )
+    bkt = tok.select(
+        "doc_id", "source", _pbucket(F.col("t"), _DSIR_B).alias("b")
+    )
+    counts = bkt.groupBy("b").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("cr"),
+    )
+    wall = Window.partitionBy()
+    ratios = counts.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(wall) + float(_DSIR_B))
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.sum("cr").over(wall) + float(_DSIR_B))
+            )
+        ).alias("lr"),
+    )
+    scored = (
+        bkt.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("lr"), 4).alias("w"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("w"), 4).alias("avg_weight"),
+        F.count(F.when(F.col("w") > 0, 1)).alias("n_target_like"),
+    )

@@ -104,3 +104,16 @@ def test_sequence_packing_invariants(spark):
         assert straddles == (in_shard + n_tok > 4096)
         off = start + n_tok
     assert off == sum(n for _, n, _ in laid)
+
+
+def test_dsir_target_scores_highest(spark):
+    """The target domain must score itself highest: src0's mean
+    importance weight and target-like count top every other source."""
+    rows = {
+        r["source"]: r
+        for r in curation.QUERIES["dsir_importance_weights"](
+            spark, SF_DIR
+        ).collect()
+    }
+    others = [r for s, r in rows.items() if s != "src0"]
+    assert all(rows["src0"]["avg_weight"] > r["avg_weight"] for r in others)
