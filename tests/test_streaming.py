@@ -476,3 +476,65 @@ def test_kafka_reader_option_contract(spark):
 
     with _pytest.raises(Exception, match="kafka"):
         streams.kafka_ticks(spark, "ticks", "bitcoin")
+
+
+def test_streaming_session_window_merges_and_closes(spark, scratch):
+    """T3 variant: session_window in a real StreamingQuery — events
+    within the 5-minute gap merge into one session, a later event
+    opens a new one, and append mode emits a session only after the
+    watermark passes its (last event + gap) close."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+
+    def row(user, minute, sec=0):
+        return spark.range(1).select(
+            F.lit(user).cast("long").alias("user_id"),
+            F.timestamp_seconds(F.lit(BASE_TS + minute * 60 + sec)).cast(
+                "timestamp"
+            ).alias("timestamp"),
+        )
+
+    b1 = row(1, 0, 10).union(row(2, 1))
+    b2 = row(1, 2)          # merges into user 1's first session (gap < 5m)
+    b3 = row(1, 20)         # new session (gap > 5m)
+    b4 = row(9, 60)         # sentinel advances the watermark
+    b5 = row(9, 61)         # filler: watermark application lags a batch
+    replay_dir = os.path.join(scratch, "sess_replay")
+    streams.write_replay_batches([b1, b2, b3, b4, b5], replay_dir)
+
+    stream = streams.file_replay(spark, replay_dir, schema)
+    agg = (
+        stream.withWatermark("timestamp", "1 minute")
+        .groupBy(
+            F.session_window("timestamp", "5 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out: list = []
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .option("checkpointLocation", os.path.join(scratch, "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    def mins(ts):
+        return (ts.timestamp() - BASE_TS) / 60.0
+
+    got = {
+        (r["user_id"], mins(r["sw"]["start"]), mins(r["sw"]["end"]), r["n"])
+        for r in out
+    }
+    # session end = last event + gap; u9's sessions stay open (no later
+    # watermark passes them) and must NOT be emitted
+    assert got == {
+        (1, 10 / 60.0, 7.0, 2),   # 0:10 and 2:00 merged, end 2:00+5m
+        (2, 1.0, 6.0, 1),
+        (1, 20.0, 25.0, 1),
+    }
