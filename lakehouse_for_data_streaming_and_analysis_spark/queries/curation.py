@@ -868,3 +868,47 @@ def dsir_importance_weights(spark, sf_dir):
         F.round(F.avg("w"), 4).alias("avg_weight"),
         F.count(F.when(F.col("w") > 0, 1)).alias("n_target_like"),
     )
+
+
+@q(
+    "temperature_mixture_weights",
+    """WITH per_lang AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                    GROUP BY 1),
+       tot AS (SELECT SUM(n_docs) AS n_total,
+                      SUM(pow(CAST(n_docs AS DOUBLE), 0.3)) AS z
+               FROM per_lang)
+       SELECT lang, n_docs,
+              ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS natural_share,
+              ROUND(pow(CAST(n_docs AS DOUBLE), 0.3) / z, 6) AS temp_share,
+              ROUND((pow(CAST(n_docs AS DOUBLE), 0.3) / z)
+                    / (CAST(n_docs AS DOUBLE) / n_total), 4) AS sampling_factor
+       FROM per_lang CROSS JOIN tot""",
+)
+def temperature_mixture_weights(spark, sf_dir, alpha: float = 0.3):
+    """Temperature-scaled corpus mixing (the exponentiated-share
+    formula of mBERT / XLM-R / mT5 multilingual sampling, public):
+    instead of fixed per-language targets
+    (corpus_mixture_weights), sampling probabilities come from the
+    corpus itself — p_s = n_s^alpha / sum_t n_t^alpha with
+    alpha = 0.3, which up-samples low-resource languages and
+    down-samples the head. Reported per language: natural share,
+    temperature share, and the resulting sampling factor
+    (p_s / q_s — how many effective epochs of that language the mix
+    implies). One language-grain aggregate; the totals the shares
+    need come from a window over the language-cardinality frame, so
+    nothing corpus-sized is read twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    n_total = F.sum("n_docs").over(wall).cast("double")
+    powed = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    z = F.sum(powed).over(wall)
+    q_nat = F.col("n_docs").cast("double") / n_total
+    p_temp = powed / z
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        F.round(q_nat, 6).alias("natural_share"),
+        F.round(p_temp, 6).alias("temp_share"),
+        F.round(p_temp / q_nat, 4).alias("sampling_factor"),
+    )

@@ -117,3 +117,19 @@ def test_dsir_target_scores_highest(spark):
     }
     others = [r for s, r in rows.items() if s != "src0"]
     assert all(rows["src0"]["avg_weight"] > r["avg_weight"] for r in others)
+
+
+def test_temperature_mixing_upsamples_tail(spark):
+    """alpha < 1 must pull shares toward uniform: every language rarer
+    than average gets factor > 1, every more-common one factor < 1,
+    and the temperature shares still sum to 1."""
+    rows = curation.QUERIES["temperature_mixture_weights"](
+        spark, SF_DIR
+    ).collect()
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["natural_share"] < mean_share - 1e-9:
+            assert r["sampling_factor"] > 1.0
+        elif r["natural_share"] > mean_share + 1e-9:
+            assert r["sampling_factor"] < 1.0
