@@ -1376,3 +1376,68 @@ def semdedup_cluster_prune(spark, sf_dir, k: int = 8, tau: float = 0.35):
             "n_kept"
         ),
     )
+
+
+@q(
+    "quality_threshold_sweep",
+    f"""WITH per_doc AS (
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                ROUND(len(list_distinct(toks))
+                      / CAST(nullif(len(toks), 0) AS DOUBLE), 4) AS uniq_ratio
+         FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)),
+       grid AS (SELECT unnest([30, 35, 40, 45, 50, 55, 60, 65, 70]) AS t_pct),
+       tot AS (SELECT COUNT(*) AS n_total FROM per_doc)
+       SELECT t_pct,
+              COUNT(CASE WHEN uniq_ratio >= t_pct / 100.0 THEN 1 END) AS n_kept,
+              ROUND(COUNT(CASE WHEN uniq_ratio >= t_pct / 100.0 THEN 1 END)
+                    / CAST(n_total AS DOUBLE), 4) AS kept_share,
+              CAST(COALESCE(SUM(CASE WHEN uniq_ratio >= t_pct / 100.0
+                                     THEN n_tokens END), 0) AS BIGINT)
+                AS kept_tokens
+       FROM per_doc CROSS JOIN grid CROSS JOIN tot
+       GROUP BY t_pct, n_total""",
+)
+def quality_threshold_sweep(spark, sf_dir):
+    """Filter-calibration curve — the selection sweep you consult
+    BEFORE committing a quality threshold: for a grid of cutoffs over
+    the per-doc distinct-token ratio (the repetition signal from
+    text_quality_scores), how many documents and how much token mass
+    survive. The per-doc score is computed once (rounded before any
+    compare, same ROUND on both engines), fanned across the 9-point
+    grid by an in-row literal explode, and reduced in one
+    threshold-grain aggregate — corpus scanned once, no per-threshold
+    jobs. At 100 TB this replaces 9 exploratory filter runs with one
+    pass."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    per_doc = tokd.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("__toks"))
+            / F.nullif(F.size("__toks"), F.lit(0)).cast("double"),
+            4,
+        ).alias("uniq_ratio"),
+    )
+    # every doc contributes exactly one row per grid point, so the
+    # per-threshold group count IS the corpus total — no global window
+    # (which would collapse the corpus to one partition) and no second
+    # scan for the denominator
+    swept = per_doc.select(
+        "n_tokens",
+        "uniq_ratio",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(30, 75, 5)])
+        ).alias("t_pct"),
+    )
+    kept = F.col("uniq_ratio") >= F.col("t_pct") / 100.0
+    return swept.groupBy("t_pct").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.round(
+            F.count(F.when(kept, 1)) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("kept_share"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

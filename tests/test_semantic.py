@@ -141,3 +141,18 @@ def test_semdedup_invariants(spark):
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_vectors"]
         assert 0 <= r["n_dropped"] < r["n_vectors"] or r["n_vectors"] == 0
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """Raising the cutoff can only shrink the kept set: n_kept,
+    kept_share and kept_tokens must be non-increasing in t_pct, and
+    the grid must cover all 9 points."""
+    rows = sorted(
+        datapipe.QUERIES["quality_threshold_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r["t_pct"],
+    )
+    assert [r["t_pct"] for r in rows] == list(range(30, 75, 5))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_kept"] <= a["n_kept"]
+        assert b["kept_tokens"] <= a["kept_tokens"]
+        assert b["kept_share"] <= a["kept_share"] + 1e-9
