@@ -65,110 +65,152 @@ ROWS_ONLY = (
 # the newly green names from CORRECTNESS_r{N}.json into DRIVER_GREEN
 # and promote the next unchecked block into WINDOW_PRIORITY.
 
-# Green rows in CORRECTNESS_r01.json (43).
+# Cumulative driver-green rows: 43 from CORRECTNESS_r01.json + 46 from
+# CORRECTNESS_r02.json (disjoint sets).
 DRIVER_GREEN = (
-    "star_revenue_by_nation_month",
-    "star_filtered_dim_subquery",
-    "pruned_scan_projection",
-    "conjunctive_filter",
-    "case_bucketing",
-    "broadcast_left_enrich",
-    "left_anti_new_rows",
-    "full_outer_concat",
+    "acf_by_lag",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
     "asof_join_last_price",
-    "grouped_max_topn",
+    "broadcast_left_enrich",
+    "case_bucketing",
+    "commit_latency_summary",
+    "conjunctive_filter",
+    "contamination_ngram_overlap",
+    "corpus_curation_funnel",
+    "corpus_mixture_weights",
+    "corpus_shuffle_shards",
     "count_distinct_metrics",
-    "time_grained_series",
-    "tumbling_window_agg",
-    "last_per_day",
-    "surrogate_keys_global",
-    "rolling_stats",
-    "lag_returns",
-    "orderby_limit_topk",
-    "union_all_series",
-    "except_all_keys",
-    "scd2_hash_projection",
+    "cross_source_duplicate_audit",
+    "cross_split_leakage",
+    "customer_order_distribution",
+    "customer_order_timeline",
+    "cv_fold_rmse",
     "date_id_arithmetic",
-    "market_cap_arithmetic",
+    "dickey_fuller_tstat",
     "dim_date_generate",
     "dim_time_generate",
-    "local_supplier_volume",
-    "supplier_revenue_share_filter",
-    "topk_parts_per_nation",
-    "props_map_profile",
-    "customer_order_timeline",
-    "priority_status_stringagg",
-    "sql_interface_star_pricing",
-    "tz_localized_fact_keys",
-    "exact_dedup_groups",
-    "minhash_lsh_neardup",
-    "simhash_hamming_pairs",
-    "ngram_jaccard_pairs",
-    "ann_brute_force_topk",
+    "disjunctive_band_revenue",
+    "doc_quality_gates",
+    "dormant_customer_balances",
     "embedding_neardup_pairs",
-    "text_quality_scores",
+    "exact_dedup_groups",
+    "except_all_keys",
+    "forecast_eval_metrics",
+    "forecast_revenue_change",
+    "full_outer_concat",
+    "grouped_max_topn",
+    "label_centroid_profile",
+    "lag_returns",
     "langid_stopword_heuristic",
+    "large_volume_customers",
+    "last_per_day",
+    "late_shipment_priority_counts",
+    "left_anti_new_rows",
+    "local_supplier_volume",
+    "loyal_customers_division",
+    "malformed_json_audit",
+    "market_cap_arithmetic",
+    "market_share_yearly",
+    "min_price_supplier_per_part",
+    "minhash_lsh_neardup",
+    "nation_pair_volume",
+    "ngram_jaccard_pairs",
+    "null_semantics_audit",
+    "order_lifecycle_snapshot",
+    "order_priority_exists",
+    "orderby_limit_topk",
+    "pii_scrub_stats",
+    "price_reconstruction",
+    "pricing_summary_report",
+    "priority_status_stringagg",
+    "product_type_profit",
+    "promo_revenue_share",
+    "promotion_part_suppliers",
+    "props_map_profile",
+    "pruned_scan_projection",
+    "returned_items_topk",
+    "rolling_origin_cv",
+    "rolling_stats",
+    "scd2_dimension_evolution",
+    "scd2_hash_projection",
+    "shipping_priority_topk",
+    "simhash_hamming_pairs",
+    "small_lot_revenue",
+    "sole_late_supplier_ranking",
+    "sql_interface_star_pricing",
+    "star_filtered_dim_subquery",
+    "star_revenue_by_nation_month",
+    "stratified_sample_rates",
+    "supplier_revenue_share_filter",
+    "surrogate_keys_global",
+    "text_quality_scores",
+    "tfidf_top_terms",
+    "time_grained_series",
     "token_counts",
     "token_heavy_hitters",
+    "top_supplier_by_revenue",
+    "topk_parts_per_nation",
+    "train_val_test_split",
+    "tumbling_window_agg",
+    "tz_localized_fact_keys",
+    "union_all_series",
+    "winnow_fingerprints",
 )
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    # r01 hash-fails, now type-pinned both sides — need fresh green rows.
     "null_default_coalesce",
     "json_extract_group",
     "two_key_left_merge",
     "global_sum_filtered",
-    "malformed_json_audit",
-    "null_semantics_audit",
-    "order_lifecycle_snapshot",
-    # §2.13 analytics oracles (VERDICT task 7 — zero driver evidence).
-    "dickey_fuller_tstat",
-    "acf_by_lag",
-    "forecast_eval_metrics",
-    "cv_fold_rmse",
-    "rolling_origin_cv",
-    "price_reconstruction",
-    # TPC-H decision-support suite.
-    "pricing_summary_report",
-    "shipping_priority_topk",
-    "order_priority_exists",
-    "nation_pair_volume",
-    "market_share_yearly",
-    "product_type_profit",
-    "returned_items_topk",
-    "late_shipment_priority_counts",
-    "customer_order_distribution",
-    "promo_revenue_share",
-    "top_supplier_by_revenue",
-    "small_lot_revenue",
-    "large_volume_customers",
-    "disjunctive_band_revenue",
-    "sole_late_supplier_ranking",
-    "dormant_customer_balances",
-    "min_price_supplier_per_part",
-    "forecast_revenue_change",
-    "promotion_part_suppliers",
-    "loyal_customers_division",
-    # LLM-pipeline curation suite (11 oracles, all unchecked in r01).
-    "pii_scrub_stats",
-    "train_val_test_split",
-    "cross_split_leakage",
-    "contamination_ngram_overlap",
-    "stratified_sample_rates",
-    "doc_quality_gates",
-    "corpus_shuffle_shards",
-    "label_centroid_profile",
-    "corpus_curation_funnel",
-    "corpus_mixture_weights",
-    "cross_source_duplicate_audit",
-    # Scale-path ANN + remaining dedup/pipeline headliners.
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "tfidf_top_terms",
-    "winnow_fingerprints",
-    "scd2_dimension_evolution",
-    "commit_latency_summary",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "audio_wav_features",
+    "image_bmp_features",
+    "embedding_norm_outliers",
+    "doc_chunking_map",
+    "ann_pq_topk",
+    "hashed_bow_vectorize",
+    "exact_substring_dup_coverage",
+    "semdedup_cluster_prune",
+    "quality_threshold_sweep",
+    "streaming_bronze_final_state",
+    "stream_stream_attribution_join",
+    "rest_ingest_typed",
+    "cdc_apply_profile",
+    "dq_constraint_report",
+    "hot_key_diagnosis",
+    "scd2_as_of_snapshot",
+    "streaming_dedup_final_state",
+    "deltalog_snapshot_audit",
+    "arch_lm_test",
+    "daily_ohlcv",
+    "chart_change_percent",
+    "chart_realtime_price",
+    "chart_price_with_ma",
+    "chart_big_number_trend",
+    "chart_all_coin_cloud",
+    "chart_top_trading_volume",
+    "chart_supply_gauge",
+    "chart_total_volume_day",
+    "chart_streaming_coins",
+    "chart_coin_reporting",
+    "chart_realtime_price_eth",
+    "chart_price_with_ma_eth",
+    "dsir_importance_weights",
+    "temperature_mixture_weights",
+    "chart_two_level_reagg",
+    "commit_cadence_gaps",
+    "table_freshness_report",
+    "rollup_year_priority",
+    "cube_status_priority",
+    "grouping_sets_year_priority",
+    "pivot_priority_by_year",
+    "sessionize_user_events",
+    "price_band_range_join",
+    "exact_quantiles_by_type",
 )
 
 

@@ -70,22 +70,31 @@ def conjunctive_filter(spark, sf_dir):
 @q(
     "null_default_coalesce",
     """SELECT c.c_custkey,
-              CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
-                   AS DECIMAL(28,2)) AS total_spend,
+              ROUND(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                         AS DOUBLE), 2) AS total_spend,
               COUNT(o.o_orderkey) AS n_orders
        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
        GROUP BY c.c_custkey""",
 )
 def null_default_coalesce(spark, sf_dir):
-    """P9 + §2.9 null defaulting (utils.py:27-31 coalesce semantics)."""
+    """P9 + §2.9 null defaulting (utils.py:27-31 coalesce semantics).
+
+    Decimal arithmetic internally (order-insensitive sums); DOUBLE+ROUND
+    on the output so the driver's typed hash sees the same representation
+    both engines produce — the `_REV` convention green in 46 queries.
+    """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                ).cast("double"),
+                2,
             ).alias("total_spend"),
             F.count("o_orderkey").alias("n_orders"),
         )
@@ -96,13 +105,14 @@ def null_default_coalesce(spark, sf_dir):
     "json_extract_group",
     """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
               COUNT(*) AS n,
-              CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                   AS DECIMAL(28,2)) AS total_value
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total_value
        FROM events GROUP BY 1""",
 )
 def json_extract_group(spark, sf_dir):
     """P2/S6 analog: JSON field extraction then aggregate
-    (code.ipynb delta-log stats pattern -> get_json_object)."""
+    (code.ipynb delta-log stats pattern -> get_json_object).
+    Output ROUND-to-DOUBLE per the proven `_REV` hash convention."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -111,7 +121,9 @@ def json_extract_group(spark, sf_dir):
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
     )
 
@@ -174,18 +186,21 @@ def left_anti_new_rows(spark, sf_dir):
     """SELECT o.o_orderkey, o.o_totalprice, q.qty
        FROM orders o
        LEFT JOIN (SELECT l_orderkey,
-                         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                              AS DECIMAL(28,2)) AS qty
+                         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                    AS DOUBLE), 2) AS qty
                   FROM lineitem GROUP BY l_orderkey) q
          ON o.o_orderkey = q.l_orderkey
        WHERE o.o_totalprice > 300000""",
 )
 def two_key_left_merge(spark, sf_dir):
-    """J7: actuals-left-join-predictions merge shape (Garch_v1 cell 49)."""
+    """J7: actuals-left-join-predictions merge shape (Garch_v1 cell 49).
+    Output ROUND-to-DOUBLE per the proven `_REV` hash convention."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("qty")
     )
     return (
         o.filter(F.col("o_totalprice") > 300000)
@@ -280,16 +295,19 @@ def grouped_max_topn(spark, sf_dir):
 
 @q(
     "global_sum_filtered",
-    """SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
-                   AS DECIMAL(28,2)) AS total_balance,
+    """SELECT ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total_balance,
               COUNT(*) AS n_suppliers
        FROM supplier WHERE s_acctbal > 0""",
 )
 def global_sum_filtered(spark, sf_dir):
-    """A7: global SUM with filter (dashboard JSON:175 'Total volume')."""
+    """A7: global SUM with filter (dashboard JSON:175 'Total volume').
+    Output ROUND-to-DOUBLE per the proven `_REV` hash convention."""
     s = load_table(spark, sf_dir, "supplier")
     return s.filter(F.col("s_acctbal") > 0).agg(
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("total_balance"),
+        F.round(
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_balance"),
         F.count(F.lit(1)).alias("n_suppliers"),
     )
 

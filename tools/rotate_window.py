@@ -68,7 +68,8 @@ def apply(all_green, window) -> None:
         ("DRIVER_GREEN", all_green),
         ("WINDOW_PRIORITY", window),
     ):
-        pat = re.compile(rf"{name} = \((?:[^()]*)\)", re.S)
+        # line-anchored: tolerate parens inside comment lines in the tuple
+        pat = re.compile(rf"^{name} = \(\n.*?^\)", re.S | re.M)
         if not pat.search(src):
             raise SystemExit(f"could not locate tuple {name} in {ENTRY}")
         src = pat.sub(_format_tuple(name, items), src, count=1)
