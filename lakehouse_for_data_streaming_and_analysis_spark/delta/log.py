@@ -82,6 +82,10 @@ class Snapshot:
     files: dict[str, dict] = field(default_factory=dict)
     # path -> remove action payload (tombstones awaiting vacuum)
     tombstones: dict[str, dict] = field(default_factory=dict)
+    # appId -> highest committed txn version (exactly-once watermarks;
+    # checkpointed, like the spec's SetTransaction actions, so they
+    # survive log truncation)
+    txns: dict[str, int] = field(default_factory=dict)
 
 
 def replay(table_path: str, until: int | None = None) -> Snapshot:
@@ -113,6 +117,13 @@ def replay(table_path: str, until: int | None = None) -> Snapshot:
                 rm = action["remove"]
                 snap.files.pop(rm["path"], None)
                 snap.tombstones[rm["path"]] = rm
+            elif "txn" in action:
+                txn = action["txn"]
+                app = txn.get("appId")
+                if app is not None:
+                    snap.txns[app] = max(
+                        snap.txns.get(app, -1), int(txn.get("version", -1))
+                    )
     return snap
 
 
@@ -220,11 +231,15 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         {"metaData": snap.metadata or None},
         *({"add": a} for a in snap.files.values()),
         *({"remove": r} for r in snap.tombstones.values()),
+        *(
+            {"txn": {"appId": app, "version": v}}
+            for app, v in snap.txns.items()
+        ),
     ]
     # one JSON-encoded action column per action type; parquet-friendly
     # without hand-maintaining the full nested spec schema (documented
     # divergence: the spec stores typed nested structs)
-    cols = {"protocol": [], "metaData": [], "add": [], "remove": []}
+    cols = {"protocol": [], "metaData": [], "add": [], "remove": [], "txn": []}
     for r in rows:
         for k in cols:
             v = r.get(k)
@@ -268,4 +283,8 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
         if j:
             rm = json.loads(j)
             snap.tombstones[rm["path"]] = rm
+    for j in tbl.get("txn", []):  # absent in pre-txn checkpoints
+        if j:
+            txn = json.loads(j)
+            snap.txns[txn["appId"]] = int(txn.get("version", -1))
     return snap

@@ -140,28 +140,42 @@ class DeltaishTable:
     ) -> list[dict]:
         """Write ``df`` through Spark into fresh uniquely-named parquet
         files under the table root (partition dirs per the Hive
-        layout), returning their ``add`` payloads with footer stats."""
+        layout), returning their ``add`` payloads with footer stats.
+
+        Failure-safe: the staging dir is removed on every exit path,
+        and files already moved out of staging are deleted again if a
+        later move/stat fails — an aborted write leaves no orphans
+        under the table root (uncommitted files would be invisible to
+        the log but would corrupt a naive directory listing)."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
+        moved: list[str] = []
         adds: list[dict] = []
-        for root, _dirs, files in os.walk(staging):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                rel_dir = os.path.relpath(root, staging)
-                pv = _parse_partition_dirs(rel_dir)
-                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                rel_path = (
-                    f"{rel_dir.replace(os.sep, '/')}/{new_name}"
-                    if rel_dir not in (".", "")
-                    else new_name
-                )
+        try:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(staging)
+            # enumerate first, move second: a failure during the scan
+            # leaves everything inside staging for the finally-cleanup
+            pending: list[tuple[str, str, dict]] = []
+            for root, _dirs, files in os.walk(staging):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, staging)
+                    pv = _parse_partition_dirs(rel_dir)
+                    new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                    rel_path = (
+                        f"{rel_dir.replace(os.sep, '/')}/{new_name}"
+                        if rel_dir not in (".", "")
+                        else new_name
+                    )
+                    pending.append((os.path.join(root, fn), rel_path, pv))
+            for src, rel_path, pv in pending:
                 dest = os.path.join(self.path, rel_path)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
-                os.rename(os.path.join(root, fn), dest)
+                os.rename(src, dest)
+                moved.append(dest)
                 adds.append(
                     {
                         "path": rel_path,
@@ -174,17 +188,45 @@ class DeltaishTable:
                         ),
                     }
                 )
-        shutil.rmtree(staging)
+        except BaseException:
+            for dest in moved:
+                if os.path.exists(dest):
+                    os.remove(dest)
+            raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return adds
 
     def _commit_next(
-        self, actions: list[dict], retry_append: bool = False
+        self,
+        actions: list[dict],
+        retry_append: bool = False,
+        read_version: int | None = None,
     ) -> int:
         """Optimistic concurrency: try latest+1; blind-retry only for
         appends (they commute with any concurrent commit), surface the
-        conflict otherwise — Delta's OCC split."""
+        conflict otherwise — Delta's OCC split.
+
+        ``read_version`` is the snapshot version a REWRITE commit
+        (merge/overwrite/optimize/zorder) computed its result from.
+        If any commit since then added or removed data files, the
+        rewrite's inputs are stale — e.g. a concurrent append whose
+        keys the merge never saw — so the commit fails with
+        ConcurrentCommitError instead of silently committing over it
+        (Delta's ConcurrentAppendException / ConcurrentDeleteRead
+        conflict checks). Callers re-run the whole operation against
+        the new snapshot."""
         for _ in range(20):
             v = self._snapshot().version + 1
+            if read_version is not None:
+                for cv in range(read_version + 1, v):
+                    for action in dlog.read_commit(self.path, cv):
+                        if "add" in action or "remove" in action:
+                            raise ConcurrentCommitError(
+                                f"commit {cv} changed data files after "
+                                f"read snapshot {read_version}; re-run "
+                                "the operation on the latest snapshot"
+                            )
             try:
                 dlog.write_commit(self.path, v, actions)
                 if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
@@ -270,14 +312,10 @@ class DeltaishTable:
     def last_txn_version(self, txn_app_id: str) -> int:
         """Highest committed ``txn`` version for an application id
         (-1 if none) — the exactly-once watermark for streaming
-        writers."""
-        best = -1
-        for v in dlog.list_versions(self.path):
-            for action in dlog.read_commit(self.path, v):
-                txn = action.get("txn")
-                if txn and txn.get("appId") == txn_app_id:
-                    best = max(best, int(txn.get("version", -1)))
-        return best
+        writers. Resolved from the replayed snapshot, so it resumes
+        from the newest checkpoint (O(tail), not O(history)) and
+        survives truncation of checkpointed JSON commits."""
+        return self._snapshot().txns.get(txn_app_id, -1)
 
     def overwrite(self, df: DataFrame, overwrite_schema: bool = False) -> int:
         """Overwrite under schema enforcement; ``overwrite_schema=True``
@@ -296,7 +334,7 @@ class DeltaishTable:
         actions.extend({"add": a} for a in adds)
         actions.extend({"remove": self._tombstone(p)} for p in snap.files)
         actions.append(dlog.commit_info("WRITE", mode="Overwrite"))
-        return self._commit_next(actions)
+        return self._commit_next(actions, read_version=snap.version)
 
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
@@ -357,12 +395,40 @@ class DeltaishTable:
 
     # ------------------------------------------------------------ skipping
 
-    def files_matching(self, col: str, lo, hi) -> list[str]:
+    @staticmethod
+    def _typed_partition_value(pv: str, dtype: T.DataType | None):
+        """Parse a Hive partition-directory string at the column's
+        DECLARED type (dates/timestamps have no usable constructor
+        from str, so type(lo)(pv) is not an option)."""
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(pv)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(pv)
+        if isinstance(dtype, T.DecimalType):
+            return Decimal(pv)
+        if isinstance(dtype, T.DateType):
+            return date.fromisoformat(pv)
+        if isinstance(dtype, T.TimestampType):
+            return datetime.fromisoformat(pv.replace(" ", "T"))
+        if isinstance(dtype, T.BooleanType):
+            return pv.lower() == "true"
+        return pv
+
+    def files_matching(
+        self, col: str, lo, hi, snap: dlog.Snapshot | None = None
+    ) -> list[str]:
         """Stats-based file skipping: live files whose [min, max] for
         ``col`` (footer stats, or partition value) intersects
-        [lo, hi]. Files without stats are conservatively kept."""
-        snap = self._snapshot()
+        [lo, hi]. Files without stats are conservatively kept.
+        Partition values are parsed at the column's declared type;
+        if the bound types still do not compare (caller passed e.g. a
+        string bound for a date column), both sides fall back to
+        string comparison — correct for ISO dates, conservative
+        otherwise."""
+        if snap is None:
+            snap = self._snapshot()
         pcols = snap.metadata.get("partitionColumns", ())
+        dtypes = {f.name: f.dataType for f in self._schema_for(snap).fields}
         out = []
         for path, add in snap.files.items():
             if col in pcols:
@@ -371,10 +437,11 @@ class DeltaishTable:
                     out.append(path)
                     continue
                 try:
-                    v = type(lo)(pv)
+                    v = self._typed_partition_value(pv, dtypes.get(col))
+                    matched = lo <= v <= hi
                 except (TypeError, ValueError):
-                    v = pv
-                if lo <= v <= hi:
+                    matched = str(lo) <= str(pv) <= str(hi)
+                if matched:
                     out.append(path)
                 continue
             stats = add.get("stats")
@@ -386,7 +453,14 @@ class DeltaishTable:
             mx = s.get("maxValues", {}).get(col)
             if mn is None or mx is None:
                 out.append(path)
-            elif mn <= hi and mx >= lo:
+                continue
+            try:
+                matched = mn <= hi and mx >= lo
+            except TypeError:
+                # stats were JSON-ified (dates/timestamps -> ISO
+                # strings); ISO strings order like their values
+                matched = str(mn) <= str(hi) and str(mx) >= str(lo)
+            if matched:
                 out.append(path)
         return out
 
@@ -437,12 +511,12 @@ class DeltaishTable:
         bounds = source.agg(
             F.min(k).alias("lo"), F.max(k).alias("hi")
         ).collect()[0]
-        if bounds.lo is None:
-            return self._snapshot().version  # empty source: no-op
-        touched = self.files_matching(k, bounds.lo, bounds.hi)
         snap = self._snapshot()
+        if bounds.lo is None:
+            return snap.version  # empty source: no-op
+        touched = self.files_matching(k, bounds.lo, bounds.hi, snap=snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        target = self._read_files(touched)
+        target = self._read_snapshot_files(snap, touched)
         if matched_update is None:
             kept = target.join(
                 source.select(*keys).distinct(), list(keys), "left_anti"
@@ -492,16 +566,32 @@ class DeltaishTable:
                     matchedPredicates=matched_desc,
                     notMatchedPredicates="insertAll" if insert else "none",
                 ),
-            ]
+            ],
+            read_version=snap.version,
         )
 
     # ------------------------------------------------------------ maintenance
 
+    def _data_schema(self, snap: dlog.Snapshot) -> T.StructType:
+        """The snapshot's declared schema minus partition columns —
+        what the DATA files actually contain. Compaction reads must
+        use this instead of inference: after a schema evolution the
+        pre-evolution files lack the new column, and inferring from
+        one file's footer would silently drop the evolved column's
+        values from every compacted file."""
+        pcols = set(snap.metadata.get("partitionColumns", ()))
+        return T.StructType(
+            [f for f in self._schema_for(snap).fields if f.name not in pcols]
+        )
+
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Bin-pack small files per partition (dataChange=false, as the
         spec requires for pure compaction — streams reading the table
-        skip these commits)."""
+        skip these commits). Inputs are read under the snapshot's
+        declared schema so files predating a schema evolution keep
+        the evolved column (as nulls) instead of dropping it."""
         snap = self._snapshot()
+        data_schema = self._data_schema(snap)
         groups: dict[tuple, list[str]] = {}
         sizes: dict[tuple, int] = {}
         for path, add in snap.files.items():
@@ -515,9 +605,11 @@ class DeltaishTable:
             n_out = max(1, math.ceil(sizes[key] / target_bytes))
             if n_out >= len(paths):
                 continue
-            df = self.spark.read.parquet(
-                *[os.path.join(self.path, p) for p in paths]
-            ).coalesce(n_out)
+            df = (
+                self.spark.read.schema(data_schema)
+                .parquet(*[os.path.join(self.path, p) for p in paths])
+                .coalesce(n_out)
+            )
             part_dir = "/".join(f"{k}={v}" for k, v in key)
             adds = self._write_files_into(df, part_dir, dict(key))
             actions.extend({"add": a} for a in adds)
@@ -528,7 +620,7 @@ class DeltaishTable:
         if not actions:
             return snap.version
         actions.append(dlog.commit_info("OPTIMIZE"))
-        return self._commit_next(actions)
+        return self._commit_next(actions, read_version=snap.version)
 
     def _write_files_into(
         self, df: DataFrame, part_dir: str, partition_values: dict[str, str]
@@ -537,29 +629,38 @@ class DeltaishTable:
         partition directory (compaction/clustering path: the data no
         longer carries partition columns)."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
-        adds = []
-        for fn in os.listdir(staging):
-            if not fn.endswith(".parquet"):
-                continue
-            new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            rel_path = f"{part_dir}/{new_name}" if part_dir else new_name
-            dest = os.path.join(self.path, rel_path)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.rename(os.path.join(staging, fn), dest)
-            adds.append(
-                {
-                    "path": rel_path,
-                    "partitionValues": dict(partition_values),
-                    "size": os.path.getsize(dest),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": False,
-                    "stats": json.dumps(
-                        file_footer_stats(dest), separators=(",", ":")
-                    ),
-                }
-            )
-        shutil.rmtree(staging)
+        moved: list[str] = []
+        adds: list[dict] = []
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            for fn in os.listdir(staging):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel_path = f"{part_dir}/{new_name}" if part_dir else new_name
+                dest = os.path.join(self.path, rel_path)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(staging, fn), dest)
+                moved.append(dest)
+                adds.append(
+                    {
+                        "path": rel_path,
+                        "partitionValues": dict(partition_values),
+                        "size": os.path.getsize(dest),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": False,
+                        "stats": json.dumps(
+                            file_footer_stats(dest), separators=(",", ":")
+                        ),
+                    }
+                )
+        except BaseException:
+            for dest in moved:
+                if os.path.exists(dest):
+                    os.remove(dest)
+            raise
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return adds
 
     def _clustered(self, df: DataFrame, zcols, n_files: int, bits: int):
@@ -613,7 +714,9 @@ class DeltaishTable:
         if set(zcols) & set(pcols):
             raise ValueError("zorder columns cannot be partition columns")
         if not pcols:
-            clustered = self._clustered(self.read(), zcols, n_files, bits)
+            clustered = self._clustered(
+                self._read_snapshot_files(snap, snap.files), zcols, n_files, bits
+            )
             adds = self._write_files(clustered, ())
             for a in adds:
                 a["dataChange"] = False
@@ -625,15 +728,17 @@ class DeltaishTable:
                         for p in snap.files
                     ),
                     dlog.commit_info("OPTIMIZE", zOrderBy=zcols),
-                ]
+                ],
+                read_version=snap.version,
             )
+        data_schema = self._data_schema(snap)
         groups: dict[tuple, list[str]] = {}
         for path, add in snap.files.items():
             key = tuple(sorted(add.get("partitionValues", {}).items()))
             groups.setdefault(key, []).append(path)
         actions: list[dict] = []
         for key, paths in groups.items():
-            df = self.spark.read.parquet(
+            df = self.spark.read.schema(data_schema).parquet(
                 *[os.path.join(self.path, p) for p in paths]
             )
             clustered = self._clustered(
@@ -649,7 +754,7 @@ class DeltaishTable:
                 for p in paths
             )
         actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
-        return self._commit_next(actions)
+        return self._commit_next(actions, read_version=snap.version)
 
     def vacuum(self, retention_hours: float = 168.0) -> list[str]:
         """Physically delete tombstoned files older than the retention
@@ -701,6 +806,19 @@ class DeltaishTable:
                     )
                 if "add" in action and action["add"].get("dataChange", True):
                     paths.append(action["add"]["path"])
+        gone = [
+            p for p in paths if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if gone:
+            # a file added in the range was later removed AND vacuumed;
+            # surface the expired range instead of failing mid-scan or
+            # silently feeding a partial delta (Delta raises the same
+            # way for time travel past the retention window)
+            raise ValueError(
+                f"change feed ({v_from}, {v_to}] references "
+                f"{len(gone)} vacuumed file(s) (e.g. {gone[0]}); the "
+                "range has expired — recompute from the snapshot"
+            )
         return self._read_files(paths)
 
     # ------------------------------------------------------------ streaming

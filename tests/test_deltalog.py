@@ -580,3 +580,255 @@ def test_upsert_sink_cdc_apply(spark, tmp_path):
         == 0
     )
     assert t.last_txn_version("cdc") == 1
+
+
+# ------------------------------------------------------- round-3 hardening
+
+
+def test_optimize_preserves_evolved_column(spark, tmp_path):
+    """Compacting a mix of pre- and post-evolution files must keep the
+    evolved column's values: the compaction read uses the snapshot's
+    DECLARED schema, not inference from one file's footer (which would
+    silently null the column inside a dataChange=false commit)."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 300)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src.repartition(4))
+    newer = (
+        _orders(spark)
+        .filter((F.col("o_orderkey") > 300) & (F.col("o_orderkey") <= 600))
+        .withColumn("priority_rank", (F.col("o_orderkey") % 5).cast("int"))
+    )
+    t.append(newer.repartition(4), merge_schema=True)
+    n_new = newer.count()
+    assert t.read().filter(F.col("priority_rank").isNotNull()).count() == n_new
+    t.optimize()
+    cur = t.read()
+    assert cur.filter(F.col("priority_rank").isNotNull()).count() == n_new
+    assert _rows(cur.filter(F.col("o_orderkey") > 300)) == _rows(newer)
+    # old rows still read the evolved column as null
+    assert (
+        cur.filter((F.col("o_orderkey") <= 300) & F.col("priority_rank").isNotNull()).count()
+        == 0
+    )
+
+
+def test_partitioned_zorder_preserves_evolved_column(spark, tmp_path):
+    """Same evolution hazard on the partitioned Z-ORDER branch (its
+    per-partition rewrite also read with inferred schema)."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 400)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.repartition(3),
+        partition_by=("o_orderstatus",),
+    )
+    newer = (
+        _orders(spark)
+        .filter((F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800))
+        .withColumn("priority_rank", (F.col("o_orderkey") % 5).cast("int"))
+    )
+    t.append(newer.repartition(3), merge_schema=True)
+    t.zorder_by(["o_custkey"], n_files=2)
+    cur = t.read()
+    assert cur.filter(F.col("priority_rank").isNotNull()).count() == newer.count()
+    assert _rows(cur.filter(F.col("o_orderkey") > 400)) == _rows(newer)
+
+
+def test_date_partitioned_pruning_and_merge(spark, tmp_path):
+    """Partition-directory values are parsed at the DECLARED column
+    type: date-partitioned tables prune and MERGE on the partition
+    column instead of raising TypeError on str/date comparison."""
+    import datetime as dt
+
+    daily = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("o_date"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("o_date") < F.lit("1995-04-01"))
+    )
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), daily, partition_by=("o_date",)
+    )
+    lo, hi = dt.date(1995, 2, 1), dt.date(1995, 2, 28)
+    want = daily.filter(F.col("o_date").between(F.lit(lo), F.lit(hi)))
+    n_want = want.count()
+    assert n_want > 0
+    matched = t.files_matching("o_date", lo, hi)
+    assert 0 < len(matched) < len(t._snapshot().files)
+    assert _rows(t.read_pruned("o_date", lo, hi)) == _rows(want)
+    # MERGE keyed on the date partition column: file pruning via typed
+    # partition values, only the February files rewritten
+    updates = want.withColumn("n_orders", F.col("n_orders") + 1000)
+    t.merge(updates, ["o_date"])
+    cur = t.read()
+    assert cur.filter(F.col("n_orders") >= 1000).count() == n_want
+    last = t.history()[-1]
+    assert last["operation"] == "MERGE"
+    assert last["n_files_removed"] == len(matched)
+
+
+def test_merge_conflicts_with_concurrent_append(spark, tmp_path, monkeypatch):
+    """OCC conflict matrix, append-vs-rewrite: an append landing
+    between MERGE's snapshot read and its commit makes the merge's
+    inputs stale (its keys were never considered), so the merge FAILS
+    with ConcurrentCommitError instead of committing over it."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 200)
+    extra = _orders(spark).filter(
+        (F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 250)
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    orig = DeltaishTable._write_files
+    fired = {"done": False}
+
+    def hook(self, df, partition_by=()):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaishTable(spark, t.path).append(extra)
+        return orig(self, df, partition_by)
+
+    monkeypatch.setattr(DeltaishTable, "_write_files", hook)
+    updates = src.limit(10).withColumn("o_totalprice", F.lit(1.0))
+    with pytest.raises(ConcurrentCommitError, match="changed data files"):
+        t.merge(updates, ["o_orderkey"])
+    # the concurrent append IS committed; the merge is not
+    assert _rows(t.read()) == _rows(src.unionByName(extra))
+    # re-running the merge against the fresh snapshot succeeds
+    t.merge(updates, ["o_orderkey"])
+    assert t.read().filter(F.col("o_totalprice") == 1.0).count() == 10
+
+
+def test_rewrite_conflicts_with_concurrent_rewrite(spark, tmp_path, monkeypatch):
+    """OCC conflict matrix, rewrite-vs-rewrite: two overwrites from the
+    same snapshot — the loser must fail, never silently double-remove."""
+    src = _orders(spark, 120)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    orig = DeltaishTable._write_files
+    fired = {"done": False}
+
+    def hook(self, df, partition_by=()):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaishTable(spark, t.path).overwrite(src.limit(30))
+        return orig(self, df, partition_by)
+
+    monkeypatch.setattr(DeltaishTable, "_write_files", hook)
+    with pytest.raises(ConcurrentCommitError, match="changed data files"):
+        t.overwrite(src.limit(60))
+    assert t.read().count() == 30  # the first overwrite won
+    t.overwrite(src.limit(60))  # retry on the fresh snapshot
+    assert t.read().count() == 60
+
+
+def test_commit_next_read_version_gate(spark, tmp_path):
+    """Direct pin of the conflict check: a data-changing commit after
+    read_version fails the rewrite; pure commitInfo commits do not."""
+    src = _orders(spark, 80)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    read_v = t.version
+    dlog.write_commit(t.path, read_v + 1, [dlog.commit_info("NOOP")])
+    # metadata-only commit in between: rewrite may proceed
+    v = t._commit_next([dlog.commit_info("PROBE")], read_version=read_v)
+    assert v == read_v + 2
+    t.append(src.limit(5))
+    with pytest.raises(ConcurrentCommitError, match="changed data files"):
+        t._commit_next([dlog.commit_info("PROBE")], read_version=read_v)
+
+
+def test_txn_watermark_survives_checkpoint_truncation(spark, tmp_path):
+    """Exactly-once watermarks are checkpointed (spec SetTransaction):
+    after the log's pre-checkpoint JSON commits are deleted, the
+    watermark still resolves and a redelivered batch is still
+    skipped."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 1300)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") <= 100)
+    )
+    sink = t.streaming_sink(txn_app_id="ckpt_writer")
+    batches = [
+        src.filter(
+            (F.col("o_orderkey") > i * 100)
+            & (F.col("o_orderkey") <= (i + 1) * 100)
+        )
+        for i in range(1, 13)
+    ]
+    for i, b in enumerate(batches):
+        sink(b, i)
+    assert t.version == 12
+    assert dlog.last_checkpoint_version(t.path) == 10
+    n = t.read().count()
+    for v in range(10):
+        os.remove(dlog.version_file(t.path, v))
+    assert t.last_txn_version("ckpt_writer") == 11
+    sink(batches[0], 0)  # redelivery of a TRUNCATED batch id
+    sink(batches[11], 11)
+    assert t.read().count() == n
+    sink(batches[0].limit(7), 12)  # new batch id still lands
+    assert t.read().count() == n + 7
+
+
+def test_schema_evolution_reads_through_checkpoint(spark, tmp_path):
+    """Evolved metaData must round-trip the parquet checkpoint: after
+    truncating the JSON commit that carried the evolution, reads still
+    see the evolved schema with nulls for pre-evolution files."""
+    src = _orders(spark).filter(F.col("o_orderkey") <= 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    newer = (
+        _orders(spark)
+        .filter((F.col("o_orderkey") > 200) & (F.col("o_orderkey") <= 400))
+        .withColumn("priority_rank", (F.col("o_orderkey") % 5).cast("int"))
+    )
+    t.append(newer, merge_schema=True)  # v1 carries the evolution
+    filler = _orders(spark).filter(F.col("o_orderkey") > 400).limit(20)
+    filler_e = filler.withColumn("priority_rank", F.lit(None).cast("int"))
+    for _ in range(9):
+        t.append(filler_e)
+    assert t.version >= 10
+    assert dlog.last_checkpoint_version(t.path) == 10
+    want = _rows(t.read())
+    for v in range(10):
+        os.remove(dlog.version_file(t.path, v))
+    cur = t.read()
+    assert cur.columns == [*src.columns, "priority_rank"]
+    assert _rows(cur) == want
+    assert (
+        cur.filter((F.col("o_orderkey") <= 200) & F.col("priority_rank").isNotNull()).count()
+        == 0
+    )
+
+
+def test_changes_between_vacuumed_range_raises(spark, tmp_path):
+    """A change-feed range whose added files were later removed and
+    VACUUMed fails with a clear expired-range error, not a partial
+    feed or a mid-scan crash."""
+    src = _orders(spark, 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src.limit(50))
+    v0 = t.version
+    t.append(src.limit(80))        # v1: adds files inside the range
+    v1 = t.version
+    t.overwrite(src.limit(30))     # v2: removes v1's files (outside range)
+    t.vacuum(retention_hours=0.0)  # physically deletes them
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.changes_between(v0, v1)
+
+
+def test_failed_write_leaves_no_staging_or_orphans(spark, tmp_path):
+    """An aborted Spark write cleans up: no _staging-* dirs and no
+    data files beyond those the log references."""
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    poisoned = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") >= 0, F.raise_error(F.lit("boom"))).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    with pytest.raises(Exception, match="boom"):
+        t.append(poisoned)
+    entries = os.listdir(t.path)
+    assert not [e for e in entries if e.startswith("_staging-")]
+    live = set(t._snapshot().files)
+    on_disk = {
+        os.path.relpath(os.path.join(r, fn), t.path)
+        for r, _d, fns in os.walk(t.path)
+        for fn in fns
+        if fn.endswith(".parquet") and "_delta_log" not in r
+    }
+    assert on_disk == live
+    assert _rows(t.read()) == _rows(src)
