@@ -45,13 +45,10 @@ ROWS_ONLY = (
     "garch_order_grid",
     "arima_garch_residual_fit",
     "ar_walk_forward_eval",
-    "pagerank_user_influence",
     "kmeans_embedding_clusters",
-    "sketch_cardinalities",
     "bpe_vocab_merges",
     "bpe_tokenize_docs",
     "quality_classifier_scores",
-    "compression_ratio_quality",
 )
 
 # --- Driver-verification rotation -----------------------------------
@@ -197,8 +194,8 @@ WINDOW_PRIORITY = (
     "chart_total_volume_day",
     "chart_streaming_coins",
     "chart_coin_reporting",
-    "chart_realtime_price_eth",
-    "chart_price_with_ma_eth",
+    "sketch_cardinalities",
+    "compression_ratio_quality",
     "dsir_importance_weights",
     "temperature_mixture_weights",
     "chart_two_level_reagg",
@@ -287,4 +284,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(lmstats.ORACLES)
     out.update(product.ORACLES)
     out.update(training.ORACLES)
+    # fixture-bound oracle, computed at call time so it always derives
+    # its deflate-ratio literals from the sf dir the caller oracles
+    # against (SPARK_GRAFT_SIM_SF_DIR; driver contract default sf0.01)
+    co = lmstats._compression_oracle()
+    if co is not None:
+        out["compression_ratio_quality"] = co
     return out

@@ -110,6 +110,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: timings[k] for k in HEADLINE if k in timings},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host CPU steal observed DURING the timed loop, so the
+                # 2x-baseline gate can normalize away noisy-neighbor
+                # variance (BASELINE.md: steal inflates totals ~±40%)
+                "steal_seconds": env["steal_seconds_during_run"],
+                "n_queries": len(timings),
             }
         )
     )

@@ -830,36 +830,113 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
 QUERIES["kmeans_embedding_clusters"] = kmeans_embedding_clusters
 
 
+# Explicit portable HyperLogLog: m=256 buckets (p=8, ~6.5% rsd), md5
+# bucket + leading-zero rank. The 2^-M_j register sum is kept EXACT by
+# scaling to integers (2^(53-M_j) summed as BIGINT), so both engines
+# compute bit-identical estimates — the only transcendental is the
+# small-range ln(), rounded to 2 decimals.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_NUMER = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(2**53)
+
+
+@q(
+    "sketch_cardinalities",
+    f"""WITH h AS (
+         SELECT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+                ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 13), '0') AS sig
+         FROM events),
+       r AS (SELECT event_type, bucket,
+                    CASE WHEN length(sig) = 0 THEN 53
+                         ELSE 4 * (13 - length(sig))
+                              + CASE WHEN substr(sig, 1, 1) = '1' THEN 3
+                                     WHEN substr(sig, 1, 1) IN ('2', '3') THEN 2
+                                     WHEN substr(sig, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                     ELSE 0 END + 1 END AS rank
+             FROM h),
+       b AS (SELECT event_type, bucket, MAX(rank) AS m_j, COUNT(*) AS c
+             FROM r GROUP BY 1, 2),
+       a AS (SELECT event_type,
+                    CAST(COUNT(*) AS INT) AS n_hit,
+                    SUM((1::BIGINT << (53 - m_j))) AS s_hit,
+                    SUM(c) AS n_rows
+             FROM b GROUP BY 1),
+       e AS (SELECT event_type, n_hit, n_rows,
+                    CAST({_HLL_NUMER!r} AS DOUBLE)
+                    / CAST(s_hit + CAST({_HLL_M} - n_hit AS BIGINT) * {2**53}
+                           AS DOUBLE) AS raw
+             FROM a)
+       SELECT event_type,
+              CASE WHEN raw <= {2.5 * _HLL_M} AND n_hit < {_HLL_M}
+                   THEN ROUND({float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                              / CAST({_HLL_M} - n_hit AS DOUBLE)), 2)
+                   ELSE ROUND(raw, 2) END AS approx_users,
+              n_hit AS n_buckets_hit,
+              CAST(n_rows AS BIGINT) AS n_rows
+       FROM e""",
+)
 def sketch_cardinalities(spark, sf_dir):
-    """The 100 TB COUNT(DISTINCT) path: HyperLogLog++
-    approx_count_distinct per event_type next to an approx p50/p95
-    value sketch — mergeable partial state, one shuffle of sketch
-    buffers instead of a distinct-key exchange (SURVEY §2.5 A4 notes
-    'approx_count_distinct at scale'). Rows-only for the driver
-    (DuckDB's approx algorithms differ); the relative-error bound vs
-    exact distinct counts is pinned by
-    tests/test_approx.py::test_sketch_cardinalities_error_bound."""
+    """The 100 TB COUNT(DISTINCT) path (SURVEY §2.5 A4): per-group
+    HyperLogLog — mergeable bucket-max state, ONE shuffle of 256
+    registers per group instead of a distinct-key exchange. Production
+    is the same algorithm behind ``approx_count_distinct`` /
+    ``hll_sketch_agg`` at p=14 (error-pinned in tests/test_approx.py);
+    this query spells the register algebra out with md5 so the DuckDB
+    oracle reproduces the estimate bit-for-bit: exact integer register
+    sums (2^(53-M_j) as BIGINT), IEEE-deterministic raw estimate, and
+    HLL's small-range linear counting ln(m/V) branch rounded to 2
+    decimals."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.expr(
-                "approx_percentile(value, array(0.5, 0.95), 10000)"
-            ).alias("value_p50_p95"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .select(
-            "event_type",
-            "approx_users",
-            F.col("value_p50_p95")[0].alias("value_p50"),
-            F.col("value_p50_p95")[1].alias("value_p95"),
-            "n_rows",
-        )
+    h = F.md5(F.col("user_id").cast("string"))
+    sig = F.expr(
+        "trim(LEADING '0' FROM substring(md5(cast(user_id as string)), 3, 13))"
     )
-
-
-QUERIES["sketch_cardinalities"] = sketch_cardinalities
+    d1 = F.substring(sig, 1, 1)
+    rank = F.when(F.length(sig) == 0, F.lit(53)).otherwise(
+        4 * (13 - F.length(sig))
+        + F.when(d1 == "1", 3)
+        .when(d1.isin("2", "3"), 2)
+        .when(d1.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    b = (
+        ev.select(
+            "event_type",
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("m_j"), F.count(F.lit(1)).alias("c"))
+    )
+    a = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")).alias("s_hit"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    denom = (
+        F.col("s_hit")
+        + (F.lit(_HLL_M) - F.col("n_hit")).cast("long") * F.lit(2**53)
+    ).cast("double")
+    raw = F.lit(_HLL_NUMER) / denom
+    linear = F.round(
+        F.lit(float(_HLL_M))
+        * F.log(
+            F.lit(float(_HLL_M))
+            / (F.lit(_HLL_M) - F.col("n_hit")).cast("double")
+        ),
+        2,
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_hit") < _HLL_M), linear
+    ).otherwise(F.round(raw, 2))
+    return a.select(
+        "event_type",
+        est.alias("approx_users"),
+        F.col("n_hit").alias("n_buckets_hit"),
+        "n_rows",
+    )
 
 
 @q(

@@ -466,7 +466,54 @@ def vocab_oov_rate(spark, sf_dir):
     )
 
 
-@q("compression_ratio_quality")  # rows-only: zlib is not expressible in SQL
+def _compression_oracle() -> str | None:
+    """DuckDB oracle for the deflate quality gate. SQL has no zlib, so
+    the per-doc deflate RATIOS are precomputed here from the same
+    fixture the driver oracles against (sf0.01 by contract; override
+    via SPARK_GRAFT_SIM_SF_DIR) and embedded as literals — the oracle
+    then independently re-derives the per-source report (join to
+    documents for the source, thresholds, aggregates). Returns None
+    when the fixture is absent, falling back to the rows-only check."""
+    import os
+    import zlib
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    ratios = []
+    for txt in texts:
+        b = (txt or "").encode("utf-8")
+        ratios.append(round(len(zlib.compress(b, 6)) / max(len(b), 1), 6))
+    id_list = ",".join(str(i) for i in ids)
+    ratio_list = ",".join(repr(r) for r in ratios)
+    return f"""WITH r AS (SELECT unnest([{id_list}]) AS doc_id,
+                      unnest(CAST([{ratio_list}] AS DOUBLE[])) AS ratio),
+       j AS (SELECT d.source, r.ratio
+             FROM documents d JOIN r USING (doc_id))
+       SELECT source,
+              COUNT(*)::BIGINT AS n_docs,
+              ROUND(AVG(ratio), 4) AS avg_ratio,
+              ROUND(MIN(ratio), 4) AS min_ratio,
+              ROUND(MAX(ratio), 4) AS max_ratio,
+              CAST(SUM(CASE WHEN ratio < 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_repetitive,
+              CAST(SUM(CASE WHEN ratio > 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_incompressible
+       FROM j GROUP BY source ORDER BY source"""
+
+
+# registered WITHOUT a static oracle: the fixture-bound oracle is
+# recomputed per oracle_sql() call (see __spark_entry__), so a harness
+# that points SPARK_GRAFT_SIM_SF_DIR elsewhere gets matching literals
+@q("compression_ratio_quality")
 def compression_ratio_quality(spark, sf_dir):
     """Compression-ratio quality gate (the RefinedWeb/Dolma-class
     signal the n-gram proxies approximate): deflate every document
@@ -479,9 +526,9 @@ def compression_ratio_quality(spark, sf_dir):
     compresses only its own partition's documents and emits 3 small
     columns, so the corpus-sized text column never moves. The only
     shuffle is the final source-grain aggregate over (doc_id, ratio)
-    rows. No DuckDB oracle (SQL has no deflate); the driver records
-    the rows-only check and tests/test_timeseries.py pins the per-source
-    report byte-for-byte against a local zlib replay."""
+    rows. The DuckDB oracle (_compression_oracle) embeds the per-doc
+    deflate ratios as fixture-derived literals — SQL has no zlib — and
+    independently re-derives the per-source report from them."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents", fanout=True)

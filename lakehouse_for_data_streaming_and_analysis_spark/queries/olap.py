@@ -478,17 +478,63 @@ def dedup_components(spark, sf_dir):
     return graphs.component_stats(labels)
 
 
-@q("pagerank_user_influence")  # rows-only: iterative float propagation
+def _pagerank_oracle(alpha: float = 0.85, n_iters: int = 5) -> str:
+    """Unrolled power-iteration PageRank as one DuckDB query: each of
+    the 5 iterations is a plain CTE (join + group-sum + dangling-mass
+    scalar), mirroring operators/graphs.pagerank update-for-update.
+    Float constants replicate Spark's Python-side arithmetic
+    ((1.0-alpha) embedded at repr precision); every remaining op is a
+    correctly-rounded IEEE +,*,/ so the engines agree far inside the
+    final ROUND(rank, 8). The window ordering replicates Spark's
+    unix_timestamp SECOND truncation via epoch_us // 1000000."""
+    one_minus = repr(1.0 - alpha)
+    a = repr(alpha)
+    its = []
+    for k in range(n_iters):
+        its.append(f"""
+       dm{k} AS (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) AS dm FROM r{k}
+                 WHERE node NOT IN (SELECT s FROM has_out)),
+       inflow{k} AS (SELECT we.t AS node, SUM(r.rank * we.w) AS m
+                     FROM r{k} r JOIN we ON r.node = we.s GROUP BY we.t),
+       r{k + 1} AS (SELECT n.node,
+                        {one_minus}::DOUBLE / cnt.nf
+                        + ({a}::DOUBLE * dm{k}.dm) / cnt.nf
+                        + {a}::DOUBLE * COALESCE(i.m, 0.0::DOUBLE) AS rank
+                    FROM nodes n
+                    LEFT JOIN inflow{k} i ON n.node = i.node
+                    CROSS JOIN dm{k} CROSS JOIN cnt)""")
+    return f"""WITH e AS (
+         SELECT s, t FROM (
+           SELECT user_id AS s,
+                  lead(user_id) OVER (PARTITION BY event_type
+                      ORDER BY epoch_us(ts) // 1000000, event_id) AS t
+           FROM events)
+         WHERE t IS NOT NULL AND t <> s),
+       nodes AS (SELECT DISTINCT node FROM
+                 (SELECT s AS node FROM e UNION ALL SELECT t FROM e)),
+       cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf FROM nodes),
+       outdeg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+       we AS (SELECT e.s, e.t, 1.0::DOUBLE / outdeg.deg AS w
+              FROM e JOIN outdeg USING (s)),
+       has_out AS (SELECT DISTINCT s FROM we),
+       r0 AS (SELECT node, 1.0::DOUBLE / cnt.nf AS rank
+              FROM nodes CROSS JOIN cnt),{",".join(its)}
+       SELECT node AS user_id, ROUND(rank, 8) AS rank
+       FROM r{n_iters}
+       ORDER BY ROUND(rank, 8) DESC, node ASC LIMIT 50"""
+
+
+@q("pagerank_user_influence", _pagerank_oracle())
 def pagerank_user_influence(spark, sf_dir):
     """User-influence ranking: PageRank (alpha=.85, 5 power
     iterations, dangling-mass redistribution) over the temporal
     hand-off graph — an edge u→v whenever v's event directly follows
     u's in the same event_type stream. operators/graphs.pagerank runs
     one co-partitioned join + one aggregate per iteration with
-    lineage truncated per round. No SQL oracle (iterative float
-    propagation is not expressible in one DuckDB query); the driver
-    records the rows-only check, and tests/test_graphs.py pins the
-    numbers against a dense numpy power iteration at 1e-9."""
+    lineage truncated per round. The oracle unrolls the same 5
+    iterations as plain CTEs (_pagerank_oracle); tests/test_graphs.py
+    additionally pins the numbers against a dense numpy power
+    iteration at 1e-9."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")

@@ -13,6 +13,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_001 = "/root/testdata/sf0.001"
 SF_DIR_01 = "/root/testdata/sf0.01"
 
+# fixture-bound oracles (literals precomputed from the parquet, e.g.
+# compression_ratio_quality's deflate ratios) must derive from the SAME
+# sf the test harness queries against
+os.environ["SPARK_GRAFT_SIM_SF_DIR"] = SF_DIR
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -47,26 +47,33 @@ def test_hll_sketch_mergeability(spark):
 
 
 def test_sketch_cardinalities_error_bound(spark):
-    """The sketch query's HLL counts stay within 5% of exact distinct
-    counts and its percentile sketch brackets the exact quantiles."""
+    """The portable explicit-HLL query (m=256, rsd ~6.5%) stays within
+    4x rsd of exact distinct counts at both fixture scales and never
+    reports more hit buckets than distinct users."""
     from lakehouse_for_data_streaming_and_analysis_spark.queries.datapipe import (
         sketch_cardinalities,
     )
 
-    got = {r["event_type"]: r for r in sketch_cardinalities(spark, SF_DIR).collect()}
-    ev = load_table(spark, SF_DIR, "events")
-    exact = {
-        r["event_type"]: r
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("users"),
-            F.expr("percentile(value, array(0.5, 0.95))").alias("pv"),
-        )
-        .collect()
-    }
-    assert set(got) == set(exact)
-    for k, e in exact.items():
-        g = got[k]
-        assert abs(g["approx_users"] - e["users"]) / e["users"] < 0.05, (k, g, e)
-        assert abs(g["value_p50"] - e["pv"][0]) <= max(1.0, 0.05 * e["pv"][0])
-        assert abs(g["value_p95"] - e["pv"][1]) <= max(1.0, 0.05 * e["pv"][1])
+    for sf_dir in (SF_DIR, SF_DIR_01):
+        got = {
+            r["event_type"]: r
+            for r in sketch_cardinalities(spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        exact = {
+            r["event_type"]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count_distinct("user_id").alias("users"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k, e in exact.items():
+            g = got[k]
+            assert abs(g["approx_users"] - e["users"]) / e["users"] < 0.26, (
+                sf_dir, k, g, e,
+            )
+            assert g["n_buckets_hit"] <= min(256, e["users"])
+            assert g["n_rows"] == e["n"]
