@@ -32,20 +32,15 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Deliberately oracle-less (iterative model fits are not
-# SQL-expressible; the driver records its rows-only check for these —
-# SURVEY.md §2.13 X3-X8).
+# Deliberately oracle-less — the driver records its rows-only check
+# for these (SURVEY.md §2.13): optimizer/grid-search fits (ARIMA/GARCH),
+# data-dependent greedy loops (BPE), and the IRLS matrix solver. Every
+# FIXED-iteration or closed-form op has a real oracle (DECISIONS.md §14).
 ROWS_ONLY = (
-    "adf_stationarity",
-    "ljung_box_whitenoise",
-    "pacf_by_lag",
-    "ar_forecast_intervals",
     "garch_volatility",
     "arima_order_search",
     "garch_order_grid",
     "arima_garch_residual_fit",
-    "ar_walk_forward_eval",
-    "kmeans_embedding_clusters",
     "bpe_vocab_merges",
     "bpe_tokenize_docs",
     "quality_classifier_scores",

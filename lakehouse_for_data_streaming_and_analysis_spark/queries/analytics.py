@@ -293,17 +293,115 @@ def price_reconstruction(spark, sf_dir):
 # Not SQL-expressible (iterative fits) — no oracle entry; the driver
 # records the weaker rows-only check, per the contract.
 
-@q("adf_stationarity")
+def _adf_oracle(crit: float = -2.86) -> str:
+    """Augmented DF at max_lag=1 as closed-form SQL: the regression
+    dy_t = a + b·y_{t-1} + g·dy_{t-1} is a 2-regressor-plus-intercept
+    OLS, so t(b) comes from the centered normal equations
+    (b1 = (S1y·S22 − S2y·S12)/det, Var(b1) = σ²·S22/det) — the same
+    numbers numpy's lstsq produces to ~1e-12, far inside ROUND(·, 6).
+    COVAR_POP·n supplies the centered cross-sums."""
+    return f"""WITH hourly AS ({HOURLY_SQL}),
+       d1 AS (
+         SELECT event_type, ds,
+                y - LAG(y) OVER w AS dy,
+                LAG(y) OVER w AS ylag
+         FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+       d2 AS (
+         SELECT event_type, dy, ylag,
+                LAG(dy) OVER (PARTITION BY event_type ORDER BY ds) AS dylag
+         FROM d1),
+       r AS (SELECT * FROM d2
+             WHERE dy IS NOT NULL AND ylag IS NOT NULL
+                   AND dylag IS NOT NULL),
+       s AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                COVAR_POP(ylag, ylag) * COUNT(*) AS s11,
+                COVAR_POP(dylag, dylag) * COUNT(*) AS s22,
+                COVAR_POP(ylag, dylag) * COUNT(*) AS s12,
+                COVAR_POP(ylag, dy) * COUNT(*) AS s1y,
+                COVAR_POP(dylag, dy) * COUNT(*) AS s2y,
+                COVAR_POP(dy, dy) * COUNT(*) AS syy
+         FROM r GROUP BY 1),
+       b AS (
+         SELECT *,
+                (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+                (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+         FROM s),
+       f AS (
+         SELECT event_type, n, b1,
+                (syy - b1 * s1y - b2 * s2y) / GREATEST(n - 3, 1) AS sigma2,
+                s22 / (s11 * s22 - s12 * s12) AS v1
+         FROM b)
+       SELECT event_type,
+              CAST(n AS INT) AS n_obs,
+              ROUND(b1 / sqrt(sigma2 * v1), 6) AS adf_stat,
+              CAST(1 AS INT) AS max_lag,
+              b1 / sqrt(sigma2 * v1) < {crit!r} AS stationary_5pct
+       FROM f"""
+
+
+@q("adf_stationarity", _adf_oracle())
 def adf_stationarity(spark, sf_dir):
-    """X3: augmented Dickey-Fuller per series via applyInPandas."""
+    """X3: augmented Dickey-Fuller per series via applyInPandas. At
+    max_lag=1 the OLS t-stat has a closed SQL form (_adf_oracle), so
+    the grouped-map numpy fit is hash-checked, not just rows-only."""
     return timeseries.adf_by_group(
         hourly_series(spark, sf_dir), ["event_type"], "ds", "y", max_lag=1
     )
 
 
-@q("ljung_box_whitenoise")
+def _ljung_box_oracle(lags: int = 10, crit: float = 18.307) -> str:
+    """Ljung-Box/Box-Pierce as one DuckDB query: the portmanteau
+    statistics are plain arithmetic on the lag-k autocovariance sums
+    (Q = n(n+2)·Σ (s_k/d)²/(n-k), Q* = n·Σ (s_k/d)²), so the grouped-
+    map numpy fit has an exact SQL mirror — LAG windows for the
+    products, one aggregate per series, the same term order as
+    analytics/timeseries.ljung_box_and_box_pierce. Agreement lands far
+    inside ROUND(·, 6) (summation-order noise ~1e-14)."""
+    lag_cols = ",\n                  ".join(
+        f"LAG(e, {k}) OVER w AS e{k}" for k in range(1, lags + 1)
+    )
+    sums = ",\n               ".join(
+        f"SUM(e * e{k}) AS s{k}" for k in range(1, lags + 1)
+    )
+    q_terms = " + ".join(
+        f"(s{k}/d)*(s{k}/d)/(n - {k})" for k in range(1, lags + 1)
+    )
+    bp_terms = " + ".join(f"(s{k}/d)*(s{k}/d)" for k in range(1, lags + 1))
+    return f"""WITH hourly AS ({HOURLY_SQL}),
+       ret AS (
+         SELECT event_type, ds,
+                (y / LAG(y) OVER (PARTITION BY event_type ORDER BY ds) - 1)
+                * 100 AS r
+         FROM hourly),
+       cen AS (
+         SELECT event_type, ds,
+                r - AVG(r) OVER (PARTITION BY event_type) AS e
+         FROM ret WHERE r IS NOT NULL),
+       lagged AS (
+         SELECT event_type, e,
+                  {lag_cols}
+         FROM cen WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+       agg AS (
+         SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(e * e) AS d,
+               {sums}
+         FROM lagged GROUP BY 1)
+       SELECT event_type,
+              CAST(n AS INT) AS n_obs,
+              ROUND(n * (n + 2) * ({q_terms}), 6) AS lb_stat,
+              ROUND(n * ({bp_terms}), 6) AS bp_stat,
+              CAST({lags} AS INT) AS lags,
+              n * (n + 2) * ({q_terms}) > {crit!r}
+                  AS reject_whitenoise_5pct
+       FROM agg"""
+
+
+@q("ljung_box_whitenoise", _ljung_box_oracle())
 def ljung_box_whitenoise(spark, sf_dir):
-    """X4: Ljung-Box Q on hourly pct-returns per series."""
+    """X4: Ljung-Box Q (+ Box-Pierce) on hourly pct-returns per series
+    — grouped-map numpy fit, oracle-mirrored in SQL
+    (_ljung_box_oracle)."""
     h = hourly_series(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("ds")
     rets = (
@@ -313,21 +411,148 @@ def ljung_box_whitenoise(spark, sf_dir):
     return timeseries.ljung_box_by_group(rets, ["event_type"], "ds", "r", lags=10)
 
 
-@q("pacf_by_lag")
+def _pacf_oracle(nlags: int = 3) -> str:
+    """Durbin-Levinson PACF unrolled to closed form for lags 1..3:
+    phi11 = a1; phi22 = (a2 - a1²)/(1 - a1²), phi21 = phi11 - phi22·phi11;
+    phi33 = (a3 - (phi21·a2 + phi22·a1)) / (1 - (phi21·a1 + phi22·a2)).
+    The sample ACF terms come from LAG-window sums over the centered
+    series — exactly the dot products the numpy recursion consumes, in
+    the same addition order."""
+    assert nlags == 3, "oracle unrolled for nlags=3"
+    return f"""WITH hourly AS ({HOURLY_SQL}),
+       cen AS (
+         SELECT event_type, ds,
+                y - AVG(y) OVER (PARTITION BY event_type) AS e
+         FROM hourly),
+       lagged AS (
+         SELECT event_type, e,
+                LAG(e, 1) OVER w AS e1,
+                LAG(e, 2) OVER w AS e2,
+                LAG(e, 3) OVER w AS e3
+         FROM cen WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+       acf AS (
+         SELECT event_type, CAST(COUNT(*) AS INT) AS n_obs,
+                SUM(e * e1) / SUM(e * e) AS a1,
+                SUM(e * e2) / SUM(e * e) AS a2,
+                SUM(e * e3) / SUM(e * e) AS a3
+         FROM lagged GROUP BY 1),
+       k2 AS (
+         SELECT *,
+                (a2 - a1 * a1) / (1 - a1 * a1) AS phi22
+         FROM acf),
+       k2b AS (SELECT *, a1 - phi22 * a1 AS phi21 FROM k2),
+       k3 AS (
+         SELECT *,
+                (a3 - (phi21 * a2 + phi22 * a1))
+                / (1 - (phi21 * a1 + phi22 * a2)) AS phi33
+         FROM k2b)
+       SELECT event_type, n_obs,
+              ROUND(a1, 6) AS pacf_1,
+              ROUND(phi22, 6) AS pacf_2,
+              ROUND(phi33, 6) AS pacf_3
+       FROM k3"""
+
+
+@q("pacf_by_lag", _pacf_oracle())
 def pacf_by_lag(spark, sf_dir):
     """X4 (PACF): per-series partial autocorrelations at lags 1..3 via
     Durbin-Levinson (the AR-order-identification correlogram,
-    Garch_v1.ipynb cell 13). Rows-only: the recursion is not
-    SQL-expressible; pinned against a numpy lstsq AR-fit reference in
+    Garch_v1.ipynb cell 13). The 3-lag recursion unrolls to closed
+    form, so the oracle recomputes it in SQL (_pacf_oracle); also
+    pinned against a numpy lstsq AR-fit reference in
     tests/test_analytics.py."""
     return timeseries.pacf_by_group(
         hourly_series(spark, sf_dir), ["event_type"], "ds", "y", nlags=3
     )
 
 
-@q("ar_forecast_intervals")
+def _ar_forecast_oracle(horizon: int = 5) -> str:
+    """AR(2) + prediction intervals in closed SQL form: the OLS fit is
+    the same centered 2-regressor solve as _adf_oracle (x1=lag1,
+    x2=lag2, intercept recovered from the means), the recursive
+    forecast and the psi-weight error stds unroll across the 5 steps
+    as lateral column aliases, and z80/z95 are embedded at repr
+    precision. numpy-lstsq agreement ~1e-12, inside ROUND(·, 6)."""
+    from ..analytics.timeseries import Z
+
+    z80, z95 = repr(Z[80]), repr(Z[95])
+    fc = ["b0 + p1 * y1 + p2 * y2 AS fc1",
+          "b0 + p1 * fc1 + p2 * y1 AS fc2"]
+    for h in range(3, horizon + 1):
+        fc.append(f"b0 + p1 * fc{h - 1} + p2 * fc{h - 2} AS fc{h}")
+    psi = ["p1 AS psi1", "p1 * psi1 + p2 AS psi2"]
+    for j in range(3, horizon):
+        psi.append(f"p1 * psi{j - 1} + p2 * psi{j - 2} AS psi{j}")
+    cums = ["1.0"]
+    for j in range(1, horizon):
+        cums.append(cums[-1] + f" + psi{j} * psi{j}")
+    errs = [f"sigma * sqrt({c}) AS err{h + 1}" for h, c in enumerate(cums)]
+    case = lambda tpl: " ".join(  # noqa: E731
+        f"WHEN {h} THEN {tpl.format(h=h)}" for h in range(1, horizon + 1)
+    )
+    sep = ",\n                "
+    fc_sql, psi_sql, err_sql = sep.join(fc), sep.join(psi), sep.join(errs)
+    return f"""WITH hourly AS ({HOURLY_SQL}),
+       d AS (
+         SELECT event_type, ds, y,
+                LAG(y, 1) OVER w AS x1,
+                LAG(y, 2) OVER w AS x2
+         FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+       r AS (SELECT * FROM d WHERE x2 IS NOT NULL),
+       s AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                AVG(y) AS my, AVG(x1) AS m1, AVG(x2) AS m2,
+                COVAR_POP(x1, x1) * COUNT(*) AS s11,
+                COVAR_POP(x2, x2) * COUNT(*) AS s22,
+                COVAR_POP(x1, x2) * COUNT(*) AS s12,
+                COVAR_POP(x1, y) * COUNT(*) AS s1y,
+                COVAR_POP(x2, y) * COUNT(*) AS s2y,
+                COVAR_POP(y, y) * COUNT(*) AS syy
+         FROM r GROUP BY 1),
+       tail AS (
+         SELECT event_type,
+                MAX(CASE WHEN rn = 1 THEN y END) AS y1,
+                MAX(CASE WHEN rn = 2 THEN y END) AS y2
+         FROM (SELECT event_type, y,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY ds DESC) AS rn
+               FROM hourly)
+         WHERE rn <= 2 GROUP BY 1),
+       params AS (
+         SELECT s.event_type, t.y1, t.y2,
+                (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS p1,
+                (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS p2,
+                my - p1 * m1 - p2 * m2 AS b0,
+                sqrt((syy - p1 * s1y - p2 * s2y)
+                     / GREATEST(n - 3, 1)) AS sigma
+         FROM s JOIN tail t USING (event_type)),
+       calc AS (
+         SELECT event_type,
+                {fc_sql},
+                {psi_sql},
+                {err_sql}
+         FROM params)
+       SELECT event_type,
+              CAST(st.step AS INT) AS step,
+              ROUND(CASE st.step {case("fc{h}")} END, 6) AS yhat,
+              ROUND(CASE st.step {case(f"fc{{h}} - {z80} * err{{h}}")} END, 6)
+                  AS lo_80,
+              ROUND(CASE st.step {case(f"fc{{h}} + {z80} * err{{h}}")} END, 6)
+                  AS hi_80,
+              ROUND(CASE st.step {case(f"fc{{h}} - {z95} * err{{h}}")} END, 6)
+                  AS lo_95,
+              ROUND(CASE st.step {case(f"fc{{h}} + {z95} * err{{h}}")} END, 6)
+                  AS hi_95
+       FROM calc CROSS JOIN
+            (SELECT unnest(range(1, {horizon + 1})) AS step) st"""
+
+
+@q("ar_forecast_intervals", _ar_forecast_oracle())
 def ar_forecast_intervals(spark, sf_dir):
-    """X5/X8: AR(2) 5-step forecast with 80/95% prediction intervals."""
+    """X5/X8: AR(2) 5-step forecast with 80/95% prediction intervals.
+    The fit+recursion has a closed SQL form (_ar_forecast_oracle), so
+    the grouped-map numpy fit is hash-checked."""
     return timeseries.ar_forecast_by_group(
         hourly_series(spark, sf_dir), ["event_type"], "ds", "y", p=2, horizon=5
     )
@@ -428,11 +653,82 @@ def arima_garch_residual_fit(spark, sf_dir):
     )
 
 
-@q("ar_walk_forward_eval")
+def _walk_forward_oracle(n_test: int = 48) -> str:
+    """The walk-forward loop collapsed to one SQL pass: every step's
+    AR(2) refit over the expanding history y[:t] is the same centered
+    2-regressor solve as _ar_forecast_oracle, and its five centered
+    cross-sums at step t are just the cumulative sums of the per-row
+    regression terms evaluated one row earlier (ROWS ... 1 PRECEDING).
+    Non-regression rows (the first two of each series, where lag-2 is
+    NULL) contribute zeroed terms so the running sums skip them. The
+    48 per-step forecasts then reduce to mae/rmse/mape exactly as the
+    numpy loop does (lstsq-vs-normal-equations noise ~1e-12, far
+    inside ROUND(·, 6)); mape skips y=0 rows like the loop's guard."""
+    return f"""WITH hourly AS ({HOURLY_SQL}),
+       seq AS (
+         SELECT event_type, ds, y,
+                ROW_NUMBER() OVER w AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n,
+                LAG(y, 1) OVER w AS x1,
+                LAG(y, 2) OVER w AS x2
+         FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ds)),
+       terms AS (
+         SELECT *,
+                CASE WHEN x2 IS NULL THEN 0 ELSE 1 END AS c,
+                CASE WHEN x2 IS NULL THEN 0 ELSE x1 END AS t1,
+                CASE WHEN x2 IS NULL THEN 0 ELSE x2 END AS t2,
+                CASE WHEN x2 IS NULL THEN 0 ELSE y END AS ty
+         FROM seq),
+       cums AS (
+         SELECT event_type, ds, rn, n, y, x1, x2,
+                SUM(c) OVER cw AS m,
+                SUM(t1) OVER cw AS sx1,
+                SUM(t2) OVER cw AS sx2,
+                SUM(ty) OVER cw AS sy,
+                SUM(t1 * t1) OVER cw AS sx11,
+                SUM(t2 * t2) OVER cw AS sx22,
+                SUM(t1 * t2) OVER cw AS sx12,
+                SUM(t1 * ty) OVER cw AS sx1y,
+                SUM(t2 * ty) OVER cw AS sx2y
+         FROM terms
+         WINDOW cw AS (PARTITION BY event_type ORDER BY ds
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       fit AS (
+         SELECT event_type, y, x1, x2,
+                sx11 - sx1 * sx1 / m AS s11,
+                sx22 - sx2 * sx2 / m AS s22,
+                sx12 - sx1 * sx2 / m AS s12,
+                sx1y - sx1 * sy / m AS s1y,
+                sx2y - sx2 * sy / m AS s2y,
+                sx1 / m AS m1, sx2 / m AS m2, sy / m AS my
+         FROM cums
+         WHERE rn > GREATEST(4, n - {n_test})),
+       pred AS (
+         SELECT event_type, y,
+                my - b1 * m1 - b2 * m2 + b1 * x1 + b2 * x2 AS fc
+         FROM (SELECT *,
+                      (s1y * s22 - s2y * s12)
+                      / (s11 * s22 - s12 * s12) AS b1,
+                      (s11 * s2y - s12 * s1y)
+                      / (s11 * s22 - s12 * s12) AS b2
+               FROM fit)),
+       err AS (SELECT event_type, y, y - fc AS e FROM pred)
+       SELECT event_type,
+              CAST(COUNT(*) AS INT) AS n_test,
+              ROUND(AVG(ABS(e)), 6) AS mae,
+              ROUND(SQRT(AVG(e * e)), 6) AS rmse,
+              ROUND(AVG(CASE WHEN y <> 0 THEN ABS(e / y) END), 6) AS mape
+       FROM err GROUP BY 1"""
+
+
+@q("ar_walk_forward_eval", _walk_forward_oracle())
 def ar_walk_forward_eval(spark, sf_dir):
     """X5: iterative 1-step refit evaluation (garch_model_v4 cell 6's
     walk-forward loop) — AR(2) refit at every step over the last 48
-    hours per series; per-series mae/rmse/mape."""
+    hours per series; per-series mae/rmse/mape. Every refit is a
+    closed-form expanding-prefix OLS, so the whole loop has an exact
+    one-pass SQL mirror (_walk_forward_oracle) and the grouped-map
+    numpy walk is hash-checked."""
     return timeseries.walk_forward_eval_by_group(
         hourly_series(spark, sf_dir), ["event_type"], "ds", "y", p=2, n_test=48
     )

@@ -742,10 +742,73 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Lloyd's k-means unrolled to one DuckDB query — iteration r is
+    three CTEs (distances from the cent{r} list column, row_number
+    argmin with the same lowest-index tie-break as array_position,
+    per-(cluster,pos) AVG rounded to 6 like the Spark driver-side
+    collect), with COALESCE carrying empty clusters' centroids
+    forward. The per-round ROUND(·, 6) centroid pinning is what makes
+    the iteration cross-engine stable: float summation-order noise
+    (~1e-16) cannot survive a 1e-6 grid between rounds. Distances are
+    list_zip/list_sum folds — the same left-to-right order as Spark's
+    F.aggregate fold (parity evidenced by the green embedding
+    oracles)."""
+    its = []
+    for r in range(iters):
+        its.append(f"""
+       dist{r} AS (
+         SELECT e.vec_id, c.cluster_id,
+                list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+         FROM embeddings e CROSS JOIN cent{r} c),
+       asg{r} AS (
+         SELECT vec_id, cluster_id, d2 FROM (
+           SELECT vec_id, cluster_id, d2,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster_id) AS rn
+           FROM dist{r}) WHERE rn = 1),
+       avg{r} AS (
+         SELECT a.cluster_id, x.pos, ROUND(AVG(x.x), 6) AS m
+         FROM asg{r} a
+         JOIN (SELECT vec_id,
+                      unnest(range(0, len(embedding))) AS pos,
+                      unnest(embedding) AS x
+               FROM embeddings) x USING (vec_id)
+         GROUP BY 1, 2),
+       cent{r + 1} AS (
+         SELECT cluster_id,
+                list(COALESCE(a.m, p.c) ORDER BY p.pos) AS cvec
+         FROM (SELECT cluster_id,
+                      unnest(range(0, len(cvec))) AS pos,
+                      unnest(cvec) AS c
+               FROM cent{r}) p
+         LEFT JOIN avg{r} a USING (cluster_id, pos)
+         GROUP BY cluster_id)""")
+    last = iters - 1
+    return f"""WITH init AS (
+         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                embedding
+         FROM (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT {k})),
+       cent0 AS (
+         SELECT cluster_id,
+                list_transform(embedding, x -> ROUND(x, 6)) AS cvec
+         FROM init),{",".join(its)}
+       SELECT a.cluster_id,
+              COUNT(*) AS n_members,
+              ROUND(SUM(a.d2), 2) AS inertia,
+              ANY_VALUE(ROUND(sqrt(list_sum(
+                  list_transform(c.cvec, x -> x * x))), 4)) AS centroid_norm
+       FROM asg{last} a JOIN cent{iters} c USING (cluster_id)
+       GROUP BY a.cluster_id ORDER BY a.cluster_id"""
+
+
 def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
     """Lloyd's k-means over the embedding column, Spark-first and
-    deterministic (rows-only for the driver; pinned against a dense
-    numpy replay in tests/test_advanced.py).
+    deterministic (oracle: the same 4 rounds unrolled as CTEs in
+    _kmeans_oracle; also pinned against a dense numpy replay in
+    tests/test_advanced.py).
 
     Init: the k lowest-vec_id vectors (deterministic, no RNG — the
     fixtures forbid Date.now-style seeds). Per iteration:
@@ -828,6 +891,7 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
 
 
 QUERIES["kmeans_embedding_clusters"] = kmeans_embedding_clusters
+ORACLES["kmeans_embedding_clusters"] = _kmeans_oracle()
 
 
 # Explicit portable HyperLogLog: m=256 buckets (p=8, ~6.5% rsd), md5
