@@ -564,3 +564,180 @@ def compression_ratio_quality(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# n-gram builders at each width, DuckDB side (same index-slice shape
+# as _BIGRAMS_SQL / _TRIGRAMS_SQL above).
+def _ngrams_sql(n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+def _top_ngram_oracle() -> str:
+    top = []
+    for n in (2, 3):
+        top.append(f"""
+       g{n} AS (
+         SELECT doc_id, source, length(text) AS chars,
+                unnest({_ngrams_sql(n)}) AS gram
+         FROM tok),
+       c{n} AS (
+         SELECT doc_id, source, chars, gram, COUNT(*) AS c
+         FROM g{n} GROUP BY ALL),
+       top{n} AS (
+         SELECT doc_id, source,
+                c * length(gram) / chars AS share
+         FROM (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, gram) AS rn
+               FROM c{n})
+         WHERE rn = 1)""")
+    return f"""WITH tok AS (
+         SELECT doc_id, source, text, toks
+         FROM (SELECT doc_id, source, text, {_TOKS_SQL} AS toks
+               FROM documents)
+         WHERE len(toks) >= 3),{",".join(top)}
+       SELECT t2.source,
+              COUNT(*) AS n_docs,
+              ROUND(AVG(t2.share), 6) AS avg_top2_share,
+              ROUND(AVG(t3.share), 6) AS avg_top3_share,
+              CAST(SUM(CASE WHEN t2.share > 0.20 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flag_top2,
+              CAST(SUM(CASE WHEN t3.share > 0.18 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flag_top3
+       FROM top2 t2 JOIN top3 t3 USING (doc_id)
+       GROUP BY 1"""
+
+
+def _top_share(toks, text_col, n: int):
+    """Character share of the single most frequent word n-gram —
+    computed map-side: sort the shingle array, fold a run-length state
+    that tracks the max run AND the length of the gram holding it
+    (strictly-greater update = lexicographically-first argmax, the
+    same tie-break as the oracle's ORDER BY c DESC, gram)."""
+    sh = textfns.shingles(toks, n)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("mx"),
+        F.lit(0).cast("long").alias("mxlen"),
+    )
+
+    def _step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            F.when(run > acc["mx"], F.length(g))
+            .otherwise(acc["mxlen"])
+            .alias("mxlen"),
+        )
+
+    top_chars = F.aggregate(
+        F.array_sort(sh), init, _step, lambda a: a["mx"] * a["mxlen"]
+    )
+    return top_chars.cast("double") / F.length(text_col)
+
+
+@q("top_ngram_char_share", _top_ngram_oracle())
+def top_ngram_char_share(spark, sf_dir):
+    """Gopher-rule repetition signal missing from the dup-ratio
+    queries: the fraction of a document's characters covered by its
+    single most frequent word 2-gram / 3-gram (Rae et al. 2021 §A1.1
+    flags docs with top-2-gram share > 0.20, top-3-gram share > 0.18).
+    Per-source report: mean shares plus the count of flagged docs.
+
+    Scale shape: the per-doc top-gram count is a map-side
+    array_sort + run-length fold over the shingle array (no explode —
+    the oracle's unnest→GROUP BY would shuffle every n-gram of a
+    100 TB corpus); the single Exchange carries one 5-tuple per
+    source. Ties break to the lexicographically first gram on both
+    engines (sorted-scan strictly-greater update ≡ ORDER BY c DESC,
+    gram)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tokd = docs.select(
+        "source",
+        "text",
+        textfns.tokens("text").alias("__toks"),
+    ).filter(F.size("__toks") >= 3)
+    per_doc = tokd.select(
+        "source",
+        _top_share(F.col("__toks"), F.col("text"), 2).alias("s2"),
+        _top_share(F.col("__toks"), F.col("text"), 3).alias("s3"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("s2"), 6).alias("avg_top2_share"),
+        F.round(F.avg("s3"), 6).alias("avg_top3_share"),
+        F.sum((F.col("s2") > 0.20).cast("long")).alias("n_flag_top2"),
+        F.sum((F.col("s3") > 0.18).cast("long")).alias("n_flag_top3"),
+    )
+
+
+_CTX_LENS = (64, 128, 256, 512)
+
+_PACKING_ORACLE = f"""WITH n AS (
+         SELECT len({_TOKS_SQL}) AS n_tok FROM documents),
+       x AS (
+         SELECT c.context_len, n.n_tok
+         FROM n CROSS JOIN (SELECT unnest([{", ".join(map(str, _CTX_LENS))}])
+                            AS context_len) c)
+       SELECT CAST(context_len AS INT) AS context_len,
+              COUNT(*) AS n_docs,
+              CAST(SUM(CASE WHEN n_tok > context_len THEN 1 ELSE 0 END)
+                   AS BIGINT) AS docs_truncated,
+              ROUND(CAST(SUM(GREATEST(n_tok - context_len, 0)) AS DOUBLE)
+                    / SUM(n_tok), 6) AS trunc_token_share,
+              ROUND(CAST(SUM(context_len - LEAST(n_tok, context_len))
+                         AS DOUBLE) / COUNT(*), 6) AS avg_pad_tokens,
+              CAST(CEIL(CAST(SUM(LEAST(n_tok, context_len)) AS DOUBLE)
+                        / context_len) AS BIGINT) AS packed_seqs_lb
+       FROM x GROUP BY context_len"""
+
+
+@q("context_length_packing", _PACKING_ORACLE)
+def context_length_packing(spark, sf_dir):
+    """Context-length planning for sequence packing — the analysis run
+    before choosing a training context length: for each candidate C,
+    how many documents truncate, what share of tokens is lost to
+    truncation, the mean padding tokens per sequence if packing is
+    one-doc-per-sequence, and the concat-packing lower bound on
+    sequence count (ceil of kept tokens / C). (Padding is reported in
+    tokens, not as a share of C*n_docs — that quotient's power-of-two
+    denominator lands exactly on ROUND(.,6) half-way points, where
+    Spark and DuckDB round the nearest-double differently.) Pure arithmetic on the
+    per-doc token count, so a 100 TB corpus contributes one long per
+    doc map-side; the 4x candidate fan-out happens on that long, not
+    on the text, and the single Exchange carries 4 aggregate rows."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    ntok = docs.select(F.size(textfns.tokens("text")).alias("n_tok"))
+    fan = ntok.select(
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(c) for c in _CTX_LENS])
+        ).alias("context_len"),
+    )
+    c = F.col("context_len")
+    kept = F.sum(F.least(F.col("n_tok"), c))
+    return fan.groupBy(c.cast("int").alias("context_len")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_tok") > c).cast("long")).alias("docs_truncated"),
+        F.round(
+            F.sum(F.greatest(F.col("n_tok") - c, F.lit(0))).cast("double")
+            / F.sum("n_tok"),
+            6,
+        ).alias("trunc_token_share"),
+        F.round(
+            F.sum(c - F.least(F.col("n_tok"), c)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_pad_tokens"),
+        F.ceil(kept.cast("double") / F.first(c)).cast("bigint").alias(
+            "packed_seqs_lb"
+        ),
+    )

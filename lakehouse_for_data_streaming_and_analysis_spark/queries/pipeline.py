@@ -676,50 +676,60 @@ def deltalog_snapshot_audit(spark, sf_dir):
     relationally, so the hash match certifies the log's snapshot
     isolation: every version's add/remove replay reproduces exactly the
     relational state at that commit. Decimal-exact sums (order
-    independent) keep the hash portable."""
+    independent) keep the hash portable.
+
+    The table is built in a per-invocation unique dir and the three
+    1-row version aggregates are materialized eagerly (9 scalars), so
+    concurrent executions (bench + correctness gate in the same window)
+    can never race on a shared scratch table, and the scratch files are
+    gone before the function returns."""
     import shutil
+    import uuid
 
     from ..delta import DeltaishTable
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    table_dir = os.path.join(_replay_dir(sf_dir, "deltalog"), "tbl")
-    if os.path.isdir(table_dir):
-        shutil.rmtree(table_dir)
-    t = DeltaishTable.create(
-        spark,
-        table_dir,
-        orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
-            4, "o_orderkey"
-        ),
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"tbl-{uuid.uuid4().hex}"
     )
-    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
-    t.merge(
-        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") * 2
-        ),
-        ["o_orderkey"],
-    )
-    parts = []
-    for v in (0, 1, 2):
-        parts.append(
-            t.read(version=v)
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
-                )
-                .cast("double")
-                .alias("total_price"),
-            )
-            .select(
-                F.lit(v).cast("int").alias("version"),
-                "n_rows",
-                "total_price",
-            )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        rows = []
+        for v in (0, 1, 2):
+            rows.extend(
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                    )
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    "n_rows",
+                    "total_price",
+                )
+                .collect()
+            )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, total_price double"
+    )
