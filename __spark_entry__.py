@@ -32,19 +32,13 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Deliberately oracle-less — the driver records its rows-only check
-# for these (SURVEY.md §2.13): optimizer/grid-search fits (ARIMA/GARCH),
-# data-dependent greedy loops (BPE), and the IRLS matrix solver. Every
-# FIXED-iteration or closed-form op has a real oracle (DECISIONS.md §14).
-ROWS_ONLY = (
-    "garch_volatility",
-    "arima_order_search",
-    "garch_order_grid",
-    "arima_garch_residual_fit",
-    "bpe_vocab_merges",
-    "bpe_tokenize_docs",
-    "quality_classifier_scores",
-)
+# Empty since round 3: every query carries a DuckDB oracle. Closed-form
+# and fixed-iteration ops have fully SQL-expressed oracles; the genuine
+# optimizer loops (ARIMA/GARCH grids, BPE, IRLS) carry fixture-literal
+# oracles — parameters recomputed at oracle_sql() call time by
+# INDEPENDENT reimplementations and joined to SQL-re-derived series
+# stats (DECISIONS.md §14).
+ROWS_ONLY: tuple[str, ...] = ()
 
 # --- Driver-verification rotation -----------------------------------
 # The driver oracle-checks only the FIRST 50 keys of queries() each
@@ -279,10 +273,32 @@ def oracle_sql() -> dict[str, str]:
     out.update(lmstats.ORACLES)
     out.update(product.ORACLES)
     out.update(training.ORACLES)
-    # fixture-bound oracle, computed at call time so it always derives
-    # its deflate-ratio literals from the sf dir the caller oracles
-    # against (SPARK_GRAFT_SIM_SF_DIR; driver contract default sf0.01)
+    # fixture-bound oracles, computed at call time so they always
+    # derive their literals (deflate ratios / IRLS model coefficients)
+    # from the sf dir the caller oracles against
+    # (SPARK_GRAFT_SIM_SF_DIR; driver contract default sf0.01)
     co = lmstats._compression_oracle()
     if co is not None:
         out["compression_ratio_quality"] = co
+    qo = training._classifier_oracle()
+    if qo is not None:
+        out["quality_classifier_scores"] = qo
+    mo = training._bpe_merges_oracle()
+    if mo is not None:
+        out["bpe_vocab_merges"] = mo
+    to = training._bpe_tokenize_oracle()
+    if to is not None:
+        out["bpe_tokenize_docs"] = to
+    go = analytics._garch_oracle()
+    if go is not None:
+        out["garch_volatility"] = go
+    ro = analytics._residual_garch_oracle()
+    if ro is not None:
+        out["arima_garch_residual_fit"] = ro
+    oo = analytics._garch_order_oracle()
+    if oo is not None:
+        out["garch_order_grid"] = oo
+    ao = analytics._arima_order_oracle()
+    if ao is not None:
+        out["arima_order_search"] = ao
     return out

@@ -778,3 +778,403 @@ def daily_ohlcv(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# --- Fixture-literal oracles for the optimizer-loop fits -------------
+#
+# The ARIMA/GARCH grid searches are optimizer loops SQL cannot run, so
+# their fitted parameters are recomputed at oracle-build time by
+# INDEPENDENT reimplementations (hand-written loops below, kept
+# deliberately separate from analytics/timeseries.py — a bug there
+# would not reproduce here) over per-series arrays pulled from the
+# fixture with the same HOURLY_SQL the green feature oracles already
+# certify, then embedded as VALUES literals. The SQL re-derives
+# event_type and n_obs from the fixture and joins the literals, so a
+# fixture swap or series-derivation bug still fails the hash. Each
+# builder returns None without the fixture (rows-only fallback).
+
+
+def _fixture_series(sf_dir: str, returns: bool):
+    """Per-series (event_type, ordered array) from the fixture via
+    DuckDB — hourly levels, or pct-returns when ``returns``."""
+    import os
+
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    if returns:
+        sql = f"""WITH hourly AS ({HOURLY_SQL}),
+           ret AS (
+             SELECT event_type, ds,
+                    (y / LAG(y) OVER (PARTITION BY event_type ORDER BY ds)
+                     - 1) * 100 AS r
+             FROM hourly)
+           SELECT event_type, list(r ORDER BY ds) FROM ret
+           WHERE r IS NOT NULL GROUP BY 1 ORDER BY 1"""
+    else:
+        sql = f"""WITH hourly AS ({HOURLY_SQL})
+           SELECT event_type, list(y ORDER BY ds) FROM hourly
+           GROUP BY 1 ORDER BY 1"""
+    series = con.execute(sql).fetchall()
+    con.close()
+    return series
+
+
+def _indep_garch11(r):
+    """Independent GARCH(1,1) grid QMLE (plain-Python filter loop vs
+    the vectorized recursion in timeseries.garch11_fit). Returns
+    (omega, alpha, beta, loglik, next_sigma)."""
+    import math
+
+    import numpy as np
+
+    rc = np.asarray(r, dtype=float)
+    rc = rc - rc.mean()
+    var = float(rc.var()) or 1e-12
+    best = None  # (ll, omega, a, b, h_last)
+    for ai in range(2, 31, 2):
+        a = ai / 100.0
+        for bi in range(50, 97, 2):
+            b = bi / 100.0
+            if a + b >= 0.999:
+                continue
+            omega = var * (1.0 - a - b)
+            h = var
+            ll = -0.5 * (math.log(2 * math.pi * h) + rc[0] ** 2 / h)
+            for t in range(1, len(rc)):
+                h = omega + a * rc[t - 1] ** 2 + b * h
+                ll += -0.5 * (math.log(2 * math.pi * h) + rc[t] ** 2 / h)
+            if best is None or ll > best[0]:
+                best = (ll, omega, a, b, h)
+    ll, omega, a, b, h = best
+    nxt = math.sqrt(omega + a * rc[-1] ** 2 + b * h)
+    return omega, a, b, ll, nxt
+
+
+_N_OBS_RET_SQL = f"""WITH hourly AS ({HOURLY_SQL}),
+       ret AS (
+         SELECT event_type,
+                (y / LAG(y) OVER (PARTITION BY event_type ORDER BY ds)
+                 - 1) * 100 AS r
+         FROM hourly),
+       n AS (SELECT event_type, CAST(COUNT(*) AS INT) AS n_obs
+             FROM ret WHERE r IS NOT NULL GROUP BY 1)"""
+
+_N_OBS_LVL_SQL = f"""WITH hourly AS ({HOURLY_SQL}),
+       n AS (SELECT event_type, CAST(COUNT(*) AS INT) AS n_obs
+             FROM hourly GROUP BY 1)"""
+
+
+def _sim_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _garch_oracle() -> str | None:
+    """X6 GARCH(1,1) fit: independent grid QMLE literals + SQL-derived
+    n_obs (see block comment above)."""
+    series = _fixture_series(_sim_sf_dir(), returns=True)
+    if series is None:
+        return None
+    rows = []
+    for et, r in series:
+        omega, a, b, ll, nxt = _indep_garch11(r)
+        rows.append(
+            f"('{et}', {round(omega, 8)!r}, {round(a, 4)!r}, "
+            f"{round(b, 4)!r}, {round(ll, 4)!r}, {round(nxt, 6)!r})"
+        )
+    vals = ",\n              ".join(rows)
+    return f"""{_N_OBS_RET_SQL},
+       p AS (SELECT * FROM (VALUES {vals})
+             AS t(event_type, omega, alpha, beta, loglik, next_sigma))
+       SELECT n.event_type, n.n_obs,
+              CAST(omega AS DOUBLE) AS omega,
+              CAST(alpha AS DOUBLE) AS alpha,
+              CAST(beta AS DOUBLE) AS beta,
+              CAST(loglik AS DOUBLE) AS loglik,
+              CAST(next_sigma AS DOUBLE) AS next_sigma
+       FROM n JOIN p USING (event_type)"""
+
+
+def _ar2_normal_eq(y):
+    """AR(2)+intercept by centered normal equations (the same closed
+    form the green _ar_forecast_oracle uses in SQL) — independent of
+    timeseries._ols's lstsq. Returns (b0, phi1, phi2, resid list)."""
+    n = len(y)
+    rows = [(y[i], y[i - 1], y[i - 2]) for i in range(2, n)]
+    m = len(rows)
+    my = sum(r[0] for r in rows) / m
+    m1 = sum(r[1] for r in rows) / m
+    m2 = sum(r[2] for r in rows) / m
+    s11 = sum((r[1] - m1) ** 2 for r in rows)
+    s22 = sum((r[2] - m2) ** 2 for r in rows)
+    s12 = sum((r[1] - m1) * (r[2] - m2) for r in rows)
+    s1y = sum((r[1] - m1) * (r[0] - my) for r in rows)
+    s2y = sum((r[2] - m2) * (r[0] - my) for r in rows)
+    det = s11 * s22 - s12 * s12
+    p1 = (s1y * s22 - s2y * s12) / det
+    p2 = (s11 * s2y - s12 * s1y) / det
+    b0 = my - p1 * m1 - p2 * m2
+    resid = [r[0] - (b0 + p1 * r[1] + p2 * r[2]) for r in rows]
+    return b0, p1, p2, resid
+
+
+def _residual_garch_oracle() -> str | None:
+    """X6 two-stage ARIMA-GARCH: AR(2) by independent normal-equation
+    solve, then the independent GARCH(1,1) grid on the residuals."""
+    series = _fixture_series(_sim_sf_dir(), returns=False)
+    if series is None:
+        return None
+    rows = []
+    for et, y in series:
+        b0, p1, p2, resid = _ar2_normal_eq([float(v) for v in y])
+        mu = sum(resid) / len(resid)
+        rvar = sum((e - mu) ** 2 for e in resid) / len(resid)
+        omega, a, b, _ll, nxt = _indep_garch11(resid)
+        rows.append(
+            f"('{et}', {round(b0, 6)!r}, {round(p1, 6)!r}, "
+            f"{round(p2, 6)!r}, {round(rvar, 8)!r}, {round(omega, 8)!r}, "
+            f"{round(a, 4)!r}, {round(b, 4)!r}, {round(nxt, 6)!r})"
+        )
+    vals = ",\n              ".join(rows)
+    return f"""{_N_OBS_LVL_SQL},
+       p AS (SELECT * FROM (VALUES {vals})
+             AS t(event_type, ar_intercept, ar_phi_1, ar_phi_2,
+                  resid_var, omega, alpha, beta, next_sigma))
+       SELECT n.event_type, n.n_obs,
+              CAST(ar_intercept AS DOUBLE) AS ar_intercept,
+              CAST(ar_phi_1 AS DOUBLE) AS ar_phi_1,
+              CAST(ar_phi_2 AS DOUBLE) AS ar_phi_2,
+              CAST(resid_var AS DOUBLE) AS resid_var,
+              CAST(omega AS DOUBLE) AS omega,
+              CAST(alpha AS DOUBLE) AS alpha,
+              CAST(beta AS DOUBLE) AS beta,
+              CAST(next_sigma AS DOUBLE) AS next_sigma
+       FROM n JOIN p USING (event_type)"""
+
+
+def _indep_garch_pq(r, p, q):
+    """Independent GARCH(p, q) grid QMLE (scalar recursion per combo,
+    vs timeseries.garch_pq_fit's grid-vectorized buffers). Returns
+    (loglik, k) of the best combo."""
+    import math
+    from itertools import product as _product
+
+    import numpy as np
+
+    alpha_choices = (0.02, 0.05, 0.08, 0.10, 0.13, 0.17, 0.22)
+    beta_choices = (0.20, 0.35, 0.50, 0.65, 0.75, 0.82, 0.88, 0.93)
+    rc = np.asarray(r, dtype=float)
+    rc = rc - rc.mean()
+    var = float(rc.var()) or 1e-12
+    r2 = [float(v) * float(v) for v in rc]
+    n = len(r2)
+    best_ll = None
+    for A in _product(alpha_choices, repeat=p):
+        for B in _product(beta_choices, repeat=q):
+            if sum(A) + sum(B) >= 0.999:
+                continue
+            omega = var * (1.0 - sum(A) - sum(B))
+            hist = [var] * q  # h_{t-1}, h_{t-2}, ... newest first
+            ll = 0.0
+            for t in range(n):
+                if t == 0:
+                    h = var
+                else:
+                    h = omega
+                    for i in range(p):
+                        h += A[i] * (r2[t - 1 - i] if t - 1 - i >= 0 else var)
+                    for j in range(q):
+                        h += B[j] * hist[j]
+                ll += -0.5 * (math.log(2 * math.pi * h) + r2[t] / h)
+                if q:
+                    hist = [h] + hist[:-1]
+            if best_ll is None or ll > best_ll:
+                best_ll = ll
+    return best_ll, p + q + 1
+
+
+def _garch_order_oracle() -> str | None:
+    """X6 GARCH(p, q) order selection: AIC = 2k - 2*loglik over the
+    {(1,1),(1,2),(2,1),(2,2)} candidates, each fit by the independent
+    per-combo grid; ties toward smaller (p+q, p) as in the operator."""
+    series = _fixture_series(_sim_sf_dir(), returns=True)
+    if series is None:
+        return None
+    rows = []
+    for et, r in series:
+        best = None  # (aic, p, q, ll)
+        for p, q in ((1, 1), (1, 2), (2, 1), (2, 2)):
+            ll, k = _indep_garch_pq(r, p, q)
+            if ll is None:
+                continue
+            aic = 2.0 * k - 2.0 * ll
+            if best is None or (round(aic, 10), p + q, p) < (
+                round(best[0], 10), best[1] + best[2], best[1],
+            ):
+                best = (aic, p, q, ll)
+        aic, p, q, ll = best
+        rows.append(
+            f"('{et}', {p}, {q}, {round(aic, 4)!r}, {round(ll, 4)!r})"
+        )
+    vals = ",\n              ".join(rows)
+    return f"""{_N_OBS_RET_SQL},
+       p AS (SELECT * FROM (VALUES {vals})
+             AS t(event_type, p, q, aic, loglik))
+       SELECT n.event_type, n.n_obs,
+              CAST(p AS INT) AS p, CAST(q AS INT) AS q,
+              CAST(aic AS DOUBLE) AS aic,
+              CAST(loglik AS DOUBLE) AS loglik
+       FROM n JOIN p USING (event_type)"""
+
+
+def _gauss_inverse(M):
+    """Gauss-Jordan inverse of a small symmetric matrix (lists of
+    lists) with partial pivoting — the independent stand-in for
+    numpy's lstsq/pinv in the literal-oracle replays."""
+    k = len(M)
+    a = [row[:] + [1.0 if i == j else 0.0 for j in range(k)]
+         for i, row in enumerate(M)]
+    for col in range(k):
+        piv = max(range(col, k), key=lambda r: abs(a[r][col]))
+        a[col], a[piv] = a[piv], a[col]
+        d = a[col][col]
+        a[col] = [v / d for v in a[col]]
+        for r in range(k):
+            if r != col and a[r][col] != 0.0:
+                f = a[r][col]
+                a[r] = [v - f * w for v, w in zip(a[r], a[col])]
+    return [row[k:] for row in a]
+
+
+def _indep_ols(X, y):
+    """OLS via normal equations + Gauss-Jordan: returns (beta, resid,
+    xtx_inv diagonal)."""
+    k = len(X[0])
+    xtx = [[sum(r[i] * r[j] for r in X) for j in range(k)] for i in range(k)]
+    xty = [sum(r[i] * v for r, v in zip(X, y)) for i in range(k)]
+    inv = _gauss_inverse(xtx)
+    beta = [sum(inv[i][j] * xty[j] for j in range(k)) for i in range(k)]
+    resid = [v - sum(b * x for b, x in zip(beta, r)) for r, v in zip(X, y)]
+    return beta, resid, [inv[i][i] for i in range(k)]
+
+
+def _indep_adf_t(y, max_lag: int = 1):
+    """Constant-only augmented DF t-stat, mirroring timeseries.adf_stat
+    with the independent solver."""
+    import math
+
+    dy = [y[i + 1] - y[i] for i in range(len(y) - 1)]
+    k = max_lag
+    rows = len(dy) - k
+    X = [
+        [1.0, y[k + t]] + [dy[k + t - i] for i in range(1, k + 1)]
+        for t in range(rows)
+    ]
+    yy = dy[k:]
+    beta, resid, diag = _indep_ols(X, yy)
+    dof = max(rows - len(X[0]), 1)
+    sigma2 = sum(e * e for e in resid) / dof
+    se1 = math.sqrt(max(diag[1] * sigma2, 0.0))
+    return (beta[1] / se1 if se1 > 0 else float("nan")), rows
+
+
+def _indep_arima_search(y, p_max=3, q_max=2, d_max=2):
+    """Mirror of timeseries.arima_order_search (choose_d by repeated
+    ADF + Hannan-Rissanen AIC grid) on the independent solver."""
+    import math
+
+    # d selection
+    d_sel = d_max
+    for d in range(d_max + 1):
+        w = y[:]
+        for _ in range(d):
+            w = [w[i + 1] - w[i] for i in range(len(w) - 1)]
+        if len(w) < 1 + 8:
+            break
+        t, _ = _indep_adf_t(w, 1)
+        if math.isfinite(t) and t < -2.86:
+            d_sel = d
+            break
+    else:
+        d_sel = d_max
+    d = d_sel
+    w = y[:]
+    for _ in range(d):
+        w = [w[i + 1] - w[i] for i in range(len(w) - 1)]
+
+    def hr_fit(w, p, q):
+        n = len(w)
+        if q == 0:
+            if p == 0:
+                mu = sum(w) / n
+                resid = [v - mu for v in w]
+                return sum(e * e for e in resid) / max(n, 1), n
+            X = [[1.0] + [w[t - i - 1] for i in range(p)]
+                 for t in range(p, n)]
+            _, resid, _ = _indep_ols(X, w[p:])
+            return sum(e * e for e in resid) / max(len(resid), 1), len(resid)
+        m = min(max(2 * (p + q), 4), max(n // 4, p + q + 1))
+        Xm = [[1.0] + [w[t - i - 1] for i in range(m)] for t in range(m, n)]
+        bm, rm, _ = _indep_ols(Xm, w[m:])
+        e = [0.0] * m + rm
+        t0 = m + max(p, q)
+        X = [
+            [1.0]
+            + [w[t - i - 1] for i in range(p)]
+            + [e[t - j - 1] for j in range(q)]
+            for t in range(t0, n)
+        ]
+        _, resid, _ = _indep_ols(X, w[t0:])
+        return sum(ee * ee for ee in resid) / max(len(resid), 1), len(resid)
+
+    best = None  # (aic, p, q, sigma2)
+    for p in range(p_max + 1):
+        for q in range(q_max + 1):
+            if len(w) < (p + q) * 4 + 12:
+                continue
+            try:
+                sigma2, n_eff = hr_fit(w, p, q)
+            except ZeroDivisionError:
+                continue
+            if not math.isfinite(sigma2) or sigma2 <= 0:
+                continue
+            aic = n_eff * math.log(sigma2) + 2.0 * (p + q + 1)
+            if best is None or (round(aic, 10), p + q, p) < (
+                round(best[0], 10), best[1] + best[2], best[1],
+            ):
+                best = (aic, p, q, sigma2)
+    if best is None:
+        return 0, d, 0, None, None
+    return best[1], d, best[2], best[0], best[3]
+
+
+def _arima_order_oracle() -> str | None:
+    """X5 auto-ARIMA order selection: unit-root d + Hannan-Rissanen
+    AIC grid recomputed by the independent solver, literal-joined to
+    the SQL-derived series counts."""
+    series = _fixture_series(_sim_sf_dir(), returns=False)
+    if series is None:
+        return None
+    rows = []
+    for et, y in series:
+        p, d, q, aic, sigma2 = _indep_arima_search([float(v) for v in y])
+        aic_s = "NULL" if aic is None else repr(round(aic, 4))
+        s2_s = "NULL" if sigma2 is None else repr(round(sigma2, 8))
+        rows.append(f"('{et}', {p}, {d}, {q}, {aic_s}, {s2_s})")
+    vals = ",\n              ".join(rows)
+    return f"""{_N_OBS_LVL_SQL},
+       p AS (SELECT * FROM (VALUES {vals})
+             AS t(event_type, p, d, q, aic, sigma2))
+       SELECT n.event_type, n.n_obs,
+              CAST(p AS INT) AS p, CAST(d AS INT) AS d, CAST(q AS INT) AS q,
+              CAST(aic AS DOUBLE) AS aic,
+              CAST(sigma2 AS DOUBLE) AS sigma2
+       FROM n JOIN p USING (event_type)"""

@@ -152,3 +152,196 @@ def bpe_tokenize_docs(spark, sf_dir, n_merges: int = 24):
             F.sum("n_sub").alias("n_subwords"),
         )
     )
+
+
+def _classifier_oracle() -> str | None:
+    """DuckDB oracle for the distilled quality classifier. SQL cannot
+    run the 10 Newton iterations, so the MODEL (4 weights + bias) and
+    the standardization stats are fit here at oracle-build time by the
+    pure-numpy IRLS replay (analytics/classifier.numpy_replay — the
+    same arithmetic the distributed trajectory is pinned against at
+    1e-6 in tests/test_classifier.py) over features recomputed
+    independently from the fixture parquet, and embedded as repr
+    literals. The SQL then re-derives every document's features,
+    z-scores, sigmoid score, and prediction from scratch — so the
+    hash match certifies the whole Spark feature + scoring pipeline,
+    with the fit itself cross-validated by an independent
+    implementation. Spark-side-vs-replay beta agreement is ~1e-10
+    (aggregation-order noise), 5 orders below the ROUND(score, 4)
+    grid. Returns None when the fixture is absent (rows-only
+    fallback)."""
+    import math
+    import os
+    import re
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=["text", "n_chars"])
+    texts = tbl.column("text").to_pylist()
+    n_chars = tbl.column("n_chars").to_pylist()
+    sw = set(textfns.STOPWORDS["en"])
+    feats, labels = [], []
+    for txt, nc in zip(texts, n_chars):
+        toks = re.split(r"\s+", (txt or "").lower().strip())
+        n_tok = len(toks)
+        n_sw = sum(1 for t in toks if t in sw)
+        feats.append(
+            [
+                math.log1p(nc),
+                n_sw / n_tok,
+                len(set(toks)) / n_tok,
+                sum(len(t) for t in toks) / n_tok,
+            ]
+        )
+        labels.append(
+            1.0
+            if (100 <= nc <= 10000 and n_tok >= 20 and 2 * n_sw <= n_tok)
+            else 0.0
+        )
+    X = np.asarray(feats)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0.0] = 1.0
+    model = classifier.numpy_replay((X - mu) / sd, labels, iters=10)
+    w = model["weights"]
+    sw_sql = "[" + ", ".join(f"'{t}'" for t in textfns.STOPWORDS["en"]) + "]"
+    z = [
+        f"((x{i + 1} - {mu[i]!r}) / {sd[i]!r})"
+        for i in range(4)
+    ]
+    margin = f"{model['bias']!r}"
+    for i in range(4):
+        margin = f"{margin} + {w[i]!r} * {z[i]}"
+    return f"""WITH tok AS (
+         SELECT doc_id, n_chars,
+                string_split_regex(lower(trim(text)), '\\s+') AS toks
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+                ln(1 + n_chars) AS x1,
+                CAST(len(list_filter(toks,
+                       t -> list_contains({sw_sql}, t))) AS DOUBLE)
+                    / len(toks) AS x2,
+                CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) AS x3,
+                CAST(list_sum(list_transform(toks, t -> length(t)))
+                     AS DOUBLE) / len(toks) AS x4,
+                CASE WHEN n_chars BETWEEN 100 AND 10000
+                          AND len(toks) >= 20
+                          AND 2 * len(list_filter(toks,
+                                t -> list_contains({sw_sql}, t)))
+                              <= len(toks)
+                     THEN 1 ELSE 0 END AS label
+         FROM tok),
+       s AS (SELECT doc_id, label, {margin} AS m FROM f)
+       SELECT doc_id,
+              CAST(label AS INT) AS label,
+              ROUND(1.0 / (1.0 + exp(-m)), 4) AS score,
+              CAST(CASE WHEN 1.0 / (1.0 + exp(-m)) >= 0.5
+                        THEN 1 ELSE 0 END AS INT) AS predicted
+       FROM s"""
+
+
+def _sequential_bpe(word_counts, n_merges: int):
+    """Independent sequential BPE (the Sennrich et al. 2016 greedy
+    loop, same (count desc, pair asc) tie-break as the Spark
+    operator), tracking per-word symbol sequences so the tokenize
+    oracle can embed the word -> subword-count vocabulary. A third
+    implementation besides operators/bpe.py (distributed) and
+    tests/test_bpe.py (test reference) — kept separate from both on
+    purpose: the oracle literals must not share code with the path
+    they certify."""
+    words = {w: [*w, bpe.EOW] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        for w, syms in words.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            words[w] = out
+    return merges, {w: len(syms) for w, syms in words.items()}
+
+
+def _fixture_word_counts(n_merges: int = 24):
+    import os
+    import re
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    counts: dict = {}
+    for txt in pq.read_table(path, columns=["text"]).column("text").to_pylist():
+        for w in re.split(r"\s+", (txt or "").lower().strip()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return _sequential_bpe(counts, n_merges)
+
+
+def _bpe_merges_oracle() -> str | None:
+    """Literal-table oracle for the learned merge sequence: the 24
+    (rank, pair, count) rows come from the independent sequential
+    reference over the same fixture (like the deflate / IRLS literal
+    oracles, recomputed per oracle_sql() call for the sim sf dir)."""
+    res = _fixture_word_counts()
+    if res is None:
+        return None
+    merges, _ = res
+    rows = ",\n              ".join(
+        f"({r}, '{a}', '{b}', '{m}', {c})" for r, a, b, m, c in merges
+    )
+    return f"""SELECT CAST(rank AS INT) AS rank,
+              lft AS "left", rgt AS "right", merged,
+              CAST(pair_count AS BIGINT) AS pair_count
+       FROM (VALUES {rows})
+            AS t(rank, lft, rgt, merged, pair_count)"""
+
+
+def _bpe_tokenize_oracle() -> str | None:
+    """Oracle for the corpus-segmentation pass: the word ->
+    subword-count vocabulary (the tokenizer artifact) is embedded as
+    literals from the independent sequential reference; the per-doc
+    rollup — explode, join, aggregate — is re-derived in SQL, so the
+    hash match certifies the broadcast-segmentation topology end to
+    end."""
+    res = _fixture_word_counts()
+    if res is None:
+        return None
+    _, n_sub = res
+    rows = ", ".join(f"('{w}', {n})" for w, n in sorted(n_sub.items()))
+    return f"""WITH v AS (SELECT * FROM (VALUES {rows}) AS t(word, n_sub)),
+       tok AS (
+         SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         FROM documents),
+       s AS (SELECT doc_id, word FROM tok WHERE length(word) > 0)
+       SELECT doc_id,
+              COUNT(*) AS n_words,
+              CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+       FROM s JOIN v USING (word) GROUP BY 1"""
