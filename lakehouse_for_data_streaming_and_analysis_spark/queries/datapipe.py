@@ -1582,3 +1582,133 @@ def quality_threshold_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+@q(
+    "source_unigram_kl",
+    f"""WITH tok AS (
+         SELECT source, unnest(toks) AS t
+         FROM (SELECT source, {_TOKS_SQL} AS toks FROM documents)),
+       st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       tot AS (SELECT source, SUM(c) AS n_s FROM st GROUP BY 1),
+       corp AS (SELECT t, SUM(c) AS c_all FROM st GROUP BY 1),
+       big AS (SELECT SUM(c) AS n_all FROM st)
+       SELECT st.source,
+              CAST(tot.n_s AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS INT) AS vocab_used,
+              ROUND(SUM((CAST(st.c AS DOUBLE) / tot.n_s)
+                        * ln((CAST(st.c AS DOUBLE) / tot.n_s)
+                             / (CAST(corp.c_all AS DOUBLE) / big.n_all))),
+                    6) AS kl_nats
+       FROM st
+       JOIN tot USING (source)
+       JOIN corp USING (t)
+       CROSS JOIN big
+       GROUP BY st.source, tot.n_s""",
+)
+def source_unigram_kl(spark, sf_dir):
+    """Domain-shift audit: KL(source ‖ corpus) over the unigram token
+    distribution, per source — the drift report run before adjusting
+    mixture weights (a rising KL means a source's language is moving
+    away from the blend the model was tuned on). One corpus-sized
+    explode shuffles ONCE to (source, token) grain with map-side
+    combine; the corpus marginal is a re-aggregate of that vocab-sized
+    table (never a second corpus pass), the global total is a
+    broadcast scalar, and the KL sum is a vocab-sized aggregate. Terms
+    exist only where the source count is positive, so every log is
+    finite by construction."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select(
+        "source", F.explode(textfns.tokens("text")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corp = st.groupBy("t").agg(F.sum("c").alias("c_all"))
+    big = st.agg(F.sum("c").alias("n_all"))
+    p = F.col("c").cast("double") / F.col("n_s")
+    qd = F.col("c_all").cast("double") / F.col("n_all")
+    return (
+        st.join(F.broadcast(tot), "source")
+        .join(F.broadcast(corp), "t")
+        .crossJoin(F.broadcast(big))
+        .groupBy("source", "n_s")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("vocab_used"),
+            F.round(F.sum(p * F.log(p / qd)), 6).alias("kl_nats"),
+        )
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "vocab_used",
+            "kl_nats",
+        )
+    )
+
+
+@q(
+    "embedding_int8_quantization",
+    """WITH elems AS (
+         SELECT label,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       stats AS (
+         SELECT pos, MIN(x) AS mn, MAX(x) AS mx
+         FROM elems GROUP BY 1),
+       scored AS (
+         SELECT e.label, e.pos, e.x,
+                CASE WHEN s.mx = s.mn THEN e.x
+                     ELSE s.mn + FLOOR((e.x - s.mn)
+                                       / ((s.mx - s.mn) / 255.0) + 0.5)
+                          * ((s.mx - s.mn) / 255.0)
+                END AS xq
+         FROM elems e JOIN stats s USING (pos))
+       SELECT label,
+              CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_vecs,
+              ROUND(AVG((x - xq) * (x - xq)), 10) AS mse,
+              ROUND(MAX(ABS(x - xq)), 9) AS max_abs_err,
+              ROUND(10.0 * log10(AVG(x * x) / AVG((x - xq) * (x - xq))), 4)
+                AS snr_db
+       FROM scored GROUP BY 1""",
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Serving-side compression audit: quantize every embedding to
+    int8 with per-dimension min/max affine codes (the standard ANN
+    index memory reduction) and report the damage per label — mean
+    squared reconstruction error, worst per-element error, and SNR.
+    The per-dim codebook is a 64-row aggregate (broadcast back);
+    quantization is elementwise arithmetic; both engines round codes
+    via FLOOR(z + 0.5) — written identically so no half-even/half-up
+    library difference can flip a code. Two scans of the corpus
+    (codebook, then score) — the same unavoidable topology as any
+    standardize pass; nothing corpus-sized shuffles more than the
+    (label, pos) aggregate grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("label", "pos", F.col("xf").cast("double").alias("x"))
+    stats = elems.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    xq = F.when(F.col("mx") == F.col("mn"), F.col("x")).otherwise(
+        F.col("mn")
+        + F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5)) * scale
+    )
+    scored = elems.join(F.broadcast(stats), "pos").select(
+        "label", "pos", "x", xq.alias("xq")
+    )
+    err2 = F.avg((F.col("x") - F.col("xq")) * (F.col("x") - F.col("xq")))
+    return scored.groupBy("label").agg(
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vecs"),
+        F.round(err2, 10).alias("mse"),
+        F.round(F.max(F.abs(F.col("x") - F.col("xq"))), 9).alias(
+            "max_abs_err"
+        ),
+        F.round(
+            F.lit(10.0) * F.log10(F.avg(F.col("x") * F.col("x")) / err2), 4
+        ).alias("snr_db"),
+    )
