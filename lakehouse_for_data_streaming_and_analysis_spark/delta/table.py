@@ -336,6 +336,46 @@ class DeltaishTable:
         actions.append(dlog.commit_info("WRITE", mode="Overwrite"))
         return self._commit_next(actions, read_version=snap.version)
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — the undo operation:
+        commit the file-level diff that returns the live set (and the
+        schema) to the target snapshot. History is preserved — restore
+        is a NEW commit, so the restored-over versions remain time-
+        travelable, exactly like Delta's RESTORE. Fails before
+        committing if any target file has been vacuumed (Delta's
+        missing-files error), and carries the read snapshot so a
+        concurrent data-changing commit surfaces as
+        ConcurrentCommitError instead of being silently discarded."""
+        cur = self._snapshot()
+        tgt = self._snapshot(version)
+        missing = [
+            p
+            for p in tgt.files
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot RESTORE to version {version}: "
+                f"{len(missing)} data file(s) vacuumed, e.g. {missing[0]}"
+            )
+        actions: list[dict] = []
+        if tgt.metadata.get("schemaString") != cur.metadata.get(
+            "schemaString"
+        ) or tuple(tgt.metadata.get("partitionColumns", ())) != tuple(
+            cur.metadata.get("partitionColumns", ())
+        ):
+            actions.append({"metaData": dict(tgt.metadata)})
+        actions.extend(
+            {"add": dict(a)} for p, a in tgt.files.items() if p not in cur.files
+        )
+        actions.extend(
+            {"remove": self._tombstone(p)} for p in cur.files if p not in tgt.files
+        )
+        actions.append(
+            dlog.commit_info("RESTORE", restoredVersion=int(version))
+        )
+        return self._commit_next(actions, read_version=cur.version)
+
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
         return {

@@ -832,3 +832,73 @@ def test_failed_write_leaves_no_staging_or_orphans(spark, tmp_path):
     }
     assert on_disk == live
     assert _rows(t.read()) == _rows(src)
+
+
+# ------------------------------------------------------------ RESTORE
+
+
+def test_restore_undoes_overwrite_preserving_history(spark, tmp_path):
+    src = _orders(spark, 400)
+    lo = src.filter(F.col("o_orderkey") <= 1000)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), lo)
+    t.append(src.filter(F.col("o_orderkey") > 1000))  # v1: full set
+    t.overwrite(lo.withColumn("o_totalprice", F.col("o_totalprice") * 0))
+    v3 = t.restore(1)
+    assert v3 == 3
+    # live state is back to v1...
+    assert _rows(t.read()) == _rows(t.read(version=1))
+    assert _rows(t.read()) == _rows(src)
+    # ...and history is preserved: the restored-over overwrite is
+    # still time-travelable, and RESTORE appears as its own commit
+    assert _rows(t.read(version=2).select("o_totalprice").distinct()) == [
+        ("0E-10",)
+    ] or t.read(version=2).agg(F.sum("o_totalprice")).collect()[0][0] == 0
+    assert t.history()[-1]["operation"] == "RESTORE"
+
+
+def test_restore_recovers_pre_evolution_schema(spark, tmp_path):
+    src = _orders(spark, 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.append(
+        src.withColumn("o_channel", F.lit("web")), merge_schema=True
+    )  # v1 evolves schema
+    assert "o_channel" in t.read().columns
+    t.restore(0)
+    assert "o_channel" not in t.read().columns
+    assert _rows(t.read()) == _rows(src)
+    # restoring FORWARD to the evolved version works too
+    t.restore(1)
+    assert "o_channel" in t.read().columns
+
+
+def test_restore_to_vacuumed_version_raises(spark, tmp_path):
+    src = _orders(spark, 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.overwrite(src.filter(F.col("o_orderkey") % 2 == 0))
+    t.vacuum(retention_hours=0.0)  # v0's files are gone
+    v_before = t.version
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(0)
+    # table unharmed: no partial commit happened
+    assert t.version == v_before
+
+
+def test_restore_conflicts_with_concurrent_append(spark, tmp_path):
+    src = _orders(spark, 300)
+    lo = src.filter(F.col("o_orderkey") <= 1000)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), lo)
+    t.overwrite(src)
+    orig = t._snapshot
+
+    def racing(version=None):
+        snap = orig(version)
+        if version is None and not getattr(racing, "_fired", False):
+            racing._fired = True
+            DeltaishTable(spark, t.path).append(
+                src.filter(F.col("o_orderkey") > 1000)
+            )
+        return snap
+
+    t._snapshot = racing  # type: ignore[method-assign]
+    with pytest.raises(ConcurrentCommitError):
+        t.restore(0)
