@@ -301,4 +301,7 @@ def oracle_sql() -> dict[str, str]:
     ao = analytics._arima_order_oracle()
     if ao is not None:
         out["arima_order_search"] = ao
+    po = pipeline._pyds_oracle()
+    if po is not None:
+        out["pyds_tick_ingest"] = po
     return out

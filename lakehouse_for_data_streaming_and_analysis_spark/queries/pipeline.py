@@ -733,3 +733,108 @@ def deltalog_snapshot_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, n_rows long, total_price double"
     )
+
+
+def _ensure_ticks_capture(sf_dir: str) -> str:
+    """Deterministic ndjson tick capture derived from the events
+    fixture (first 2000 events by event_id, 4 shards), in the
+    reference's wire format. Built Spark-free (pyarrow) so BOTH the
+    query and the call-time oracle can ensure it exists regardless of
+    which side the driver runs first; concurrent builders are safe via
+    build-to-tmp + atomic rename."""
+    import json as _json
+    import shutil
+    import uuid
+
+    target = _replay_dir(sf_dir, "pydsticks")
+    if os.path.isdir(target) and os.listdir(target):
+        return target
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "value"],
+    )
+    rows = sorted(
+        zip(
+            tbl.column("event_id").to_pylist(),
+            tbl.column("ts").to_pylist(),
+            tbl.column("value").to_pylist(),
+        )
+    )[:2000]
+    tmp = f"{target}-tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp)
+    shard_sz = -(-len(rows) // 4)
+    for s in range(4):
+        chunk = rows[s * shard_sz : (s + 1) * shard_sz]
+        if not chunk:
+            break
+        with open(os.path.join(tmp, f"{s:03d}.jsonl"), "w") as f:
+            for _eid, ts, v in chunk:
+                f.write(
+                    _json.dumps(
+                        {
+                            "BTC": str(round(float(v), 2)),
+                            "timestamp": int(ts.timestamp()) if hasattr(ts, "timestamp") else int(ts),
+                        }
+                    )
+                    + "\n"
+                )
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: use theirs
+    return target
+
+
+def _pyds_oracle() -> str | None:
+    """Call-time oracle for the custom Python DataSource ingest: DuckDB
+    reads the SAME ndjson capture with read_json and re-derives the
+    per-minute OHLC-count rollup independently."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        return None
+    cap = _ensure_ticks_capture(sf_dir)
+    return f"""WITH t AS (
+         SELECT CAST(BTC AS DOUBLE) AS price,
+                to_timestamp(CAST("timestamp" AS BIGINT)) AS ts
+         FROM read_json('{cap}/*.jsonl',
+                        format='newline_delimited',
+                        columns={{'BTC': 'VARCHAR', 'timestamp': 'DOUBLE'}}))
+       SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+              COUNT(*) AS n_ticks,
+              ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS volume,
+              MIN(price) AS low,
+              MAX(price) AS high
+       FROM t GROUP BY 1"""
+
+
+@q("pyds_tick_ingest")
+def pyds_tick_ingest(spark, sf_dir):
+    """S1/S7/S8 as a FIRST-CLASS Spark source: ingest the reference's
+    tick wire format through the registered Spark 4 Python DataSource
+    (sources/pyds.py, format "ticks" — one input partition per capture
+    shard), then the per-minute rollup. The oracle reads the identical
+    ndjson bytes with DuckDB's read_json and re-derives the rollup, so
+    the hash match certifies the custom source's partition planning
+    and wire parsing end to end — not just the aggregate."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    cap = _ensure_ticks_capture(sf_dir)
+    df = spark.read.format("ticks").option("path", cap).load()
+    return df.groupBy(
+        F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm").alias(
+            "minute"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("volume"),
+        F.min("price").alias("low"),
+        F.max("price").alias("high"),
+    )

@@ -1,0 +1,174 @@
+"""Spark 4 Python DataSource for the reference's tick ingest (S1/S7/S8).
+
+The reference ingests ticker JSON over WebSocket→Kafka
+(Sourcecode/websocket_kafka_producer.py, streaming_pipeline.py:41-42);
+this module re-expresses that ingest as a FIRST-CLASS Spark source via
+the Spark 4 Python DataSource API (`pyspark.sql.datasource`) instead of
+an external producer process:
+
+* ``spark.read.format("ticks")`` — batch scan of an ndjson capture
+  directory, one input partition per file (so Spark schedules files in
+  parallel and a 100 TB capture reads with full cluster width), or a
+  deterministic synthetic tick set when no path is given.
+* ``spark.readStream.format("ticks")`` — a micro-batch stream over the
+  same directory with real offset semantics: the offset is the count of
+  consumed files in sorted order; each trigger admits every new file
+  (per-batch admission control is not expressible in the Python
+  DataSource API — see latestOffset), and restarts resume exactly from
+  the checkpointed offset — no duplicates, no gaps (pinned in
+  tests/test_pyds.py including a kill-and-restart).
+
+The wire format is the reference's exact payload
+(`{"<coin>": "<price>", "timestamp": <unix-sec>}`, price as a string —
+etl.py:16-19), parsed to the same typed columns as
+``sources/streams.parse_ticks``.
+
+Registration: ``register(spark)`` once per session, then the format
+name ``"ticks"`` works in any reader. Reader classes are module-level
+so they pickle to Python workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "ticks"
+
+
+def register(spark) -> None:
+    """Register the ``ticks`` format on this session (idempotent)."""
+    spark.dataSource.register(TicksDataSource)
+
+
+def _parse_line(line: str, coin: str):
+    """One wire payload -> (coin, price, ts) with the reference's
+    string-price and unix-seconds semantics (etl.py:20-25)."""
+    d = json.loads(line)
+    price = d.get(coin)
+    ts = d.get("timestamp")
+    return (
+        coin,
+        float(price) if price is not None else None,
+        datetime.fromtimestamp(float(ts), tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        if ts is not None
+        else None,
+    )
+
+
+def _list_files(path: str) -> list[str]:
+    """Sorted ndjson shards — sorted-name order IS the offset order."""
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".json", ".jsonl", ".ndjson"))
+    )
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class TicksBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        self.coin = options.get("coin", "BTC")
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        if self.path:
+            return [_FilePartition(p) for p in _list_files(self.path)]
+        step = -(-self.n_rows // self.n_parts)
+        return [
+            _RangePartition(i, min(i + step, self.n_rows))
+            for i in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition):
+        if isinstance(partition, _FilePartition):
+            with open(partition.path) as f:
+                for line in f:
+                    if line.strip():
+                        yield _parse_line(line, self.coin)
+        else:
+            # deterministic synthetic ticks: price is a fixed function
+            # of the row index (no RNG), one tick per second
+            for i in range(partition.start, partition.end):
+                price = 100.0 + (i % 97) * 0.25
+                ts = datetime.fromtimestamp(
+                    1_700_000_000 + i, tz=timezone.utc
+                ).replace(tzinfo=None)
+                yield (self.coin, price, ts)
+
+
+class TicksStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over an ndjson dir: offset = files consumed."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.coin = options.get("coin", "BTC")
+
+    def initialOffset(self):
+        return {"files": 0}
+
+    def latestOffset(self):
+        # STATELESS by design: Spark instantiates the Python reader
+        # more than once (planning vs execution), so any
+        # instance-local high-water mark desynchronizes and replays
+        # batches (observed: a second instance reported an older
+        # offset and files were consumed twice). The engine owns the
+        # [start, end) range from its checkpoint; this just reports
+        # the true latest, so each trigger admits every new file —
+        # per-batch admission control isn't expressible in the Python
+        # DataSource API (no ReadLimit surface); bound ingest by
+        # shard-file size instead.
+        return {"files": len(_list_files(self.path))}
+
+    def partitions(self, start, end):
+        files = _list_files(self.path)[start["files"] : end["files"]]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition):
+        with open(partition.path) as f:
+            for line in f:
+                if line.strip():
+                    yield _parse_line(line, self.coin)
+
+    def commit(self, end):
+        # files are immutable once written; nothing to clean up
+        pass
+
+    def stop(self):
+        pass
+
+
+class TicksDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        return "coin string, price double, ts timestamp"
+
+    def reader(self, schema):
+        return TicksBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return TicksStreamReader(self.options)
