@@ -172,3 +172,129 @@ class TicksDataSource(DataSource):
 
     def streamReader(self, schema):
         return TicksStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return TicksBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return TicksStreamWriter(self.options, overwrite)
+
+
+# ------------------------------------------------------------- writers
+#
+# The sink half of the format: a two-phase-commit ndjson writer. Tasks
+# stage shards under uniquely-named paths and return them as commit
+# messages; the driver-side commit renames every staged shard into
+# place and drops a manifest marker, so readers (and the reader half
+# above, which lists only *.jsonl) never see a partial write. The
+# streaming variant is IDEMPOTENT per micro-batch: shards are named by
+# batchId and the commit marker is checked first, so a replayed batch
+# after a crash-restart cannot double-write (the same discipline as
+# streaming/exactly_once.py, expressed inside the DataSource API).
+# Local-FS rename semantics; on object stores the rename becomes a
+# copy-manifest commit, same protocol.
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _StagedShard(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+def _write_shard_file(path: str, rows, coin: str) -> int:
+    n = 0
+    with open(path, "w") as f:
+        for r in rows:
+            ts = r["ts"]
+            payload = {
+                (r["coin"] or coin): None
+                if r["price"] is None
+                else repr(r["price"]),
+                "timestamp": None
+                if ts is None
+                else ts.replace(tzinfo=timezone.utc).timestamp(),
+            }
+            f.write(json.dumps(payload) + "\n")
+            n += 1
+    return n
+
+
+class TicksBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.coin = options.get("coin", "BTC")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f"_staged-{uuid.uuid4().hex}.tmp"
+        )
+        n = _write_shard_file(staged, iterator, self.coin)
+        return _StagedShard(staged, n)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in _list_files(self.path):
+                os.remove(f)
+        existing = len(_list_files(self.path))
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.rename(
+                m.staged,
+                os.path.join(
+                    self.path, f"part-{existing + i:05d}.jsonl"
+                ),
+            )
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class TicksStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.coin = options.get("coin", "BTC")
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_commit-{batch_id:020d}")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f"_staged-{uuid.uuid4().hex}.tmp"
+        )
+        n = _write_shard_file(staged, iterator, self.coin)
+        return _StagedShard(staged, n)
+
+    def commit(self, messages, batchId):
+        if os.path.exists(self._marker(batchId)):
+            # replayed batch after restart: already committed —
+            # discard the re-staged shards instead of double-writing
+            self.abort(messages, batchId)
+            return
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.rename(
+                m.staged,
+                os.path.join(
+                    self.path, f"batch-{batchId:020d}-{i:05d}.jsonl"
+                ),
+            )
+        with open(self._marker(batchId), "w") as f:
+            f.write(json.dumps({"batchId": batchId}))
+
+    def abort(self, messages, batchId):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
