@@ -838,3 +838,83 @@ def pyds_tick_ingest(spark, sf_dir):
         F.min("price").alias("low"),
         F.max("price").alias("high"),
     )
+
+
+@q(
+    "streaming_state_audit",
+    """SELECT event_type,
+              strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                       '%Y-%m-%d %H:00') AS window_start,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS sum_value,
+              COUNT(*) AS n
+       FROM events GROUP BY 1, 2""",
+)
+def streaming_state_audit(spark, sf_dir):
+    """The state store AS the query result: run a real micro-batched
+    windowed aggregation over the replayed events stream (no
+    watermark, so nothing evicts), then read the checkpoint's STATE
+    STORE back as a DataFrame (maintenance/state.py) and project its
+    physical rows. The oracle recomputes the same (event_type, hour)
+    aggregate relationally — a hash match proves the state store's
+    contents are exactly the aggregate state, i.e. state persistence
+    and cross-batch merge are lossless. The aggregate buffer keeps the
+    operator's PHYSICAL schema (sum buffer + isEmpty + count), so the
+    projection introspects field names rather than assuming aliases
+    (key.window, value.sum/isEmpty/count — query aliases do not
+    survive into the buffer).
+    Checkpoint lives in a per-invocation unique dir; the audit rows
+    are materialized eagerly and the checkpoint is removed before
+    returning (same race-proof discipline as deltalog_snapshot_audit)."""
+    import shutil
+    import uuid
+
+    from ..maintenance import state as mstate
+
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = _ensure_bronze_replay(spark, sf_dir)
+    ck = os.path.join(
+        _replay_dir(sf_dir, "stateaudit"), f"ck-{uuid.uuid4().hex}"
+    )
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"state_audit_{sf_tag}_{uuid.uuid4().hex[:8]}"
+    try:
+        q_handle = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(replay_dir)
+            .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(tbl)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q_handle.awaitTermination(300)
+        assert finished, "state-audit streaming run did not finish in 300 s"
+        st = mstate.state_store(spark, ck)
+        vcols = st.select("value.*").columns
+        rows = (
+            st.select(
+                F.col("key.event_type").alias("event_type"),
+                F.date_format(
+                    F.col("key.window.start"), "yyyy-MM-dd HH:00"
+                ).alias("window_start"),
+                F.round(
+                    F.col(f"value.{vcols[0]}").cast("double"), 2
+                ).alias("sum_value"),
+                F.col(f"value.{vcols[-1]}").cast("long").alias("n"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, window_start string, sum_value double, n long",
+    )
