@@ -280,6 +280,88 @@ class DeltaishTable:
         md["schemaString"] = schema.json()
         return {"metaData": md}
 
+    # ------------------------------------------------- CHECK constraints
+
+    CONSTRAINT_PREFIX = "delta.constraints."
+
+    def check_constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name -> SQL expression (stored in
+        metadata.configuration under delta.constraints.<name>, the
+        protocol's representation)."""
+        conf = self._snapshot().metadata.get("configuration", {}) or {}
+        p = self.CONSTRAINT_PREFIX
+        return {k[len(p):]: v for k, v in conf.items() if k.startswith(p)}
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr). Like Delta,
+        existing data is validated first — the constraint commit fails
+        if any current row violates it — and the commit carries the
+        read snapshot so a concurrent data write conflicts instead of
+        slipping in unvalidated."""
+        snap = self._snapshot()
+        key = self.CONSTRAINT_PREFIX + name
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        if key in conf:
+            raise ValueError(f"constraint {name!r} already exists")
+        self._violations_or_raise(
+            self._read_snapshot_files(snap, snap.files), {name: expr}
+        )
+        md = dict(snap.metadata)
+        conf[key] = expr
+        md["configuration"] = conf
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info("ADD CONSTRAINT", name=name, expr=expr),
+            ],
+            read_version=snap.version,
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        snap = self._snapshot()
+        key = self.CONSTRAINT_PREFIX + name
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        if key not in conf:
+            raise ValueError(f"no such constraint {name!r}")
+        del conf[key]
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info("DROP CONSTRAINT", name=name),
+            ]
+        )
+
+    def _violations_or_raise(self, df: DataFrame, constraints: dict) -> None:
+        """Raise if any row violates any CHECK (expression evaluates to
+        FALSE; NULL passes, per SQL CHECK semantics). One filter scan
+        over the candidate frame per write — the same work Delta folds
+        into its write job."""
+        for name, expr in constraints.items():
+            cols = {f.name for f in df.schema.fields}
+            import re as _re
+
+            refs = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+            if not refs & cols and refs:
+                # constraint references only columns absent from this
+                # frame (pre-evolution writer): every value is NULL,
+                # CHECK passes by SQL semantics
+                continue
+            bad = df.filter(F.expr(expr) == False).limit(1).collect()  # noqa: E712
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated, "
+                    f"e.g. row {bad[0].asDict()}"
+                )
+
+    def _enforce_checks(self, df: DataFrame, snap: dlog.Snapshot) -> None:
+        conf = snap.metadata.get("configuration", {}) or {}
+        p = self.CONSTRAINT_PREFIX
+        cs = {k[len(p):]: v for k, v in conf.items() if k.startswith(p)}
+        if cs:
+            self._violations_or_raise(df, cs)
+
     def append(
         self,
         df: DataFrame,
@@ -296,6 +378,7 @@ class DeltaishTable:
         detect it already committed."""
         snap = self._snapshot()
         evolved = self._enforce_or_evolve(df, snap, merge_schema)
+        self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
         actions: list[dict] = []
@@ -329,6 +412,7 @@ class DeltaishTable:
         else:
             evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
             assert evolved is None  # merge_schema=False never evolves
+        self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
         actions.extend({"add": a} for a in adds)
@@ -359,11 +443,12 @@ class DeltaishTable:
                 f"{len(missing)} data file(s) vacuumed, e.g. {missing[0]}"
             )
         actions: list[dict] = []
-        if tgt.metadata.get("schemaString") != cur.metadata.get(
-            "schemaString"
-        ) or tuple(tgt.metadata.get("partitionColumns", ())) != tuple(
-            cur.metadata.get("partitionColumns", ())
+        md_keys = ("schemaString", "partitionColumns", "configuration")
+        if any(
+            tgt.metadata.get(k) != cur.metadata.get(k) for k in md_keys
         ):
+            # restore covers the whole metadata: schema, partitioning,
+            # AND table configuration (e.g. CHECK constraints)
             actions.append({"metaData": dict(tgt.metadata)})
         actions.extend(
             {"add": dict(a)} for p, a in tgt.files.items() if p not in cur.files
@@ -596,6 +681,7 @@ class DeltaishTable:
                     ).select(*target.columns)
                 )
             matched_desc = f"updateSet({sorted(matched_update)})"
+        self._enforce_checks(result, snap)
         adds = self._write_files(result, pcols)
         return self._commit_next(
             [

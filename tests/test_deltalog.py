@@ -902,3 +902,59 @@ def test_restore_conflicts_with_concurrent_append(spark, tmp_path):
     t._snapshot = racing  # type: ignore[method-assign]
     with pytest.raises(ConcurrentCommitError):
         t.restore(0)
+
+
+# ------------------------------------------------------ CHECK constraints
+
+
+def test_check_constraint_lifecycle(spark, tmp_path):
+    src = _orders(spark, 200)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.add_check_constraint("price_positive", "o_totalprice > 0")
+    assert t.check_constraints() == {"price_positive": "o_totalprice > 0"}
+    # valid append passes
+    t.append(src.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    # violating append is rejected BEFORE any commit
+    v = t.version
+    with pytest.raises(ValueError, match="price_positive"):
+        t.append(src.withColumn("o_totalprice", F.lit(-1.0)))
+    assert t.version == v
+    # violating merge is rejected too
+    with pytest.raises(ValueError, match="price_positive"):
+        t.merge(
+            src.limit(5).withColumn("o_totalprice", F.lit(-5.0)),
+            ["o_orderkey"],
+        )
+    # drop, then the same write succeeds
+    t.drop_check_constraint("price_positive")
+    assert t.check_constraints() == {}
+    t.append(
+        src.limit(5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+
+
+def test_add_check_constraint_validates_existing_data(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.withColumn("o_totalprice", F.lit(-1.0))
+    )
+    with pytest.raises(ValueError, match="violated"):
+        t.add_check_constraint("pp", "o_totalprice > 0")
+    assert t.check_constraints() == {}
+
+
+def test_check_constraint_null_passes_and_survives_restore(spark, tmp_path):
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.add_check_constraint("status_known", "o_orderstatus IN ('O','F','P')")
+    # NULL evaluates to UNKNOWN -> passes, per SQL CHECK semantics
+    t.append(
+        src.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 30_000_000)
+        .withColumn("o_orderstatus", F.lit(None).cast("string"))
+    )
+    # restore to v0 drops the constraint with the metadata
+    t.restore(0)
+    assert t.check_constraints() == {}
