@@ -102,20 +102,41 @@ class TicksBatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
+        # Arrow fast path: one RecordBatch per partition instead of
+        # per-row tuples — rows cross into the JVM as columnar Arrow
+        # buffers, skipping per-row pickling (the same reason Pandas
+        # UDFs beat row UDFs). The stream reader keeps the tuple path:
+        # its micro-batches are small and the simple path is clearer.
+        import pyarrow as pa
+
         if isinstance(partition, _FilePartition):
+            coins, prices, tss = [], [], []
             with open(partition.path) as f:
                 for line in f:
                     if line.strip():
-                        yield _parse_line(line, self.coin)
+                        c, p, ts = _parse_line(line, self.coin)
+                        coins.append(c)
+                        prices.append(p)
+                        tss.append(ts)
         else:
             # deterministic synthetic ticks: price is a fixed function
             # of the row index (no RNG), one tick per second
-            for i in range(partition.start, partition.end):
-                price = 100.0 + (i % 97) * 0.25
-                ts = datetime.fromtimestamp(
+            idx = range(partition.start, partition.end)
+            coins = [self.coin] * len(idx)
+            prices = [100.0 + (i % 97) * 0.25 for i in idx]
+            tss = [
+                datetime.fromtimestamp(
                     1_700_000_000 + i, tz=timezone.utc
                 ).replace(tzinfo=None)
-                yield (self.coin, price, ts)
+                for i in idx
+            ]
+        yield pa.record_batch(
+            {
+                "coin": pa.array(coins, type=pa.string()),
+                "price": pa.array(prices, type=pa.float64()),
+                "ts": pa.array(tss, type=pa.timestamp("us")),
+            }
+        )
 
 
 class TicksStreamReader(DataSourceStreamReader):
