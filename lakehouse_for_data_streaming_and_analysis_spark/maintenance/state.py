@@ -59,12 +59,35 @@ def state_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
     md = state_metadata(spark, checkpoint).collect()
     parts = []
     for op in md:
-        rows = state_store(
-            spark,
-            checkpoint,
-            operator_id=op.operatorId,
-            store_name=None if op.stateStoreName == "default" else op.stateStoreName,
-        )
+        try:
+            rows = state_store(
+                spark,
+                checkpoint,
+                operator_id=op.operatorId,
+                store_name=None
+                if op.stateStoreName == "default"
+                else op.stateStoreName,
+            )
+            rows.schema  # force analysis so failures surface here
+        except Exception:
+            # operators whose stores need extra selectors (e.g. a
+            # stream-stream join's four per-side stores want joinSide)
+            # still get a directory row; inspect them directly with
+            # state_store(..., store_name=..., join_side=...)
+            empty = spark.createDataFrame(
+                [(-1, -1)], "n_keys long, partitions_with_state long"
+            )
+            parts.append(
+                empty.select(
+                    F.lit(op.operatorId).alias("operator_id"),
+                    F.lit(op.operatorName).alias("operator_name"),
+                    "n_keys",
+                    "partitions_with_state",
+                    F.lit(int(op.minBatchId)).alias("min_batch_id"),
+                    F.lit(int(op.maxBatchId)).alias("max_batch_id"),
+                )
+            )
+            continue
         agg = rows.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.countDistinct("partition_id").alias("partitions_with_state"),
