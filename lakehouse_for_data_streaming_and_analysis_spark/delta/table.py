@@ -335,19 +335,11 @@ class DeltaishTable:
 
     def _violations_or_raise(self, df: DataFrame, constraints: dict) -> None:
         """Raise if any row violates any CHECK (expression evaluates to
-        FALSE; NULL passes, per SQL CHECK semantics). One filter scan
-        over the candidate frame per write — the same work Delta folds
-        into its write job."""
+        FALSE; a NULL/UNKNOWN result passes, per SQL CHECK semantics —
+        but note IS NOT NULL on a null IS false, a violation). One
+        filter scan over the candidate frame per write — the same work
+        Delta folds into its write job."""
         for name, expr in constraints.items():
-            cols = {f.name for f in df.schema.fields}
-            import re as _re
-
-            refs = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
-            if not refs & cols and refs:
-                # constraint references only columns absent from this
-                # frame (pre-evolution writer): every value is NULL,
-                # CHECK passes by SQL semantics
-                continue
             bad = df.filter(F.expr(expr) == False).limit(1).collect()  # noqa: E712
             if bad:
                 raise ValueError(
@@ -359,8 +351,25 @@ class DeltaishTable:
         conf = snap.metadata.get("configuration", {}) or {}
         p = self.CONSTRAINT_PREFIX
         cs = {k[len(p):]: v for k, v in conf.items() if k.startswith(p)}
-        if cs:
-            self._violations_or_raise(df, cs)
+        if not cs:
+            return
+        # a pre-evolution writer's frame may lack declared columns a
+        # constraint references; Delta materializes those as NULL and
+        # still evaluates the CHECK (so `x IS NOT NULL` correctly
+        # rejects a write that omits x). Augment with typed nulls
+        # rather than skipping.
+        have = {f.name for f in df.schema.fields}
+        missing = [
+            f
+            for f in self._schema_for(snap).fields
+            if f.name not in have
+        ]
+        probe = df
+        for f in missing:
+            probe = probe.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+        self._violations_or_raise(probe, cs)
 
     def append(
         self,

@@ -958,3 +958,40 @@ def test_check_constraint_null_passes_and_survives_restore(spark, tmp_path):
     # restore to v0 drops the constraint with the metadata
     t.restore(0)
     assert t.check_constraints() == {}
+
+
+def test_check_constraint_on_omitted_column(spark, tmp_path):
+    """Delta evaluates CHECKs over missing columns as NULL: an
+    `IS NOT NULL` constraint must reject a writer that omits the
+    column, while a plain predicate passes as UNKNOWN."""
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.append(
+        src.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+        .withColumn("o_channel", F.lit("web")),
+        merge_schema=True,
+    )
+    # UNKNOWN passes: writers may still omit the evolved column
+    t.add_check_constraint("chan_known", "o_channel IN ('web','app')")
+    t.append(
+        src.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000)
+    )
+    t.drop_check_constraint("chan_known")
+    # IS NOT NULL rejects the omitting writer (the column materializes
+    # as NULL and the CHECK evaluates to false)...
+    with pytest.raises(ValueError, match="violated"):
+        t.add_check_constraint("chan_required", "o_channel IS NOT NULL")
+    # (existing data already has nulls from the pre-evolution files,
+    # so even ADD fails - prove the write path too, on a fresh table)
+    t2 = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t2"),
+        src.withColumn("o_channel", F.lit("web")),
+    )
+    t2.add_check_constraint("chan_required", "o_channel IS NOT NULL")
+    with pytest.raises(ValueError, match="chan_required"):
+        t2.append(
+            src.limit(5).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 3_000_000
+            )
+        )
