@@ -995,3 +995,17 @@ def test_check_constraint_on_omitted_column(spark, tmp_path):
                 "o_orderkey", F.col("o_orderkey") + 3_000_000
             )
         )
+
+
+def test_restore_across_optimize_reverts_file_layout(spark, tmp_path):
+    """RESTORE to a pre-OPTIMIZE version re-adds the original small
+    files (they are tombstoned, not deleted, until VACUUM) and the
+    data is unchanged either way."""
+    src = _orders(spark, 400).repartition(8)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    n0 = len(t._snapshot().files)
+    t.optimize()
+    assert len(t._snapshot().files) < n0
+    t.restore(0)
+    assert len(t._snapshot().files) == n0
+    assert _rows(t.read()) == _rows(src)
