@@ -51,17 +51,59 @@ ROWS_ONLY: tuple[str, ...] = ()
 # the newly green names from CORRECTNESS_r{N}.json into DRIVER_GREEN
 # and promote the next unchecked block into WINDOW_PRIORITY.
 
-# Cumulative driver-green rows: 43 from CORRECTNESS_r01.json + 46 from
-# CORRECTNESS_r02.json (disjoint sets).
+# Cumulative driver-green rows: 43 (r1) + 46 (r2) + 50 (r3) = 139,
+# disjoint sets (CORRECTNESS_r0{1,2,3}.json).
+#
+# ROUND-5 ENDGAME PLAN: after the round-4 window below, exactly 50
+# registry names remain never-driver-checked; they already sit in
+# queries() positions 50-99 (registry order), so the round-5 rotation
+# (`tools/rotate_window.py CORRECTNESS_r04.json --apply`) promotes
+# precisely this set and closes driver-green at 239/239:
+#   brand_basket_affinity, sequence_packing_map, weighted_sample_topk,
+#   twap_daily, vwap_returnflag_month, max_drawdown_by_type,
+#   ewma_daily_value, zscore_anomaly_days, pit_feature_join,
+#   realized_vol_monthly, beta_vs_market, bollinger_band_breakouts,
+#   rsi_14day, cascading_time_rollup, yoy_revenue_growth,
+#   ts_shape_match_topk, monthly_revenue_moving_avg,
+#   rolling_median_value, winsorized_value_stats, open_order_backlog,
+#   holt_linear_forecast, holt_winters_seasonal, kalman_local_level,
+#   cusum_changepoints, resample_ffill_daily, bigram_lm_surprisal,
+#   char_class_entropy, fourgram_uniqueness, lexicon_sentiment_scores,
+#   keyword_search_ranked, boilerplate_trigram_share, vocab_oov_rate,
+#   top_ngram_char_share, context_length_packing,
+#   funnel_view_click_purchase, retention_cohorts, mad_by_type,
+#   chi_square_type_dow, triangle_count_handoff_graph,
+#   seasonal_residual_anomalies, cumulative_distinct_users_by_type,
+#   longest_event_streak_per_user, time_to_conversion_stats,
+#   user_activity_gini, top_event_trigrams, ks_two_sample,
+#   mann_whitney_u, bpe_vocab_merges, quality_classifier_scores,
+#   bpe_tokenize_docs
 DRIVER_GREEN = (
     "acf_by_lag",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "arch_lm_test",
     "asof_join_last_price",
+    "audio_wav_features",
     "broadcast_left_enrich",
     "case_bucketing",
+    "cdc_apply_profile",
+    "chart_all_coin_cloud",
+    "chart_big_number_trend",
+    "chart_change_percent",
+    "chart_coin_reporting",
+    "chart_price_with_ma",
+    "chart_realtime_price",
+    "chart_streaming_coins",
+    "chart_supply_gauge",
+    "chart_top_trading_volume",
+    "chart_total_volume_day",
+    "chart_two_level_reagg",
+    "commit_cadence_gaps",
     "commit_latency_summary",
+    "compression_ratio_quality",
     "conjunctive_filter",
     "contamination_ngram_overlap",
     "corpus_curation_funnel",
@@ -70,23 +112,38 @@ DRIVER_GREEN = (
     "count_distinct_metrics",
     "cross_source_duplicate_audit",
     "cross_split_leakage",
+    "cube_status_priority",
     "customer_order_distribution",
     "customer_order_timeline",
     "cv_fold_rmse",
+    "daily_ohlcv",
     "date_id_arithmetic",
+    "deltalog_snapshot_audit",
     "dickey_fuller_tstat",
     "dim_date_generate",
     "dim_time_generate",
     "disjunctive_band_revenue",
+    "doc_chunking_map",
     "doc_quality_gates",
     "dormant_customer_balances",
+    "dq_constraint_report",
+    "dsir_importance_weights",
     "embedding_neardup_pairs",
+    "embedding_norm_outliers",
     "exact_dedup_groups",
+    "exact_quantiles_by_type",
+    "exact_substring_dup_coverage",
     "except_all_keys",
     "forecast_eval_metrics",
     "forecast_revenue_change",
     "full_outer_concat",
+    "global_sum_filtered",
     "grouped_max_topn",
+    "grouping_sets_year_priority",
+    "hashed_bow_vectorize",
+    "hot_key_diagnosis",
+    "image_bmp_features",
+    "json_extract_group",
     "label_centroid_profile",
     "lag_returns",
     "langid_stopword_heuristic",
@@ -101,13 +158,18 @@ DRIVER_GREEN = (
     "market_share_yearly",
     "min_price_supplier_per_part",
     "minhash_lsh_neardup",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
     "nation_pair_volume",
     "ngram_jaccard_pairs",
+    "null_default_coalesce",
     "null_semantics_audit",
     "order_lifecycle_snapshot",
     "order_priority_exists",
     "orderby_limit_topk",
     "pii_scrub_stats",
+    "pivot_priority_by_year",
+    "price_band_range_join",
     "price_reconstruction",
     "pricing_summary_report",
     "priority_status_stringagg",
@@ -116,21 +178,33 @@ DRIVER_GREEN = (
     "promotion_part_suppliers",
     "props_map_profile",
     "pruned_scan_projection",
+    "quality_threshold_sweep",
+    "rest_ingest_typed",
     "returned_items_topk",
     "rolling_origin_cv",
     "rolling_stats",
+    "rollup_year_priority",
+    "scd2_as_of_snapshot",
     "scd2_dimension_evolution",
     "scd2_hash_projection",
+    "semdedup_cluster_prune",
+    "sessionize_user_events",
     "shipping_priority_topk",
     "simhash_hamming_pairs",
+    "sketch_cardinalities",
     "small_lot_revenue",
     "sole_late_supplier_ranking",
     "sql_interface_star_pricing",
     "star_filtered_dim_subquery",
     "star_revenue_by_nation_month",
     "stratified_sample_rates",
+    "stream_stream_attribution_join",
+    "streaming_bronze_final_state",
+    "streaming_dedup_final_state",
     "supplier_revenue_share_filter",
     "surrogate_keys_global",
+    "table_freshness_report",
+    "temperature_mixture_weights",
     "text_quality_scores",
     "tfidf_top_terms",
     "time_grained_series",
@@ -140,6 +214,7 @@ DRIVER_GREEN = (
     "topk_parts_per_nation",
     "train_val_test_split",
     "tumbling_window_agg",
+    "two_key_left_merge",
     "tz_localized_fact_keys",
     "union_all_series",
     "winnow_fingerprints",
@@ -147,56 +222,56 @@ DRIVER_GREEN = (
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "null_default_coalesce",
-    "json_extract_group",
-    "two_key_left_merge",
-    "global_sum_filtered",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "audio_wav_features",
-    "image_bmp_features",
-    "embedding_norm_outliers",
-    "doc_chunking_map",
-    "ann_pq_topk",
-    "hashed_bow_vectorize",
-    "exact_substring_dup_coverage",
-    "semdedup_cluster_prune",
-    "quality_threshold_sweep",
-    "streaming_bronze_final_state",
-    "stream_stream_attribution_join",
-    "rest_ingest_typed",
-    "cdc_apply_profile",
-    "dq_constraint_report",
-    "hot_key_diagnosis",
-    "scd2_as_of_snapshot",
-    "streaming_dedup_final_state",
-    "deltalog_snapshot_audit",
-    "arch_lm_test",
-    "daily_ohlcv",
-    "chart_change_percent",
-    "chart_realtime_price",
-    "chart_price_with_ma",
-    "chart_big_number_trend",
-    "chart_all_coin_cloud",
-    "chart_top_trading_volume",
-    "chart_supply_gauge",
-    "chart_total_volume_day",
-    "chart_streaming_coins",
-    "chart_coin_reporting",
-    "sketch_cardinalities",
-    "compression_ratio_quality",
-    "dsir_importance_weights",
-    "temperature_mixture_weights",
-    "chart_two_level_reagg",
-    "commit_cadence_gaps",
-    "table_freshness_report",
-    "rollup_year_priority",
-    "cube_status_priority",
-    "grouping_sets_year_priority",
-    "pivot_priority_by_year",
-    "sessionize_user_events",
-    "price_band_range_join",
-    "exact_quantiles_by_type",
+    "kmeans_embedding_clusters",
+    "source_unigram_kl",
+    "embedding_int8_quantization",
+    "pyds_tick_ingest",
+    "streaming_state_audit",
+    "adf_stationarity",
+    "ljung_box_whitenoise",
+    "pacf_by_lag",
+    "ar_forecast_intervals",
+    "garch_volatility",
+    "arima_order_search",
+    "garch_order_grid",
+    "arima_garch_residual_fit",
+    "ar_walk_forward_eval",
+    "chart_realtime_price_eth",
+    "chart_price_with_ma_eth",
+    "chart_big_number_trend_eth",
+    "chart_supply_gauge_eth",
+    "unpivot_priority_revenue",
+    "ranked_orders_window_suite",
+    "semi_join_recent_customers",
+    "embedding_vector_stats",
+    "stats_moments_by_type",
+    "user_event_profile",
+    "dedup_components",
+    "pagerank_user_influence",
+    "neardup_canonical_selection",
+    "region_nation_hierarchy_rollup",
+    "interval_overlap_join",
+    "salted_skew_join_revenue",
+    "bloom_prefilter_join",
+    "regr_value_trend",
+    "time_range_rolling_avg",
+    "histogram_fixed_buckets",
+    "gap_fill_forward_daily",
+    "intersect_repeat_customers",
+    "customers_above_nation_avg",
+    "fuzzy_part_pairs",
+    "vector_dim_profile",
+    "order_value_window_suite",
+    "nation_balance_flags",
+    "running_distinct_users",
+    "revenue_share_of_region",
+    "modal_event_type_per_user",
+    "incremental_agg_merge",
+    "aggnav_priority_rollup",
+    "schema_evolution_union",
+    "semi_additive_month_end_balance",
+    "customer_rfm_segments",
+    "event_type_transition_matrix",
 )
 
 
