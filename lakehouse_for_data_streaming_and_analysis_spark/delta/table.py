@@ -120,10 +120,41 @@ class DeltaishTable:
         dlog.write_commit(t.path, 0, actions)
         return t
 
+    # Reader features this log implementation does NOT support. A
+    # foreign (delta-spark-written) log carrying them must fail loudly:
+    # column mapping renames the physical parquet columns (reading by
+    # logical name returns nulls) and deletion vectors mark rows of an
+    # add file as deleted (ignoring them resurrects deleted rows).
+    _UNSUPPORTED_READER_FEATURES = ("columnMapping", "deletionVectors")
+
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
         snap = dlog.replay(self.path, until=version)
         if snap.version < 0:
             raise FileNotFoundError(f"no Deltaish log at {self.path}")
+        conf = snap.metadata.get("configuration", {}) or {}
+        cm = conf.get("delta.columnMapping.mode", "none")
+        if cm != "none":
+            raise NotImplementedError(
+                f"delta.columnMapping.mode={cm!r}: column mapping "
+                "renames physical parquet columns; this reader would "
+                "silently return nulls. Unsupported — read with "
+                "delta-spark."
+            )
+        feats = set(snap.protocol.get("readerFeatures", []) or [])
+        bad = feats.intersection(self._UNSUPPORTED_READER_FEATURES)
+        if bad:
+            raise NotImplementedError(
+                f"log requires reader feature(s) {sorted(bad)}; "
+                "this reader does not implement them and reading "
+                "would corrupt results. Read with delta-spark."
+            )
+        for p, a in snap.files.items():
+            if a.get("deletionVector"):
+                raise NotImplementedError(
+                    f"file {p} carries a deletion vector; ignoring it "
+                    "would resurrect deleted rows. Unsupported — read "
+                    "with delta-spark."
+                )
         return snap
 
     @property
@@ -207,21 +238,35 @@ class DeltaishTable:
         appends (they commute with any concurrent commit), surface the
         conflict otherwise — Delta's OCC split.
 
-        ``read_version`` is the snapshot version a REWRITE commit
-        (merge/overwrite/optimize/zorder) computed its result from.
-        If any commit since then added or removed data files, the
-        rewrite's inputs are stale — e.g. a concurrent append whose
-        keys the merge never saw — so the commit fails with
-        ConcurrentCommitError instead of silently committing over it
-        (Delta's ConcurrentAppendException / ConcurrentDeleteRead
-        conflict checks). Callers re-run the whole operation against
-        the new snapshot."""
+        ``read_version`` is the snapshot version the operation computed
+        its result from. For a REWRITE commit (merge/overwrite/
+        optimize/zorder), any commit since then that added or removed
+        data files means the rewrite's inputs are stale — e.g. a
+        concurrent append whose keys the merge never saw — so the
+        commit fails with ConcurrentCommitError instead of silently
+        committing over it (Delta's ConcurrentAppendException /
+        ConcurrentDeleteRead conflict checks). An APPEND commutes with
+        concurrent data commits, but NOT with a concurrent metaData
+        commit (ADD CONSTRAINT / schema change): the append validated
+        CHECK constraints and schema against its read snapshot, so
+        blind-retrying past new metadata would land unvalidated rows —
+        Delta fails these with MetadataChangedException. Callers re-run
+        the whole operation against the new snapshot."""
         for _ in range(20):
             v = self._snapshot().version + 1
             if read_version is not None:
                 for cv in range(read_version + 1, v):
                     for action in dlog.read_commit(self.path, cv):
-                        if "add" in action or "remove" in action:
+                        if "metaData" in action:
+                            raise ConcurrentCommitError(
+                                f"commit {cv} changed table metadata "
+                                f"after read snapshot {read_version} "
+                                "(MetadataChangedException); re-validate "
+                                "against the latest snapshot"
+                            )
+                        if not retry_append and (
+                            "add" in action or "remove" in action
+                        ):
                             raise ConcurrentCommitError(
                                 f"commit {cv} changed data files after "
                                 f"read snapshot {read_version}; re-run "
@@ -399,7 +444,9 @@ class DeltaishTable:
                 {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
             )
         actions.append(dlog.commit_info("WRITE", mode="Append"))
-        return self._commit_next(actions, retry_append=True)
+        return self._commit_next(
+            actions, retry_append=True, read_version=snap.version
+        )
 
     def last_txn_version(self, txn_app_id: str) -> int:
         """Highest committed ``txn`` version for an application id
@@ -459,9 +506,16 @@ class DeltaishTable:
             # restore covers the whole metadata: schema, partitioning,
             # AND table configuration (e.g. CHECK constraints)
             actions.append({"metaData": dict(tgt.metadata)})
-        actions.extend(
-            {"add": dict(a)} for p, a in tgt.files.items() if p not in cur.files
-        )
+        # Delta's RESTORE marks every re-surfaced add (and tombstone)
+        # dataChange=true even when the file originally landed via an
+        # OPTIMIZE (dataChange=false): to an incremental consumer the
+        # restored rows ARE new data, and preserving the stored flag
+        # would make read_changes()/the streaming source skip them.
+        for p, a in tgt.files.items():
+            if p not in cur.files:
+                add = dict(a)
+                add["dataChange"] = True
+                actions.append({"add": add})
         actions.extend(
             {"remove": self._tombstone(p)} for p in cur.files if p not in tgt.files
         )

@@ -102,6 +102,15 @@ def state_summary(spark: SparkSession, checkpoint: str) -> DataFrame:
                 F.lit(int(op.maxBatchId)).alias("max_batch_id"),
             )
         )
+    if not parts:
+        # a stateless query's checkpoint has no operator rows; an
+        # empty summary beats an IndexError
+        return spark.createDataFrame(
+            [],
+            "operator_id long, operator_name string, n_keys long, "
+            "partitions_with_state long, min_batch_id long, "
+            "max_batch_id long",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

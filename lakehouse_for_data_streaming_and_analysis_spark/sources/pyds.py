@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
@@ -140,14 +141,24 @@ class TicksBatchReader(DataSourceReader):
 
 
 class TicksStreamReader(DataSourceStreamReader):
-    """Micro-batch stream over an ndjson dir: offset = files consumed."""
+    """Micro-batch stream over an ndjson dir: offset = files consumed.
+
+    Count offsets are only valid while new files keep sorting AFTER
+    every consumed one; a shard whose name sorts into the consumed
+    prefix (e.g. a sink's ``batch-*.jsonl`` landing beside consumed
+    ``part-*.jsonl``, since ``'b' < 'p'``) shifts the index mapping —
+    silently re-reading some files and permanently skipping others.
+    Each offset therefore also carries the NAME of the last file it
+    covers, and ``partitions()`` asserts that name still sits at the
+    recorded index, failing loudly on any out-of-order arrival
+    instead of corrupting the stream."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.coin = options.get("coin", "BTC")
 
     def initialOffset(self):
-        return {"files": 0}
+        return {"files": 0, "last": ""}
 
     def latestOffset(self):
         # STATELESS by design: Spark instantiates the Python reader
@@ -160,11 +171,39 @@ class TicksStreamReader(DataSourceStreamReader):
         # per-batch admission control isn't expressible in the Python
         # DataSource API (no ReadLimit surface); bound ingest by
         # shard-file size instead.
-        return {"files": len(_list_files(self.path))}
+        files = _list_files(self.path)
+        return {
+            "files": len(files),
+            "last": os.path.basename(files[-1]) if files else "",
+        }
+
+    @staticmethod
+    def _check_watermark(files: list[str], off: dict) -> None:
+        n = off["files"]
+        # offsets written before the watermark field lack "last";
+        # nothing to verify for them (or for the empty prefix)
+        last = off.get("last")
+        if not last or n == 0:
+            return
+        if n > len(files) or os.path.basename(files[n - 1]) != last:
+            raise RuntimeError(
+                f"ticks stream offset desync: offset covers {n} file(s) "
+                f"ending at {last!r}, but the directory now has "
+                f"{os.path.basename(files[n - 1]) if n <= len(files) else '<missing>'!r} "
+                f"at that position — a file sorting before the consumed "
+                "prefix appeared (or a consumed file was removed). "
+                "Refusing to guess the mapping; write new shards with "
+                "names that sort after all consumed ones."
+            )
 
     def partitions(self, start, end):
-        files = _list_files(self.path)[start["files"] : end["files"]]
-        return [_FilePartition(p) for p in files]
+        files = _list_files(self.path)
+        self._check_watermark(files, start)
+        self._check_watermark(files, end)
+        return [
+            _FilePartition(p)
+            for p in files[start["files"] : end["files"]]
+        ]
 
     def read(self, partition):
         with open(partition.path) as f:
@@ -266,13 +305,19 @@ class TicksBatchWriter(DataSourceWriter):
         if self.overwrite:
             for f in _list_files(self.path):
                 os.remove(f)
-        existing = len(_list_files(self.path))
+        # next index = max existing part number + 1, NOT the file
+        # count: a directory with gaps (prior deletion) or mixed
+        # batch-*.jsonl shards makes count-based names collide with a
+        # committed file and os.rename would silently overwrite it
+        nxt = 0
+        for f in _list_files(self.path):
+            m = re.fullmatch(r"part-(\d+)\.jsonl", os.path.basename(f))
+            if m:
+                nxt = max(nxt, int(m.group(1)) + 1)
         for i, m in enumerate(m for m in messages if m is not None):
             os.rename(
                 m.staged,
-                os.path.join(
-                    self.path, f"part-{existing + i:05d}.jsonl"
-                ),
+                os.path.join(self.path, f"part-{nxt + i:05d}.jsonl"),
             )
 
     def abort(self, messages):

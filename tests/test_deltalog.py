@@ -1009,3 +1009,160 @@ def test_restore_across_optimize_reverts_file_layout(spark, tmp_path):
     t.restore(0)
     assert len(t._snapshot().files) == n0
     assert _rows(t.read()) == _rows(src)
+
+
+def test_restore_marks_readded_files_data_change(spark, tmp_path):
+    """Delta's RESTORE marks every re-surfaced add dataChange=true even
+    when the file originally landed via OPTIMIZE (dataChange=false):
+    to an incremental consumer the restored rows ARE new data, and
+    preserving the stored flag would make change readers skip them."""
+    src = _orders(spark, 300).repartition(6)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.optimize()  # v1: adds carry dataChange=false
+    t.overwrite(src.limit(40))  # v2
+    v = t.restore(1)  # re-adds the v1 optimized file(s)
+    adds = [
+        a["add"]
+        for a in dlog.read_commit(t.path, v)
+        if "add" in a
+    ]
+    assert adds, "restore must re-add the optimized files"
+    assert all(a["dataChange"] is True for a in adds)
+    removes = [
+        a["remove"] for a in dlog.read_commit(t.path, v) if "remove" in a
+    ]
+    assert all(r["dataChange"] is True for r in removes)
+    assert _rows(t.read()) == _rows(src)
+
+
+def test_append_conflicts_with_concurrent_constraint(
+    spark, tmp_path, monkeypatch
+):
+    """OCC conflict matrix, append-vs-metadata: an ADD CONSTRAINT (or
+    any metaData commit) landing between an append's snapshot read and
+    its commit invalidates the append's validation — Delta fails these
+    with MetadataChangedException; the blind append retry must NOT let
+    rows violating the new constraint land unvalidated."""
+    src = _orders(spark, 100)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    bad = src.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    orig = DeltaishTable._write_files
+    fired = {"done": False}
+
+    def hook(self, df, partition_by=()):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaishTable(spark, t.path).add_check_constraint(
+                "pos_price", "o_totalprice >= 0"
+            )
+        return orig(self, df, partition_by)
+
+    monkeypatch.setattr(DeltaishTable, "_write_files", hook)
+    with pytest.raises(ConcurrentCommitError, match="metadata"):
+        t.append(bad)
+    # the constraint is live and the violating rows never landed
+    assert t.check_constraints() == {"pos_price": "o_totalprice >= 0"}
+    assert t.read().filter(F.col("o_totalprice") < 0).count() == 0
+    # re-running against the fresh snapshot enforces the constraint
+    with pytest.raises(ValueError, match="pos_price"):
+        t.append(bad)
+
+
+def _foreign_log(root, protocol, configuration, add_extra=None):
+    """Handwrite a minimal delta-spark-style log with the given
+    protocol/configuration (shape pinned in
+    test_reads_delta_spark_style_log)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root.mkdir()
+    pq.write_table(
+        pa.table({"id": [1, 2, 3]}), str(root / "part-00000.parquet")
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    add = {
+        "path": "part-00000.parquet",
+        "partitionValues": {},
+        "size": os.path.getsize(str(root / "part-00000.parquet")),
+        "modificationTime": 1700000000000,
+        "dataChange": True,
+    }
+    add.update(add_extra or {})
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    actions = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-000000000001",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": configuration,
+            }
+        },
+        {"add": add},
+        {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+    ]
+    with open(log_dir / f"{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_column_mapping_log_fails_loudly(spark, tmp_path):
+    """A foreign log with delta.columnMapping.mode != none renames the
+    physical parquet columns; reading by logical name would silently
+    return nulls — the reader must refuse instead."""
+    _foreign_log(
+        tmp_path / "cm",
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+        {"delta.columnMapping.mode": "name",
+         "delta.columnMapping.maxColumnId": "1"},
+    )
+    t = DeltaishTable(spark, str(tmp_path / "cm"))
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        t.read()
+
+
+def test_deletion_vector_log_fails_loudly(spark, tmp_path):
+    """A foreign log requiring deletionVectors (protocol feature or a
+    per-file DV payload) must refuse to read: ignoring the DV would
+    resurrect deleted rows."""
+    _foreign_log(
+        tmp_path / "dvp",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        },
+        {},
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        DeltaishTable(spark, str(tmp_path / "dvp")).read()
+    # belt-and-braces: a DV on the add action itself, even if the
+    # protocol line were missing
+    _foreign_log(
+        tmp_path / "dvf",
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {},
+        add_extra={
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+                "offset": 1,
+                "sizeInBytes": 36,
+                "cardinality": 1,
+            }
+        },
+    )
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        DeltaishTable(spark, str(tmp_path / "dvf")).read()

@@ -229,3 +229,53 @@ def test_stream_write_commits_batches_idempotently(spark, tmp_path):
     assert sorted(r.price for r in back2.collect()) == [
         300.0, 301.0, 302.0, 303.0,
     ]
+
+
+def test_stream_offset_watermark_detects_early_sorting_file(tmp_path):
+    """Count offsets are only valid while new files sort after every
+    consumed one. A shard landing with a name that sorts INTO the
+    consumed prefix (e.g. batch-*.jsonl beside consumed part-*.jsonl,
+    'b' < 'p') shifts the index mapping; the reader must fail loudly
+    instead of silently re-reading some files and skipping others."""
+    d = tmp_path / "s"
+    d.mkdir()
+    _write_shard(d, "p1.jsonl", [(1.0, 1_700_000_000)])
+    _write_shard(d, "p2.jsonl", [(2.0, 1_700_000_001)])
+    r = pyds.TicksStreamReader({"path": str(d)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"files": 2, "last": "p2.jsonl"}
+    assert len(r.partitions(start, end)) == 2
+    # out-of-order arrival: sorts before the consumed prefix
+    _write_shard(d, "batch-0.jsonl", [(9.0, 1_700_000_002)])
+    with pytest.raises(RuntimeError, match="desync"):
+        r.partitions(end, r.latestOffset())
+    # pre-watermark checkpoints (no "last" field) still replay
+    assert len(r.partitions({"files": 0}, {"files": 2})) == 2
+
+
+def test_batch_writer_derives_index_from_max_part_number(spark, tmp_path):
+    """Appending into a directory with gapped part numbers must never
+    rename onto an existing committed shard (count-based naming
+    would: 2 files named part-00000/part-00005 -> next name
+    part-00002 is safe, but a gap at 0 collides)."""
+    out = tmp_path / "gappy"
+    out.mkdir()
+    _write_shard(out, "part-00000.jsonl", [(1.0, 1_700_000_000)])
+    _write_shard(out, "part-00005.jsonl", [(2.0, 1_700_000_001)])
+    src = (
+        spark.read.format("ticks")
+        .option("n_rows", 10)
+        .option("partitions", 1)
+        .load()
+    )
+    src.write.format("ticks").option("path", str(out)).mode("append").save()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "part-00000.jsonl" in names and "part-00005.jsonl" in names
+    new = [n for n in names if n not in
+           ("part-00000.jsonl", "part-00005.jsonl")]
+    assert new and all(n >= "part-00006.jsonl" for n in new)
+    back = spark.read.format("ticks").option("path", str(out)).load()
+    assert back.count() == 12  # 2 pre-existing rows + 10 appended

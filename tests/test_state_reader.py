@@ -78,3 +78,33 @@ def test_state_reader_windows_metadata_timetravel_summary(spark, tmp_path):
     s = mstate.state_summary(spark, ck).collect()
     assert len(s) == 1
     assert s[0].n_keys == 2 and s[0].partitions_with_state >= 1
+
+
+def test_state_summary_on_stateless_checkpoint_is_empty(spark, tmp_path):
+    """A stateless query's checkpoint has no operator rows; the
+    summary must be an empty frame, not an IndexError."""
+    from lakehouse_for_data_streaming_and_analysis_spark.maintenance.state import state_summary
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import json as _json
+
+    with open(src / "a.jsonl", "w") as f:
+        f.write(_json.dumps({"v": 1}) + "\n")
+    ckpt = str(tmp_path / "ckpt_stateless")
+    q = (
+        spark.readStream.schema("v long")
+        .json(str(src))
+        .select("v")  # no stateful operator anywhere
+        .writeStream.format("memory")
+        .queryName("stateless_probe")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = state_summary(spark, ckpt)
+    assert out.count() == 0
+    assert "operator_name" in out.columns
