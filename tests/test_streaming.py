@@ -538,3 +538,80 @@ def test_streaming_session_window_merges_and_closes(spark, scratch):
         (2, 1.0, 6.0, 1),
         (1, 20.0, 25.0, 1),
     }
+
+
+def test_concurrent_topology_commit_latency(spark, scratch):
+    """§6 bar under the reference's ACTUAL topology: 2 bronze + 2 fact
+    streaming queries live SIMULTANEOUSLY under the FAIR pool
+    (streaming_pipeline.py:54-60 shape; the session factory sets
+    spark.scheduler.mode=FAIR), not single-pipeline. The commit-latency
+    gate (median <= 6 s, the reference's own TimeDelay metric) must
+    hold with all four queries contending for executor slots."""
+    import time as _time
+
+    dim = spark.createDataFrame(
+        [(0, "bitcoin", 19_000_000.0), (1, "ethereum", 120_000_000.0)],
+        "coin_id int, name string, supply double",
+    )
+
+    def _ticks(coin):
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "2")
+            .load()
+            .selectExpr(
+                "timestamp", f"CAST(value AS DOUBLE) + 100.0 AS {coin}"
+            )
+        )
+
+    r = runner.StreamRunner()
+    logs = []
+    try:
+        for coin in ("bitcoin", "ethereum"):
+            log_dir = os.path.join(scratch, f"log_{coin}")
+            logs.append(log_dir)
+            sink = commitlog.parquet_commit_sink(
+                os.path.join(scratch, f"bronze_{coin}"), log_dir
+            )
+            r.add(
+                bronze.start_bronze_query(
+                    _ticks(coin),
+                    coin,
+                    sink,
+                    os.path.join(scratch, f"ckpt_b_{coin}"),
+                    trigger={"processingTime": "1 second"},
+                )
+            )
+            r.add(
+                fact.start_fact_query(
+                    _ticks(coin).withColumn(
+                        "average_1minute", F.col(coin)
+                    ),
+                    dim.filter(F.col("name") == coin),
+                    coin,
+                    F.lit(True),
+                    last_price=100.0,
+                    out_path=os.path.join(scratch, f"fact_{coin}"),
+                    checkpoint_dir=os.path.join(scratch, f"ckpt_f_{coin}"),
+                )
+            )
+        assert sum(q.isActive for q in r._queries) == 4
+        # long enough that the post-JIT steady state dominates: the
+        # first micro-batch of each of the 4 queries pays plan codegen
+        deadline = _time.time() + 40
+        while _time.time() < deadline:
+            _time.sleep(1)
+    finally:
+        r.stop_all()
+
+    for log_dir in logs:
+        summary = commitlog.latency_summary(
+            commitlog.latency_report(spark, log_dir)
+        ).collect()[0]
+        assert summary["n_commits"] >= 5, (log_dir, summary)
+        assert summary["median_delay"] <= 6, (log_dir, summary)
+    # the fact side landed partitioned appends while bronze committed
+    for coin in ("bitcoin", "ethereum"):
+        got = spark.read.parquet(os.path.join(scratch, f"fact_{coin}"))
+        assert got.count() > 0
+        assert "coin_id" in got.columns
