@@ -121,11 +121,13 @@ class DeltaishTable:
         return t
 
     # Reader features this log implementation does NOT support. A
-    # foreign (delta-spark-written) log carrying them must fail loudly:
-    # column mapping renames the physical parquet columns (reading by
-    # logical name returns nulls) and deletion vectors mark rows of an
-    # add file as deleted (ignoring them resurrects deleted rows).
-    _UNSUPPORTED_READER_FEATURES = ("columnMapping", "deletionVectors")
+    # foreign (delta-spark-written) log carrying them must fail loudly,
+    # never read wrongly: id-mode column mapping resolves columns by
+    # parquet field id (this reader resolves by name), and deletion
+    # vectors mark rows of an add file as deleted (ignoring them
+    # resurrects deleted rows). NAME-mode column mapping IS supported
+    # on the read path — see _column_mapping.
+    _UNSUPPORTED_READER_FEATURES = ("deletionVectors",)
 
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
         snap = dlog.replay(self.path, until=version)
@@ -133,12 +135,11 @@ class DeltaishTable:
             raise FileNotFoundError(f"no Deltaish log at {self.path}")
         conf = snap.metadata.get("configuration", {}) or {}
         cm = conf.get("delta.columnMapping.mode", "none")
-        if cm != "none":
+        if cm not in ("none", "name"):
             raise NotImplementedError(
-                f"delta.columnMapping.mode={cm!r}: column mapping "
-                "renames physical parquet columns; this reader would "
-                "silently return nulls. Unsupported — read with "
-                "delta-spark."
+                f"delta.columnMapping.mode={cm!r}: id-mode mapping "
+                "resolves columns by parquet field id, which this "
+                "reader does not implement. Read with delta-spark."
             )
         feats = set(snap.protocol.get("readerFeatures", []) or [])
         bad = feats.intersection(self._UNSUPPORTED_READER_FEATURES)
@@ -156,6 +157,49 @@ class DeltaishTable:
                     "with delta-spark."
                 )
         return snap
+
+    @staticmethod
+    def _walk_for_nested_mapping(type_json) -> bool:
+        """True if any NESTED field carries a physicalName annotation
+        (top-level mapping is handled; nested needs per-level rename
+        through structs/arrays/maps, documented out of scope)."""
+        if isinstance(type_json, dict):
+            for f in type_json.get("fields", []) or []:
+                md = f.get("metadata", {}) or {}
+                if "delta.columnMapping.physicalName" in md:
+                    return True
+                if DeltaishTable._walk_for_nested_mapping(f.get("type")):
+                    return True
+            for k in ("elementType", "valueType", "keyType"):
+                if DeltaishTable._walk_for_nested_mapping(
+                    type_json.get(k)
+                ):
+                    return True
+        return False
+
+    def _column_mapping(self, snap: dlog.Snapshot) -> dict[str, str]:
+        """logical -> physical top-level column names under NAME-mode
+        column mapping (delta-spark stores the physical parquet column
+        name in each schema field's metadata as
+        ``delta.columnMapping.physicalName``). Empty dict when the
+        table has no mapping. Nested mapped fields raise — partially
+        honoring a mapping would silently null the nested columns."""
+        conf = snap.metadata.get("configuration", {}) or {}
+        if conf.get("delta.columnMapping.mode", "none") == "none":
+            return {}
+        out: dict[str, str] = {}
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            if self._walk_for_nested_mapping(f.get("type")):
+                raise NotImplementedError(
+                    f"column {f['name']!r}: nested column-mapping "
+                    "annotations are not supported. Read with "
+                    "delta-spark."
+                )
+            md = f.get("metadata", {}) or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys:
+                out[f["name"]] = phys
+        return out
 
     @property
     def version(self) -> int:
@@ -178,6 +222,18 @@ class DeltaishTable:
         later move/stat fails — an aborted write leaves no orphans
         under the table root (uncommitted files would be invisible to
         the log but would corrupt a naive directory listing)."""
+        # name-mode mapping is READ-only here: writing would have to
+        # emit physical column names (files, partition dirs, stats) and
+        # allocate ids for new columns — refuse rather than write a
+        # file delta-spark reads as all-null. create() predates the log
+        # (no versions yet), so only guard existing tables.
+        if dlog.list_versions(self.path) and self._column_mapping(
+            dlog.replay(self.path)
+        ):
+            raise NotImplementedError(
+                "writes to a column-mapped table are not supported; "
+                "write with delta-spark"
+            )
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         moved: list[str] = []
         adds: list[dict] = []
@@ -540,17 +596,38 @@ class DeltaishTable:
         """Read files under the snapshot's DECLARED schema (not
         inference): files predating a schema evolution lack the new
         columns and read back as null, and partition-column values come
-        from directory paths at their declared types."""
+        from directory paths at their declared types. Under NAME-mode
+        column mapping the files (and partition directories) carry
+        PHYSICAL column names — read with the physical schema and
+        rename back to logical."""
         schema = self._schema_for(snap)
         rel_paths = list(rel_paths)
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
+        mapping = self._column_mapping(snap)
+        read_schema = (
+            T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if mapping
+            else schema
+        )
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(read_schema)
             .option("basePath", self.path)
             .parquet(*[os.path.join(self.path, p) for p in rel_paths])
         )
-        return df.select(*[f.name for f in schema.fields])
+        return df.select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def _read_files(self, rel_paths: list[str]) -> DataFrame:
         return self._read_snapshot_files(self._snapshot(), rel_paths)
@@ -617,10 +694,14 @@ class DeltaishTable:
             snap = self._snapshot()
         pcols = snap.metadata.get("partitionColumns", ())
         dtypes = {f.name: f.dataType for f in self._schema_for(snap).fields}
+        # under name-mode mapping, stats keys and partitionValues keys
+        # are PHYSICAL names while the caller (and partitionColumns)
+        # speak logical — translate the lookup key only
+        phys = self._column_mapping(snap).get(col, col)
         out = []
         for path, add in snap.files.items():
             if col in pcols:
-                pv = add.get("partitionValues", {}).get(col)
+                pv = add.get("partitionValues", {}).get(phys)
                 if pv is None:
                     out.append(path)
                     continue
@@ -637,8 +718,8 @@ class DeltaishTable:
                 out.append(path)
                 continue
             s = json.loads(stats)
-            mn = s.get("minValues", {}).get(col)
-            mx = s.get("maxValues", {}).get(col)
+            mn = s.get("minValues", {}).get(phys)
+            mx = s.get("maxValues", {}).get(phys)
             if mn is None or mx is None:
                 out.append(path)
                 continue
@@ -1026,6 +1107,12 @@ class DeltaishTable:
         which is also the reference's layout (bronze append-only,
         OPTIMIZE on silver)."""
         snap = self._snapshot()
+        if self._column_mapping(snap):
+            raise NotImplementedError(
+                "as_stream reads the directory with the declared "
+                "schema; a column-mapped table's files carry physical "
+                "names. Stream with delta-spark."
+            )
         for v in dlog.list_versions(self.path):
             for action in dlog.read_commit(self.path, v):
                 if "remove" in action:

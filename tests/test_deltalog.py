@@ -1068,23 +1068,34 @@ def test_append_conflicts_with_concurrent_constraint(
         t.append(bad)
 
 
-def _foreign_log(root, protocol, configuration, add_extra=None):
+def _foreign_log(
+    root, protocol, configuration, add_extra=None, phys_col=None
+):
     """Handwrite a minimal delta-spark-style log with the given
     protocol/configuration (shape pinned in
-    test_reads_delta_spark_style_log)."""
+    test_reads_delta_spark_style_log). ``phys_col`` writes the parquet
+    under that PHYSICAL column name and annotates the schema field the
+    way delta-spark's name-mode column mapping does."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     root.mkdir()
     pq.write_table(
-        pa.table({"id": [1, 2, 3]}), str(root / "part-00000.parquet")
+        pa.table({(phys_col or "id"): [1, 2, 3]}),
+        str(root / "part-00000.parquet"),
+    )
+    md = (
+        {"delta.columnMapping.id": 1,
+         "delta.columnMapping.physicalName": phys_col}
+        if phys_col
+        else {}
     )
     schema_string = json.dumps(
         {
             "type": "struct",
             "fields": [
                 {"name": "id", "type": "long", "nullable": True,
-                 "metadata": {}},
+                 "metadata": md},
             ],
         }
     )
@@ -1095,6 +1106,14 @@ def _foreign_log(root, protocol, configuration, add_extra=None):
         "modificationTime": 1700000000000,
         "dataChange": True,
     }
+    if phys_col:
+        add["stats"] = json.dumps(
+            {
+                "numRecords": 3,
+                "minValues": {phys_col: 1},
+                "maxValues": {phys_col: 3},
+            }
+        )
     add.update(add_extra or {})
     log_dir = root / "_delta_log"
     log_dir.mkdir()
@@ -1117,18 +1136,50 @@ def _foreign_log(root, protocol, configuration, add_extra=None):
             f.write(json.dumps(a) + "\n")
 
 
-def test_column_mapping_log_fails_loudly(spark, tmp_path):
-    """A foreign log with delta.columnMapping.mode != none renames the
-    physical parquet columns; reading by logical name would silently
-    return nulls — the reader must refuse instead."""
+def test_name_mode_column_mapping_reads_logical(spark, tmp_path):
+    """NAME-mode column mapping (delta-spark's RENAME-friendly layout)
+    is readable: the parquet stores the physical uuid column name, the
+    schema field metadata maps it to the logical name, and read()
+    returns logical columns. Stats-based skipping translates its
+    lookup too (stats keys are physical). Writes refuse — emitting a
+    logical-named file would read back all-null in delta-spark."""
+    phys = "col-9a1b2c3d-0000-4000-8000-deadbeef0001"
     _foreign_log(
         tmp_path / "cm",
-        {"minReaderVersion": 2, "minWriterVersion": 5},
+        {
+            "minReaderVersion": 2,
+            "minWriterVersion": 5,
+        },
         {"delta.columnMapping.mode": "name",
          "delta.columnMapping.maxColumnId": "1"},
+        phys_col=phys,
     )
     t = DeltaishTable(spark, str(tmp_path / "cm"))
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    got = t.read()
+    assert got.columns == ["id"]
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    # skipping consults the PHYSICAL stats keys under the logical name
+    assert t.files_matching("id", 1, 3) == ["part-00000.parquet"]
+    assert t.files_matching("id", 10, 20) == []
+    assert _rows(t.read_pruned("id", 2, 3)) == [("2",), ("3",)]
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        t.append(got)
+    with pytest.raises(NotImplementedError, match="physical"):
+        t.as_stream()
+
+
+def test_id_mode_column_mapping_fails_loudly(spark, tmp_path):
+    """id-mode resolves columns by parquet field id, which this reader
+    does not implement — refuse, never read wrongly."""
+    _foreign_log(
+        tmp_path / "cmid",
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+        {"delta.columnMapping.mode": "id",
+         "delta.columnMapping.maxColumnId": "1"},
+        phys_col="col-9a1b2c3d-0000-4000-8000-deadbeef0002",
+    )
+    t = DeltaishTable(spark, str(tmp_path / "cmid"))
+    with pytest.raises(NotImplementedError, match="id-mode"):
         t.read()
 
 
