@@ -786,18 +786,39 @@ class DeltaishTable:
         touched = self.files_matching(k, bounds.lo, bounds.hi, snap=snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         target = self._read_snapshot_files(snap, touched)
+        cdf = self._cdf_enabled(snap)
+        changes: DataFrame | None = None
+        tkeys = target.select(*keys).distinct()
+        skeys = source.select(*keys).distinct()
         if matched_update is None:
-            kept = target.join(
-                source.select(*keys).distinct(), list(keys), "left_anti"
-            )
+            kept = target.join(skeys, list(keys), "left_anti")
             if insert:
                 incoming = source.select(*target.columns)
             else:
                 incoming = source.join(
-                    target.select(*keys).distinct(), list(keys), "left_semi"
+                    tkeys, list(keys), "left_semi"
                 ).select(*target.columns)
             result = kept.unionByName(incoming)
             matched_desc = "updateAll"
+            if cdf:
+                pre = target.join(skeys, list(keys), "left_semi")
+                post = source.join(tkeys, list(keys), "left_semi").select(
+                    *target.columns
+                )
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                if insert:
+                    ins = source.join(
+                        tkeys, list(keys), "left_anti"
+                    ).select(*target.columns)
+                    changes = changes.unionByName(
+                        ins.withColumn("_change_type", F.lit("insert"))
+                    )
         else:
             t = target.alias("t")
             s = source.withColumn("__matched", F.lit(True)).alias("s")
@@ -821,16 +842,54 @@ class DeltaishTable:
             if insert:
                 result = result.unionByName(
                     source.join(
-                        target.select(*keys).distinct(), list(keys), "left_anti"
+                        tkeys, list(keys), "left_anti"
                     ).select(*target.columns)
                 )
             matched_desc = f"updateSet({sorted(matched_update)})"
+            if cdf:
+                changed = joined.filter(cond)
+                pre = changed.select(
+                    *[
+                        F.col(c) if c in keys else F.col(f"t.{c}").alias(c)
+                        for c in target.columns
+                    ]
+                )
+                post = changed.select(
+                    *[
+                        matched_update[c].alias(c)
+                        if c in matched_update
+                        else (
+                            F.col(c)
+                            if c in keys
+                            else F.col(f"t.{c}").alias(c)
+                        )
+                        for c in target.columns
+                    ]
+                )
+                changes = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                if insert:
+                    ins = source.join(
+                        tkeys, list(keys), "left_anti"
+                    ).select(*target.columns)
+                    changes = changes.unionByName(
+                        ins.withColumn("_change_type", F.lit("insert"))
+                    )
         self._enforce_checks(result, snap)
         adds = self._write_files(result, pcols)
+        cdc_actions = (
+            self._write_cdc_files(changes) if changes is not None else []
+        )
         return self._commit_next(
             [
                 *({"add": a} for a in adds),
                 *({"remove": self._tombstone(p)} for p in touched),
+                *({"cdc": c} for c in cdc_actions),
                 dlog.commit_info(
                     "MERGE",
                     matchedPredicates=matched_desc,
@@ -1090,6 +1149,212 @@ class DeltaishTable:
                 "range has expired — recompute from the snapshot"
             )
         return self._read_files(paths)
+
+    # ------------------------------------------------- change data feed
+    #
+    # Delta's CDF surface: with delta.enableChangeDataFeed set, MERGE
+    # writes its per-row changes to _change_data/ parquet files and
+    # commits them as 'cdc' actions (the protocol's AddCDCFile);
+    # read_change_feed() returns every change in a version range under
+    # the CDF read schema (_change_type/_commit_version/
+    # _commit_timestamp). Commits WITHOUT cdc actions synthesize
+    # changes from the file diff — adds→insert, removes→delete — which
+    # is row-accurate exactly for the operations that never rewrite
+    # untouched rows into new files (append, overwrite, restore); a
+    # MERGE from before the property was set raises instead of
+    # emitting delete+insert noise for its rewritten-but-untouched
+    # rows (delta-spark refuses the same way).
+
+    CDF_PROP = "delta.enableChangeDataFeed"
+    CDF_DIR = "_change_data"
+
+    def _cdf_enabled(self, snap: dlog.Snapshot) -> bool:
+        conf = snap.metadata.get("configuration", {}) or {}
+        return str(conf.get(self.CDF_PROP, "false")).lower() == "true"
+
+    def enable_change_data_feed(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.enableChangeDataFeed'='true'). Changes are recorded
+        from the NEXT commit on; history before this version has no
+        cdc files (Delta's behavior too)."""
+        snap = self._snapshot()
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        if str(conf.get(self.CDF_PROP, "false")).lower() == "true":
+            return snap.version
+        conf[self.CDF_PROP] = "true"
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={self.CDF_PROP: "true"},
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
+        """Write one commit's change rows (data columns +
+        ``_change_type``) under ``_change_data/`` and return their
+        'cdc' action payloads. dataChange=false semantics are implicit:
+        snapshot reads never consult cdc actions, and the underscore
+        directory is invisible to directory listings. Partition
+        columns are stored as regular columns in the cdc file (a
+        documented simplification of the spec's partitioned cdc
+        layout — this module is both writer and reader of them)."""
+        os.makedirs(os.path.join(self.path, self.CDF_DIR), exist_ok=True)
+        staging = os.path.join(
+            self.path, f"_staging-cdc-{uuid.uuid4().hex}"
+        )
+        out: list[dict] = []
+        try:
+            changes.write.mode("overwrite").parquet(staging)
+            for fn in os.listdir(staging):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"{self.CDF_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, fn),
+                    os.path.join(self.path, rel),
+                )
+                out.append(
+                    {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(self.path, rel)
+                        ),
+                        "dataChange": False,
+                    }
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def read_change_feed(self, v_from: int, v_to: int) -> DataFrame:
+        """Per-row changes in (v_from, v_to] under Delta's CDF read
+        schema: the data columns plus ``_change_type`` (insert /
+        delete / update_preimage / update_postimage),
+        ``_commit_version``, ``_commit_timestamp``. All files are read
+        under the LATEST declared schema (Delta does the same and
+        errors on incompatible evolution). Raises when the range
+        contains a MERGE without cdc files (CDF wasn't enabled) or
+        references vacuumed files (range expired)."""
+        snap = self._snapshot()
+        schema = self._schema_for(snap)
+        cdc_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                list(cdc_schema.fields)
+                + [
+                    T.StructField("_commit_version", T.LongType(), False),
+                    T.StructField(
+                        "_commit_timestamp", T.TimestampType(), True
+                    ),
+                ]
+            ),
+        )
+        parts: list[DataFrame] = []
+        for v in dlog.list_versions(self.path):
+            if v <= v_from or v > v_to:
+                continue
+            actions = dlog.read_commit(self.path, v)
+            op = ""
+            ts_ms = 0
+            for a in actions:
+                if "commitInfo" in a:
+                    op = a["commitInfo"].get("operation", "")
+                    ts_ms = a["commitInfo"].get("timestamp", 0)
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]["path"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]["path"]
+                for a in actions
+                if "remove" in a
+                and a["remove"].get("dataChange", True)
+            ]
+            if cdc:
+                # the protocol: cdc actions are the COMPLETE change
+                # set for their commit; add/remove are ignored
+                gone = [
+                    c["path"]
+                    for c in cdc
+                    if not os.path.exists(
+                        os.path.join(self.path, c["path"])
+                    )
+                ]
+                if gone:
+                    raise ValueError(
+                        f"change feed ({v_from}, {v_to}] references "
+                        f"missing cdc file {gone[0]}; range expired"
+                    )
+                df = self.spark.read.schema(cdc_schema).parquet(
+                    *[
+                        os.path.join(self.path, c["path"])
+                        for c in cdc
+                    ]
+                )
+            elif adds and removes and op == "MERGE":
+                raise ValueError(
+                    f"version {v} is a MERGE without cdc files — "
+                    "delta.enableChangeDataFeed was not set when it "
+                    "committed; its rewritten files cannot be "
+                    "attributed per-row. Start the feed after it."
+                )
+            else:
+                gone = [
+                    p
+                    for p in (*adds, *removes)
+                    if not os.path.exists(os.path.join(self.path, p))
+                ]
+                if gone:
+                    raise ValueError(
+                        f"change feed ({v_from}, {v_to}] references "
+                        f"{len(gone)} vacuumed file(s) "
+                        f"(e.g. {gone[0]}); the range has expired"
+                    )
+                dfs = []
+                if adds:
+                    dfs.append(
+                        self._read_snapshot_files(snap, adds).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                if removes:
+                    dfs.append(
+                        self._read_snapshot_files(
+                            snap, removes
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+                if not dfs:
+                    continue
+                df = dfs[0]
+                for d in dfs[1:]:
+                    df = df.unionByName(d)
+            parts.append(
+                df.withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                ).withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(ts_ms / 1000.0)),
+                )
+            )
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------ streaming
 

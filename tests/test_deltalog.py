@@ -1217,3 +1217,82 @@ def test_deletion_vector_log_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="deletion vector"):
         DeltaishTable(spark, str(tmp_path / "dvf")).read()
+
+
+def test_change_data_feed_lifecycle(spark, tmp_path):
+    """Delta CDF surface: with delta.enableChangeDataFeed set, MERGE
+    writes _change_data cdc files (update_preimage/update_postimage/
+    insert); appends and overwrites synthesize from the file diff
+    (adds->insert, removes->delete); a pre-CDF MERGE in the range
+    raises instead of mis-attributing its rewritten rows."""
+    src = _orders(spark, 15)
+    lo = src.filter(F.col("o_orderkey") <= 10)
+    hi = src.filter(F.col("o_orderkey") > 10)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), lo)  # v0
+    t.append(hi)  # v1
+    # v2: a MERGE while CDF is OFF
+    t.merge(
+        lo.limit(3).withColumn("o_totalprice", F.lit(1.0)), ["o_orderkey"]
+    )
+    v3 = t.enable_change_data_feed()
+    upd = (
+        src.filter(F.col("o_orderkey").isin(4, 5))
+        .withColumn("o_totalprice", F.lit(2.0))
+    )
+    ins = src.limit(0).unionByName(
+        src.filter(F.col("o_orderkey") == 1).withColumn(
+            "o_orderkey", F.lit(999).cast("long")
+        )
+    )
+    v4 = t.merge(upd.unionByName(ins), ["o_orderkey"])  # CDF on
+    assert os.path.isdir(str(tmp_path / "t" / "_change_data"))
+
+    feed = t.read_change_feed(v3, v4)
+    by_type = {
+        r["_change_type"]: r
+        for r in feed.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("ks"),
+        )
+        .collect()
+    }
+    assert by_type["update_preimage"]["ks"] == [4, 5]
+    assert by_type["update_postimage"]["ks"] == [4, 5]
+    assert by_type["insert"]["ks"] == [999]
+    # postimages carry the NEW values, preimages the OLD
+    posts = feed.filter(F.col("_change_type") == "update_postimage")
+    assert {r.o_totalprice for r in posts.collect()} == {2.0}
+    pres = feed.filter(F.col("_change_type") == "update_preimage")
+    assert all(r.o_totalprice != 2.0 for r in pres.collect())
+    assert all(
+        r["_commit_version"] == v4 for r in feed.select("_commit_version").collect()
+    )
+
+    # append synthesis: (v0, v1] = pure inserts of the appended rows
+    f01 = t.read_change_feed(0, 1)
+    assert {r["_change_type"] for r in f01.collect()} == {"insert"}
+    assert sorted(r.o_orderkey for r in f01.collect()) == sorted(
+        r.o_orderkey for r in hi.collect()
+    )
+
+    # overwrite synthesis: deletes of every old row + inserts of new
+    n_before = t.read().count()
+    v5 = t.overwrite(lo.limit(4))
+    f45 = t.read_change_feed(v4, v5)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in f45.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {"delete": n_before, "insert": 4}
+
+    # the pre-CDF merge cannot be attributed per-row
+    with pytest.raises(ValueError, match="MERGE without cdc"):
+        t.read_change_feed(1, 2)
+
+    # empty range -> empty frame with the CDF read schema
+    f_empty = t.read_change_feed(v5, v5)
+    assert f_empty.count() == 0
+    assert "_change_type" in f_empty.columns
