@@ -580,6 +580,50 @@ class DeltaishTable:
         )
         return self._commit_next(actions, read_version=cur.version)
 
+    def shallow_clone(
+        self, dest_path: str, version: int | None = None
+    ) -> "DeltaishTable":
+        """CREATE TABLE ... SHALLOW CLONE [VERSION AS OF]: a new table
+        whose version-0 log references the source snapshot's data
+        files by ABSOLUTE path — zero bytes of data copied, so a
+        100 TB table clones in one metadata commit (the dev/test/
+        what-if snapshot pattern). Writes to the clone land under the
+        clone's own root and never touch the source; the clone's
+        VACUUM skips source-owned files (see vacuum). Partitioned
+        sources are refused: partition values are directory-encoded
+        relative to the SOURCE root and a single basePath cannot span
+        both roots."""
+        snap = self._snapshot(version)
+        if snap.metadata.get("partitionColumns"):
+            raise NotImplementedError(
+                "shallow clone of a partitioned table: partition "
+                "directories live under the source root; copy the "
+                "data (deep clone) instead"
+            )
+        dest = os.path.abspath(dest_path)
+        if dlog.list_versions(dest):
+            raise ValueError(f"table already exists at {dest}")
+        os.makedirs(dest, exist_ok=True)
+        md = dict(snap.metadata)
+        md["id"] = uuid.uuid4().hex
+        actions: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": md},
+        ]
+        for p, a in snap.files.items():
+            add = dict(a)
+            add["path"] = os.path.abspath(os.path.join(self.path, p))
+            actions.append({"add": add})
+        actions.append(
+            dlog.commit_info(
+                "CLONE",
+                source=os.path.abspath(self.path),
+                sourceVersion=int(snap.version),
+            )
+        )
+        dlog.write_commit(dest, 0, actions)
+        return DeltaishTable(self.spark, dest)
+
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
         return {
@@ -617,10 +661,15 @@ class DeltaishTable:
             if mapping
             else schema
         )
-        df = (
-            self.spark.read.schema(read_schema)
-            .option("basePath", self.path)
-            .parquet(*[os.path.join(self.path, p) for p in rel_paths])
+        reader = self.spark.read.schema(read_schema)
+        if snap.metadata.get("partitionColumns"):
+            # basePath drives partition-dir inference; it also requires
+            # every file to live under it, which shallow-clone adds
+            # (absolute paths into the SOURCE table) do not — clones of
+            # partitioned tables are refused at clone time
+            reader = reader.option("basePath", self.path)
+        df = reader.parquet(
+            *[os.path.join(self.path, p) for p in rel_paths]
         )
         return df.select(
             *[
@@ -1091,10 +1140,17 @@ class DeltaishTable:
         afterwards — exactly Delta's trade-off."""
         cutoff = (time.time() - retention_hours * 3600.0) * 1000.0
         snap = self._snapshot()
+        root = os.path.abspath(self.path) + os.sep
         deleted = []
         for path, rm in snap.tombstones.items():
             if rm.get("deletionTimestamp", 0) <= cutoff:
                 full = os.path.join(self.path, path)
+                # never delete a file outside the table root: a
+                # shallow clone tombstones ABSOLUTE paths into its
+                # source table, and vacuuming the clone must not
+                # destroy the source's data (Delta's rule)
+                if not os.path.abspath(full).startswith(root):
+                    continue
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(path)

@@ -1296,3 +1296,51 @@ def test_change_data_feed_lifecycle(spark, tmp_path):
     f_empty = t.read_change_feed(v5, v5)
     assert f_empty.count() == 0
     assert "_change_type" in f_empty.columns
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """SHALLOW CLONE: one metadata commit, zero data copied — the
+    clone's log references the source's files by absolute path. Writes
+    diverge the clone without touching the source, and the clone's
+    VACUUM never deletes source-owned files."""
+    src_rows = _orders(spark, 200).repartition(3)
+    src = DeltaishTable.create(spark, str(tmp_path / "src"), src_rows)
+    clone = src.shallow_clone(str(tmp_path / "clone"))
+    # zero copy: no parquet landed under the clone root
+    assert not [
+        f for f in os.listdir(clone.path) if f.endswith(".parquet")
+    ]
+    assert _rows(clone.read()) == _rows(src.read())
+    assert clone.history()[0]["operation"] == "CLONE"
+
+    # divergence: append to the clone — source unchanged
+    extra = _orders(spark, 250).subtract(src_rows)
+    clone.append(extra.limit(20))
+    assert clone.read().count() == 220
+    assert src.read().count() == 200
+    # new files land under the CLONE root
+    assert [f for f in os.listdir(clone.path) if f.endswith(".parquet")]
+
+    # overwrite tombstones the absolute source paths; vacuum on the
+    # clone must skip them (deleting would corrupt the source)
+    clone.overwrite(src_rows.limit(10))
+    deleted = clone.vacuum(retention_hours=0.0)
+    assert all(not os.path.isabs(p) for p in deleted)
+    assert _rows(src.read()) == _rows(src_rows), (
+        "clone vacuum must never touch source data"
+    )
+
+    # clone of a historical version
+    v0_clone = src.shallow_clone(str(tmp_path / "clone_v0"), version=0)
+    assert _rows(v0_clone.read()) == _rows(src_rows)
+
+
+def test_shallow_clone_partitioned_refused(spark, tmp_path):
+    src = DeltaishTable.create(
+        spark,
+        str(tmp_path / "psrc"),
+        _orders(spark, 100),
+        partition_by=("o_orderstatus",),
+    )
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        src.shallow_clone(str(tmp_path / "pclone"))
