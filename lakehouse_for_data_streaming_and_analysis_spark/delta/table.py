@@ -97,19 +97,65 @@ class DeltaishTable:
         path: str,
         df: DataFrame,
         partition_by: tuple[str, ...] = (),
+        generated_columns: dict[str, str] | None = None,
+        identity_columns: dict[str, tuple[int, int]] | None = None,
     ) -> "DeltaishTable":
+        """``generated_columns`` declares GENERATED ALWAYS AS columns:
+        name -> SQL expression over the other columns, stored as the
+        protocol's ``delta.generationExpression`` field-metadata
+        annotation. Omitted on write -> computed; supplied -> validated
+        (Delta enforces the same equality). The canonical use is a
+        derived partitioning column (e.g. ``year(o_orderdate)``) that
+        writers can never get wrong.
+
+        ``identity_columns`` declares GENERATED ALWAYS AS IDENTITY
+        columns: name -> (start, step). The engine assigns values and
+        tracks the protocol's delta.identity.highWaterMark in the
+        field metadata; explicit writer-supplied values are rejected,
+        and concurrent appends conflict on the HWM bump instead of
+        double-assigning a block."""
+        if generated_columns:
+            for c, expr in generated_columns.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(expr))
+        id_hwms: dict[str, int] = {}
+        if identity_columns:
+            for c, (start, step) in identity_columns.items():
+                if c in df.columns:
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS "
+                        "IDENTITY; explicit values are not accepted"
+                    )
+                df, hwm = cls._assign_identity(df, c, start, step)
+                if hwm is not None:
+                    id_hwms[c] = hwm
         t = cls(spark, path)
         if dlog.list_versions(t.path):
             raise ValueError(f"table already exists at {t.path}")
         os.makedirs(t.path, exist_ok=True)
         adds = t._write_files(df, partition_by)
+        schema_json = json.loads(df.schema.json())
+        for f in schema_json["fields"]:
+            expr = (generated_columns or {}).get(f["name"])
+            if expr:
+                f["metadata"] = dict(f.get("metadata", {}) or {})
+                f["metadata"]["delta.generationExpression"] = expr
+            ident = (identity_columns or {}).get(f["name"])
+            if ident:
+                md = dict(f.get("metadata", {}) or {})
+                md[cls.IDENTITY_START] = int(ident[0])
+                md[cls.IDENTITY_STEP] = int(ident[1])
+                md[cls.IDENTITY_ALLOW] = False
+                if f["name"] in id_hwms:
+                    md[cls.IDENTITY_HWM] = id_hwms[f["name"]]
+                f["metadata"] = md
         actions = [
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": json.dumps(schema_json),
                     "partitionColumns": list(partition_by),
                     "configuration": {},
                 }
@@ -376,6 +422,152 @@ class DeltaishTable:
             return None
         return T.StructType(list(declared.fields) + new_fields)
 
+    # ------------------------------------------------- identity columns
+
+    IDENTITY_START = "delta.identity.start"
+    IDENTITY_STEP = "delta.identity.step"
+    IDENTITY_HWM = "delta.identity.highWaterMark"
+    IDENTITY_ALLOW = "delta.identity.allowExplicitInsert"
+
+    def _identity_meta(self, snap: dlog.Snapshot) -> dict[str, dict]:
+        """GENERATED ALWAYS AS IDENTITY columns: name -> the field's
+        metadata dict (the protocol stores start/step/highWaterMark as
+        delta.identity.* field-metadata annotations)."""
+        out: dict[str, dict] = {}
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            md = f.get("metadata", {}) or {}
+            if self.IDENTITY_START in md or self.IDENTITY_STEP in md:
+                out[f["name"]] = md
+        return out
+
+    @staticmethod
+    def _assign_identity(
+        df: DataFrame, col: str, base: int, step: int
+    ) -> tuple[DataFrame, int | None]:
+        """Assign ``base, base+step, ...`` to ``col`` without a global
+        sort: pin the partitioning (localCheckpoint), count rows per
+        partition, prefix-sum the counts on the driver (O(#parts)),
+        then id = base + step * (partition_offset + local row_number
+        - 1). Returns (df, new high-water mark) — None when empty.
+        Values are unique and increasing; Delta's identity contract
+        allows gaps, this assignment happens to be dense per commit."""
+        df = df.localCheckpoint(eager=True)
+        with_pid = df.withColumn("__pid", F.spark_partition_id())
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in with_pid.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        if not counts:
+            return df.withColumn(col, F.lit(None).cast("long")), None
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        omap = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.monotonically_increasing_id()
+        )
+        out = with_pid.withColumn(
+            col,
+            (
+                F.lit(base)
+                + F.lit(step)
+                * (omap[F.col("__pid")] + F.row_number().over(w) - 1)
+            ).cast("long"),
+        ).drop("__pid")
+        return out, base + step * (acc - 1)
+
+    def _apply_identity(
+        self, df: DataFrame, snap: dlog.Snapshot
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Delta's identity write contract: the engine assigns values
+        from the high-water mark; a writer SUPPLYING the column is
+        rejected (GENERATED ALWAYS, allowExplicitInsert=false).
+        Returns (df with ids, {col: new high-water mark}) — the caller
+        commits the HWM bump as a metaData action, so a concurrent
+        identity append conflicts (MetadataChangedException) instead
+        of double-assigning the same block."""
+        ids = self._identity_meta(snap)
+        if not ids:
+            return df, {}
+        hwm_updates: dict[str, int] = {}
+        for c, md in ids.items():
+            if c in df.columns:
+                if not md.get(self.IDENTITY_ALLOW, False):
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS "
+                        "IDENTITY; explicit values are not accepted"
+                    )
+                continue
+            start = int(md.get(self.IDENTITY_START, 1))
+            step = int(md.get(self.IDENTITY_STEP, 1))
+            base = (
+                int(md[self.IDENTITY_HWM]) + step
+                if self.IDENTITY_HWM in md
+                else start
+            )
+            df, hwm = self._assign_identity(df, c, base, step)
+            if hwm is not None:
+                hwm_updates[c] = hwm
+        return df, hwm_updates
+
+    def _schema_json_with_hwm(
+        self, schema_json_str: str, hwm_updates: dict[str, int]
+    ) -> str:
+        sj = json.loads(schema_json_str)
+        for f in sj["fields"]:
+            if f["name"] in hwm_updates:
+                f["metadata"] = dict(f.get("metadata", {}) or {})
+                f["metadata"][self.IDENTITY_HWM] = hwm_updates[
+                    f["name"]
+                ]
+        return json.dumps(sj)
+
+    def _generated_exprs(self, snap: dlog.Snapshot) -> dict[str, str]:
+        """GENERATED ALWAYS AS columns: name -> SQL expression, from
+        the ``delta.generationExpression`` field-metadata annotations
+        (the protocol's representation)."""
+        out: dict[str, str] = {}
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            md = f.get("metadata", {}) or {}
+            expr = md.get("delta.generationExpression")
+            if expr:
+                out[f["name"]] = expr
+        return out
+
+    def _apply_generated(
+        self, df: DataFrame, snap: dlog.Snapshot
+    ) -> DataFrame:
+        """Delta's generated-column write contract: a column the writer
+        OMITS is computed from its expression; a column the writer
+        SUPPLIES must equal it row-for-row (checked with null-safe
+        equality, one filter scan per generated column)."""
+        gen = self._generated_exprs(snap)
+        if not gen:
+            return df
+        declared = {
+            f.name: f.dataType for f in self._schema_for(snap).fields
+        }
+        for c, expr in gen.items():
+            e = F.expr(expr).cast(declared[c])
+            if c not in df.columns:
+                df = df.withColumn(c, e)
+            else:
+                bad = (
+                    df.filter(~F.col(c).eqNullSafe(e)).limit(1).collect()
+                )
+                if bad:
+                    raise ValueError(
+                        f"generated column {c!r} violated: supplied "
+                        f"value diverges from {expr!r}, e.g. row "
+                        f"{bad[0].asDict()}"
+                    )
+        return df
+
     def _metadata_action(self, snap: dlog.Snapshot, schema: T.StructType) -> dict:
         md = dict(snap.metadata)
         md["schemaString"] = schema.json()
@@ -487,13 +679,24 @@ class DeltaishTable:
         (appId, version) — ``last_txn_version`` lets a retried writer
         detect it already committed."""
         snap = self._snapshot()
+        df = self._apply_generated(df, snap)
+        df, hwm_updates = self._apply_identity(df, snap)
         evolved = self._enforce_or_evolve(df, snap, merge_schema)
         self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
         actions: list[dict] = []
-        if evolved is not None:
-            actions.append(self._metadata_action(snap, evolved))
+        if evolved is not None or hwm_updates:
+            base = (
+                evolved.json()
+                if evolved is not None
+                else snap.metadata["schemaString"]
+            )
+            md = dict(snap.metadata)
+            md["schemaString"] = self._schema_json_with_hwm(
+                base, hwm_updates
+            )
+            actions.append({"metaData": md})
         actions.extend({"add": a} for a in adds)
         if txn_app_id is not None:
             actions.append(
@@ -522,8 +725,16 @@ class DeltaishTable:
         if overwrite_schema:
             actions.append(self._metadata_action(snap, df.schema))
         else:
+            df = self._apply_generated(df, snap)
+            df, hwm_updates = self._apply_identity(df, snap)
             evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
             assert evolved is None  # merge_schema=False never evolves
+            if hwm_updates:
+                md = dict(snap.metadata)
+                md["schemaString"] = self._schema_json_with_hwm(
+                    snap.metadata["schemaString"], hwm_updates
+                )
+                actions.append({"metaData": md})
         self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         adds = self._write_files(df, pcols)
@@ -830,6 +1041,13 @@ class DeltaishTable:
             F.min(k).alias("lo"), F.max(k).alias("hi")
         ).collect()[0]
         snap = self._snapshot()
+        if self._identity_meta(snap):
+            raise NotImplementedError(
+                "MERGE into a table with identity columns: inserted "
+                "rows would need engine-assigned ids inside the merge "
+                "rewrite (delta-spark restricted this combination for "
+                "the same reason). Append new rows instead."
+            )
         if bounds.lo is None:
             return snap.version  # empty source: no-op
         touched = self.files_matching(k, bounds.lo, bounds.hi, snap=snap)
@@ -929,6 +1147,10 @@ class DeltaishTable:
                     changes = changes.unionByName(
                         ins.withColumn("_change_type", F.lit("insert"))
                     )
+        # generated columns: the merge result carries every column, so
+        # this is pure validation — a source that supplied a diverging
+        # generated value fails before any file is written
+        result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
         adds = self._write_files(result, pcols)
         cdc_actions = (

@@ -1344,3 +1344,124 @@ def test_shallow_clone_partitioned_refused(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="partitioned"):
         src.shallow_clone(str(tmp_path / "pclone"))
+
+
+def test_generated_columns_compute_and_validate(spark, tmp_path):
+    """GENERATED ALWAYS AS: the expression lives in the schema field
+    metadata (delta.generationExpression); omitted on write -> the
+    engine computes it, supplied -> validated row-for-row. The
+    canonical derived-partition-key pattern."""
+    src = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(120)
+    )
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        src,  # o_year intentionally absent: computed at create
+        generated_columns={"o_year": "year(o_orderdate)"},
+    )
+    got = t.read()
+    assert "o_year" in got.columns
+    assert got.filter(
+        F.col("o_year") != F.year("o_orderdate")
+    ).count() == 0
+
+    # append WITHOUT the generated column: computed
+    more = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .limit(150)
+        .subtract(src)
+        .limit(10)
+    )
+    t.append(more)
+    assert t.read().count() == 130
+    assert t.read().filter(F.col("o_year").isNull()).count() == 0
+
+    # append WITH a correct value: accepted
+    ok = more.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**7)
+    ).withColumn("o_year", F.year("o_orderdate"))
+    t.append(ok)
+    # append WITH a diverging value: rejected before any file lands
+    n_before = t.read().count()
+    bad = ok.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(2 * 10**7)
+    ).withColumn("o_year", F.lit(1900))
+    with pytest.raises(ValueError, match="generated column"):
+        t.append(bad)
+    assert t.read().count() == n_before
+
+    # merge validates too: a source row contradicting the expression
+    upd = (
+        t.read()
+        .limit(5)
+        .withColumn("o_year", F.lit(1900))
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        t.merge(upd, ["o_orderkey"])
+    # and a consistent merge source passes
+    upd_ok = t.read().limit(5).withColumn("o_totalprice", F.lit(7.0))
+    t.merge(upd_ok, ["o_orderkey"])
+    assert t.read().filter(F.col("o_totalprice") == 7.0).count() == 5
+
+
+def test_identity_columns_assign_unique_and_conflict(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: the engine assigns values from
+    the high-water mark (delta.identity.* field metadata); explicit
+    values are rejected; a concurrent identity append conflicts on the
+    HWM bump instead of double-assigning a block."""
+    src = _orders(spark, 60).repartition(4)
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        src,
+        identity_columns={"row_id": (100, 10)},
+    )
+    got = t.read()
+    ids = sorted(r.row_id for r in got.collect())
+    assert ids == list(range(100, 100 + 60 * 10, 10))
+    # HWM persisted in the schema field metadata
+    meta = t._identity_meta(t._snapshot())["row_id"]
+    assert meta["delta.identity.highWaterMark"] == ids[-1]
+
+    # appends continue above the mark, never reusing values
+    more = _orders(spark, 80).subtract(src).limit(15)
+    t.append(more)
+    ids2 = sorted(r.row_id for r in t.read().collect())
+    assert len(ids2) == len(set(ids2)) == 75
+    assert min(i for i in ids2 if i not in ids) > ids[-1]
+
+    # explicit values are rejected (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.append(more.withColumn("row_id", F.lit(1).cast("long")))
+    # merge is a documented non-combination
+    with pytest.raises(NotImplementedError, match="identity"):
+        t.merge(t.read().limit(3), ["o_orderkey"])
+
+
+def test_identity_concurrent_append_conflicts(spark, tmp_path, monkeypatch):
+    src = _orders(spark, 40)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src, identity_columns={"rid": (1, 1)}
+    )
+    more = _orders(spark, 60).subtract(src).limit(10)
+    other = _orders(spark, 80).subtract(src).subtract(more).limit(5)
+    orig = DeltaishTable._write_files
+    fired = {"done": False}
+
+    def hook(self, df, partition_by=()):
+        if not fired["done"]:
+            fired["done"] = True
+            DeltaishTable(spark, t.path).append(other)
+        return orig(self, df, partition_by)
+
+    monkeypatch.setattr(DeltaishTable, "_write_files", hook)
+    with pytest.raises(ConcurrentCommitError, match="metadata"):
+        t.append(more)
+    monkeypatch.setattr(DeltaishTable, "_write_files", orig)
+    t.append(more)  # re-run on the fresh snapshot succeeds
+    ids = [r.rid for r in t.read().collect()]
+    assert len(ids) == len(set(ids)) == 55, "no identity value reused"
