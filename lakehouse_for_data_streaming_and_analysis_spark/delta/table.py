@@ -835,6 +835,49 @@ class DeltaishTable:
         dlog.write_commit(dest, 0, actions)
         return DeltaishTable(self.spark, dest)
 
+    def deep_clone(
+        self, dest_path: str, version: int | None = None
+    ) -> "DeltaishTable":
+        """CREATE TABLE ... CLONE (deep): like shallow_clone but the
+        snapshot's data files are COPIED under the clone root, so the
+        clone survives the source's VACUUM and lives on independent
+        storage. Stats and partition values carry over verbatim
+        (byte-identical files). Works for partitioned sources too —
+        relative paths preserve the Hive directory layout."""
+        snap = self._snapshot(version)
+        dest = os.path.abspath(dest_path)
+        if dlog.list_versions(dest):
+            raise ValueError(f"table already exists at {dest}")
+        os.makedirs(dest, exist_ok=True)
+        md = dict(snap.metadata)
+        md["id"] = uuid.uuid4().hex
+        actions: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": md},
+        ]
+        for p, a in snap.files.items():
+            src = os.path.join(self.path, p)
+            rel = (
+                p
+                if not os.path.isabs(p)
+                else f"part-{uuid.uuid4().hex}.parquet"
+            )
+            dst = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            add = dict(a)
+            add["path"] = rel
+            actions.append({"add": add})
+        actions.append(
+            dlog.commit_info(
+                "CLONE",
+                source=os.path.abspath(self.path),
+                sourceVersion=int(snap.version),
+            )
+        )
+        dlog.write_commit(dest, 0, actions)
+        return DeltaishTable(self.spark, dest)
+
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
         return {

@@ -1465,3 +1465,26 @@ def test_identity_concurrent_append_conflicts(spark, tmp_path, monkeypatch):
     t.append(more)  # re-run on the fresh snapshot succeeds
     ids = [r.rid for r in t.read().collect()]
     assert len(ids) == len(set(ids)) == 55, "no identity value reused"
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    """Deep clone copies the data files, so unlike a shallow clone it
+    survives the source's OPTIMIZE + VACUUM; partitioned sources
+    clone with their directory layout intact."""
+    src_rows = _orders(spark, 150)
+    src = DeltaishTable.create(
+        spark,
+        str(tmp_path / "src"),
+        src_rows,
+        partition_by=("o_orderstatus",),
+    )
+    clone = src.deep_clone(str(tmp_path / "deep"))
+    assert _rows(clone.read()) == _rows(src_rows)
+    # destroy the source's files entirely
+    src.optimize()
+    src.vacuum(retention_hours=0.0)
+    import shutil as _sh
+
+    _sh.rmtree(src.path)
+    assert _rows(clone.read()) == _rows(src_rows)
+    assert clone.history()[0]["operation"] == "CLONE"
