@@ -54,11 +54,16 @@ ROWS_ONLY: tuple[str, ...] = ()
 # Cumulative driver-green rows: 43 (r1) + 46 (r2) + 50 (r3) = 139,
 # disjoint sets (CORRECTNESS_r0{1,2,3}.json).
 #
-# ROUND-5 ENDGAME PLAN: after the round-4 window below, exactly 50
-# registry names remain never-driver-checked; they already sit in
-# queries() positions 50-99 (registry order), so the round-5 rotation
-# (`tools/rotate_window.py CORRECTNESS_r04.json --apply`) promotes
-# precisely this set and closes driver-green at 239/239:
+# ROUND-5 ENDGAME PLAN: after the round-4 window below, 50 of the
+# original 239 registry names remain never-driver-checked; they
+# already sit in queries() positions 50-99 (registry order), so the
+# round-5 rotation (`tools/rotate_window.py CORRECTNESS_r04.json
+# --apply`) promotes precisely this set and closes the original
+# registry at 239/239.  The three delta-feature queries added in r4
+# (deltalog_cdf_merge_feed, deltalog_clone_divergence,
+# deltalog_identity_generated — each sim+dtype-lint green) append to
+# the registry tail and take the three spare r5 window slots if the
+# driver accepts >50, else the r6 window:
 #   brand_basket_affinity, sequence_packing_map, weighted_sample_topk,
 #   twap_daily, vwap_returnflag_month, max_drawdown_by_type,
 #   ewma_daily_value, zscore_anomaly_days, pit_feature_join,

@@ -918,3 +918,234 @@ def streaming_state_audit(spark, sf_dir):
         rows,
         "event_type string, window_start string, sum_value double, n long",
     )
+
+
+@q(
+    "deltalog_cdf_merge_feed",
+    """WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 3 = 0),
+       src AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 = 0),
+       pre AS (SELECT t.o_orderkey, t.o_totalprice FROM tgt t
+               JOIN src s ON t.o_orderkey = s.o_orderkey),
+       post AS (SELECT s.o_orderkey, s.o_totalprice FROM src s
+                JOIN tgt t ON t.o_orderkey = s.o_orderkey),
+       ins AS (SELECT s.o_orderkey, s.o_totalprice FROM src s
+               WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)),
+       u AS (
+         SELECT 'update_preimage' AS change_type, COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM pre
+         UNION ALL
+         SELECT 'update_postimage', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM post
+         UNION ALL
+         SELECT 'insert', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM ins)
+       SELECT change_type, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM u""",
+)
+def deltalog_cdf_merge_feed(spark, sf_dir):
+    """Change Data Feed end-to-end (Delta's AddCDCFile surface,
+    delta/table.py read_change_feed): build a transaction-logged
+    table from the orders fixture (v0 CREATE keys ≡0 mod 3), enable
+    delta.enableChangeDataFeed (v1), MERGE a doubled-price source of
+    keys ≡0 mod 5 (v2 — updates where the key was loaded, inserts
+    elsewhere), then read the feed over (v1, v2] and aggregate per
+    _change_type. The oracle recomputes the three change classes
+    relationally — preimages carry the OLD price, postimages and
+    inserts the doubled one — so the hash match certifies that the
+    cdc files record exactly the row-level delta of the MERGE, the
+    contract an incremental downstream consumer depends on. Scratch
+    table is per-invocation (uuid dir) and removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"cdf-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark, table_dir, orders.filter(F.col("o_orderkey") % 3 == 0)
+        )
+        v1 = t.enable_change_data_feed()
+        v2 = t.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        rows = (
+            t.read_change_feed(v1, v2)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_type string, n_rows long, total_price double"
+    )
+
+
+@q(
+    "deltalog_clone_divergence",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       source_now AS (SELECT * FROM base WHERE o_orderkey % 4 IN (0, 2)),
+       clone_now AS (SELECT * FROM base WHERE o_orderkey % 4 IN (0, 1)),
+       u AS (
+         SELECT 'source' AS entity, COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+         FROM source_now
+         UNION ALL
+         SELECT 'clone', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM clone_now)
+       SELECT entity, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM u""",
+)
+def deltalog_clone_divergence(spark, sf_dir):
+    """SHALLOW CLONE divergence audit (delta/table.py shallow_clone):
+    create a table of orders keys ≡0 mod 4, zero-copy clone it (the
+    clone's v0 references the source's data files by absolute path —
+    the 100 TB dev/test-snapshot pattern), then diverge both sides:
+    append keys ≡1 to the CLONE and keys ≡2 to the SOURCE. The final
+    aggregate per entity must show each side holding base+its own
+    append only — the oracle recomputes both states relationally, so
+    the hash match certifies write isolation: post-clone writes never
+    leak across the metadata-only copy in either direction."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"clone-{uuid.uuid4().hex}"
+    )
+    try:
+        src = DeltaishTable.create(
+            spark,
+            os.path.join(root, "src"),
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+        )
+        clone = src.shallow_clone(os.path.join(root, "clone"))
+        clone.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        src.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+        rows = []
+        for entity, tbl in (("source", src), ("clone", clone)):
+            rows.extend(
+                tbl.read()
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                        2,
+                    )
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .select(
+                    F.lit(entity).alias("entity"), "n_rows", "total_price"
+                )
+                .collect()
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "entity string, n_rows long, total_price double"
+    )
+
+
+@q(
+    "deltalog_identity_generated",
+    """WITH v0 AS (SELECT o_orderkey, o_orderdate, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 = 0),
+       v1 AS (SELECT o_orderkey, o_orderdate, o_totalprice
+              FROM orders WHERE o_orderkey % 4 = 1),
+       allr AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+       g AS (SELECT CAST(1000 AS BIGINT) AS min_rid,
+                    CAST(1000 + 2 * (COUNT(*) - 1) AS BIGINT) AS max_rid,
+                    CAST(COUNT(*) AS BIGINT) AS n_rid
+             FROM allr)
+       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              g.min_rid, g.max_rid, g.n_rid
+       FROM allr CROSS JOIN g
+       GROUP BY 1, g.min_rid, g.max_rid, g.n_rid""",
+)
+def deltalog_identity_generated(spark, sf_dir):
+    """GENERATED ALWAYS AS + IDENTITY columns end-to-end
+    (delta/table.py create/_apply_generated/_apply_identity): create
+    a table from orders keys ≡0 mod 4 declaring o_year GENERATED
+    ALWAYS AS year(o_orderdate) and rid GENERATED ALWAYS AS IDENTITY
+    (START 1000 STEP 2), append keys ≡1 (both columns engine-
+    computed), and read back a per-year aggregate over the GENERATED
+    column joined with the global identity stats. The oracle derives
+    o_year relationally and predicts min/max/distinct rid from the
+    row counts alone — valid because the assignment is dense per
+    commit and the append continues from the committed high-water
+    mark, the protocol contract (delta.identity.highWaterMark) that
+    makes concurrent appends conflict instead of double-assigning."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"idgen-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+            generated_columns={"o_year": "year(o_orderdate)"},
+            identity_columns={"rid": (1000, 2)},
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        full = t.read()
+        g = full.agg(
+            F.min("rid").cast("long").alias("min_rid"),
+            F.max("rid").cast("long").alias("max_rid"),
+            F.countDistinct("rid").cast("long").alias("n_rid"),
+        )
+        rows = (
+            full.groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .crossJoin(F.broadcast(g))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_year int, n_rows long, total_price double, "
+        "min_rid long, max_rid long, n_rid long",
+    )
