@@ -1419,6 +1419,34 @@ class DeltaishTable:
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(path)
+        # Change-data files are never part of the live snapshot (cdc
+        # actions carry no removes), so age them out by their COMMIT
+        # timestamp, as delta-spark's VACUUM does: once a commit falls
+        # outside the retention window its cdc files go, and a
+        # read_change_feed over that range raises its loud
+        # range-expired error instead of silently shrinking.
+        for v in dlog.list_versions(self.path):
+            actions = dlog.read_commit(self.path, v)
+            ts_ms = next(
+                (
+                    a["commitInfo"].get("timestamp", 0)
+                    for a in actions
+                    if "commitInfo" in a
+                ),
+                0,
+            )
+            if ts_ms > cutoff:
+                continue
+            for a in actions:
+                if "cdc" not in a:
+                    continue
+                rel = a["cdc"]["path"]
+                full = os.path.join(self.path, rel)
+                if os.path.abspath(full).startswith(root) and os.path.exists(
+                    full
+                ):
+                    os.remove(full)
+                    deleted.append(rel)
         if deleted:
             self._commit_next(
                 [dlog.commit_info("VACUUM END", numDeletedFiles=len(deleted))],

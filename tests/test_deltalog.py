@@ -1488,3 +1488,32 @@ def test_deep_clone_survives_source_vacuum(spark, tmp_path):
     _sh.rmtree(src.path)
     assert _rows(clone.read()) == _rows(src_rows)
     assert clone.history()[0]["operation"] == "CLONE"
+
+
+def test_vacuum_ages_out_change_data_files(spark, tmp_path):
+    """VACUUM cleans _change_data files by COMMIT age, like
+    delta-spark: inside the retention window cdc files survive and
+    the feed reads; past it they are deleted and read_change_feed
+    raises its loud range-expired error instead of silently
+    shrinking the change set."""
+    src = _orders(spark, 12)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src.limit(8))
+    v1 = t.enable_change_data_feed()
+    v2 = t.merge(
+        src.limit(3).withColumn("o_totalprice", F.lit(7.0)),
+        ["o_orderkey"],
+    )
+    cdc_dir = str(tmp_path / "t" / "_change_data")
+    assert os.listdir(cdc_dir), "merge under CDF must write cdc files"
+
+    # within retention: untouched, feed still reads
+    t.vacuum(retention_hours=168.0)
+    assert os.listdir(cdc_dir)
+    assert t.read_change_feed(v1, v2).count() > 0
+
+    # past retention: cdc files deleted, feed range expired
+    deleted = t.vacuum(retention_hours=0.0)
+    assert any(p.startswith("_change_data/") for p in deleted)
+    assert not [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]
+    with pytest.raises(ValueError, match="missing cdc file|expired"):
+        t.read_change_feed(v1, v2).count()
