@@ -1149,3 +1149,104 @@ def deltalog_identity_generated(spark, sf_dir):
         "o_year int, n_rows long, total_price double, "
         "min_rid long, max_rid long, n_rid long",
     )
+
+
+@q(
+    "cdf_stream_consume",
+    """WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey % 3 = 0),
+       src AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 = 0),
+       upd AS (SELECT t.o_orderkey, t.o_totalprice AS old_p,
+                      s.o_totalprice AS new_p
+               FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey),
+       ins AS (SELECT s.o_orderkey, s.o_totalprice FROM src s
+               WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)),
+       u AS (
+         SELECT 'insert' AS change_type,
+                COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+         FROM (SELECT o_orderkey, o_totalprice FROM tgt
+               UNION ALL SELECT o_orderkey, o_totalprice FROM ins)
+         UNION ALL
+         SELECT 'update_preimage', COUNT(*),
+                SUM(CAST(old_p AS DECIMAL(18,2))) FROM upd
+         UNION ALL
+         SELECT 'update_postimage', COUNT(*),
+                SUM(CAST(new_p AS DECIMAL(18,2))) FROM upd)
+       SELECT change_type, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM u""",
+)
+def cdf_stream_consume(spark, sf_dir):
+    """The change feed consumed AS A STREAM (sources/cdf_stream.py —
+    Delta's streaming readChangeFeed): build a CDF-enabled table (v0
+    CREATE keys ≡0 mod 3, v1 enable, v2 MERGE doubling keys ≡0 mod
+    5), then run a real micro-batched StreamingQuery over
+    format("deltaish_cdf") from startingVersion 0 and aggregate every
+    change row it delivers per _change_type. v0's files synthesize as
+    inserts, the MERGE arrives from its cdc files as pre/post images
+    plus source-only inserts; the oracle recomputes all of it
+    relationally, so the hash match certifies the stream delivered
+    exactly the row-level history — the incremental-consumer contract.
+    Scratch table + checkpoint are per-invocation and removed."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..sources import cdf_stream
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"cdfstream-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            os.path.join(root, "t"),
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+        )
+        t.enable_change_data_feed()
+        t.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        cdf_stream.register(spark)
+        out = os.path.join(root, "out")
+        q_handle = (
+            spark.readStream.format("deltaish_cdf")
+            .option("path", t.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q_handle.awaitTermination(300):
+            q_handle.stop()
+            raise TimeoutError(
+                "cdf_stream_consume did not drain within 300s"
+            )
+        rows = (
+            spark.read.parquet(out)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "change_type string, n_rows long, total_price double"
+    )
