@@ -1250,3 +1250,101 @@ def cdf_stream_consume(spark, sf_dir):
     return spark.createDataFrame(
         rows, "change_type string, n_rows long, total_price double"
     )
+
+
+@q(
+    "cdf_incremental_view_maintenance",
+    """WITH tgt AS (SELECT o_orderkey, o_custkey, o_totalprice
+                    FROM orders WHERE o_orderkey % 3 = 0),
+       src AS (SELECT o_orderkey, o_custkey,
+                      o_totalprice * 2 AS o_totalprice
+               FROM orders WHERE o_orderkey % 5 = 0),
+       final AS (SELECT * FROM tgt
+                 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+                 UNION ALL SELECT * FROM src),
+       agg AS (SELECT o_custkey % 10 AS cust_bucket,
+                      COUNT(*) AS n_orders,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+               FROM final GROUP BY 1)
+       SELECT CAST(cust_bucket AS BIGINT) AS cust_bucket,
+              CAST(n_orders AS BIGINT) AS n_orders,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM agg""",
+)
+def cdf_incremental_view_maintenance(spark, sf_dir):
+    """Incremental view maintenance from the change feed — the reason
+    CDF exists: a downstream per-bucket aggregate is maintained by
+    FOLDING each commit's row-level delta instead of rescanning the
+    table. The materialized view starts from v0's snapshot aggregate;
+    the MERGE's feed rows then update it with the classic IVM algebra
+    (insert/update_postimage contribute +1/+value,
+    delete/update_preimage contribute -1/-value), all in one
+    signed-weight aggregation over read_change_feed — no UDFs, two
+    shuffles total (feed grouping + the merge of two grouped sets).
+    The oracle aggregates the FINAL relational state directly, so the
+    hash match certifies delta-folding ≡ recompute — at 100 TB the
+    view maintenance cost is proportional to the day's changes, not
+    the table. Scratch table per-invocation, removed on return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"ivm-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark, table_dir, orders.filter(F.col("o_orderkey") % 3 == 0)
+        )
+        v1 = t.enable_change_data_feed()
+        v2 = t.merge(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            ["o_orderkey"],
+        )
+        bucket = (F.col("o_custkey") % 10).cast("long").alias("cust_bucket")
+        base = (
+            t.read(version=0)
+            .groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "tp"
+                ),
+            )
+        )
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        delta = (
+            t.read_change_feed(v1, v2)
+            .withColumn("__w", w)
+            .groupBy(bucket)
+            .agg(
+                F.sum("__w").cast("long").alias("n_orders"),
+                F.sum(
+                    F.col("__w")
+                    * F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("tp"),
+            )
+        )
+        rows = (
+            base.unionByName(delta)
+            .groupBy("cust_bucket")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.round(F.sum("tp"), 2).cast("double").alias("total_price"),
+            )
+            .filter(F.col("n_orders") > 0)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "cust_bucket long, n_orders long, total_price double"
+    )
