@@ -168,11 +168,12 @@ class DeltaishTable:
 
     # Reader features this log implementation does NOT support. A
     # foreign (delta-spark-written) log carrying them must fail loudly,
-    # never read wrongly: id-mode column mapping resolves columns by
-    # parquet field id (this reader resolves by name), and deletion
-    # vectors mark rows of an add file as deleted (ignoring them
-    # resurrects deleted rows). NAME-mode column mapping IS supported
-    # on the read path — see _column_mapping.
+    # never read wrongly: deletion vectors mark rows of an add file as
+    # deleted (ignoring them resurrects deleted rows). BOTH
+    # column-mapping modes ARE supported on the read path: name mode
+    # resolves by the stored physicalName (_column_mapping), id mode
+    # by parquet field id via Spark's fieldId reader (_column_ids +
+    # parquet.field.id read-schema metadata).
     _UNSUPPORTED_READER_FEATURES = ("deletionVectors",)
 
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
@@ -181,11 +182,11 @@ class DeltaishTable:
             raise FileNotFoundError(f"no Deltaish log at {self.path}")
         conf = snap.metadata.get("configuration", {}) or {}
         cm = conf.get("delta.columnMapping.mode", "none")
-        if cm not in ("none", "name"):
+        if cm not in ("none", "name", "id"):
             raise NotImplementedError(
-                f"delta.columnMapping.mode={cm!r}: id-mode mapping "
-                "resolves columns by parquet field id, which this "
-                "reader does not implement. Read with delta-spark."
+                f"delta.columnMapping.mode={cm!r}: unknown mapping "
+                "mode; reading under a guess would corrupt results. "
+                "Read with delta-spark."
             )
         feats = set(snap.protocol.get("readerFeatures", []) or [])
         bad = feats.intersection(self._UNSUPPORTED_READER_FEATURES)
@@ -245,6 +246,24 @@ class DeltaishTable:
             phys = md.get("delta.columnMapping.physicalName")
             if phys:
                 out[f["name"]] = phys
+        return out
+
+    def _column_ids(self, snap: dlog.Snapshot) -> dict[str, int]:
+        """logical name -> parquet field id under ID-mode mapping
+        (``delta.columnMapping.id`` field metadata). The protocol
+        requires every field to carry an id in id mode; a field
+        without one is refused — resolving it by name instead would
+        silently read the wrong column after a rename."""
+        out: dict[str, int] = {}
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            md = f.get("metadata", {}) or {}
+            if "delta.columnMapping.id" not in md:
+                raise NotImplementedError(
+                    f"id-mode column mapping: field {f['name']!r} has "
+                    "no delta.columnMapping.id; cannot resolve it by "
+                    "parquet field id. Read with delta-spark."
+                )
+            out[f["name"]] = int(md["delta.columnMapping.id"])
         return out
 
     @property
@@ -903,11 +922,25 @@ class DeltaishTable:
         if not rel_paths:
             return self.spark.createDataFrame([], schema)
         mapping = self._column_mapping(snap)
+        conf = snap.metadata.get("configuration", {}) or {}
+        id_mode = conf.get("delta.columnMapping.mode", "none") == "id"
+        ids = self._column_ids(snap) if id_mode else {}
         read_schema = (
             T.StructType(
                 [
                     T.StructField(
-                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                        mapping.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                        # ID mode: annotate the requested field with
+                        # its parquet field id — Spark's reader then
+                        # matches columns BY ID, the mode's contract
+                        # (robust to physical-name drift across
+                        # renames). Name mode matches by the physical
+                        # name alone.
+                        {"parquet.field.id": ids[f.name]}
+                        if f.name in ids
+                        else None,
                     )
                     for f in schema.fields
                 ]
@@ -915,6 +948,15 @@ class DeltaishTable:
             if mapping
             else schema
         )
+        if id_mode:
+            # runtime-settable; only affects schemas that carry
+            # parquet.field.id metadata (exactly these reads). A file
+            # lacking field ids then fails loudly (ignoreMissing
+            # stays false) instead of resolving by possibly-renamed
+            # names.
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         reader = self.spark.read.schema(read_schema)
         if snap.metadata.get("partitionColumns"):
             # basePath drives partition-dir inference; it also requires

@@ -1168,18 +1168,112 @@ def test_name_mode_column_mapping_reads_logical(spark, tmp_path):
         t.as_stream()
 
 
-def test_id_mode_column_mapping_fails_loudly(spark, tmp_path):
-    """id-mode resolves columns by parquet field id, which this reader
-    does not implement — refuse, never read wrongly."""
+def test_id_mode_column_mapping_resolves_by_field_id(spark, tmp_path):
+    """ID-mode resolves columns by PARQUET FIELD ID, not name: the
+    file's internal column name deliberately differs from the
+    metadata physicalName, so a name-based read would come back
+    all-null — the field-id path (parquet.field.id read-schema
+    metadata + spark.sql.parquet.fieldId.read.enabled) returns the
+    data. Stats keys stay physical, so skipping still translates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "cmid"
+    root.mkdir()
+    phys = "col-9a1b2c3d-0000-4000-8000-deadbeef0002"
+    # file column name ≠ physicalName: only field id 1 links them
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([1, 2, 3], type=pa.int64())],
+            schema=pa.schema(
+                [
+                    pa.field(
+                        "renamed-away",
+                        pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    )
+                ]
+            ),
+        ),
+        str(root / "part-00000.parquet"),
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": phys,
+                    },
+                }
+            ],
+        }
+    )
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "00000000-0000-0000-0000-00000000cd01",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "1",
+                },
+            }
+        },
+        {
+            "add": {
+                "path": "part-00000.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(str(root / "part-00000.parquet")),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps(
+                    {
+                        "numRecords": 3,
+                        "minValues": {phys: 1},
+                        "maxValues": {phys: 3},
+                    }
+                ),
+            }
+        },
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1700000000000}},
+    ]
+    with open(log_dir / "00000000000000000000.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    t = DeltaishTable(spark, str(root))
+    got = t.read()
+    assert got.columns == ["id"]
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    assert t.files_matching("id", 10, 20) == []
+    assert _rows(t.read_pruned("id", 2, 3)) == [("2",), ("3",)]
+    # writes stay refused under any mapping
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        t.append(got)
+
+
+def test_id_mode_without_field_ids_fails_loudly(spark, tmp_path):
+    """An id-mode schema whose field lacks delta.columnMapping.id
+    cannot be resolved — refuse, never guess by name."""
     _foreign_log(
-        tmp_path / "cmid",
+        tmp_path / "cmid2",
         {"minReaderVersion": 2, "minWriterVersion": 5},
         {"delta.columnMapping.mode": "id",
          "delta.columnMapping.maxColumnId": "1"},
-        phys_col="col-9a1b2c3d-0000-4000-8000-deadbeef0002",
+        phys_col=None,
     )
-    t = DeltaishTable(spark, str(tmp_path / "cmid"))
-    with pytest.raises(NotImplementedError, match="id-mode"):
+    t = DeltaishTable(spark, str(tmp_path / "cmid2"))
+    with pytest.raises(NotImplementedError, match="no delta.columnMapping.id"):
         t.read()
 
 
