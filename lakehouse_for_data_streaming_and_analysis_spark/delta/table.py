@@ -1255,6 +1255,66 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
+    def delete(self, condition) -> int:
+        """DELETE FROM ... WHERE — copy-on-write row-level delete,
+        Delta's semantics: rows where ``condition`` IS TRUE go (NULL
+        keeps the row, like SQL DELETE); only files OWNING a matching
+        row are rewritten, located by one distributed tagged scan
+        (``input_file_name``), so a delete touching one day of a
+        date-partitioned 100 TB table rewrites that day's files, not
+        the table. A file whose rows all match becomes a pure remove
+        (no rewrite). Under ``delta.enableChangeDataFeed`` the
+        deleted rows are recorded as cdc ``delete`` actions — without
+        them a rewriting delete cannot be attributed per-row, and
+        read_change_feed refuses such commits (same rule as MERGE).
+        The driver-side collect is the touched-FILE list — metadata-
+        sized, same class as the log's own file listing."""
+        snap = self._snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        all_files = list(snap.files)
+        if not all_files:
+            return snap.version
+        tagged = self._read_snapshot_files(snap, all_files).withColumn(
+            "__file", F.input_file_name()
+        )
+        root = os.path.abspath(self.path)
+        touched = []
+        for r in (
+            tagged.filter(is_match).select("__file").distinct().collect()
+        ):
+            p = r["__file"]
+            p = p[len("file:"):] if p.startswith("file:") else p
+            touched.append(os.path.relpath(os.path.abspath(p), root))
+        if not touched:
+            return snap.version  # nothing matches: no-op, no commit
+        target = self._read_snapshot_files(snap, touched)
+        kept = target.filter(~is_match)
+        adds = (
+            self._write_files(kept, pcols)
+            if kept.limit(1).count() > 0
+            else []
+        )
+        cdc_actions = []
+        if self._cdf_enabled(snap):
+            cdc_actions = self._write_cdc_files(
+                target.filter(is_match).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *({"remove": self._tombstone(p)} for p in touched),
+                *({"cdc": c} for c in cdc_actions),
+                dlog.commit_info(
+                    "DELETE", numTouchedFiles=len(touched)
+                ),
+            ],
+            read_version=snap.version,
+        )
+
     # ------------------------------------------------------------ maintenance
 
     def _data_schema(self, snap: dlog.Snapshot) -> T.StructType:
@@ -1695,9 +1755,13 @@ class DeltaishTable:
                         for c in cdc
                     ]
                 )
-            elif adds and removes and op == "MERGE":
+            elif adds and removes and op in ("MERGE", "DELETE"):
+                # rewriting ops mix touched and untouched rows in the
+                # same files; only cdc actions can attribute them.
+                # (A DELETE with removes ONLY — whole files gone —
+                # synthesizes accurately and takes the else branch.)
                 raise ValueError(
-                    f"version {v} is a MERGE without cdc files — "
+                    f"version {v} is a {op} without cdc files — "
                     "delta.enableChangeDataFeed was not set when it "
                     "committed; its rewritten files cannot be "
                     "attributed per-row. Start the feed after it."

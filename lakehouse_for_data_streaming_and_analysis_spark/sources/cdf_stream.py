@@ -158,9 +158,10 @@ def _commit_partitions(
         ]
         if cdc:
             files = [(p, "cdc") for p in cdc]
-        elif adds and removes and op == "MERGE":
+        elif adds and removes and op in ("MERGE", "DELETE"):
+            # rewriting ops can only be attributed per-row by cdc
             raise ValueError(
-                f"deltaish_cdf: version {v} is a MERGE without cdc "
+                f"deltaish_cdf: version {v} is a {op} without cdc "
                 "files — delta.enableChangeDataFeed was not set when "
                 "it committed; start the feed after it"
             )

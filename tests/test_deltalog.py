@@ -1611,3 +1611,68 @@ def test_vacuum_ages_out_change_data_files(spark, tmp_path):
     assert not [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]
     with pytest.raises(ValueError, match="missing cdc file|expired"):
         t.read_change_feed(v1, v2).count()
+
+
+def test_delete_copy_on_write_prunes_files(spark, tmp_path):
+    """DELETE rewrites ONLY files owning a matching row; a file whose
+    rows all match becomes a pure remove; NULL predicate keeps the
+    row (SQL DELETE semantics); no-match is a no-op commit-wise."""
+    src = _orders(spark, 40).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    before = {r.o_orderkey for r in t.read().collect()}
+    n_files_before = len(t._snapshot().files)
+    keys = sorted(before)
+    victims = set(keys[:3])
+
+    v1 = t.delete(F.col("o_orderkey").isin(*victims))
+    after = {r.o_orderkey for r in t.read().collect()}
+    assert after == before - victims
+    # only the range-partitioned files holding the 3 lowest keys were
+    # touched: the commit's removes must be a strict subset
+    removes = [
+        a["remove"]["path"]
+        for a in dlog.read_commit(t.path, v1)
+        if "remove" in a
+    ]
+    assert 0 < len(removes) < n_files_before
+
+    # no-op: nothing matches -> same version, no empty commit
+    assert t.delete(F.col("o_orderkey") < -1) == v1
+
+    # whole-table delete -> pure removes, zero adds
+    v2 = t.delete(F.lit(True))
+    acts = dlog.read_commit(t.path, v2)
+    assert not [a for a in acts if "add" in a]
+    assert t.read().count() == 0
+
+
+def test_delete_cdf_attribution(spark, tmp_path):
+    """Under CDF a DELETE records its rows as cdc delete actions and
+    the feed reads them; without CDF a rewriting DELETE cannot be
+    attributed and both feed readers refuse it."""
+    from lakehouse_for_data_streaming_and_analysis_spark.sources import cdf_stream
+
+    src = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    v1 = t.enable_change_data_feed()
+    keys = sorted(r.o_orderkey for r in src.collect())[:4]
+    v2 = t.delete(F.col("o_orderkey").isin(*keys))
+    feed = t.read_change_feed(v1, v2)
+    assert sorted(r.o_orderkey for r in feed.collect()) == keys
+    assert {r._change_type for r in feed.collect()} == {"delete"}
+
+    # pre-CDF rewriting delete: refused by both readers
+    t2 = DeltaishTable.create(
+        spark, str(tmp_path / "t2"), src.repartition(2)
+    )
+    k2 = sorted(r.o_orderkey for r in src.collect())[:2]
+    v = t2.delete(F.col("o_orderkey").isin(*k2))
+    acts = dlog.read_commit(t2.path, v)
+    assert [a for a in acts if "add" in a], "rewriting delete expected"
+    with pytest.raises(ValueError, match="DELETE without cdc"):
+        t2.read_change_feed(0, v)
+    cdf_stream.register(spark)
+    with pytest.raises(Exception, match="DELETE without cdc"):
+        spark.read.format("deltaish_cdf").option("path", t2.path).option(
+            "startingVersion", v
+        ).load().collect()
