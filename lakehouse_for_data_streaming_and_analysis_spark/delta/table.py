@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import log as dlog
+from . import roaring
 from .log import ConcurrentCommitError
 
 
@@ -166,15 +167,17 @@ class DeltaishTable:
         dlog.write_commit(t.path, 0, actions)
         return t
 
-    # Reader features this log implementation does NOT support. A
-    # foreign (delta-spark-written) log carrying them must fail loudly,
-    # never read wrongly: deletion vectors mark rows of an add file as
-    # deleted (ignoring them resurrects deleted rows). BOTH
-    # column-mapping modes ARE supported on the read path: name mode
-    # resolves by the stored physicalName (_column_mapping), id mode
-    # by parquet field id via Spark's fieldId reader (_column_ids +
-    # parquet.field.id read-schema metadata).
-    _UNSUPPORTED_READER_FEATURES = ("deletionVectors",)
+    # Reader features this log implementation does NOT support fail
+    # loudly rather than read wrongly. Currently the full protocol
+    # reader surface is covered: BOTH column-mapping modes (name mode
+    # by stored physicalName via _column_mapping, id mode by parquet
+    # field id via _column_ids + parquet.field.id read-schema
+    # metadata) and deletionVectors (delta/roaring.py decodes the
+    # 64-bit RoaringBitmapArray DV format with strict magic/CRC/
+    # framing validation, so a serialization we misread REFUSES
+    # instead of resurrecting or dropping rows; _read_snapshot_files
+    # anti-joins deleted (file, row_index) pairs out of every scan).
+    _UNSUPPORTED_READER_FEATURES = ()
 
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
         snap = dlog.replay(self.path, until=version)
@@ -196,13 +199,6 @@ class DeltaishTable:
                 "this reader does not implement them and reading "
                 "would corrupt results. Read with delta-spark."
             )
-        for p, a in snap.files.items():
-            if a.get("deletionVector"):
-                raise NotImplementedError(
-                    f"file {p} carries a deletion vector; ignoring it "
-                    "would resurrect deleted rows. Unsupported — read "
-                    "with delta-spark."
-                )
         return snap
 
     @staticmethod
@@ -779,6 +775,16 @@ class DeltaishTable:
             for p in tgt.files
             if not os.path.exists(os.path.join(self.path, p))
         ]
+        for p, a in tgt.files.items():
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                enc = dv["pathOrInlineDv"]
+                u = uuid.UUID(bytes=roaring.b85_decode(enc[-20:]))
+                dv_path = os.path.join(
+                    self.path, enc[:-20], f"deletion_vector_{u}.bin"
+                )
+                if not os.path.exists(dv_path):
+                    missing.append(os.path.basename(dv_path))
         if missing:
             raise FileNotFoundError(
                 f"cannot RESTORE to version {version}: "
@@ -897,6 +903,68 @@ class DeltaishTable:
         dlog.write_commit(dest, 0, actions)
         return DeltaishTable(self.spark, dest)
 
+    # ------------------------------------------------- deletion vectors
+
+    def dv_positions(self, dv: dict) -> list[int]:
+        """Deleted row positions from a deletionVector descriptor.
+        storageType 'u' (uuid-named file under the table, the default
+        delta-spark layout), 'p' (absolute path), and 'i' (inline
+        base85) are supported; every frame field (on-disk version
+        byte, dataSize vs sizeInBytes, CRC-32, magic, bitmap framing)
+        is validated so an unrecognized serialization refuses loudly
+        instead of decoding wrong."""
+        return roaring.read_descriptor(self.path, dv)
+
+    def _write_dv_file(
+        self, positions_by_path: dict[str, list[int]]
+    ) -> dict[str, dict]:
+        """One uuid-named DV file holding every touched file's bitmap
+        (the delta-spark layout: many DVs, one physical file per
+        commit), returning path -> deletionVector descriptor."""
+        u = uuid.uuid4()
+        buf = bytearray(b"\x01")
+        out: dict[str, dict] = {}
+        for p, positions in positions_by_path.items():
+            off = len(buf)
+            entry, size = roaring.pack_dv_entry(positions)
+            buf += entry
+            out[p] = {
+                "storageType": "u",
+                "pathOrInlineDv": roaring.b85_encode(u.bytes),
+                "offset": off,
+                "sizeInBytes": size,
+                "cardinality": len(set(positions)),
+            }
+        with open(
+            os.path.join(self.path, f"deletion_vector_{u}.bin"), "wb"
+        ) as f:
+            f.write(bytes(buf))
+        return out
+
+    def _dv_protocol_actions(self, snap: dlog.Snapshot) -> list[dict]:
+        """The protocol upgrade the first DV write must commit
+        (minReaderVersion 3 / minWriterVersion 7 + the feature
+        flags), or [] if the table already declares it."""
+        proto = snap.protocol or {}
+        if "deletionVectors" in (proto.get("readerFeatures") or []):
+            return []
+        return [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                }
+            }
+        ]
+
     @staticmethod
     def _tombstone(path: str, data_change: bool = True) -> dict:
         return {
@@ -907,8 +975,31 @@ class DeltaishTable:
 
     # ------------------------------------------------------------ reads
 
+    def _dv_pos_df(self, dv_map: dict[str, dict]) -> DataFrame:
+        """(file URI, row index) pairs deleted by the given
+        deletionVector descriptors — the anti-join side of a DV-aware
+        scan. Driver memory is bounded by the total DV cardinality of
+        the files being READ (the deleted-row count, which OPTIMIZE/
+        purge keeps small by materializing old DVs)."""
+        rows = []
+        for rel, dv in dv_map.items():
+            # Spark renders _metadata.file_path in the single-slash
+            # Hadoop form ("file:/abs/path"), not the RFC "file:///"
+            uri = "file:" + os.path.abspath(
+                os.path.join(self.path, rel)
+            )
+            for pos in self.dv_positions(dv):
+                rows.append((uri, pos))
+        return self.spark.createDataFrame(
+            rows, "__dv_fp string, __dv_ri long"
+        )
+
     def _read_snapshot_files(
-        self, snap: dlog.Snapshot, rel_paths
+        self,
+        snap: dlog.Snapshot,
+        rel_paths,
+        dv_map: dict[str, dict] | None = None,
+        keep_tags: bool = False,
     ) -> DataFrame:
         """Read files under the snapshot's DECLARED schema (not
         inference): files predating a schema evolution lack the new
@@ -916,11 +1007,35 @@ class DeltaishTable:
         from directory paths at their declared types. Under NAME-mode
         column mapping the files (and partition directories) carry
         PHYSICAL column names — read with the physical schema and
-        rename back to logical."""
+        rename back to logical.
+
+        Deletion vectors: rows whose (file, row_index) pair appears in
+        a referenced DV are anti-joined out. ``dv_map`` overrides the
+        descriptors (path -> deletionVector) — the change-feed
+        synthesizer passes the COMMIT's own DV state so historical
+        inserts are not filtered by later deletes; by default the
+        SNAPSHOT's descriptors apply. ``keep_tags`` preserves the
+        ``__fp`` (file URI) / ``__ri`` (row index) columns for writers
+        that need row positions (merge-on-read delete)."""
         schema = self._schema_for(snap)
         rel_paths = list(rel_paths)
         if not rel_paths:
-            return self.spark.createDataFrame([], schema)
+            empty_schema = schema
+            if keep_tags:
+                empty_schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__fp", T.StringType()),
+                        T.StructField("__ri", T.LongType()),
+                    ]
+                )
+            return self.spark.createDataFrame([], empty_schema)
+        if dv_map is None:
+            dv_map = {
+                p: snap.files[p]["deletionVector"]
+                for p in rel_paths
+                if p in snap.files and snap.files[p].get("deletionVector")
+            }
         mapping = self._column_mapping(snap)
         conf = snap.metadata.get("configuration", {}) or {}
         id_mode = conf.get("delta.columnMapping.mode", "none") == "id"
@@ -967,12 +1082,30 @@ class DeltaishTable:
         df = reader.parquet(
             *[os.path.join(self.path, p) for p in rel_paths]
         )
-        return df.select(
-            *[
-                F.col(mapping.get(f.name, f.name)).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        tag = bool(dv_map) or keep_tags
+        if tag:
+            # _metadata must be captured on the scan itself — joins
+            # and projections downstream lose the hidden column
+            df = df.withColumn(
+                "__fp", F.col("_metadata.file_path")
+            ).withColumn("__ri", F.col("_metadata.row_index"))
+        if dv_map:
+            df = df.join(
+                F.broadcast(
+                    self._dv_pos_df(dv_map).withColumnRenamed(
+                        "__dv_fp", "__fp"
+                    ).withColumnRenamed("__dv_ri", "__ri")
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        proj = [
+            F.col(mapping.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        if keep_tags:
+            proj += [F.col("__fp"), F.col("__ri")]
+        return df.select(*proj)
 
     def _read_files(self, rel_paths: list[str]) -> DataFrame:
         return self._read_snapshot_files(self._snapshot(), rel_paths)
@@ -1255,20 +1388,40 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
-    def delete(self, condition) -> int:
-        """DELETE FROM ... WHERE — copy-on-write row-level delete,
-        Delta's semantics: rows where ``condition`` IS TRUE go (NULL
-        keeps the row, like SQL DELETE); only files OWNING a matching
-        row are rewritten, located by one distributed tagged scan
-        (``input_file_name``), so a delete touching one day of a
-        date-partitioned 100 TB table rewrites that day's files, not
-        the table. A file whose rows all match becomes a pure remove
-        (no rewrite). Under ``delta.enableChangeDataFeed`` the
-        deleted rows are recorded as cdc ``delete`` actions — without
-        them a rewriting delete cannot be attributed per-row, and
-        read_change_feed refuses such commits (same rule as MERGE).
-        The driver-side collect is the touched-FILE list — metadata-
-        sized, same class as the log's own file listing."""
+    def _uri_to_rel(self, uri: str) -> str:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        return os.path.relpath(
+            os.path.abspath(p), os.path.abspath(self.path)
+        )
+
+    def delete(self, condition, mode: str = "copy_on_write") -> int:
+        """DELETE FROM ... WHERE — row-level delete, Delta's
+        semantics: rows where ``condition`` IS TRUE go (NULL keeps
+        the row, like SQL DELETE); only files OWNING a matching row
+        are touched, located by one distributed tagged scan.
+
+        ``mode="copy_on_write"`` rewrites the touched files minus
+        their matching rows (a file whose rows all match becomes a
+        pure remove) — a delete touching one day of a date-
+        partitioned 100 TB table rewrites that day's files, not the
+        table.
+
+        ``mode="merge_on_read"`` writes DELETION VECTORS instead
+        (protocol readerFeature deletionVectors, upgraded on first
+        use): the touched files are re-added unchanged with a roaring
+        bitmap of their deleted row positions, so deleting 0.1% of a
+        100 TB table writes kilobytes of bitmap, zero data bytes —
+        reads anti-join the positions out, and OPTIMIZE/purge()
+        materializes them later. The driver-side collect is the
+        deleted (file, position) set — bounded by the rows deleted in
+        THIS call, not the table.
+
+        Under ``delta.enableChangeDataFeed`` the deleted rows are
+        recorded as cdc ``delete`` actions in both modes — without
+        them a rewriting/DV delete cannot be attributed per-row, and
+        the feed readers refuse such commits (same rule as MERGE)."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         snap = self._snapshot()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
@@ -1276,17 +1429,82 @@ class DeltaishTable:
         all_files = list(snap.files)
         if not all_files:
             return snap.version
-        tagged = self._read_snapshot_files(snap, all_files).withColumn(
-            "__file", F.input_file_name()
+        cdf = self._cdf_enabled(snap)
+
+        if mode == "merge_on_read":
+            tagged = self._read_snapshot_files(
+                snap, all_files, keep_tags=True
+            )
+            matches = tagged.filter(is_match)
+            hit_rows = matches.select("__fp", "__ri").collect()
+            if not hit_rows:
+                return snap.version  # no-op
+            new_pos: dict[str, list[int]] = {}
+            for r in hit_rows:
+                new_pos.setdefault(self._uri_to_rel(r["__fp"]), []).append(
+                    r["__ri"]
+                )
+            positions_by_path: dict[str, list[int]] = {}
+            full_removes: list[str] = []
+            for rel, pos in new_pos.items():
+                old_dv = snap.files[rel].get("deletionVector")
+                merged = sorted(
+                    set(pos)
+                    | set(self.dv_positions(old_dv) if old_dv else ())
+                )
+                stats = snap.files[rel].get("stats")
+                n_rec = (
+                    json.loads(stats).get("numRecords")
+                    if isinstance(stats, str)
+                    else (stats or {}).get("numRecords")
+                ) if stats else None
+                if n_rec is not None and len(merged) >= n_rec:
+                    full_removes.append(rel)  # every row dead: drop file
+                else:
+                    positions_by_path[rel] = merged
+            descriptors = (
+                self._write_dv_file(positions_by_path)
+                if positions_by_path
+                else {}
+            )
+            actions: list[dict] = self._dv_protocol_actions(snap)
+            for rel, dv in descriptors.items():
+                new_add = dict(snap.files[rel])
+                new_add["deletionVector"] = dv
+                new_add["dataChange"] = True
+                actions.append({"remove": self._tombstone(rel)})
+                actions.append({"add": new_add})
+            actions.extend(
+                {"remove": self._tombstone(p)} for p in full_removes
+            )
+            if cdf:
+                actions.extend(
+                    {"cdc": c}
+                    for c in self._write_cdc_files(
+                        matches.drop("__fp", "__ri").withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
+            actions.append(
+                dlog.commit_info(
+                    "DELETE",
+                    mode="merge-on-read",
+                    numDeletionVectors=len(descriptors),
+                )
+            )
+            return self._commit_next(actions, read_version=snap.version)
+
+        tagged = self._read_snapshot_files(snap, all_files, keep_tags=True)
+        touched = sorted(
+            {
+                self._uri_to_rel(r["__fp"])
+                for r in tagged.filter(is_match)
+                .select("__fp")
+                .distinct()
+                .collect()
+            }
         )
-        root = os.path.abspath(self.path)
-        touched = []
-        for r in (
-            tagged.filter(is_match).select("__file").distinct().collect()
-        ):
-            p = r["__file"]
-            p = p[len("file:"):] if p.startswith("file:") else p
-            touched.append(os.path.relpath(os.path.abspath(p), root))
         if not touched:
             return snap.version  # nothing matches: no-op, no commit
         target = self._read_snapshot_files(snap, touched)
@@ -1297,7 +1515,7 @@ class DeltaishTable:
             else []
         )
         cdc_actions = []
-        if self._cdf_enabled(snap):
+        if cdf:
             cdc_actions = self._write_cdc_files(
                 target.filter(is_match).withColumn(
                     "_change_type", F.lit("delete")
@@ -1310,6 +1528,39 @@ class DeltaishTable:
                 *({"cdc": c} for c in cdc_actions),
                 dlog.commit_info(
                     "DELETE", numTouchedFiles=len(touched)
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def purge(self) -> int:
+        """REORG TABLE ... APPLY (PURGE): materialize every deletion
+        vector by rewriting its file WITHOUT the deleted rows,
+        committed with dataChange=false on both sides — the logical
+        content is unchanged (DV'd rows were already logically gone),
+        so streams and the change feed skip it, exactly like
+        OPTIMIZE. Run this before zorder_by on a DV'd table and to
+        reclaim the scan-side anti-join cost once DVs accumulate."""
+        snap = self._snapshot()
+        dv_paths = [
+            p for p, a in snap.files.items() if a.get("deletionVector")
+        ]
+        if not dv_paths:
+            return snap.version
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        live = self._read_snapshot_files(snap, dv_paths)  # DVs applied
+        adds = self._write_files(live, pcols)
+        for a in adds:
+            a["dataChange"] = False
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *(
+                    {"remove": self._tombstone(p, data_change=False)}
+                    for p in dv_paths
+                ),
+                dlog.commit_info(
+                    "REORG", applyPurge=True, numPurgedFiles=len(dv_paths)
                 ),
             ],
             read_version=snap.version,
@@ -1340,6 +1591,11 @@ class DeltaishTable:
         groups: dict[tuple, list[str]] = {}
         sizes: dict[tuple, int] = {}
         for path, add in snap.files.items():
+            if add.get("deletionVector"):
+                # compaction reads files RAW; folding a DV'd file in
+                # would resurrect its deleted rows. purge() is the
+                # DV-materializing rewrite — leave these to it.
+                continue
             key = tuple(sorted(add.get("partitionValues", {}).items()))
             groups.setdefault(key, []).append(path)
             sizes[key] = sizes.get(key, 0) + add.get("size", 0)
@@ -1458,6 +1714,15 @@ class DeltaishTable:
         pcols = snap.metadata.get("partitionColumns", ())
         if set(zcols) & set(pcols):
             raise ValueError("zorder columns cannot be partition columns")
+        if pcols and any(
+            a.get("deletionVector") for a in snap.files.values()
+        ):
+            # the partitioned path reads files raw; run purge() first
+            # so deleted rows cannot leak into the clustered rewrite
+            raise ValueError(
+                "zorder_by on a partitioned table with deletion "
+                "vectors: call purge() first to materialize them"
+            )
         if not pcols:
             clustered = self._clustered(
                 self._read_snapshot_files(snap, snap.files), zcols, n_files, bits
@@ -1521,6 +1786,36 @@ class DeltaishTable:
                 if os.path.exists(full):
                     os.remove(full)
                     deleted.append(path)
+        # Deletion-vector files: referenced only through live adds'
+        # descriptors (never tombstoned as such), so clean the ones no
+        # live add references once they age past retention — the
+        # delta-spark rule. Mtime is the age proxy (the file is
+        # written once, at its commit).
+        live_dvs = set()
+        for a in snap.files.values():
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                enc = dv["pathOrInlineDv"]
+                u = uuid.UUID(bytes=roaring.b85_decode(enc[-20:]))
+                live_dvs.add(
+                    os.path.abspath(
+                        os.path.join(
+                            self.path, enc[:-20], f"deletion_vector_{u}.bin"
+                        )
+                    )
+                )
+        for fn in os.listdir(self.path):
+            if not (
+                fn.startswith("deletion_vector_") and fn.endswith(".bin")
+            ):
+                continue
+            full = os.path.join(self.path, fn)
+            if (
+                os.path.abspath(full) not in live_dvs
+                and os.path.getmtime(full) * 1000.0 <= cutoff
+            ):
+                os.remove(full)
+                deleted.append(fn)
         # Change-data files are never part of the live snapshot (cdc
         # actions carry no removes), so age them out by their COMMIT
         # timestamp, as delta-spark's VACUUM does: once a commit falls
@@ -1571,6 +1866,7 @@ class DeltaishTable:
         documented limit, same failure mode as Delta streaming reads
         without CDF."""
         paths: list[str] = []
+        dv_map: dict[str, dict] = {}
         for v in dlog.list_versions(self.path):
             if v <= v_from or v > v_to:
                 continue
@@ -1586,6 +1882,13 @@ class DeltaishTable:
                     )
                 if "add" in action and action["add"].get("dataChange", True):
                     paths.append(action["add"]["path"])
+                    # the action's OWN DV state, never the current
+                    # snapshot's: deletes after the range must not
+                    # shrink the historical delta
+                    if action["add"].get("deletionVector"):
+                        dv_map[action["add"]["path"]] = action["add"][
+                            "deletionVector"
+                        ]
         gone = [
             p for p in paths if not os.path.exists(os.path.join(self.path, p))
         ]
@@ -1599,7 +1902,9 @@ class DeltaishTable:
                 f"{len(gone)} vacuumed file(s) (e.g. {gone[0]}); the "
                 "range has expired — recompute from the snapshot"
             )
-        return self._read_files(paths)
+        return self._read_snapshot_files(
+            self._snapshot(), paths, dv_map=dv_map
+        )
 
     # ------------------------------------------------- change data feed
     #
@@ -1780,15 +2085,34 @@ class DeltaishTable:
                     )
                 dfs = []
                 if adds:
-                    dfs.append(
-                        self._read_snapshot_files(snap, adds).withColumn(
-                            "_change_type", F.lit("insert")
-                        )
-                    )
-                if removes:
+                    # apply the COMMIT's own DV state (the add action
+                    # carries it — e.g. a restore re-adding DV'd
+                    # files), never the latest snapshot's: later
+                    # deletes must not erase historical inserts
+                    dv_adds = {
+                        a["add"]["path"]: a["add"]["deletionVector"]
+                        for a in actions
+                        if "add" in a and a["add"].get("deletionVector")
+                    }
                     dfs.append(
                         self._read_snapshot_files(
-                            snap, removes
+                            snap, adds, dv_map=dv_adds
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                if removes:
+                    # a removed file's effective rows are those live
+                    # in the PRIOR snapshot — its DV state then, not
+                    # now (tombstones don't carry descriptors)
+                    prev = dlog.replay(self.path, until=v - 1)
+                    dv_rm = {
+                        p: prev.files[p]["deletionVector"]
+                        for p in removes
+                        if p in prev.files
+                        and prev.files[p].get("deletionVector")
+                    }
+                    dfs.append(
+                        self._read_snapshot_files(
+                            snap, removes, dv_map=dv_rm
                         ).withColumn("_change_type", F.lit("delete"))
                     )
                 if not dfs:
@@ -1832,6 +2156,16 @@ class DeltaishTable:
                 "as_stream reads the directory with the declared "
                 "schema; a column-mapped table's files carry physical "
                 "names. Stream with delta-spark."
+            )
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            # a plain file stream reads whole files and would emit
+            # DV-deleted rows (the append-only guard below catches
+            # every MOR delete we commit — this covers foreign logs
+            # whose adds carry DVs without a remove in history)
+            raise NotImplementedError(
+                "as_stream on a table with deletion vectors: the file "
+                "stream cannot apply row-level deletes; purge() first "
+                "or consume the change feed (deltaish_cdf)"
             )
         for v in dlog.list_versions(self.path):
             for action in dlog.read_commit(self.path, v):

@@ -121,13 +121,26 @@ def _table_meta(path: str) -> tuple[list[dict], dict]:
 class _CdfFilePartition(InputPartition):
     """One parquet file of one commit. ``mode`` is 'cdc' (the file
     already carries _change_type) or the literal synthesized type
-    ('insert' / 'delete')."""
+    ('insert' / 'delete'). ``dv`` is the deletionVector descriptor in
+    effect for this file AT THIS COMMIT (action-level for adds, the
+    prior snapshot's for removes) — its positions are filtered out
+    worker-side; ``table_path`` resolves 'u'-type DV files."""
 
-    def __init__(self, path: str, mode: str, version: int, ts_ms: int):
+    def __init__(
+        self,
+        path: str,
+        mode: str,
+        version: int,
+        ts_ms: int,
+        dv: dict | None = None,
+        table_path: str = "",
+    ):
         self.path = path
         self.mode = mode
         self.version = version
         self.ts_ms = ts_ms
+        self.dv = dv
+        self.table_path = table_path
 
 
 def _commit_partitions(
@@ -147,7 +160,7 @@ def _commit_partitions(
                 ts_ms = a["commitInfo"].get("timestamp", 0)
         cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
         adds = [
-            a["add"]["path"]
+            a["add"]
             for a in actions
             if "add" in a and a["add"].get("dataChange", True)
         ]
@@ -157,7 +170,7 @@ def _commit_partitions(
             if "remove" in a and a["remove"].get("dataChange", True)
         ]
         if cdc:
-            files = [(p, "cdc") for p in cdc]
+            files = [(p, "cdc", None) for p in cdc]
         elif adds and removes and op in ("MERGE", "DELETE"):
             # rewriting ops can only be attributed per-row by cdc
             raise ValueError(
@@ -166,17 +179,30 @@ def _commit_partitions(
                 "it committed; start the feed after it"
             )
         else:
-            files = [(p, "insert") for p in adds] + [
-                (p, "delete") for p in removes
+            # DV state at THIS commit: the add action's own
+            # descriptor for inserts; for deletes (removed files)
+            # whatever the prior snapshot held — rows already dead
+            # then must not re-emit as deletes now
+            files = [
+                (a["path"], "insert", a.get("deletionVector"))
+                for a in adds
             ]
-        for rel, mode in files:
+            if removes:
+                prev = dlog.replay(table_path, until=v - 1).files
+                files += [
+                    (p, "delete", (prev.get(p) or {}).get("deletionVector"))
+                    for p in removes
+                ]
+        for rel, mode, dv in files:
             full = os.path.join(table_path, rel)
             if not os.path.exists(full):
                 raise ValueError(
                     f"deltaish_cdf: version {v} references missing "
                     f"file {rel!r} (vacuumed) — the range has expired"
                 )
-            out.append(_CdfFilePartition(full, mode, v, ts_ms))
+            out.append(
+                _CdfFilePartition(full, mode, v, ts_ms, dv, table_path)
+            )
     return out
 
 
@@ -193,6 +219,17 @@ class _CdfReadMixin:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
+        if partition.dv:
+            # drop the rows this commit's deletion vector marks dead
+            # (decoded here on the worker — pure file IO)
+            from ..delta import roaring
+
+            dead = set(
+                roaring.read_descriptor(partition.table_path, partition.dv)
+            )
+            tbl = tbl.take(
+                [i for i in range(tbl.num_rows) if i not in dead]
+            )
         n = tbl.num_rows
         # parquet columns come back chunked; record_batch wants flat
         cols = {

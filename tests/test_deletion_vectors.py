@@ -1,0 +1,254 @@
+"""Deletion vectors (delta/roaring.py + merge-on-read DELETE):
+codec round-trips with strict validation, MOR deletes that write
+bitmaps instead of data, purge materialization, CDF attribution,
+vacuum aging, and the maintenance guards that keep raw-file readers
+from resurrecting deleted rows."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_table
+from lakehouse_for_data_streaming_and_analysis_spark.delta import DeltaishTable
+from lakehouse_for_data_streaming_and_analysis_spark.delta import log as dlog
+from lakehouse_for_data_streaming_and_analysis_spark.delta import roaring as R
+
+from .conftest import SF_DIR
+
+
+def _orders(spark, n=None):
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return df.limit(n) if n else df
+
+
+# ------------------------------------------------------------- codec
+
+
+def test_roaring_round_trips_and_validation():
+    import random
+
+    random.seed(7)
+    cases = [
+        [],
+        [0],
+        [1, 2, 3],
+        list(range(5000)),  # bitmap container
+        [2**16 * 3 + 5, 2**16 * 3 + 9],  # high 16-bit key
+        random.sample(range(200000), 9000),
+        [2**32 + 7, 2**33 + 1, 5],  # 64-bit keys
+    ]
+    for c in cases:
+        assert R.deserialize_rbm_array(R.serialize_rbm_array(c)) == sorted(
+            set(c)
+        )
+    entry, size = R.pack_dv_entry([1, 5, 9])
+    assert R.unpack_dv_entry(entry, 0, size) == [1, 5, 9]
+    bad = bytearray(entry)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        R.unpack_dv_entry(bytes(bad), 0, size)
+    with pytest.raises(ValueError, match="dataSize"):
+        R.unpack_dv_entry(entry, 0, size + 1)
+    # run containers (delta-spark may emit them) decode correctly
+    s = struct.pack("<I", 12347)  # 1 container, run cookie
+    s += bytes([1])
+    s += struct.pack("<HH", 0, 6 - 1)
+    s += struct.pack("<H", 2) + struct.pack("<HH", 3, 4)
+    s += struct.pack("<HH", 10, 0)
+    vals, used = R.deserialize32(s)
+    assert vals == [3, 4, 5, 6, 7, 10] and used == len(s)
+    # unknown cookie refuses
+    with pytest.raises(ValueError, match="cookie"):
+        R.deserialize32(struct.pack("<II", 999, 1))
+    for n in (4, 16, 32):
+        b = os.urandom(n)
+        assert R.b85_decode(R.b85_encode(b)) == b
+
+
+# ------------------------------------------------- merge-on-read path
+
+
+def test_mor_delete_writes_bitmaps_not_data(spark, tmp_path):
+    src = _orders(spark, 40).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    data_files_before = sorted(t._snapshot().files)
+    victims = set(keys[:5])
+
+    v1 = t.delete(
+        F.col("o_orderkey").isin(*victims), mode="merge_on_read"
+    )
+    # read excludes the victims
+    assert sorted(r.o_orderkey for r in t.read().collect()) == keys[5:]
+    # the DATA file set is unchanged — only bitmaps were written
+    snap = t._snapshot()
+    assert sorted(snap.files) == data_files_before
+    dvs = {p: a["deletionVector"] for p, a in snap.files.items()
+           if a.get("deletionVector")}
+    assert dvs, "expected at least one DV"
+    assert sum(d["cardinality"] for d in dvs.values()) == 5
+    # protocol upgraded on first DV write
+    assert "deletionVectors" in snap.protocol.get("readerFeatures", [])
+    # time travel before the delete still sees every row
+    assert len(t.read(version=0).collect()) == len(keys)
+
+    # second MOR delete merges into existing DVs
+    victims2 = set(keys[5:8])
+    t.delete(F.col("o_orderkey").isin(*victims2), mode="merge_on_read")
+    assert sorted(r.o_orderkey for r in t.read().collect()) == keys[8:]
+    snap2 = t._snapshot()
+    total_card = sum(
+        a["deletionVector"]["cardinality"]
+        for a in snap2.files.values()
+        if a.get("deletionVector")
+    )
+    assert total_card == 8
+
+    # deleting every remaining row of a file -> pure remove, no DV
+    t2 = DeltaishTable.create(
+        spark, str(tmp_path / "t2"), _orders(spark, 10).coalesce(1)
+    )
+    v = t2.delete(F.lit(True), mode="merge_on_read")
+    acts = dlog.read_commit(t2.path, v)
+    assert not [a for a in acts if "add" in a]
+    assert t2.read().count() == 0
+
+
+def test_purge_materializes_dvs(spark, tmp_path):
+    src = _orders(spark, 30).repartition(3)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    t.delete(F.col("o_orderkey").isin(*keys[:4]), mode="merge_on_read")
+    live_before = sorted(r.o_orderkey for r in t.read().collect())
+
+    v = t.purge()
+    acts = dlog.read_commit(t.path, v)
+    assert all(
+        not a["add"].get("dataChange", True)
+        for a in acts
+        if "add" in a
+    ), "purge is dataChange=false"
+    snap = t._snapshot()
+    assert not any(a.get("deletionVector") for a in snap.files.values())
+    assert sorted(r.o_orderkey for r in t.read().collect()) == live_before
+    # idempotent: nothing left to purge
+    assert t.purge() == v
+
+
+def test_mor_delete_cdf_and_feed_guards(spark, tmp_path):
+    from lakehouse_for_data_streaming_and_analysis_spark.sources import cdf_stream
+
+    src = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    v1 = t.enable_change_data_feed()
+    keys = sorted(r.o_orderkey for r in src.collect())[:3]
+    v2 = t.delete(F.col("o_orderkey").isin(*keys), mode="merge_on_read")
+    feed = t.read_change_feed(v1, v2)
+    assert sorted(r.o_orderkey for r in feed.collect()) == keys
+    assert {r._change_type for r in feed.collect()} == {"delete"}
+    # the DataSource agrees
+    cdf_stream.register(spark)
+    got = (
+        spark.read.format("deltaish_cdf")
+        .option("path", t.path)
+        .option("startingVersion", v2)
+        .option("endingVersion", v2)
+        .load()
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == keys
+
+    # overwrite AFTER a MOR delete: the removed file's synthesized
+    # delete rows must exclude the DV'd positions (prior-snapshot DV)
+    n_live = t.read().count()
+    v3 = t.overwrite(src.limit(2))
+    f = t.read_change_feed(v2, v3)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in f.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {"delete": n_live, "insert": 2}
+    got2 = (
+        spark.read.format("deltaish_cdf")
+        .option("path", t.path)
+        .option("startingVersion", v3)
+        .option("endingVersion", v3)
+        .load()
+    )
+    counts2 = {
+        r["_change_type"]: r["n"]
+        for r in got2.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts2 == counts
+
+    # without CDF a MOR delete cannot be attributed per-row
+    t2 = DeltaishTable.create(spark, str(tmp_path / "t2"), src)
+    k = sorted(r.o_orderkey for r in src.collect())[:2]
+    v = t2.delete(F.col("o_orderkey").isin(*k), mode="merge_on_read")
+    with pytest.raises(ValueError, match="DELETE without cdc"):
+        t2.read_change_feed(0, v)
+
+
+def test_maintenance_guards_and_vacuum(spark, tmp_path):
+    src = _orders(spark, 30).repartition(3)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    t.delete(F.col("o_orderkey").isin(*keys[:3]), mode="merge_on_read")
+    live = sorted(r.o_orderkey for r in t.read().collect())
+
+    # optimize skips DV'd files: reading after must still exclude
+    t.append(_orders(spark, 5))  # extra small files to compact
+    t.optimize(target_bytes=1 << 30)
+    after = sorted(r.o_orderkey for r in t.read().collect())
+    assert after == sorted(live + [r.o_orderkey for r in _orders(spark, 5).collect()])
+
+    # as_stream refuses (history has removes; DV guard also present)
+    with pytest.raises(Exception, match="as_stream"):
+        t.as_stream()
+
+    # vacuum ages out DV files once no live add references them
+    dv_files = [
+        f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
+    ]
+    assert dv_files
+    t.purge()  # DVs no longer referenced by the live snapshot
+    t.vacuum(retention_hours=168.0)
+    assert [
+        f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
+    ] == dv_files, "within retention: kept"
+    deleted = t.vacuum(retention_hours=0.0)
+    assert [
+        f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
+    ] == []
+    assert any(f.startswith("deletion_vector_") for f in deleted)
+
+
+def test_zorder_partitioned_refuses_dvs(spark, tmp_path):
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(30)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src, partition_by=("o_orderstatus",)
+    )
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    t.delete(F.col("o_orderkey").isin(*keys[:2]), mode="merge_on_read")
+    with pytest.raises(ValueError, match="purge"):
+        t.zorder_by(["o_orderkey"])
+    # unpartitioned zorder reads THROUGH the DV filter, so it both
+    # clusters and materializes — allowed
+    t2 = DeltaishTable.create(
+        spark, str(tmp_path / "t2"), _orders(spark, 20)
+    )
+    k2 = sorted(r.o_orderkey for r in t2.read().collect())
+    t2.delete(F.col("o_orderkey").isin(*k2[:2]), mode="merge_on_read")
+    t2.zorder_by(["o_orderkey"], n_files=2)
+    assert sorted(r.o_orderkey for r in t2.read().collect()) == k2[2:]

@@ -1277,10 +1277,13 @@ def test_id_mode_without_field_ids_fails_loudly(spark, tmp_path):
         t.read()
 
 
-def test_deletion_vector_log_fails_loudly(spark, tmp_path):
-    """A foreign log requiring deletionVectors (protocol feature or a
-    per-file DV payload) must refuse to read: ignoring the DV would
-    resurrect deleted rows."""
+def test_deletion_vector_foreign_logs(spark, tmp_path):
+    """deletionVectors is an IMPLEMENTED reader feature now
+    (delta/roaring.py + the scan-side anti-join): a foreign log
+    declaring the feature with DV-less adds reads normally, and one
+    whose add references a DV file that does not exist (or whose
+    framing our strict decoder does not recognize) fails LOUDLY at
+    read time — never silently resurrecting or dropping rows."""
     _foreign_log(
         tmp_path / "dvp",
         {
@@ -1291,10 +1294,10 @@ def test_deletion_vector_log_fails_loudly(spark, tmp_path):
         },
         {},
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
-        DeltaishTable(spark, str(tmp_path / "dvp")).read()
-    # belt-and-braces: a DV on the add action itself, even if the
-    # protocol line were missing
+    got = DeltaishTable(spark, str(tmp_path / "dvp")).read()
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    # a DV payload pointing at a nonexistent bitmap file: loud error,
+    # not an unfiltered (row-resurrecting) read
     _foreign_log(
         tmp_path / "dvf",
         {"minReaderVersion": 1, "minWriterVersion": 2},
@@ -1302,15 +1305,32 @@ def test_deletion_vector_log_fails_loudly(spark, tmp_path):
         add_extra={
             "deletionVector": {
                 "storageType": "u",
-                "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
+                "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*",
                 "offset": 1,
                 "sizeInBytes": 36,
                 "cardinality": 1,
             }
         },
     )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        DeltaishTable(spark, str(tmp_path / "dvf")).read()
+    with pytest.raises(ValueError, match="missing|base85"):
+        DeltaishTable(spark, str(tmp_path / "dvf")).read().collect()
+    # an unknown storage type refuses
+    _foreign_log(
+        tmp_path / "dvx",
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {},
+        add_extra={
+            "deletionVector": {
+                "storageType": "z",
+                "pathOrInlineDv": "whatever",
+                "offset": 0,
+                "sizeInBytes": 1,
+                "cardinality": 1,
+            }
+        },
+    )
+    with pytest.raises(NotImplementedError, match="storageType"):
+        DeltaishTable(spark, str(tmp_path / "dvx")).read().collect()
 
 
 def test_change_data_feed_lifecycle(spark, tmp_path):
