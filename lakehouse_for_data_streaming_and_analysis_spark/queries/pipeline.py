@@ -1348,3 +1348,80 @@ def cdf_incremental_view_maintenance(spark, sf_dir):
     return spark.createDataFrame(
         rows, "cust_bucket long, n_orders long, total_price double"
     )
+
+
+@q(
+    "deltalog_mor_delete_audit",
+    """WITH v0 AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 2 = 0),
+       v1 AS (SELECT * FROM v0 WHERE o_orderkey % 10 <> 0),
+       u AS (
+         SELECT 0 AS version, COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM v0
+         UNION ALL
+         SELECT 1, COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v1)
+       SELECT CAST(version AS INT) AS version,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM u""",
+)
+def deltalog_mor_delete_audit(spark, sf_dir):
+    """Merge-on-read DELETE end-to-end (delta/table.py delete(mode=
+    "merge_on_read") + delta/roaring.py): create a table of orders
+    keys ≡0 mod 2, then delete keys ≡0 mod 10 by writing DELETION
+    VECTORS — roaring bitmaps of dead row positions, zero data bytes
+    rewritten (the protocol's deletionVectors reader feature; at
+    100 TB this is how deleting 0.1% of a table costs kilobytes).
+    The audit reads BOTH versions back through the committed log:
+    v1's scan anti-joins the DV positions out, v0's time travel
+    ignores DVs committed later. The oracle recomputes both states
+    relationally, so the hash match certifies the bitmap round-trip
+    (serialize → CRC-framed DV file → strict decode → scan filter)
+    drops exactly the deleted rows — no resurrection, no overreach.
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"mor-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+        )
+        t.delete(F.col("o_orderkey") % 10 == 0, mode="merge_on_read")
+        rows = []
+        for v in (0, 1):
+            rows.extend(
+                t.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                        2,
+                    )
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .select(
+                    F.lit(v).cast("int").alias("version"),
+                    "n_rows",
+                    "total_price",
+                )
+                .collect()
+            )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, total_price double"
+    )
