@@ -1533,6 +1533,107 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
+    def update(self, condition, set_map: dict) -> int:
+        """UPDATE ... SET ... WHERE — copy-on-write row-level update,
+        Delta's semantics: rows where ``condition`` IS TRUE get the
+        ``set_map`` assignments (column -> Column expression or SQL
+        string over the row's current values); only files owning a
+        matching row are rewritten. GENERATED ALWAYS AS columns are
+        recomputed from the updated row (assigning one directly is
+        refused, as is an IDENTITY column); CHECK constraints run on
+        the rewritten rows. Under delta.enableChangeDataFeed the
+        matched rows are recorded as update_preimage/update_postimage
+        cdc pairs, and the feed readers refuse a pre-CDF UPDATE (same
+        attribution rule as MERGE/DELETE)."""
+        snap = self._snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
+        gen = self._generated_exprs(snap)
+        idents = self._identity_meta(snap)
+        for c in set_map:
+            if c in gen:
+                raise ValueError(
+                    f"column {c!r} is GENERATED ALWAYS AS "
+                    f"({gen[c]}); it is recomputed, not assigned"
+                )
+            if c in idents:
+                raise ValueError(
+                    f"column {c!r} is GENERATED ALWAYS AS IDENTITY; "
+                    "explicit values are not accepted"
+                )
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        all_files = list(snap.files)
+        if not all_files:
+            return snap.version
+        tagged = self._read_snapshot_files(snap, all_files, keep_tags=True)
+        touched = sorted(
+            {
+                self._uri_to_rel(r["__fp"])
+                for r in tagged.filter(is_match)
+                .select("__fp")
+                .distinct()
+                .collect()
+            }
+        )
+        if not touched:
+            return snap.version
+        target = self._read_snapshot_files(snap, touched)
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_map.items()
+        }
+        # matched-ness is decided on the OLD values and carried as a
+        # marker — a SET that changes a condition column must not
+        # change which rows count as updated (postimages)
+        marked = target.withColumn("__m", is_match)
+        proj = []
+        for c in target.columns:
+            if c in exprs:
+                proj.append(
+                    F.when(F.col("__m"), exprs[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                proj.append(F.col(c))
+        updated = marked.select(*proj, F.col("__m"))
+        if gen:
+            # recompute generated columns from the UPDATED row values
+            # (deterministic exprs: unmatched rows recompute to their
+            # current values)
+            updated = updated.select(
+                *[
+                    F.expr(gen[c]).alias(c) if c in gen else F.col(c)
+                    for c in target.columns
+                ],
+                F.col("__m"),
+            )
+        result = updated.drop("__m")
+        self._enforce_checks(result, snap)
+        adds = self._write_files(result, pcols)
+        cdc_actions = []
+        if self._cdf_enabled(snap):
+            pre = target.filter(is_match).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = updated.filter(F.col("__m")).drop("__m").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            cdc_actions = self._write_cdc_files(pre.unionByName(post))
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *({"remove": self._tombstone(p)} for p in touched),
+                *({"cdc": c} for c in cdc_actions),
+                dlog.commit_info(
+                    "UPDATE",
+                    numTouchedFiles=len(touched),
+                    setColumns=sorted(set_map),
+                ),
+            ],
+            read_version=snap.version,
+        )
+
     def purge(self) -> int:
         """REORG TABLE ... APPLY (PURGE): materialize every deletion
         vector by rewriting its file WITHOUT the deleted rows,
@@ -2060,7 +2161,7 @@ class DeltaishTable:
                         for c in cdc
                     ]
                 )
-            elif adds and removes and op in ("MERGE", "DELETE"):
+            elif adds and removes and op in ("MERGE", "DELETE", "UPDATE"):
                 # rewriting ops mix touched and untouched rows in the
                 # same files; only cdc actions can attribute them.
                 # (A DELETE with removes ONLY — whole files gone —

@@ -171,7 +171,7 @@ def _commit_partitions(
         ]
         if cdc:
             files = [(p, "cdc", None) for p in cdc]
-        elif adds and removes and op in ("MERGE", "DELETE"):
+        elif adds and removes and op in ("MERGE", "DELETE", "UPDATE"):
             # rewriting ops can only be attributed per-row by cdc
             raise ValueError(
                 f"deltaish_cdf: version {v} is a {op} without cdc "

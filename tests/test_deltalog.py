@@ -1696,3 +1696,88 @@ def test_delete_cdf_attribution(spark, tmp_path):
         spark.read.format("deltaish_cdf").option("path", t2.path).option(
             "startingVersion", v
         ).load().collect()
+
+
+def test_update_copy_on_write(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: file-pruned rewrite; NULL predicate
+    keeps rows; generated columns recompute from the updated values;
+    identity/generated assignment refused; CDF records pre/post
+    images with matched-ness decided on the OLD values even when SET
+    changes a condition column."""
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).limit(30)
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        src.repartitionByRange(3, "o_orderkey"),
+        generated_columns={"o_year": "year(o_orderdate)"},
+    )
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    n_files = len(t._snapshot().files)
+    victims = set(keys[:4])
+
+    v1 = t.update(
+        F.col("o_orderkey").isin(*victims),
+        {"o_totalprice": F.col("o_totalprice") * 10},
+    )
+    got = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
+    base = {r.o_orderkey: r.o_totalprice for r in src.collect()}
+    for k in keys:
+        assert got[k] == pytest.approx(
+            base[k] * (10 if k in victims else 1)
+        )
+    removes = [
+        a["remove"]["path"]
+        for a in dlog.read_commit(t.path, v1)
+        if "remove" in a
+    ]
+    assert 0 < len(removes) < n_files, "only owning files rewritten"
+
+    # generated column recomputes when its source is updated
+    t.update(
+        F.col("o_orderkey") == keys[0],
+        {"o_orderdate": F.expr("date_add(o_orderdate, 400)")},
+    )
+    row = t.read().filter(F.col("o_orderkey") == keys[0]).collect()[0]
+    assert row.o_year == row.o_orderdate.year
+
+    # assigning a generated column is refused
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.update(F.lit(True), {"o_year": F.lit(1999)})
+
+    # no match -> no-op
+    v_before = t.version
+    assert t.update(F.col("o_orderkey") < -1, {"o_totalprice": F.lit(0.0)}) == v_before
+
+
+def test_update_cdf_pre_post_images(spark, tmp_path):
+    src = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    v1 = t.enable_change_data_feed()
+    keys = sorted(r.o_orderkey for r in src.collect())[:3]
+    # SET changes the very column the condition reads: matched-ness
+    # must stay decided on the OLD values
+    hi = max(r.o_totalprice for r in src.collect())
+    v2 = t.update(
+        F.col("o_orderkey").isin(*keys),
+        {"o_totalprice": F.lit(hi * 100.0)},
+    )
+    feed = t.read_change_feed(v1, v2)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, []).append(r)
+    assert sorted(r.o_orderkey for r in by_type["update_preimage"]) == keys
+    assert sorted(r.o_orderkey for r in by_type["update_postimage"]) == keys
+    assert all(
+        r.o_totalprice == pytest.approx(hi * 100.0)
+        for r in by_type["update_postimage"]
+    )
+
+    # pre-CDF UPDATE cannot be attributed
+    t2 = DeltaishTable.create(spark, str(tmp_path / "t2"), src)
+    v = t2.update(
+        F.col("o_orderkey").isin(*keys), {"o_totalprice": F.lit(1.0)}
+    )
+    with pytest.raises(ValueError, match="UPDATE without cdc"):
+        t2.read_change_feed(0, v)
