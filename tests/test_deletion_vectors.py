@@ -252,3 +252,46 @@ def test_zorder_partitioned_refuses_dvs(spark, tmp_path):
     t2.delete(F.col("o_orderkey").isin(*k2[:2]), mode="merge_on_read")
     t2.zorder_by(["o_orderkey"], n_files=2)
     assert sorted(r.o_orderkey for r in t2.read().collect()) == k2[2:]
+
+
+def test_mor_update_writes_only_updated_rows(spark, tmp_path):
+    """merge-on-read UPDATE: old positions are DV-masked, ONLY the
+    postimage rows land as new files (data written ∝ rows updated);
+    reads see the new values exactly once; CDF records pre/post
+    pairs; time travel shows the old values."""
+    src = _orders(spark, 30).repartitionByRange(3, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    t.enable_change_data_feed()
+    base = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
+    keys = sorted(base)
+    victims = set(keys[:4])
+    files_before = set(t._snapshot().files)
+
+    v = t.update(
+        F.col("o_orderkey").isin(*victims),
+        {"o_totalprice": F.col("o_totalprice") + 1000000.0},
+        mode="merge_on_read",
+    )
+    got = {r.o_orderkey: r.o_totalprice for r in t.read().collect()}
+    assert sorted(got) == keys, "each key exactly once"
+    for k in keys:
+        expect = base[k] + (1000000.0 if k in victims else 0.0)
+        assert got[k] == pytest.approx(expect)
+    snap = t._snapshot()
+    # old files re-added with DVs; new small file(s) hold postimages
+    new_files = set(snap.files) - files_before
+    assert new_files, "postimage rows must land in new files"
+    masked = [
+        p for p, a in snap.files.items() if a.get("deletionVector")
+    ]
+    assert masked and set(masked) <= files_before
+    # time travel: pre-update values
+    old = {r.o_orderkey: r.o_totalprice for r in t.read(version=1).collect()}
+    assert old == pytest.approx(base)
+    # CDF pre/post pairs
+    feed = t.read_change_feed(v - 1, v)
+    types = {}
+    for r in feed.collect():
+        types.setdefault(r._change_type, []).append(r.o_orderkey)
+    assert sorted(types["update_preimage"]) == sorted(victims)
+    assert sorted(types["update_postimage"]) == sorted(victims)
