@@ -1179,6 +1179,37 @@ class DeltaishTable:
     def read_as_of_timestamp(self, ts_millis: int) -> DataFrame:
         return self.read(version=self.version_as_of_timestamp(ts_millis))
 
+    def read_change_feed_between_timestamps(
+        self, from_millis: int, to_millis: int | None = None
+    ) -> DataFrame:
+        """Delta's startingTimestamp/endingTimestamp CDF surface on
+        the engine side: changes from the first commit AT OR AFTER
+        ``from_millis`` through the last commit at or before
+        ``to_millis`` (default: latest). Resolution mirrors Delta's —
+        the timestamp range maps to a version range, then the
+        version-range rules (cdc precedence, synthesis, pre-CDF
+        refusal, expiry) apply unchanged."""
+        versions = dlog.list_versions(self.path)
+        if not versions:
+            return self.read_change_feed(-1, -1)
+        # first version whose commit ts >= from_millis, exclusive
+        # lower bound for the (v_from, v_to] contract
+        v_from = versions[-1]  # default: nothing qualifies
+        for v in versions:
+            t = 0
+            for action in dlog.read_commit(self.path, v):
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp", 0)
+            if t >= from_millis:
+                v_from = v - 1
+                break
+        v_to = (
+            versions[-1]
+            if to_millis is None
+            else self.version_as_of_timestamp(to_millis)
+        )
+        return self.read_change_feed(v_from, v_to)
+
     # ------------------------------------------------------------ skipping
 
     @staticmethod

@@ -218,6 +218,10 @@ class _CdfReadMixin:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None:
+            # an empty partitions() list reaches read() as one None
+            # partition — an empty feed, not an error
+            return
         tbl = pq.read_table(partition.path)
         if partition.dv:
             # drop the rows this commit's deletion vector marks dead
@@ -264,11 +268,29 @@ class _CdfReadMixin:
         )
 
 
+def _starting_version(options: dict) -> int:
+    """startingVersion, or startingTimestamp (epoch millis) resolved
+    to the first version committed at or after it — Delta's rule."""
+    if "startingTimestamp" in options:
+        ts = int(options["startingTimestamp"])
+        path = options["path"]
+        for v in dlog.list_versions(path):
+            t = 0
+            for a in dlog.read_commit(path, v):
+                if "commitInfo" in a:
+                    t = a["commitInfo"].get("timestamp", 0)
+            if t >= ts:
+                return v
+        versions = dlog.list_versions(path)
+        return (versions[-1] + 1) if versions else 0  # future: empty
+    return int(options.get("startingVersion", 0))
+
+
 class CdfBatchReader(_CdfReadMixin, DataSourceReader):
     def __init__(self, options: dict, columns: list[str]):
         self.path = options["path"]
         self.columns = columns
-        self.v_from = int(options.get("startingVersion", 0)) - 1
+        self.v_from = _starting_version(options) - 1
         self.v_to = (
             int(options["endingVersion"])
             if "endingVersion" in options
@@ -294,7 +316,7 @@ class CdfStreamReader(_CdfReadMixin, DataSourceStreamReader):
     def __init__(self, options: dict, columns: list[str]):
         self.path = options["path"]
         self.columns = columns
-        self.start_version = int(options.get("startingVersion", 0))
+        self.start_version = _starting_version(options)
 
     def initialOffset(self):
         return {"version": self.start_version - 1}

@@ -141,3 +141,33 @@ def test_planning_guards_fail_loudly(spark, tmp_path):
         spark.read.format("deltaish_cdf").option(
             "path", str(tmp_path / "m")
         ).load().collect()
+
+
+def test_starting_timestamp_option(spark, tmp_path):
+    """startingTimestamp resolves to the first commit at or after the
+    given epoch-millis — Delta's option, on both feed halves."""
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import log as dlog
+
+    t, (v1, v2, v3) = _build_cdf_table(spark, str(tmp_path / "t"))
+    cdf_stream.register(spark)
+    ts = {}
+    for v in dlog.list_versions(t.path):
+        for a in dlog.read_commit(t.path, v):
+            if "commitInfo" in a:
+                ts[v] = a["commitInfo"]["timestamp"]
+    got = (
+        spark.read.format("deltaish_cdf")
+        .option("path", t.path)
+        .option("startingTimestamp", ts[v2])
+        .load()
+    )
+    want = t.read_change_feed(v2 - 1, v3)
+    assert _feed_rows(got) == _feed_rows(want)
+    # future timestamp: empty feed
+    empty = (
+        spark.read.format("deltaish_cdf")
+        .option("path", t.path)
+        .option("startingTimestamp", ts[v3] + 60_000)
+        .load()
+    )
+    assert empty.count() == 0

@@ -1781,3 +1781,32 @@ def test_update_cdf_pre_post_images(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="UPDATE without cdc"):
         t2.read_change_feed(0, v)
+
+
+def test_change_feed_between_timestamps(spark, tmp_path):
+    """startingTimestamp/endingTimestamp CDF: the wall-clock range
+    resolves to the same version range the commit timestamps imply."""
+    src = _orders(spark, 12)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src.limit(6))
+    t.enable_change_data_feed()
+    v2 = t.append(src.subtract(src.limit(6)))
+    ts = {}
+    for v in dlog.list_versions(t.path):
+        for a in dlog.read_commit(t.path, v):
+            if "commitInfo" in a:
+                ts[v] = a["commitInfo"]["timestamp"]
+    # from v2's exact commit time: only v2's changes
+    got = t.read_change_feed_between_timestamps(ts[v2])
+    want = t.read_change_feed(v2 - 1, v2)
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
+    # from the epoch through v0's commit: just the create's inserts
+    got0 = t.read_change_feed_between_timestamps(0, ts[0])
+    assert sorted(r.o_orderkey for r in got0.collect()) == sorted(
+        r.o_orderkey for r in src.limit(6).collect()
+    )
+    # a future start: empty
+    assert (
+        t.read_change_feed_between_timestamps(ts[v2] + 10_000).count() == 0
+    )
