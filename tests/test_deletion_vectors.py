@@ -295,3 +295,111 @@ def test_mor_update_writes_only_updated_rows(spark, tmp_path):
         types.setdefault(r._change_type, []).append(r.o_orderkey)
     assert sorted(types["update_preimage"]) == sorted(victims)
     assert sorted(types["update_postimage"]) == sorted(victims)
+
+
+def test_roaring_property_round_trip():
+    """Property-based: any uint64 position set round-trips through
+    the full DV framing (serialize -> CRC entry -> strict decode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=2**16 - 1),
+                st.integers(min_value=0, max_value=2**20),
+                st.integers(min_value=2**32 - 5, max_value=2**33),
+            ),
+            max_size=300,
+        )
+    )
+    def check(xs):
+        entry, size = R.pack_dv_entry(xs)
+        # decode at a nonzero offset, as in a multi-DV file
+        padded = b"\x01\x00\x00" + entry
+        assert R.unpack_dv_entry(padded, 3, size) == sorted(set(xs))
+
+    check()
+
+
+def test_foreign_dv_storage_types(spark, tmp_path):
+    """A handwritten delta-spark-style log whose DVs use the INLINE
+    ('i') and ABSOLUTE-PATH ('p') storage types reads correctly —
+    interop beyond our own writer's 'u' layout."""
+    import json
+    import struct as _struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import roaring
+
+    root = tmp_path / "t"
+    root.mkdir()
+    pq.write_table(
+        pa.table({"id": list(range(10))}),
+        str(root / "part-00000.parquet"),
+    )
+    # inline DV killing positions 0,1; data blob is magic+bitmaps,
+    # base85 needs a multiple of 4 — our blobs are 4-aligned already
+    blob = roaring.serialize_rbm_array([0, 1])
+    assert len(blob) % 4 == 0
+    inline = roaring.b85_encode(blob)
+    # absolute-path DV file killing position 9 of the same table via a
+    # second add? (one add per file) — use a SECOND data file
+    pq.write_table(
+        pa.table({"id": list(range(100, 110))}),
+        str(root / "part-00001.parquet"),
+    )
+    dv_file = tmp_path / "external_dv.bin"
+    entry, size = roaring.pack_dv_entry([9])
+    dv_file.write_bytes(b"\x01" + entry)
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "00000000-0000-0000-0000-0000000000dv",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string,
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "part-00000.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1700000000000,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "i",
+                                    "pathOrInlineDv": inline,
+                                    "sizeInBytes": len(blob),
+                                    "cardinality": 2}}},
+        {"add": {"path": "part-00001.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1700000000000,
+                 "dataChange": True,
+                 "deletionVector": {"storageType": "p",
+                                    "pathOrInlineDv": str(dv_file),
+                                    "offset": 1,
+                                    "sizeInBytes": size,
+                                    "cardinality": 1}}},
+        {"commitInfo": {"operation": "WRITE",
+                        "timestamp": 1700000000000}},
+    ]
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    with open(log_dir / "00000000000000000000.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = sorted(
+        r.id for r in DeltaishTable(spark, str(root)).read().collect()
+    )
+    # file 0 loses ids 0,1 (positions 0,1); file 1 loses id 109
+    # (position 9)
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9] + list(range(100, 109))
