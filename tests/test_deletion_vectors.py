@@ -403,3 +403,22 @@ def test_foreign_dv_storage_types(spark, tmp_path):
     # file 0 loses ids 0,1 (positions 0,1); file 1 loses id 109
     # (position 9)
     assert got == [2, 3, 4, 5, 6, 7, 8, 9] + list(range(100, 109))
+
+
+def test_checkpoint_preserves_dvs(spark, tmp_path):
+    """A parquet checkpoint round-trips deletionVector descriptors
+    and the protocol feature flags — replay from the checkpoint must
+    not resurrect DV-deleted rows."""
+    src = _orders(spark, 20).repartition(2)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    t.delete(F.col("o_orderkey").isin(*keys[:3]), mode="merge_on_read")
+    live = sorted(r.o_orderkey for r in t.read().collect())
+
+    v = dlog.write_checkpoint(t.path)
+    snap = dlog.read_checkpoint(t.path, v)
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    assert "deletionVectors" in snap.protocol.get("readerFeatures", [])
+    # a fresh reader (checkpoint + tail replay) still filters
+    t2 = DeltaishTable(spark, t.path)
+    assert sorted(r.o_orderkey for r in t2.read().collect()) == live
