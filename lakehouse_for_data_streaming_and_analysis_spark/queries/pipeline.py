@@ -1425,3 +1425,79 @@ def deltalog_mor_delete_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version int, n_rows long, total_price double"
     )
+
+
+@q(
+    "deltalog_update_audit",
+    """WITH base AS (SELECT o_orderkey, o_orderdate, o_totalprice
+                     FROM orders WHERE o_orderkey % 2 = 0),
+       upd AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 6 = 0
+                           THEN CAST(o_orderdate + INTERVAL 400 DAY AS DATE)
+                           ELSE o_orderdate END AS o_orderdate,
+                      CASE WHEN o_orderkey % 6 = 0
+                           THEN o_totalprice * 2
+                           ELSE o_totalprice END AS o_totalprice
+               FROM base)
+       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price
+       FROM upd GROUP BY 1""",
+)
+def deltalog_update_audit(spark, sf_dir):
+    """Row-level UPDATE end-to-end (delta/table.py update): create a
+    table of orders keys ≡0 mod 2 with o_year GENERATED ALWAYS AS
+    year(o_orderdate), then UPDATE keys ≡0 mod 6 — shift the date
+    +400 days and double the price in one file-pruned copy-on-write
+    commit. The read-back aggregates by the GENERATED column, which
+    the engine must have RECOMPUTED from the updated dates (Delta's
+    generated-column contract); the oracle applies the same UPDATE
+    relationally and groups by the recomputed year, so the hash match
+    certifies both the row rewrite and the generation recompute.
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"upd-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+            generated_columns={"o_year": "year(o_orderdate)"},
+        )
+        t.update(
+            F.col("o_orderkey") % 6 == 0,
+            {
+                "o_orderdate": F.expr("date_add(o_orderdate, 400)"),
+                "o_totalprice": F.col("o_totalprice") * 2,
+            },
+        )
+        rows = (
+            t.read()
+            .groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_year int, n_rows long, total_price double"
+    )
