@@ -61,7 +61,14 @@ def file_footer_stats(path: str) -> dict:
             name = col.path_in_schema
             if "." in name:  # nested columns: top-level stats only
                 continue
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow cannot decode min/max for every physical
+                # type (observed: some FLBA decimals); per-column
+                # stats are OPTIONAL in the protocol — a file without
+                # them simply never skips, it never corrupts
+                continue
             if name not in mins or mn < mins[name]:
                 mins[name] = mn
             if name not in maxs or mx > maxs[name]:

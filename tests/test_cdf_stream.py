@@ -171,3 +171,118 @@ def test_starting_timestamp_option(spark, tmp_path):
         .load()
     )
     assert empty.count() == 0
+
+
+def test_streaming_ivm_silver_table(spark, tmp_path):
+    """Medallion-with-updates: a silver per-bucket aggregate is
+    maintained ONLY from the streaming change feed (foreachBatch
+    folds each micro-batch's signed deltas — +insert/+postimage,
+    -delete/-preimage — into the silver state). After deletes and
+    updates land on bronze, the silver state must hash-equal a direct
+    aggregate of the final bronze snapshot; cost per refresh is the
+    day's changes, not the table."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import DeltaishTable
+
+    src = _orders(spark, 40)
+    bronze = DeltaishTable.create(spark, str(tmp_path / "bronze"), src)
+    bronze.enable_change_data_feed()
+    cdf_stream.register(spark)
+    silver_path = str(tmp_path / "silver")
+    ck = str(tmp_path / "ck")
+    bucket = (F.col("o_orderkey") % 7).cast("long").alias("bucket")
+
+    def fold(batch_df, batch_id):
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(-1)
+        delta = (
+            batch_df.withColumn("__w", w)
+            .groupBy(bucket)
+            .agg(
+                F.sum("__w").cast("long").alias("n"),
+                F.sum(
+                    F.col("__w")
+                    * F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("tp"),
+            )
+        )
+        if os.path.isdir(os.path.join(silver_path, "_delta_log")):
+            t = DeltaishTable(batch_df.sparkSession, silver_path)
+            combined = (
+                t.read()
+                .unionByName(delta)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("tp")
+                    .cast("decimal(18,2)")
+                    .alias("tp"),
+                )
+                .filter(F.col("n") > 0)
+                .localCheckpoint(eager=True)
+            )
+            t.overwrite(combined)
+        else:
+            DeltaishTable.create(
+                batch_df.sparkSession,
+                silver_path,
+                delta.select(
+                    "bucket",
+                    "n",
+                    F.col("tp").cast("decimal(18,2)").alias("tp"),
+                ).localCheckpoint(eager=True),
+            )
+
+    def drain():
+        q = (
+            spark.readStream.format("deltaish_cdf")
+            .option("path", bronze.path)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    def silver_state():
+        return sorted(
+            (r.bucket, r.n, float(r.tp))
+            for r in DeltaishTable(spark, silver_path).read().collect()
+        )
+
+    def bronze_truth():
+        return sorted(
+            (r.bucket, r.n, float(r.tp))
+            for r in bronze.read()
+            .groupBy(bucket)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("tp"),
+            )
+            .collect()
+        )
+
+    drain()
+    assert silver_state() == bronze_truth()
+
+    # bronze takes a MOR delete and a copy-on-write update; the
+    # silver refresh folds only those change rows
+    keys = sorted(r.o_orderkey for r in src.collect())
+    bronze.delete(
+        F.col("o_orderkey").isin(*keys[:5]), mode="merge_on_read"
+    )
+    bronze.update(
+        F.col("o_orderkey").isin(*keys[5:8]),
+        {"o_totalprice": F.col("o_totalprice") * 3},
+    )
+    drain()
+    assert silver_state() == bronze_truth()
+
+    # idle drain: no changes, no drift
+    drain()
+    assert silver_state() == bronze_truth()
