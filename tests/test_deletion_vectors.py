@@ -422,3 +422,32 @@ def test_checkpoint_preserves_dvs(spark, tmp_path):
     # a fresh reader (checkpoint + tail replay) still filters
     t2 = DeltaishTable(spark, t.path)
     assert sorted(r.o_orderkey for r in t2.read().collect()) == live
+
+
+def test_restore_to_dv_version(spark, tmp_path):
+    """RESTORE to a version whose files carry deletion vectors:
+    the re-added files keep their descriptors, reads re-apply them,
+    and a restore whose DV files were vacuumed refuses."""
+    src = _orders(spark, 20).repartition(2)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    v_dv = t.delete(
+        F.col("o_orderkey").isin(*keys[:3]), mode="merge_on_read"
+    )
+    live_at_dv = sorted(r.o_orderkey for r in t.read().collect())
+    t.purge()
+    t.overwrite(src.limit(2))
+
+    t.restore(v_dv)
+    assert sorted(r.o_orderkey for r in t.read().collect()) == live_at_dv
+    assert any(
+        a.get("deletionVector") for a in t._snapshot().files.values()
+    )
+
+    # vacuum the DV file away (purge de-referenced it... but restore
+    # re-referenced it; drop the reference first)
+    t.purge()
+    deleted = t.vacuum(retention_hours=0.0)
+    assert any(p.startswith("deletion_vector_") for p in deleted)
+    with pytest.raises(FileNotFoundError, match="RESTORE"):
+        t.restore(v_dv)
