@@ -1469,6 +1469,302 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched=(),
+        when_not_matched=(),
+        when_not_matched_by_source=(),
+    ) -> int:
+        """MERGE with Delta's FULL clause matrix (delta-spark's
+        whenMatchedUpdate/Delete, whenNotMatchedInsert,
+        whenNotMatchedBySourceUpdate/Delete — the surface
+        ``merge()`` above covers only the upsert corner of).
+
+        Each clause is a dict with an ``action`` and an optional
+        ``condition`` (Column or SQL string over ``t.<col>`` /
+        ``s.<col>``); clauses apply in order, first match wins, and
+        only the LAST clause of each group may omit its condition
+        (Delta's rule). Rows matching no clause pass through
+        unchanged (target side) or are not inserted (source side).
+
+        - ``when_matched``: ``{"action": "update_all"}``,
+          ``{"action": "update", "set": {col: expr}}``, or
+          ``{"action": "delete"}``.
+        - ``when_not_matched``: ``{"action": "insert_all"}`` or
+          ``{"action": "insert", "values": {col: expr}}`` —
+          unspecified columns become NULL, as in Delta.
+        - ``when_not_matched_by_source``: ``{"action": "update",
+          "set": ...}`` or ``{"action": "delete"}`` — conditions here
+          may reference only ``t.<col>`` (no source row exists).
+
+        File selection is the 100 TB story: without bySource clauses,
+        candidate files are pruned to the source's key range (as
+        ``merge()`` does); WITH bySource clauses every target row is
+        in scope so all live files are candidates — but in both modes
+        only files that OWN an actually-modified row are rewritten
+        (located by one tagged scan, like DELETE), so a mirror-sync
+        merge whose target is already converged rewrites nothing.
+
+        Under ``delta.enableChangeDataFeed`` every clause attributes
+        its rows: update clauses emit pre/postimages, deletes emit
+        ``delete`` rows, inserts ``insert`` rows."""
+
+        def _norm(clauses, allowed, group):
+            out = []
+            clauses = list(clauses)
+            for i, c in enumerate(clauses):
+                c = dict(c)
+                if c.get("action") not in allowed:
+                    raise ValueError(
+                        f"{group} action must be one of {sorted(allowed)},"
+                        f" got {c.get('action')!r}"
+                    )
+                cond = c.get("condition")
+                if isinstance(cond, str):
+                    cond = F.expr(cond)
+                if cond is None and i != len(clauses) - 1:
+                    raise ValueError(
+                        f"only the last {group} clause may omit its "
+                        "condition (Delta's rule — earlier clauses "
+                        "would shadow it)"
+                    )
+                c["condition"] = cond
+                for field in ("set", "values"):
+                    if c.get(field):
+                        c[field] = {
+                            k: (F.expr(v) if isinstance(v, str) else v)
+                            for k, v in c[field].items()
+                        }
+                out.append(c)
+            return out
+
+        wm = _norm(
+            when_matched, {"update_all", "update", "delete"}, "whenMatched"
+        )
+        wnm = _norm(
+            when_not_matched, {"insert_all", "insert"}, "whenNotMatched"
+        )
+        wnmbs = _norm(
+            when_not_matched_by_source,
+            {"update", "delete"},
+            "whenNotMatchedBySource",
+        )
+        if not (wm or wnm or wnmbs):
+            raise ValueError("MERGE requires at least one clause")
+        for k in keys:
+            if k not in source.columns:
+                raise ValueError(f"merge key {k!r} missing from source")
+        snap = self._snapshot()
+        schema = self._schema_for(snap)
+        data_cols = [f.name for f in schema.fields]
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        if any(c["action"] == "update_all" for c in wm) or any(
+            c["action"] == "insert_all" for c in wnm
+        ):
+            missing = [c for c in data_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"updateAll/insertAll need source columns {missing}"
+                )
+        if self._identity_meta(snap):
+            raise NotImplementedError(
+                "MERGE into a table with identity columns: inserted "
+                "rows would need engine-assigned ids inside the merge "
+                "rewrite (delta-spark restricted this combination for "
+                "the same reason). Append new rows instead."
+            )
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(f"source has duplicate merge keys: {dup[0]}")
+        cdf = self._cdf_enabled(snap)
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+
+        k0 = keys[0]
+        if wnmbs:
+            cand = list(snap.files)
+        else:
+            b = source.agg(
+                F.min(k0).alias("lo"), F.max(k0).alias("hi")
+            ).collect()[0]
+            if b.lo is None:
+                return snap.version  # empty source: no clause can fire
+            cand = self.files_matching(k0, b.lo, b.hi, snap=snap)
+
+        target = self._read_snapshot_files(snap, cand, keep_tags=True)
+        tj = target.alias("t")
+        sj = source.withColumn("__merge_s", F.lit(True)).alias("s")
+        on = None
+        for k in keys:
+            e = F.col(f"t.{k}") == F.col(f"s.{k}")
+            on = e if on is None else (on & e)
+        j = tj.join(sj, on, "full_outer")
+        t_exists = F.col("t.__fp").isNotNull()
+        s_exists = F.col("s.__merge_s").isNotNull()
+
+        def _cond(c):
+            if c["condition"] is None:
+                return F.lit(True)
+            return F.coalesce(
+                c["condition"].cast("boolean"), F.lit(False)
+            )
+
+        labeled = []
+        for i, c in enumerate(wm):
+            labeled.append((f"m{i}", t_exists & s_exists, c))
+        for i, c in enumerate(wnmbs):
+            labeled.append((f"b{i}", t_exists & ~s_exists, c))
+        for i, c in enumerate(wnm):
+            labeled.append((f"i{i}", ~t_exists & s_exists, c))
+        act = F.when(labeled[0][1] & _cond(labeled[0][2]), labeled[0][0])
+        for lbl, gate, c in labeled[1:]:
+            act = act.when(gate & _cond(c), lbl)
+        act = act.otherwise(
+            F.when(t_exists, F.lit("__keep")).otherwise(F.lit("__drop"))
+        )
+        j = j.withColumn("__act", act)
+
+        del_labels = [l for l, _, c in labeled if c["action"] == "delete"]
+        upd_labels = [
+            l
+            for l, _, c in labeled
+            if c["action"] in ("update", "update_all")
+        ]
+        ins_labels = [
+            l
+            for l, _, c in labeled
+            if c["action"] in ("insert", "insert_all")
+        ]
+        mod_labels = del_labels + upd_labels
+
+        # one tagged pass: which files own a modified row, and whether
+        # any insert fires — collect is bounded by the file count
+        stats = (
+            j.groupBy("__act")
+            .agg(
+                F.collect_set(F.col("t.__fp")).alias("fps"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        hit_uris = sorted(
+            {
+                fp
+                for r in stats
+                if r["__act"] in mod_labels
+                for fp in r["fps"]
+            }
+        )
+        n_ins = sum(r["n"] for r in stats if r["__act"] in ins_labels)
+        if not hit_uris and n_ins == 0:
+            return snap.version  # converged: nothing to rewrite
+        touched = [self._uri_to_rel(u) for u in hit_uris]
+
+        def _new_image(c):
+            e = F.col(f"t.{c}")
+            for lbl, _, cl in labeled:
+                a = cl["action"]
+                if a in ("update_all", "insert_all"):
+                    v = F.col(f"s.{c}")
+                elif a == "update":
+                    if c not in cl["set"]:
+                        continue
+                    v = cl["set"][c]
+                elif a == "insert":
+                    v = cl.get("values", {}).get(c)
+                    if v is None:
+                        v = F.lit(None).cast(dtypes[c])
+                else:  # delete: row never reaches the new image
+                    continue
+                e = F.when(F.col("__act") == lbl, v).otherwise(e)
+            return e.alias(c)
+
+        t_image = [F.col(f"t.{c}").alias(c) for c in data_cols]
+        in_hit = (
+            F.col("t.__fp").isin(hit_uris) if hit_uris else F.lit(False)
+        )
+        keep_pred = (
+            t_exists
+            & in_hit
+            & ~F.col("__act").isin([*del_labels, "__drop"])
+        )
+        result = j.filter(
+            keep_pred | F.col("__act").isin(ins_labels)
+        ).select(*[_new_image(c) for c in data_cols])
+
+        changes = None
+        if cdf:
+            parts = []
+            if upd_labels:
+                u = j.filter(F.col("__act").isin(upd_labels))
+                parts.append(
+                    u.select(*t_image).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                )
+                parts.append(
+                    u.select(
+                        *[_new_image(c) for c in data_cols]
+                    ).withColumn("_change_type", F.lit("update_postimage"))
+                )
+            if del_labels:
+                parts.append(
+                    j.filter(F.col("__act").isin(del_labels))
+                    .select(*t_image)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if ins_labels:
+                parts.append(
+                    j.filter(F.col("__act").isin(ins_labels))
+                    .select(*[_new_image(c) for c in data_cols])
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            for p in parts:
+                changes = p if changes is None else changes.unionByName(p)
+
+        result = self._apply_generated(result, snap)
+        self._enforce_checks(result, snap)
+        adds = (
+            self._write_files(result, pcols)
+            if result.limit(1).count() > 0
+            else []
+        )
+        cdc_actions = (
+            self._write_cdc_files(changes) if changes is not None else []
+        )
+
+        def _desc(clauses):
+            return (
+                ";".join(
+                    c["action"]
+                    + ("?" if c["condition"] is not None else "")
+                    for c in clauses
+                )
+                or "none"
+            )
+
+        return self._commit_next(
+            [
+                *({"add": a} for a in adds),
+                *({"remove": self._tombstone(p)} for p in touched),
+                *({"cdc": c} for c in cdc_actions),
+                dlog.commit_info(
+                    "MERGE",
+                    matchedPredicates=_desc(wm),
+                    notMatchedPredicates=_desc(wnm),
+                    notMatchedBySourcePredicates=_desc(wnmbs),
+                ),
+            ],
+            read_version=snap.version,
+        )
+
     def _uri_to_rel(self, uri: str) -> str:
         p = uri[len("file:"):] if uri.startswith("file:") else uri
         return os.path.relpath(

@@ -1810,3 +1810,227 @@ def test_change_feed_between_timestamps(spark, tmp_path):
     assert (
         t.read_change_feed_between_timestamps(ts[v2] + 10_000).count() == 0
     )
+
+
+# ------------------------------------------------ merge_into (full matrix)
+
+
+def _matrix_merge(spark, tmp_path, with_cdf=False):
+    """Shared matrix-merge setup: target keys %3==0, source keys
+    %4==0 at doubled price, one clause of every class."""
+    src = _orders(spark).select("o_orderkey", "o_totalprice")
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") % 3 == 0)
+    )
+    v_pre = t.enable_change_data_feed() if with_cdf else t.version
+    source = src.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    v = t.merge_into(
+        source,
+        ["o_orderkey"],
+        when_matched=[
+            {"action": "delete", "condition": "t.o_totalprice < 50000"},
+            {
+                "action": "update",
+                "set": {"o_totalprice": F.col("s.o_totalprice")},
+            },
+        ],
+        when_not_matched=[{"action": "insert_all"}],
+        when_not_matched_by_source=[
+            {"action": "delete", "condition": "t.o_totalprice < 20000"}
+        ],
+    )
+    # the same classification, relationally
+    loaded = src.filter(F.col("o_orderkey") % 3 == 0)
+    matched = loaded.filter(F.col("o_orderkey") % 4 == 0)
+    tonly = loaded.filter(F.col("o_orderkey") % 4 != 0)
+    sonly = source.filter(F.col("o_orderkey") % 3 != 0)
+    expected = (
+        matched.filter(F.col("o_totalprice") >= 50000)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(tonly.filter(F.col("o_totalprice") >= 20000))
+        .unionByName(sonly)
+    )
+    classes = {
+        "delete": matched.filter(F.col("o_totalprice") < 50000).count()
+        + tonly.filter(F.col("o_totalprice") < 20000).count(),
+        "update_preimage": matched.filter(
+            F.col("o_totalprice") >= 50000
+        ).count(),
+        "insert": sonly.count(),
+    }
+    classes["update_postimage"] = classes["update_preimage"]
+    return t, v_pre, v, expected, classes
+
+
+def test_merge_into_full_matrix_final_state(spark, tmp_path):
+    t, _, _, expected, _ = _matrix_merge(spark, tmp_path)
+    assert _rows(t.read()) == _rows(expected)
+
+
+def test_merge_into_cdf_attributes_every_clause(spark, tmp_path):
+    t, v_pre, v, expected, classes = _matrix_merge(
+        spark, tmp_path, with_cdf=True
+    )
+    assert _rows(t.read()) == _rows(expected)
+    feed = t.read_change_feed(v_pre, v)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {k: n for k, n in classes.items() if n}
+    # postimages carry the doubled price of their preimage rows
+    pre = feed.filter(F.col("_change_type") == "update_preimage")
+    post = feed.filter(F.col("_change_type") == "update_postimage")
+    joined = pre.alias("a").join(post.alias("b"), "o_orderkey")
+    assert (
+        joined.filter(
+            F.col("b.o_totalprice") != F.col("a.o_totalprice") * 2
+        ).count()
+        == 0
+    )
+
+
+def test_merge_into_by_source_update_and_first_match_wins(spark, tmp_path):
+    src = _orders(spark, 400).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") % 2 == 0)
+    )
+    source = src.filter(F.col("o_orderkey") % 5 == 0)
+    t.merge_into(
+        source,
+        ["o_orderkey"],
+        when_matched=[
+            # first-match-wins: the broad second clause must not see
+            # rows the first one claimed
+            {
+                "action": "update",
+                "set": {"o_orderstatus": F.lit("HI")},
+                "condition": "t.o_totalprice >= 100000",
+            },
+            {"action": "update", "set": {"o_orderstatus": F.lit("LO")}},
+        ],
+        when_not_matched_by_source=[
+            {"action": "update", "set": {"o_orderstatus": F.lit("STALE")}}
+        ],
+    )
+    got = t.read()
+    matched = (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 5 == 0)
+    expected = src.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus",
+        F.when(
+            matched & (F.col("o_totalprice") >= 100000), F.lit("HI")
+        )
+        .when(matched, F.lit("LO"))
+        .otherwise(F.lit("STALE")),
+    )
+    assert _rows(got) == _rows(expected)
+
+
+def test_merge_into_converged_mirror_is_a_noop(spark, tmp_path):
+    src = _orders(spark).select("o_orderkey", "o_totalprice")
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.repartitionByRange(6, "o_orderkey")
+    )
+    v0 = t.version
+    mirror_clauses = dict(
+        when_matched=[
+            {
+                "action": "update_all",
+                "condition": "NOT (t.o_totalprice <=> s.o_totalprice)",
+            }
+        ],
+        when_not_matched=[{"action": "insert_all"}],
+        when_not_matched_by_source=[{"action": "delete"}],
+    )
+    assert t.merge_into(src, ["o_orderkey"], **mirror_clauses) == v0
+    assert t.version == v0, "converged mirror sync must not commit"
+
+    # perturb one narrow key range: only the file(s) owning it rewrite
+    before = set(t._snapshot().files)
+    lo_keys = src.orderBy("o_orderkey").limit(3)
+    perturbed = src.join(
+        lo_keys.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(
+        lo_keys.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    t.merge_into(perturbed, ["o_orderkey"], **mirror_clauses)
+    after = set(t._snapshot().files)
+    assert 1 <= len(before - after) <= 2, (
+        "a 3-low-key perturbation must rewrite only the owning files, "
+        f"not {len(before - after)} of {len(before)}"
+    )
+    assert _rows(t.read()) == _rows(perturbed)
+
+
+def test_merge_into_empty_source_by_source_delete_truncates(
+    spark, tmp_path
+):
+    src = _orders(spark, 120).select("o_orderkey", "o_totalprice")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    v = t.merge_into(
+        src.filter(F.lit(False)),
+        ["o_orderkey"],
+        when_not_matched_by_source=[{"action": "delete"}],
+    )
+    assert v == t.version and v > 0
+    assert t.read().count() == 0
+    assert t.read(version=0).count() == 120, "truncation is time-travelable"
+
+
+def test_merge_into_insert_values_defaults_null(spark, tmp_path):
+    src = _orders(spark, 100).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), src.filter(F.col("o_orderkey") % 2 == 0)
+    )
+    news = src.filter(F.col("o_orderkey") % 2 == 1)
+    t.merge_into(
+        news,
+        ["o_orderkey"],
+        when_not_matched=[
+            {
+                "action": "insert",
+                "values": {
+                    "o_orderkey": F.col("s.o_orderkey"),
+                    "o_totalprice": F.lit(0.0),
+                },
+            }
+        ],
+    )
+    inserted = t.read().filter(F.col("o_orderkey") % 2 == 1)
+    assert inserted.count() == news.count()
+    assert inserted.filter(F.col("o_orderstatus").isNotNull()).count() == 0
+    assert inserted.filter(F.col("o_totalprice") != 0.0).count() == 0
+
+
+def test_merge_into_clause_validation(spark, tmp_path):
+    src = _orders(spark, 50).select("o_orderkey", "o_totalprice")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    with pytest.raises(ValueError, match="only the last whenMatched"):
+        t.merge_into(
+            src,
+            ["o_orderkey"],
+            when_matched=[
+                {"action": "delete"},  # unconditioned, not last
+                {"action": "update_all"},
+            ],
+        )
+    with pytest.raises(ValueError, match="action must be one of"):
+        t.merge_into(
+            src, ["o_orderkey"], when_matched=[{"action": "upsert"}]
+        )
+    with pytest.raises(ValueError, match="at least one clause"):
+        t.merge_into(src, ["o_orderkey"])
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_into(
+            src.unionByName(src),
+            ["o_orderkey"],
+            when_matched=[{"action": "delete"}],
+        )
