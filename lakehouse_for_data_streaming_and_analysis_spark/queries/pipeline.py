@@ -1501,3 +1501,131 @@ def deltalog_update_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "o_year int, n_rows long, total_price double"
     )
+
+
+@q(
+    "deltalog_merge_matrix_audit",
+    """WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS praw,
+                           CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                    FROM orders WHERE o_orderkey % 3 = 0),
+       src AS (SELECT o_orderkey AS k, o_totalprice * 2 AS praw,
+                      CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS p
+               FROM orders WHERE o_orderkey % 4 = 0),
+       m AS (SELECT t.k, t.praw AS tpraw, t.p AS tp, s.p AS sp
+             FROM tgt t JOIN src s ON t.k = s.k),
+       tonly AS (SELECT k, praw, p FROM tgt WHERE k % 4 <> 0),
+       sonly AS (SELECT k, p FROM src WHERE k % 3 <> 0),
+       cdf AS (
+         SELECT 'delete' AS kind, tp AS p FROM m WHERE tpraw < 50000
+         UNION ALL
+         SELECT 'delete', p FROM tonly WHERE praw < 20000
+         UNION ALL
+         SELECT 'update_preimage', tp FROM m WHERE tpraw >= 50000
+         UNION ALL
+         SELECT 'update_postimage', sp FROM m WHERE tpraw >= 50000
+         UNION ALL
+         SELECT 'insert', p FROM sonly),
+       fin AS (
+         SELECT sp AS p FROM m WHERE tpraw >= 50000
+         UNION ALL
+         SELECT p FROM tonly WHERE praw >= 20000
+         UNION ALL
+         SELECT p FROM sonly)
+       SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(p), 2) AS DOUBLE) AS total_price
+       FROM cdf GROUP BY kind
+       UNION ALL
+       SELECT 'final', CAST(COUNT(*) AS BIGINT),
+              CAST(ROUND(SUM(p), 2) AS DOUBLE) FROM fin""",
+)
+def deltalog_merge_matrix_audit(spark, sf_dir):
+    """Full-matrix MERGE INTO end-to-end (delta/table.py merge_into):
+    create a CDF-enabled table of orders keys ≡0 mod 3, then MERGE a
+    source of keys ≡0 mod 4 at doubled price with one clause of every
+    Delta class — whenMatched DELETE (t.price < 50k) then an
+    unconditional whenMatched UPDATE, whenNotMatched INSERT *, and a
+    whenNotMatchedBySource DELETE (t.price < 20k) that reaches rows
+    the source never named. The audit reads BOTH artifacts of the one
+    commit: the change feed grouped by _change_type (every clause
+    must attribute its rows — update pre/postimages, deletes,
+    inserts) and the final table state; the oracle recomputes the
+    whole clause matrix relationally, so the hash match certifies
+    first-match-wins ordering, bySource scope, and the converged
+    pass-through of unnamed rows in one check. File selection only
+    rewrites files owning a modified row (the merge() 100 TB story),
+    which the final-state sum would expose if it dropped or
+    duplicated a pass-through row. Scratch table per-invocation,
+    removed before return. Reference parity: the reference's MERGE
+    usage is the SCD upsert corner (Sourcecode/AutomateTable.py);
+    this covers the full delta-spark clause surface idiomatically."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"mrg-{uuid.uuid4().hex}"
+    )
+
+    def _agg(df, kind):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        ).select(F.lit(kind).alias("kind"), "n_rows", "total_price")
+
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+        )
+        t.enable_change_data_feed()
+        source = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        v = t.merge_into(
+            source,
+            ["o_orderkey"],
+            when_matched=[
+                {
+                    "action": "delete",
+                    "condition": "t.o_totalprice < 50000",
+                },
+                {
+                    "action": "update",
+                    "set": {"o_totalprice": F.col("s.o_totalprice")},
+                },
+            ],
+            when_not_matched=[{"action": "insert_all"}],
+            when_not_matched_by_source=[
+                {"action": "delete", "condition": "t.o_totalprice < 20000"}
+            ],
+        )
+        feed = t.read_change_feed(v - 1, v)  # (v_from, v_to] range
+        by_kind = [
+            r
+            for k in (
+                "delete",
+                "update_preimage",
+                "update_postimage",
+                "insert",
+            )
+            for r in _agg(
+                feed.filter(F.col("_change_type") == k), k
+            ).collect()
+        ]
+        rows = by_kind + _agg(t.read(), "final").collect()
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, n_rows long, total_price double"
+    )
