@@ -278,30 +278,70 @@ class DeltaishTable:
 
     # ------------------------------------------------------------ writes
 
+    def _physicalize(
+        self, df: DataFrame, snap: dlog.Snapshot | None, mapping: dict[str, str] | None = None
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Rename a logical-name frame to PHYSICAL column names before
+        writing it into a column-mapped table, attaching each field's
+        ``parquet.field.id`` so the written footers satisfy id-mode
+        readers too (Spark writes the annotation when
+        spark.sql.parquet.fieldId.write.enabled, its default). Columns
+        outside the mapping (``_change_type``, engine tags) pass
+        through unchanged. Returns (physical df, logical->physical
+        mapping); identity mapping -> the frame untouched."""
+        if mapping is None:
+            mapping = self._column_mapping(snap) if snap is not None else {}
+        if not mapping:
+            return df, {}
+        ids: dict[str, int] = {}
+        schema_src = (
+            snap.metadata.get("schemaString") if snap is not None else None
+        )
+        if schema_src:
+            for f in json.loads(schema_src)["fields"]:
+                md = f.get("metadata", {}) or {}
+                if "delta.columnMapping.id" in md:
+                    ids[f["name"]] = int(md["delta.columnMapping.id"])
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        cols = []
+        for c in df.columns:
+            phys = mapping.get(c, c)
+            if c in ids:
+                cols.append(
+                    F.col(c).alias(phys, metadata={"parquet.field.id": ids[c]})
+                )
+            else:
+                cols.append(F.col(c).alias(phys))
+        return df.select(*cols), mapping
+
     def _write_files(
-        self, df: DataFrame, partition_by: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        snap: dlog.Snapshot | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write ``df`` through Spark into fresh uniquely-named parquet
         files under the table root (partition dirs per the Hive
         layout), returning their ``add`` payloads with footer stats.
+
+        Under column mapping the caller's frame speaks LOGICAL names;
+        files, partition directories, and footer stats are written
+        under PHYSICAL names (``snap`` supplies the mapping; an
+        explicit ``mapping`` overrides it for commits that evolve the
+        mapping in the same transaction). create() predates the log,
+        so when neither is given the latest snapshot is consulted.
 
         Failure-safe: the staging dir is removed on every exit path,
         and files already moved out of staging are deleted again if a
         later move/stat fails — an aborted write leaves no orphans
         under the table root (uncommitted files would be invisible to
         the log but would corrupt a naive directory listing)."""
-        # name-mode mapping is READ-only here: writing would have to
-        # emit physical column names (files, partition dirs, stats) and
-        # allocate ids for new columns — refuse rather than write a
-        # file delta-spark reads as all-null. create() predates the log
-        # (no versions yet), so only guard existing tables.
-        if dlog.list_versions(self.path) and self._column_mapping(
-            dlog.replay(self.path)
-        ):
-            raise NotImplementedError(
-                "writes to a column-mapped table are not supported; "
-                "write with delta-spark"
-            )
+        if mapping is None and snap is None and dlog.list_versions(self.path):
+            snap = dlog.replay(self.path)
+        df, mapping = self._physicalize(df, snap, mapping)
+        if mapping:
+            partition_by = tuple(mapping.get(c, c) for c in partition_by)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         moved: list[str] = []
         adds: list[dict] = []
@@ -595,6 +635,47 @@ class DeltaishTable:
         md["schemaString"] = schema.json()
         return {"metaData": md}
 
+    MAPPING_MODE = "delta.columnMapping.mode"
+    MAPPING_MAX_ID = "delta.columnMapping.maxColumnId"
+    MAPPING_ID = "delta.columnMapping.id"
+    MAPPING_PHYS = "delta.columnMapping.physicalName"
+
+    def _mapped_schema_json(
+        self, snap: dlog.Snapshot, schema: T.StructType
+    ) -> tuple[str, dict, dict[str, str]]:
+        """Annotate ``schema`` (the post-evolution or replacement
+        logical schema) with column-mapping field metadata: a field
+        whose logical name already exists KEEPS its id/physicalName
+        (so its data files remain addressable), a NEW field mints
+        id = maxColumnId+1 and physicalName = ``col-<uuid>`` — the
+        protocol's rule that guarantees a dropped-then-re-added
+        column can never resurrect the old column's bytes. Returns
+        (schemaString, updated configuration, logical->physical
+        mapping). Caller must be under an active mapping mode."""
+        prior = {
+            f["name"]: (f.get("metadata", {}) or {})
+            for f in json.loads(snap.metadata["schemaString"])["fields"]
+        }
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        max_id = int(conf.get(self.MAPPING_MAX_ID, 0))
+        sj = json.loads(schema.json())
+        mapping: dict[str, str] = {}
+        for f in sj["fields"]:
+            md = dict(f.get("metadata", {}) or {})
+            old = prior.get(f["name"])
+            if old is not None and self.MAPPING_PHYS in old:
+                if self.MAPPING_ID in old:
+                    md[self.MAPPING_ID] = old[self.MAPPING_ID]
+                md[self.MAPPING_PHYS] = old[self.MAPPING_PHYS]
+            else:
+                max_id += 1
+                md[self.MAPPING_ID] = max_id
+                md[self.MAPPING_PHYS] = f"col-{uuid.uuid4().hex}"
+            f["metadata"] = md
+            mapping[f["name"]] = md[self.MAPPING_PHYS]
+        conf[self.MAPPING_MAX_ID] = str(max_id)
+        return json.dumps(sj), conf, mapping
+
     # ------------------------------------------------- CHECK constraints
 
     CONSTRAINT_PREFIX = "delta.constraints."
@@ -686,6 +767,183 @@ class DeltaishTable:
             )
         self._violations_or_raise(probe, cs)
 
+    # ------------------------------------------------- column mapping DDL
+
+    @staticmethod
+    def _expr_references(expr: str, col: str) -> bool:
+        """Conservative identifier match: does ``expr`` mention ``col``
+        as a standalone token? (Delta resolves the expression tree; a
+        regex over-matches only into refusing, never into allowing.)"""
+        import re as _re
+
+        return bool(
+            _re.search(
+                rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])",
+                expr,
+            )
+        )
+
+    def _referencing_exprs(
+        self, snap: dlog.Snapshot, col: str
+    ) -> list[str]:
+        """Every CHECK-constraint or generated-column expression that
+        mentions ``col`` — renaming or dropping the column would break
+        them (Delta refuses the same way)."""
+        out = []
+        conf = snap.metadata.get("configuration", {}) or {}
+        for k, expr in conf.items():
+            if k.startswith(self.CONSTRAINT_PREFIX) and self._expr_references(
+                expr, col
+            ):
+                out.append(f"constraint {k[len(self.CONSTRAINT_PREFIX):]}: {expr}")
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            expr = (f.get("metadata", {}) or {}).get(
+                "delta.generationExpression"
+            )
+            if expr and f["name"] != col and self._expr_references(expr, col):
+                out.append(f"generated column {f['name']}: {expr}")
+        return out
+
+    def enable_column_mapping(self, mode: str = "name") -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.columnMapping.mode' = 'name'): upgrade an existing
+        table to NAME-mode column mapping. Every top-level field is
+        annotated with ``delta.columnMapping.id`` (1-based field
+        position) and ``physicalName`` equal to its CURRENT name — so
+        files already on disk stay addressable — and the protocol is
+        raised to (2, 5), the mapping feature's floor. After this,
+        RENAME/DROP COLUMN are metadata-only commits and new columns
+        get uuid physical names.
+
+        ``mode='id'`` is refused for upgrades, as delta-spark refuses
+        it: existing files carry no parquet field ids, so id-mode
+        reads of them would fail. Id-mode tables are supported
+        read-side when created by an engine that wrote ids."""
+        if mode != "name":
+            raise NotImplementedError(
+                f"column mapping upgrade supports mode='name' only, "
+                f"not {mode!r}: existing parquet files carry no field "
+                "ids, so an id-mode read of them would fail loudly"
+            )
+        snap = self._snapshot()
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        cur = conf.get(self.MAPPING_MODE, "none")
+        if cur != "none":
+            raise ValueError(f"column mapping already enabled ({cur!r})")
+        sj = json.loads(snap.metadata["schemaString"])
+        for i, f in enumerate(sj["fields"]):
+            md = dict(f.get("metadata", {}) or {})
+            md[self.MAPPING_ID] = i + 1
+            md[self.MAPPING_PHYS] = f["name"]
+            f["metadata"] = md
+        conf[self.MAPPING_MODE] = "name"
+        conf[self.MAPPING_MAX_ID] = str(len(sj["fields"]))
+        md_action = dict(snap.metadata)
+        md_action["schemaString"] = json.dumps(sj)
+        md_action["configuration"] = conf
+        proto = dict(snap.protocol or {})
+        proto["minReaderVersion"] = max(
+            int(proto.get("minReaderVersion", 1)), 2
+        )
+        proto["minWriterVersion"] = max(
+            int(proto.get("minWriterVersion", 2)), 5
+        )
+        return self._commit_next(
+            [
+                {"protocol": proto},
+                {"metaData": md_action},
+                dlog.commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={self.MAPPING_MODE: "name"},
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only
+        under column mapping (the physical name and id never change,
+        so zero files are rewritten; a 100 TB table renames in one
+        commit). Refused without mapping (Delta's rule: without it a
+        rename would silently null the column) and when a CHECK
+        constraint or generated-column expression references the
+        column. Partition columns rename cleanly: the directory
+        layout keys on the physical name, which is stable."""
+        snap = self._snapshot()
+        if not self._column_mapping(snap):
+            raise ValueError(
+                "RENAME COLUMN requires column mapping; call "
+                "enable_column_mapping() first (without it existing "
+                "files keep the old name and would read as null)"
+            )
+        sj = json.loads(snap.metadata["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        refs = self._referencing_exprs(snap, old)
+        if refs:
+            raise ValueError(
+                f"cannot rename {old!r}: referenced by {'; '.join(refs)}"
+            )
+        for f in sj["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        md = dict(snap.metadata)
+        md["schemaString"] = json.dumps(sj)
+        md["partitionColumns"] = [
+            new if c == old else c
+            for c in snap.metadata.get("partitionColumns", [])
+        ]
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info("RENAME COLUMN", old=old, new=new),
+            ],
+            read_version=snap.version,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE ... DROP COLUMN — metadata-only under column
+        mapping: the field leaves the schema, its bytes stay in the
+        files but are unaddressable (re-adding the same logical name
+        mints a FRESH physical name, so the old values can never
+        resurface — pinned in tests). Refused without mapping, for
+        partition columns, and when another expression references the
+        column."""
+        snap = self._snapshot()
+        if not self._column_mapping(snap):
+            raise ValueError(
+                "DROP COLUMN requires column mapping; call "
+                "enable_column_mapping() first"
+            )
+        sj = json.loads(snap.metadata["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if name not in names:
+            raise ValueError(f"no such column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in (snap.metadata.get("partitionColumns") or []):
+            raise ValueError(
+                f"cannot drop partition column {name!r}"
+            )
+        refs = self._referencing_exprs(snap, name)
+        if refs:
+            raise ValueError(
+                f"cannot drop {name!r}: referenced by {'; '.join(refs)}"
+            )
+        sj["fields"] = [f for f in sj["fields"] if f["name"] != name]
+        md = dict(snap.metadata)
+        md["schemaString"] = json.dumps(sj)
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info("DROP COLUMNS", columns=[name]),
+            ],
+            read_version=snap.version,
+        )
+
     def append(
         self,
         df: DataFrame,
@@ -706,18 +964,27 @@ class DeltaishTable:
         evolved = self._enforce_or_evolve(df, snap, merge_schema)
         self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        adds = self._write_files(df, pcols)
+        mapping = self._column_mapping(snap)
+        evolved_conf = None
+        if evolved is not None and mapping:
+            # evolving a mapped table mints ids/physicalNames for the
+            # new fields; this commit's files must use them
+            base, evolved_conf, mapping = self._mapped_schema_json(
+                snap, evolved
+            )
+        elif evolved is not None:
+            base = evolved.json()
+        else:
+            base = snap.metadata["schemaString"]
+        adds = self._write_files(df, pcols, snap=snap, mapping=mapping)
         actions: list[dict] = []
         if evolved is not None or hwm_updates:
-            base = (
-                evolved.json()
-                if evolved is not None
-                else snap.metadata["schemaString"]
-            )
             md = dict(snap.metadata)
             md["schemaString"] = self._schema_json_with_hwm(
                 base, hwm_updates
             )
+            if evolved_conf is not None:
+                md["configuration"] = evolved_conf
             actions.append({"metaData": md})
         actions.extend({"add": a} for a in adds)
         if txn_app_id is not None:
@@ -744,8 +1011,21 @@ class DeltaishTable:
         overwrite, since old files stop matching)."""
         snap = self._snapshot()
         actions: list[dict] = []
+        mapping = self._column_mapping(snap)
         if overwrite_schema:
-            actions.append(self._metadata_action(snap, df.schema))
+            if mapping:
+                # schema replacement under mapping: surviving logical
+                # names keep their physical identity, new ones mint
+                # fresh ids — old bytes stay unreachable, per protocol
+                sj, conf, mapping = self._mapped_schema_json(
+                    snap, df.schema
+                )
+                md = dict(snap.metadata)
+                md["schemaString"] = sj
+                md["configuration"] = conf
+                actions.append({"metaData": md})
+            else:
+                actions.append(self._metadata_action(snap, df.schema))
         else:
             df = self._apply_generated(df, snap)
             df, hwm_updates = self._apply_identity(df, snap)
@@ -759,7 +1039,7 @@ class DeltaishTable:
                 actions.append({"metaData": md})
         self._enforce_checks(df, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        adds = self._write_files(df, pcols)
+        adds = self._write_files(df, pcols, snap=snap, mapping=mapping)
         actions.extend({"add": a} for a in adds)
         actions.extend({"remove": self._tombstone(p)} for p in snap.files)
         actions.append(dlog.commit_info("WRITE", mode="Overwrite"))
@@ -1451,9 +1731,9 @@ class DeltaishTable:
         # generated value fails before any file is written
         result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
-        adds = self._write_files(result, pcols)
+        adds = self._write_files(result, pcols, snap=snap)
         cdc_actions = (
-            self._write_cdc_files(changes) if changes is not None else []
+            self._write_cdc_files(changes, snap=snap) if changes is not None else []
         )
         return self._commit_next(
             [
@@ -1732,12 +2012,12 @@ class DeltaishTable:
         result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
         adds = (
-            self._write_files(result, pcols)
+            self._write_files(result, pcols, snap=snap)
             if result.limit(1).count() > 0
             else []
         )
         cdc_actions = (
-            self._write_cdc_files(changes) if changes is not None else []
+            self._write_cdc_files(changes, snap=snap) if changes is not None else []
         )
 
         def _desc(clauses):
@@ -1828,7 +2108,8 @@ class DeltaishTable:
                     for c in self._write_cdc_files(
                         matches.drop("__fp", "__ri").withColumn(
                             "_change_type", F.lit("delete")
-                        )
+                        ),
+                        snap=snap,
                     )
                 )
             actions.append(
@@ -1855,7 +2136,7 @@ class DeltaishTable:
         target = self._read_snapshot_files(snap, touched)
         kept = target.filter(~is_match)
         adds = (
-            self._write_files(kept, pcols)
+            self._write_files(kept, pcols, snap=snap)
             if kept.limit(1).count() > 0
             else []
         )
@@ -1864,7 +2145,8 @@ class DeltaishTable:
             cdc_actions = self._write_cdc_files(
                 target.filter(is_match).withColumn(
                     "_change_type", F.lit("delete")
-                )
+                ),
+                snap=snap,
             )
         return self._commit_next(
             [
@@ -1960,7 +2242,7 @@ class DeltaishTable:
             # the updated rows land as NEW files; the old positions
             # are bitmap-masked — data written ∝ rows updated
             actions.extend(
-                {"add": a} for a in self._write_files(post, pcols)
+                {"add": a} for a in self._write_files(post, pcols, snap=snap)
             )
             if self._cdf_enabled(snap):
                 actions.extend(
@@ -1973,7 +2255,8 @@ class DeltaishTable:
                                 "_change_type",
                                 F.lit("update_postimage"),
                             )
-                        )
+                        ),
+                        snap=snap,
                     )
                 )
             actions.append(
@@ -2027,7 +2310,7 @@ class DeltaishTable:
             )
         result = updated.drop("__m")
         self._enforce_checks(result, snap)
-        adds = self._write_files(result, pcols)
+        adds = self._write_files(result, pcols, snap=snap)
         cdc_actions = []
         if self._cdf_enabled(snap):
             pre = target.filter(is_match).withColumn(
@@ -2036,7 +2319,7 @@ class DeltaishTable:
             post = updated.filter(F.col("__m")).drop("__m").withColumn(
                 "_change_type", F.lit("update_postimage")
             )
-            cdc_actions = self._write_cdc_files(pre.unionByName(post))
+            cdc_actions = self._write_cdc_files(pre.unionByName(post), snap=snap)
         return self._commit_next(
             [
                 *({"add": a} for a in adds),
@@ -2067,7 +2350,7 @@ class DeltaishTable:
             return snap.version
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         live = self._read_snapshot_files(snap, dv_paths)  # DVs applied
-        adds = self._write_files(live, pcols)
+        adds = self._write_files(live, pcols, snap=snap)
         for a in adds:
             a["dataChange"] = False
         return self._commit_next(
@@ -2098,14 +2381,36 @@ class DeltaishTable:
             [f for f in self._schema_for(snap).fields if f.name not in pcols]
         )
 
+    def _physical_struct(
+        self, snap: dlog.Snapshot, schema: T.StructType
+    ) -> T.StructType:
+        """The PHYSICAL-name rendering of a logical schema — what the
+        data files of a column-mapped table actually contain. Identity
+        when the table has no mapping. Raw-file rewrites (compaction,
+        clustering) read and write with this schema directly, so the
+        physical bytes round-trip without a logical rename hop."""
+        mapping = self._column_mapping(snap)
+        if not mapping:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int:
         """Bin-pack small files per partition (dataChange=false, as the
         spec requires for pure compaction — streams reading the table
         skip these commits). Inputs are read under the snapshot's
         declared schema so files predating a schema evolution keep
-        the evolved column (as nulls) instead of dropping it."""
+        the evolved column (as nulls) instead of dropping it. Under
+        column mapping the read and rewrite both happen at PHYSICAL
+        names — compaction never consults the logical layer."""
         snap = self._snapshot()
-        data_schema = self._data_schema(snap)
+        data_schema = self._physical_struct(snap, self._data_schema(snap))
         groups: dict[tuple, list[str]] = {}
         sizes: dict[tuple, int] = {}
         for path, add in snap.files.items():
@@ -2245,7 +2550,7 @@ class DeltaishTable:
             clustered = self._clustered(
                 self._read_snapshot_files(snap, snap.files), zcols, n_files, bits
             )
-            adds = self._write_files(clustered, ())
+            adds = self._write_files(clustered, (), snap=snap)
             for a in adds:
                 a["dataChange"] = False
             return self._commit_next(
@@ -2259,7 +2564,10 @@ class DeltaishTable:
                 ],
                 read_version=snap.version,
             )
-        data_schema = self._data_schema(snap)
+        data_schema = self._physical_struct(snap, self._data_schema(snap))
+        # the partitioned path clusters the PHYSICAL frame directly
+        pmap = self._column_mapping(snap)
+        zcols_phys = [pmap.get(c, c) for c in zcols]
         groups: dict[tuple, list[str]] = {}
         for path, add in snap.files.items():
             key = tuple(sorted(add.get("partitionValues", {}).items()))
@@ -2270,7 +2578,7 @@ class DeltaishTable:
                 *[os.path.join(self.path, p) for p in paths]
             )
             clustered = self._clustered(
-                df, zcols, max(1, min(n_files, len(paths))), bits
+                df, zcols_phys, max(1, min(n_files, len(paths))), bits
             )
             part_dir = "/".join(f"{k}={v}" for k, v in key)
             actions.extend(
@@ -2469,7 +2777,9 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
-    def _write_cdc_files(self, changes: DataFrame) -> list[dict]:
+    def _write_cdc_files(
+        self, changes: DataFrame, snap: dlog.Snapshot | None = None
+    ) -> list[dict]:
         """Write one commit's change rows (data columns +
         ``_change_type``) under ``_change_data/`` and return their
         'cdc' action payloads. dataChange=false semantics are implicit:
@@ -2477,7 +2787,13 @@ class DeltaishTable:
         directory is invisible to directory listings. Partition
         columns are stored as regular columns in the cdc file (a
         documented simplification of the spec's partitioned cdc
-        layout — this module is both writer and reader of them)."""
+        layout — this module is both writer and reader of them).
+        Under column mapping the data columns are stored physical
+        (``_change_type`` is a protocol column, never mapped), exactly
+        like the data files — read_change_feed renames them back."""
+        if snap is None and dlog.list_versions(self.path):
+            snap = dlog.replay(self.path)
+        changes, _ = self._physicalize(changes, snap)
         os.makedirs(os.path.join(self.path, self.CDF_DIR), exist_ok=True)
         staging = os.path.join(
             self.path, f"_staging-cdc-{uuid.uuid4().hex}"
@@ -2572,10 +2888,44 @@ class DeltaishTable:
                         f"change feed ({v_from}, {v_to}] references "
                         f"missing cdc file {gone[0]}; range expired"
                     )
-                df = self.spark.read.schema(cdc_schema).parquet(
+                # cdc files store data columns at PHYSICAL names on a
+                # column-mapped table (exactly like data files);
+                # _change_type is a protocol column, never mapped
+                cmap = self._column_mapping(snap)
+                cids = (
+                    self._column_ids(snap)
+                    if (snap.metadata.get("configuration", {}) or {}).get(
+                        self.MAPPING_MODE
+                    )
+                    == "id"
+                    else {}
+                )
+                if cids:
+                    self.spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.enabled", "true"
+                    )
+                cdc_read = T.StructType(
+                    [
+                        T.StructField(
+                            cmap.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                            {"parquet.field.id": cids[f.name]}
+                            if f.name in cids
+                            else None,
+                        )
+                        for f in cdc_schema.fields
+                    ]
+                )
+                df = self.spark.read.schema(cdc_read).parquet(
                     *[
                         os.path.join(self.path, c["path"])
                         for c in cdc
+                    ]
+                ).select(
+                    *[
+                        F.col(cmap.get(f.name, f.name)).alias(f.name)
+                        for f in cdc_schema.fields
                     ]
                 )
             elif adds and removes and op in ("MERGE", "DELETE", "UPDATE"):

@@ -677,11 +677,11 @@ def test_merge_conflicts_with_concurrent_append(spark, tmp_path, monkeypatch):
     orig = DeltaishTable._write_files
     fired = {"done": False}
 
-    def hook(self, df, partition_by=()):
+    def hook(self, df, partition_by=(), **kw):
         if not fired["done"]:
             fired["done"] = True
             DeltaishTable(spark, t.path).append(extra)
-        return orig(self, df, partition_by)
+        return orig(self, df, partition_by, **kw)
 
     monkeypatch.setattr(DeltaishTable, "_write_files", hook)
     updates = src.limit(10).withColumn("o_totalprice", F.lit(1.0))
@@ -702,11 +702,11 @@ def test_rewrite_conflicts_with_concurrent_rewrite(spark, tmp_path, monkeypatch)
     orig = DeltaishTable._write_files
     fired = {"done": False}
 
-    def hook(self, df, partition_by=()):
+    def hook(self, df, partition_by=(), **kw):
         if not fired["done"]:
             fired["done"] = True
             DeltaishTable(spark, t.path).overwrite(src.limit(30))
-        return orig(self, df, partition_by)
+        return orig(self, df, partition_by, **kw)
 
     monkeypatch.setattr(DeltaishTable, "_write_files", hook)
     with pytest.raises(ConcurrentCommitError, match="changed data files"):
@@ -1049,13 +1049,13 @@ def test_append_conflicts_with_concurrent_constraint(
     orig = DeltaishTable._write_files
     fired = {"done": False}
 
-    def hook(self, df, partition_by=()):
+    def hook(self, df, partition_by=(), **kw):
         if not fired["done"]:
             fired["done"] = True
             DeltaishTable(spark, t.path).add_check_constraint(
                 "pos_price", "o_totalprice >= 0"
             )
-        return orig(self, df, partition_by)
+        return orig(self, df, partition_by, **kw)
 
     monkeypatch.setattr(DeltaishTable, "_write_files", hook)
     with pytest.raises(ConcurrentCommitError, match="metadata"):
@@ -1141,8 +1141,9 @@ def test_name_mode_column_mapping_reads_logical(spark, tmp_path):
     is readable: the parquet stores the physical uuid column name, the
     schema field metadata maps it to the logical name, and read()
     returns logical columns. Stats-based skipping translates its
-    lookup too (stats keys are physical). Writes refuse — emitting a
-    logical-named file would read back all-null in delta-spark."""
+    lookup too (stats keys are physical). Writes PHYSICALIZE — the
+    appended file stores the physical uuid column name (a
+    logical-named file would read back all-null in delta-spark)."""
     phys = "col-9a1b2c3d-0000-4000-8000-deadbeef0001"
     _foreign_log(
         tmp_path / "cm",
@@ -1162,8 +1163,18 @@ def test_name_mode_column_mapping_reads_logical(spark, tmp_path):
     assert t.files_matching("id", 1, 3) == ["part-00000.parquet"]
     assert t.files_matching("id", 10, 20) == []
     assert _rows(t.read_pruned("id", 2, 3)) == [("2",), ("3",)]
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        t.append(got)
+    # writes physicalize: the new file's footer carries the PHYSICAL
+    # column name, and the table reads back logical
+    import pyarrow.parquet as pq
+
+    got_rows = got.collect()
+    t.append(spark.createDataFrame(got_rows, got.schema))
+    assert sorted(r.id for r in t.read().collect()) == [1, 1, 2, 2, 3, 3]
+    snap = t._snapshot()
+    newest = max(
+        snap.files, key=lambda p: snap.files[p]["modificationTime"]
+    )
+    assert pq.read_schema(str(tmp_path / "cm" / newest)).names == [phys]
     with pytest.raises(NotImplementedError, match="physical"):
         t.as_stream()
 
@@ -1257,9 +1268,18 @@ def test_id_mode_column_mapping_resolves_by_field_id(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [1, 2, 3]
     assert t.files_matching("id", 10, 20) == []
     assert _rows(t.read_pruned("id", 2, 3)) == [("2",), ("3",)]
-    # writes stay refused under any mapping
-    with pytest.raises(NotImplementedError, match="column-mapped"):
-        t.append(got)
+    # id-mode writes attach the parquet field id to the physical
+    # column, so the appended file is resolvable BY ID too
+    got_rows = got.collect()
+    t.append(spark.createDataFrame(got_rows, got.schema))
+    assert sorted(r.id for r in t.read().collect()) == [1, 1, 2, 2, 3, 3]
+    snap = t._snapshot()
+    newest = max(
+        snap.files, key=lambda p: snap.files[p]["modificationTime"]
+    )
+    fschema = pq.read_schema(str(root / newest))
+    assert fschema.names == [phys]
+    assert fschema.field(0).metadata[b"PARQUET:field_id"] == b"1"
 
 
 def test_id_mode_without_field_ids_fails_loudly(spark, tmp_path):
@@ -1566,11 +1586,11 @@ def test_identity_concurrent_append_conflicts(spark, tmp_path, monkeypatch):
     orig = DeltaishTable._write_files
     fired = {"done": False}
 
-    def hook(self, df, partition_by=()):
+    def hook(self, df, partition_by=(), **kw):
         if not fired["done"]:
             fired["done"] = True
             DeltaishTable(spark, t.path).append(other)
-        return orig(self, df, partition_by)
+        return orig(self, df, partition_by, **kw)
 
     monkeypatch.setattr(DeltaishTable, "_write_files", hook)
     with pytest.raises(ConcurrentCommitError, match="metadata"):
@@ -2034,3 +2054,284 @@ def test_merge_into_clause_validation(spark, tmp_path):
             ["o_orderkey"],
             when_matched=[{"action": "delete"}],
         )
+
+
+# ------------------------------------------------- column mapping DDL
+#
+# Writer-side column mapping: ALTER TABLE upgrade + RENAME/DROP COLUMN
+# as metadata-only commits, with every write path emitting PHYSICAL
+# column names (files, partition dirs, footer stats, cdc files).
+# Mirrors delta-spark's columnMapping feature semantics
+# (reference parity: the reference manages its tables through
+# delta-spark, spark/delta_manager.py — schema evolution included).
+
+
+def _cm_table(spark, tmp_path, name="cm", partition_by=()):
+    df = (
+        spark.range(40)
+        .withColumn("grp", (F.col("id") % 4).cast("int"))
+        .withColumn("val", F.col("id") * 2.0)
+    )
+    t = DeltaishTable.create(
+        spark, str(tmp_path / name), df, partition_by=partition_by
+    )
+    return t, df
+
+
+def test_enable_column_mapping_upgrades_in_place(spark, tmp_path):
+    """Upgrade rule: physicalName = current name (files on disk stay
+    addressable without a rewrite), ids are 1-based positions, the
+    protocol floor rises to (2, 5), and reads are unchanged."""
+    t, df = _cm_table(spark, tmp_path)
+    v = t.enable_column_mapping()
+    assert v == 1
+    snap = t._snapshot()
+    assert snap.protocol["minReaderVersion"] == 2
+    assert snap.protocol["minWriterVersion"] == 5
+    conf = snap.metadata["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert conf["delta.columnMapping.maxColumnId"] == "3"
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    assert [f["metadata"]["delta.columnMapping.id"] for f in fields] == [1, 2, 3]
+    assert [f["metadata"]["delta.columnMapping.physicalName"] for f in fields] == [
+        "id", "grp", "val",
+    ]
+    assert _rows(t.read()) == _rows(df)
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_column_mapping()
+    with pytest.raises(NotImplementedError, match="mode='name'"):
+        DeltaishTable(spark, str(tmp_path / "other")).enable_column_mapping(
+            mode="id"
+        )
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """RENAME COLUMN rewrites zero data files: the file set is
+    byte-identical before and after, old versions time-travel with the
+    old name, and stats-based skipping translates the new name."""
+    t, df = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    files_before = dict(t._snapshot().files)
+    t.rename_column("val", "amount")
+    assert dict(t._snapshot().files) == files_before  # zero rewrite
+    assert t.read().columns == ["id", "grp", "amount"]
+    assert t.read(version=1).columns == ["id", "grp", "val"]
+    assert sorted(r.amount for r in t.read().collect()) == sorted(
+        r.val for r in df.collect()
+    )
+    # skipping: logical lookup translates to the stable physical key
+    assert t.files_matching("amount", 0.0, 10.0)
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("val", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("amount", "grp")
+
+
+def test_rename_requires_mapping(spark, tmp_path):
+    t, _ = _cm_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="requires column mapping"):
+        t.rename_column("val", "x")
+    with pytest.raises(ValueError, match="requires column mapping"):
+        t.drop_column("val")
+
+
+def test_rename_refused_when_expressions_reference(spark, tmp_path):
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    t.add_check_constraint("nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="constraint nonneg"):
+        t.rename_column("val", "x")
+    with pytest.raises(ValueError, match="constraint nonneg"):
+        t.drop_column("val")
+    t.drop_check_constraint("nonneg")
+    t.rename_column("val", "x")  # now fine
+    assert t.read().columns == ["id", "grp", "x"]
+
+
+def test_append_after_rename_writes_physical_names(spark, tmp_path):
+    """Post-rename appends store the ORIGINAL (physical) column name
+    in the parquet footer — delta-spark would read the file
+    correctly; a logical-named file would read all-null there."""
+    import pyarrow.parquet as pq
+
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    t.rename_column("val", "amount")
+    t.append(
+        spark.range(40, 50)
+        .withColumn("grp", (F.col("id") % 4).cast("int"))
+        .withColumn("amount", F.col("id") * 2.0)
+    )
+    assert t.read().count() == 50
+    snap = t._snapshot()
+    newest = max(
+        snap.files, key=lambda p: snap.files[p]["modificationTime"]
+    )
+    names = pq.read_schema(str(tmp_path / "cm" / newest)).names
+    assert "val" in names and "amount" not in names
+    # footer stats are keyed physical; skipping still answers logical
+    added = [
+        a["add"]
+        for a in dlog.read_commit(str(tmp_path / "cm"), t.version)
+        if "add" in a
+    ]
+    mins = [
+        json.loads(a["stats"])["minValues"]["val"]
+        for a in added
+        if "val" in json.loads(a["stats"]).get("minValues", {})
+    ]
+    assert mins and min(mins) == 80.0
+
+
+def test_drop_then_readd_cannot_resurrect(spark, tmp_path):
+    """THE column-mapping safety property: DROP then re-ADD the same
+    logical name mints a fresh physical uuid, so the dropped bytes in
+    old files can never resurface under the new column."""
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    t.drop_column("val")
+    assert t.read().columns == ["id", "grp"]
+    t.append(
+        spark.range(100, 105)
+        .withColumn("grp", F.lit(9).cast("int"))
+        .withColumn("val", F.lit(-1.0)),
+        merge_schema=True,
+    )
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[0] is None and got[39] is None  # old rows: NOT 0.0/78.0
+    assert got[100] == -1.0
+    fields = json.loads(
+        t._snapshot().metadata["schemaString"]
+    )["fields"]
+    by_name = {f["name"]: f["metadata"] for f in fields}
+    assert by_name["val"]["delta.columnMapping.physicalName"].startswith("col-")
+    assert by_name["val"]["delta.columnMapping.id"] == 4
+    assert t._snapshot().metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "4"
+
+
+def test_drop_guards(spark, tmp_path):
+    t, _ = _cm_table(spark, tmp_path, partition_by=("grp",))
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("grp")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("zzz")
+
+
+def test_rename_partition_column_keeps_layout(spark, tmp_path):
+    """Partition directories key on the PHYSICAL name, so renaming a
+    partition column is metadata-only too: pruning, filtered reads,
+    and post-rename appends all work, and partitionColumns tracks the
+    logical name."""
+    t, _ = _cm_table(spark, tmp_path, partition_by=("grp",))
+    t.enable_column_mapping()
+    t.rename_column("grp", "bucket")
+    snap = t._snapshot()
+    assert snap.metadata["partitionColumns"] == ["bucket"]
+    assert t.read().filter("bucket = 2").count() == 10
+    matched = t.files_matching("bucket", 2, 2)
+    assert 0 < len(matched) < len(snap.files)
+    t.append(
+        spark.range(40, 48)
+        .withColumn("bucket", (F.col("id") % 4).cast("int"))
+        .withColumn("val", F.col("id") * 2.0)
+    )
+    assert t.read().filter("bucket = 2").count() == 12
+    # the new file landed under the physical (original) dir name
+    newest = max(
+        t._snapshot().files.items(),
+        key=lambda kv: kv[1]["modificationTime"],
+    )
+    assert newest[0].startswith("grp=")
+    assert newest[1]["partitionValues"].keys() == {"grp"}
+
+
+def test_cdf_under_mapping_spans_rename(spark, tmp_path):
+    """Change-feed files physicalize like data files; a feed read
+    AFTER a rename returns the new logical names for changes written
+    BEFORE it (physical identity is stable)."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "cdfm"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double"),
+    )
+    t.enable_change_data_feed()
+    t.enable_column_mapping()
+    v_before = t.version
+    t.update("k = 1", {"x": "x + 5.0"})  # cdc written pre-rename
+    t.rename_column("x", "y")
+    t.update("k = 2", {"y": "y * 2.0"})  # cdc written post-rename
+    feed = t.read_change_feed(v_before, t.version)
+    rows = sorted(
+        (r["_change_type"], r["k"], r["y"]) for r in feed.collect()
+    )
+    assert rows == [
+        ("update_postimage", 1, 15.0),
+        ("update_postimage", 2, 40.0),
+        ("update_preimage", 1, 10.0),
+        ("update_preimage", 2, 20.0),
+    ]
+
+
+def test_optimize_and_zorder_under_mapping(spark, tmp_path):
+    """Maintenance rewrites round-trip the physical bytes: compaction
+    reads and writes at physical names, z-order translates its
+    cluster columns, and logical reads are unchanged throughout."""
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    t.rename_column("val", "amount")
+    for lo in (40, 50, 60):
+        t.append(
+            spark.range(lo, lo + 10)
+            .withColumn("grp", (F.col("id") % 4).cast("int"))
+            .withColumn("amount", F.col("id") * 2.0)
+        )
+    before = _rows(t.read())
+    t.optimize(target_bytes=1 << 30)
+    assert _rows(t.read()) == before
+    t.zorder_by(["id", "amount"], n_files=2)
+    assert _rows(t.read()) == before
+
+
+def test_overwrite_schema_under_mapping_preserves_identity(
+    spark, tmp_path
+):
+    """overwriteSchema on a mapped table: surviving logical names keep
+    their physical name/id, new columns mint fresh uuids — exactly
+    the evolution rule, applied to a replacement schema."""
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    snap = t._snapshot()
+    phys_id = t._column_mapping(snap)["id"]
+    t.overwrite(
+        spark.createDataFrame([(7, "x")], "id long, tag string"),
+        overwrite_schema=True,
+    )
+    m = t._column_mapping(t._snapshot())
+    assert m["id"] == phys_id
+    assert m["tag"].startswith("col-")
+    assert [(r.id, r.tag) for r in t.read().collect()] == [(7, "x")]
+
+
+def test_merge_and_delete_under_mapping(spark, tmp_path):
+    """Row-level ops on a renamed mapped table: MERGE INTO updates and
+    DELETE prune at logical names while every rewritten file stays
+    physical."""
+    t, _ = _cm_table(spark, tmp_path)
+    t.enable_column_mapping()
+    t.rename_column("val", "amount")
+    t.merge_into(
+        spark.createDataFrame(
+            [(0, 0, 999.0), (100, 1, 1.0)], "id long, grp int, amount double"
+        ),
+        ["id"],
+        when_matched=[{"action": "update_all"}],
+        when_not_matched=[{"action": "insert_all"}],
+    )
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got[0] == 999.0 and got[100] == 1.0 and len(got) == 41
+    t.delete("amount > 500.0")
+    assert t.read().count() == 40
+    assert 0 not in {r.id for r in t.read().collect()}

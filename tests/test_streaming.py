@@ -566,6 +566,13 @@ def test_concurrent_topology_commit_latency(spark, scratch):
 
     r = runner.StreamRunner()
     logs = []
+    # size shuffle/state partitions to the micro-batch volume: 32
+    # state partitions per stateful query x 4 queries = 128 state
+    # stores maintained per second for a few-KB batch — pure overhead
+    # at this volume (in production you size this to cluster width;
+    # the streaming checkpoints pin it per-query at first start)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         for coin in ("bitcoin", "ethereum"):
             log_dir = os.path.join(scratch, f"log_{coin}")
@@ -603,6 +610,7 @@ def test_concurrent_topology_commit_latency(spark, scratch):
             _time.sleep(1)
     finally:
         r.stop_all()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     for log_dir in logs:
         summary = commitlog.latency_summary(
