@@ -1629,3 +1629,103 @@ def deltalog_merge_matrix_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "kind string, n_rows long, total_price double"
     )
+
+
+@q(
+    "deltalog_column_mapping_audit",
+    """WITH even AS (SELECT o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                            CAST(NULL AS VARCHAR) AS o_orderstatus
+                     FROM orders WHERE o_orderkey % 2 = 0),
+       odd AS (SELECT o_orderkey,
+                      CAST(o_totalprice * 3 AS DECIMAL(18,2)),
+                      CAST(NULL AS VARCHAR)
+               FROM orders WHERE o_orderkey % 2 = 1),
+       readd AS (SELECT o_orderkey,
+                        CAST(o_totalprice AS DECIMAL(18,2)), 'X'
+                 FROM orders WHERE o_orderkey % 100 = 0),
+       allr AS (SELECT * FROM even UNION ALL SELECT * FROM odd
+                UNION ALL SELECT * FROM readd)
+       SELECT CAST(o_orderkey % 5 AS INT) AS bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price,
+              CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status
+       FROM allr GROUP BY 1""",
+)
+def deltalog_column_mapping_audit(spark, sf_dir):
+    """Column-mapping DDL end-to-end (delta/table.py
+    enable_column_mapping / rename_column / drop_column): create a
+    table of even order keys, upgrade it to name-mode mapping, RENAME
+    o_totalprice TO price, DROP o_orderstatus — both metadata-only
+    commits (zero files rewritten; on a 100 TB table each is one log
+    entry) — then append odd keys at tripled price under the NEW
+    logical name and re-add o_orderstatus via schema evolution with
+    value 'X' for keys ≡0 mod 100. The re-added column mints a fresh
+    physical uuid, so the audit's n_status column certifies the
+    protocol's safety property end-to-end: the dropped column's bytes
+    (still present in the v0 files) must NOT resurface — only the
+    re-added 'X' rows may count. price values flowing through the
+    rename certify that the physical column identity survived both
+    the rename and the physicalized append. The oracle rebuilds the
+    final state relationally from the source table. Scratch table
+    per-invocation, removed before return. Reference parity: the
+    reference evolves its Delta tables through delta-spark
+    (spark/delta_manager.py, AutomateTable.py); this is that
+    feature's mapping-mode half, re-expressed on the from-spec log."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"cmap-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+        )
+        t.enable_column_mapping()
+        t.rename_column("o_totalprice", "price")
+        t.drop_column("o_orderstatus")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 3).alias("price"),
+            )
+        )
+        t.append(
+            orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.lit("X").alias("o_orderstatus"),
+            ),
+            merge_schema=True,
+        )
+        rows = (
+            t.read()
+            .groupBy((F.col("o_orderkey") % 5).cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("price").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+                F.count(F.col("o_orderstatus")).cast("long").alias(
+                    "n_status"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "bucket int, n_rows long, total_price double, n_status long"
+    )
