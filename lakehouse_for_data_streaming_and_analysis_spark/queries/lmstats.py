@@ -741,3 +741,152 @@ def context_length_packing(spark, sf_dir):
             "packed_seqs_lb"
         ),
     )
+
+
+
+@q(
+    "gopher_repetition_filters",
+    f"""WITH tok AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+                     FROM documents),
+       base AS (SELECT doc_id, source, len(toks) AS n_tok, toks
+                FROM tok WHERE len(toks) > 0),
+       grams AS (SELECT doc_id, unnest(shl) AS g,
+                        unnest(range(0, len(shl))) AS pos0
+                 FROM (SELECT doc_id, {_BIGRAMS_SQL} AS shl
+                       FROM base)),
+       cnt AS (SELECT doc_id, g, pos0,
+                      COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+               FROM grams),
+       rep AS (SELECT doc_id, pos0 FROM cnt WHERE c > 1),
+       brk AS (SELECT doc_id, pos0,
+                      CASE WHEN lag(pos0) OVER w IS NULL
+                                OR pos0 - lag(pos0) OVER w > 2
+                           THEN 1 ELSE 0 END AS is_brk
+               FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)),
+       tagged AS (SELECT doc_id, pos0,
+                         SUM(is_brk) OVER (PARTITION BY doc_id
+                                           ORDER BY pos0
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS isl
+                  FROM brk),
+       per_doc AS (SELECT doc_id, SUM(cov) AS covered FROM (
+                     SELECT doc_id, isl,
+                            MAX(pos0) - MIN(pos0) + 2 AS cov
+                     FROM tagged GROUP BY 1, 2) GROUP BY 1),
+       topw AS (SELECT doc_id, MAX(c) AS top_cnt FROM (
+                  SELECT doc_id, COUNT(*) AS c
+                  FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+                  GROUP BY doc_id, w) GROUP BY 1),
+       alldocs AS (SELECT b.source, b.n_tok,
+                          COALESCE(p.covered, 0) AS covered,
+                          t.top_cnt
+                   FROM base b
+                   LEFT JOIN per_doc p USING (doc_id)
+                   JOIN topw t USING (doc_id))
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(CASE WHEN covered * 10 > n_tok * 3 THEN 1 END)
+                   AS BIGINT) AS n_flag_dupgram,
+              CAST(COUNT(CASE WHEN top_cnt * 5 > n_tok THEN 1 END)
+                   AS BIGINT) AS n_flag_topword,
+              CAST(COUNT(CASE WHEN covered * 10 <= n_tok * 3
+                               AND top_cnt * 5 <= n_tok THEN 1 END)
+                   AS BIGINT) AS n_kept,
+              ROUND(AVG(CAST(covered AS DOUBLE) / n_tok), 4)
+                AS avg_dup_share,
+              ROUND(AVG(CAST(top_cnt AS DOUBLE) / n_tok), 4)
+                AS avg_top_share
+       FROM alldocs GROUP BY 1""",
+)
+def gopher_repetition_filters(spark, sf_dir):
+    """Within-document repetition gates in the style of Gopher's
+    quality heuristics (Rae et al. 2021, public, Table A1): a
+    document is flagged when (a) more than 30 pct of its tokens are
+    covered by 2-grams that occur MORE THAN ONCE INSIDE THE SAME
+    document (the dup-2-gram variant of the rule — the gram size
+    with discriminative signal on this corpus's doc lengths) (overlapping/adjacent repeats merged into islands so
+    coverage never double-counts — the same gaps-and-islands as the
+    cross-doc ExactSubstr query, but at (doc, gram) grain), or (b)
+    its single most frequent token exceeds 20 pct of all tokens.
+    Thresholds compare by integer cross-multiplication — no float
+    edge. The corpus's lines are synthetic single-liners, so the
+    line/paragraph variants of the rule collapse; the n-gram and
+    top-token variants are the meaningful ones and are what this
+    implements. Reported per source: doc counts, per-gate flag
+    counts, kept count, mean shares.
+
+    Scale shape: both signals are DOC-LOCAL — the 2-gram repeat
+    count is a window keyed (doc_id, gram) and the islands/top-word
+    windows key on doc_id, so every shuffle partitions by document
+    and the reduction happens map-side first. No corpus-global
+    state at all (unlike the cross-doc dedup family): at 100 TB
+    this is one explode + two doc-keyed shuffles, embarrassingly
+    data-parallel."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    base = docs.select(
+        "doc_id", "source", textfns.tokens("text").alias("__toks")
+    ).select(
+        "doc_id", "source", F.size("__toks").alias("n_tok"), "__toks"
+    ).filter(F.col("n_tok") > 0)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(textfns.shingles(F.col("__toks"), 2)).alias(
+            "pos0", "g"
+        ),
+    )
+    rep = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g"))
+        )
+        .filter(F.col("__c") > 1)
+        .select("doc_id", "pos0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    brk = F.when(
+        F.lag("pos0").over(w).isNull()
+        | (F.col("pos0") - F.lag("pos0").over(w) > 2),
+        1,
+    ).otherwise(0)
+    per_doc = (
+        rep.withColumn(
+            "__isl",
+            F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "__isl")
+        .agg((F.max("pos0") - F.min("pos0") + 2).alias("__cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("__cov").alias("covered"))
+    )
+    topw = (
+        base.select("doc_id", F.explode("__toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    alldocs = (
+        base.join(per_doc, "doc_id", "left")
+        .join(topw, "doc_id")
+        .select(
+            "source",
+            "n_tok",
+            F.coalesce("covered", F.lit(0)).alias("covered"),
+            "top_cnt",
+        )
+    )
+    dup_flag = F.col("covered") * 10 > F.col("n_tok") * 3
+    top_flag = F.col("top_cnt") * 5 > F.col("n_tok")
+    return alldocs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(dup_flag, 1)).alias("n_flag_dupgram"),
+        F.count(F.when(top_flag, 1)).alias("n_flag_topword"),
+        F.count(F.when(~dup_flag & ~top_flag, 1)).alias("n_kept"),
+        F.round(
+            F.avg(F.col("covered").cast("double") / F.col("n_tok")), 4
+        ).alias("avg_dup_share"),
+        F.round(
+            F.avg(F.col("top_cnt").cast("double") / F.col("n_tok")), 4
+        ).alias("avg_top_share"),
+    )
