@@ -174,17 +174,30 @@ class DeltaishTable:
         dlog.write_commit(t.path, 0, actions)
         return t
 
-    # Reader features this log implementation does NOT support fail
-    # loudly rather than read wrongly. Currently the full protocol
-    # reader surface is covered: BOTH column-mapping modes (name mode
-    # by stored physicalName via _column_mapping, id mode by parquet
-    # field id via _column_ids + parquet.field.id read-schema
-    # metadata) and deletionVectors (delta/roaring.py decodes the
-    # 64-bit RoaringBitmapArray DV format with strict magic/CRC/
-    # framing validation, so a serialization we misread REFUSES
-    # instead of resurrecting or dropping rows; _read_snapshot_files
-    # anti-joins deleted (file, row_index) pairs out of every scan).
-    _UNSUPPORTED_READER_FEATURES = ()
+    # Table-feature compliance is ALLOWLIST-based, the protocol's own
+    # rule: a reader MUST refuse any reader feature it does not
+    # recognize (an unknown feature means unknown read semantics —
+    # reading under a guess would corrupt results), and a writer MUST
+    # refuse to commit to a table whose writerFeatures it does not
+    # implement (an unknown feature means an invariant this writer
+    # would silently break). Readers IGNORE unknown writer features —
+    # that asymmetry is the spec's.
+    _SUPPORTED_READER_FEATURES = frozenset(
+        {"columnMapping", "deletionVectors", "timestampNtz"}
+    )
+    _SUPPORTED_WRITER_FEATURES = frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "generatedColumns",
+            "identityColumns",
+            "changeDataFeed",
+            "columnMapping",
+            "deletionVectors",
+            "timestampNtz",
+        }
+    )
 
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
         snap = dlog.replay(self.path, until=version)
@@ -199,7 +212,7 @@ class DeltaishTable:
                 "Read with delta-spark."
             )
         feats = set(snap.protocol.get("readerFeatures", []) or [])
-        bad = feats.intersection(self._UNSUPPORTED_READER_FEATURES)
+        bad = feats - self._SUPPORTED_READER_FEATURES
         if bad:
             raise NotImplementedError(
                 f"log requires reader feature(s) {sorted(bad)}; "
@@ -207,6 +220,36 @@ class DeltaishTable:
                 "would corrupt results. Read with delta-spark."
             )
         return snap
+
+    def _check_writer_protocol(
+        self, snap: dlog.Snapshot, actions: list[dict]
+    ) -> None:
+        """Writer-side protocol gate, run before EVERY commit:
+
+        - unknown writerFeatures refuse (the feature encodes an
+          invariant this writer would break without knowing);
+        - ``delta.appendOnly=true`` blocks any commit that removes
+          live data (remove with dataChange=true — DELETE, UPDATE,
+          MERGE-delete, overwrite, restore); pure-compaction removes
+          (dataChange=false) stay legal, matching delta-spark.
+        """
+        feats = set(snap.protocol.get("writerFeatures", []) or [])
+        bad = feats - self._SUPPORTED_WRITER_FEATURES
+        if bad:
+            raise NotImplementedError(
+                f"table requires writer feature(s) {sorted(bad)}; "
+                "this writer does not implement them and committing "
+                "would break their invariants. Write with delta-spark."
+            )
+        conf = snap.metadata.get("configuration", {}) or {}
+        if str(conf.get("delta.appendOnly", "false")).lower() == "true":
+            for a in actions:
+                if "remove" in a and a["remove"].get("dataChange", True):
+                    raise ValueError(
+                        "table is append-only (delta.appendOnly=true): "
+                        "DELETE/UPDATE/MERGE-delete/overwrite/restore "
+                        "are blocked; unset the property first"
+                    )
 
     @staticmethod
     def _walk_for_nested_mapping(type_json) -> bool:
@@ -417,7 +460,9 @@ class DeltaishTable:
         Delta fails these with MetadataChangedException. Callers re-run
         the whole operation against the new snapshot."""
         for _ in range(20):
-            v = self._snapshot().version + 1
+            snap_now = self._snapshot()
+            self._check_writer_protocol(snap_now, actions)
+            v = snap_now.version + 1
             if read_version is not None:
                 for cv in range(read_version + 1, v):
                     for action in dlog.read_commit(self.path, cv):
@@ -713,6 +758,43 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
+    def set_table_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES: a metadata-only commit
+        updating ``configuration``. CHECK constraints and column
+        mapping have dedicated APIs with their own validation — they
+        are refused here so the generic path cannot dodge it. A value
+        of None UNSETs the property."""
+        for k in props:
+            if k.startswith(self.CONSTRAINT_PREFIX):
+                raise ValueError(
+                    f"{k!r}: use add_check_constraint (it validates "
+                    "existing rows)"
+                )
+            if k == self.MAPPING_MODE:
+                raise ValueError(
+                    f"{k!r}: use enable_column_mapping (it assigns "
+                    "physical names and upgrades the protocol)"
+                )
+        snap = self._snapshot()
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        for k, v in props.items():
+            if v is None:
+                conf.pop(k, None)
+            else:
+                conf[k] = str(v)
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        return self._commit_next(
+            [
+                {"metaData": md},
+                dlog.commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={k: str(v) for k, v in props.items()},
+                ),
+            ],
+            read_version=snap.version,
+        )
+
     def drop_check_constraint(self, name: str) -> int:
         snap = self._snapshot()
         key = self.CONSTRAINT_PREFIX + name
@@ -747,6 +829,15 @@ class DeltaishTable:
         conf = snap.metadata.get("configuration", {}) or {}
         p = self.CONSTRAINT_PREFIX
         cs = {k[len(p):]: v for k, v in conf.items() if k.startswith(p)}
+        # column invariants (writer protocol v2's delta.invariants
+        # field-metadata annotation, the pre-table-feature CHECK):
+        # enforced with the same violation scan as CHECK constraints
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            inv = (f.get("metadata", {}) or {}).get("delta.invariants")
+            if inv:
+                cs[f"invariant({f['name']})"] = json.loads(inv)[
+                    "expression"
+                ]["expression"]
         if not cs:
             return
         # a pre-evolution writer's frame may lack declared columns a

@@ -1069,7 +1069,8 @@ def test_append_conflicts_with_concurrent_constraint(
 
 
 def _foreign_log(
-    root, protocol, configuration, add_extra=None, phys_col=None
+    root, protocol, configuration, add_extra=None, phys_col=None,
+    field_md=None,
 ):
     """Handwrite a minimal delta-spark-style log with the given
     protocol/configuration (shape pinned in
@@ -1090,6 +1091,7 @@ def _foreign_log(
         if phys_col
         else {}
     )
+    md.update(field_md or {})
     schema_string = json.dumps(
         {
             "type": "struct",
@@ -2335,3 +2337,119 @@ def test_merge_and_delete_under_mapping(spark, tmp_path):
     t.delete("amount > 500.0")
     assert t.read().count() == 40
     assert 0 not in {r.id for r in t.read().collect()}
+
+
+# ------------------------------------------------- protocol features
+#
+# Allowlist compliance, the protocol's own asymmetric rule: readers
+# refuse unknown READER features; writers refuse unknown WRITER
+# features but readers ignore them. Plus the two classic writer
+# invariants: delta.appendOnly and column invariants.
+
+
+def test_unknown_reader_feature_refuses_read(spark, tmp_path):
+    _foreign_log(
+        tmp_path / "rf",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        },
+        {},
+    )
+    t = DeltaishTable(spark, str(tmp_path / "rf"))
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        t.read()
+
+
+def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
+    """rowTracking is writer-only: reading the table is legal (the
+    spec says readers ignore writer features), but any commit must
+    refuse — this writer would not maintain the row-id invariants."""
+    _foreign_log(
+        tmp_path / "wf",
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        },
+        {},
+    )
+    t = DeltaishTable(spark, str(tmp_path / "wf"))
+    got = t.read()
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        t.append(spark.createDataFrame([(9,)], "id long"))
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        t.delete("id = 1")
+
+
+def test_append_only_table_blocks_data_removal(spark, tmp_path):
+    """delta.appendOnly=true: appends and pure compaction commit;
+    anything that removes live data (DELETE / UPDATE / overwrite /
+    RESTORE) refuses until the property is unset."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "ao"),
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double"),
+    )
+    t.set_table_properties({"delta.appendOnly": "true"})
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, x double"))
+    v_appended = t.version
+    for op in (
+        lambda: t.delete("k = 1"),
+        lambda: t.update("k = 1", {"x": "x + 1"}),
+        lambda: t.overwrite(
+            spark.createDataFrame([(9, 9.0)], "k long, x double")
+        ),
+        lambda: t.restore(0),
+    ):
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+    assert t.version == v_appended  # nothing committed
+    # compaction removes with dataChange=false — legal on append-only
+    t.append(spark.createDataFrame([(4, 40.0)], "k long, x double"))
+    t.optimize(target_bytes=1 << 30)
+    assert t.read().count() == 4
+    # unset -> delete works again
+    t.set_table_properties({"delta.appendOnly": None})
+    t.delete("k = 1")
+    assert t.read().count() == 3
+
+
+def test_column_invariants_enforced_on_write(spark, tmp_path):
+    """delta.invariants field metadata (writer protocol v2) is a
+    per-column CHECK: violating appends refuse with the invariant
+    named, conforming appends land."""
+    _foreign_log(
+        tmp_path / "inv",
+        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {},
+        field_md={
+            "delta.invariants": json.dumps(
+                {"expression": {"expression": "id > 0"}}
+            )
+        },
+    )
+    t = DeltaishTable(spark, str(tmp_path / "inv"))
+    with pytest.raises(ValueError, match=r"invariant\(id\)"):
+        t.append(spark.createDataFrame([(0,)], "id long"))
+    t.append(spark.createDataFrame([(7,)], "id long"))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 7]
+
+
+def test_set_table_properties_guards_special_keys(spark, tmp_path):
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "props"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    with pytest.raises(ValueError, match="add_check_constraint"):
+        t.set_table_properties({"delta.constraints.x": "k > 0"})
+    with pytest.raises(ValueError, match="enable_column_mapping"):
+        t.set_table_properties({"delta.columnMapping.mode": "name"})
+    t.set_table_properties({"custom.owner": "etl"})
+    assert (
+        t._snapshot().metadata["configuration"]["custom.owner"] == "etl"
+    )
