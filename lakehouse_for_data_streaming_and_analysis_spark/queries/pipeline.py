@@ -39,6 +39,25 @@ _SCD2_HASH = (
 )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _pinned_shuffle(spark, n: str = "4"):
+    """Pin shuffle/state partitions for a bench-scale streaming run.
+    Stateful operators open one state store per shuffle partition per
+    micro-batch; at this volume 32 stores are pure fixed cost. Sized
+    up, this is the knob that matches state-partition count to
+    executor count (same rationale as stream_stream_attribution_join,
+    now shared)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _replay_dir(sf_dir: str, tag: str) -> str:
     """Scratch dir for a file-replay stream. Root comes from
     $SPARK_GRAFT_SCRATCH or <repo>/.scratch derived from this module's
@@ -199,14 +218,15 @@ def streaming_bronze_final_state(spark, sf_dir):
         )
     )
     tbl = f"bronze_final_state_{sf_tag}"
-    q_handle = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(tbl)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q_handle.awaitTermination(300)
+    with _pinned_shuffle(spark):
+        q_handle = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q_handle.awaitTermination(300)
     assert finished, "streaming bronze run did not finish within 300 s"
     return spark.table(tbl).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
@@ -272,14 +292,7 @@ def stream_stream_attribution_join(spark, sf_dir):
         & (F.col("click_ts") <= F.col("purchase_ts")),
     )
     tbl = f"attribution_join_{sf_tag}"
-    # Stream-stream join state lives in one store per shuffle partition
-    # per side; at this volume 32 partitions are pure per-batch fixed
-    # cost (store open/commit x partitions x micro-batches), so pin the
-    # stateful shuffle low for the run. Sized up, this is the knob that
-    # matches state-partition count to executor count.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _pinned_shuffle(spark):
         handle = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -289,8 +302,6 @@ def stream_stream_attribution_join(spark, sf_dir):
         )
         finished = handle.awaitTermination(300)
         assert finished, "attribution join run did not finish within 300 s"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(tbl).select(
         "purchase_id",
         "click_id",
@@ -626,14 +637,15 @@ def streaming_dedup_final_state(spark, sf_dir):
         .alias("total_value"),
     )
     tbl = f"dedup_final_state_{sf_tag}"
-    q_handle = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(tbl)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q_handle.awaitTermination(300)
+    with _pinned_shuffle(spark):
+        q_handle = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q_handle.awaitTermination(300)
     if not finished:
         q_handle.stop()
         raise TimeoutError(
@@ -879,23 +891,28 @@ def streaming_state_audit(spark, sf_dir):
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     tbl = f"state_audit_{sf_tag}_{uuid.uuid4().hex[:8]}"
     try:
-        q_handle = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(replay_dir)
-            .groupBy("event_type", F.window("ts", "1 hour").alias("win"))
-            .agg(
-                F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
-                F.count(F.lit(1)).alias("n"),
+        with _pinned_shuffle(spark):
+            q_handle = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(replay_dir)
+                .groupBy(
+                    "event_type", F.window("ts", "1 hour").alias("win")
+                )
+                .agg(
+                    F.sum(
+                        F.col("value").cast("decimal(18,2)")
+                    ).alias("sv"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(tbl)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(tbl)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q_handle.awaitTermination(300)
+            finished = q_handle.awaitTermination(300)
         assert finished, "state-audit streaming run did not finish in 300 s"
         st = mstate.state_store(spark, ck)
         vcols = st.select("value.*").columns
