@@ -196,8 +196,93 @@ class DeltaishTable:
             "columnMapping",
             "deletionVectors",
             "timestampNtz",
+            "inCommitTimestamp",
         }
     )
+
+    ICT_ENABLE = "delta.enableInCommitTimestamps"
+    ICT_VERSION = "delta.inCommitTimestampEnablementVersion"
+    ICT_TIMESTAMP = "delta.inCommitTimestampEnablementTimestamp"
+
+    def enable_in_commit_timestamps(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.enableInCommitTimestamps' = 'true'): from the next
+        commit on, the commit's authoritative timestamp is the
+        ``inCommitTimestamp`` field WRITTEN INTO commitInfo —
+        monotonically increasing by construction — instead of the
+        log file's wall clock, making TIMESTAMP AS OF immune to
+        clock skew between writers (the feature's purpose). The
+        enablement version/timestamp land as table properties so
+        readers know where the old resolution rule ends, and the
+        protocol records the writer feature."""
+        snap = self._snapshot()
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        if str(conf.get(self.ICT_ENABLE, "false")).lower() == "true":
+            raise ValueError("in-commit timestamps already enabled")
+        now_ms = int(time.time() * 1000)
+        v = snap.version + 1
+        conf[self.ICT_ENABLE] = "true"
+        conf[self.ICT_VERSION] = str(v)
+        conf[self.ICT_TIMESTAMP] = str(now_ms)
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        proto = dict(snap.protocol or {})
+        feats = set(proto.get("writerFeatures", []) or [])
+        feats.add("inCommitTimestamp")
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats)
+        ci = dlog.commit_info(
+            "SET TBLPROPERTIES", properties={self.ICT_ENABLE: "true"}
+        )
+        ci["commitInfo"]["inCommitTimestamp"] = now_ms
+        # ICT rule: commitInfo leads the commit so readers find the
+        # timestamp without scanning the whole file
+        return self._commit_next(
+            [ci, {"protocol": proto}, {"metaData": md}],
+            read_version=snap.version,
+        )
+
+    @staticmethod
+    def _ci_ts(ci: dict) -> int:
+        """A commit's authoritative timestamp: inCommitTimestamp when
+        the commit carries one (ICT-enabled era), else the wall-clock
+        commitInfo timestamp — the protocol's resolution rule for
+        TIMESTAMP AS OF, CDF timestamp ranges, and retention math."""
+        return int(ci.get("inCommitTimestamp", ci.get("timestamp", 0)))
+
+    def _last_ict(self, version: int) -> int | None:
+        """The inCommitTimestamp of ``version``, or None when the
+        commit file is gone (checkpoint-truncated) or predates the
+        feature — callers fall back to the wall clock then."""
+        if version < 0:
+            return None
+        try:
+            for a in dlog.read_commit(self.path, version):
+                if "commitInfo" in a:
+                    ict = a["commitInfo"].get("inCommitTimestamp")
+                    return int(ict) if ict is not None else None
+        except FileNotFoundError:
+            return None
+        return None
+
+    def _apply_ict(
+        self, snap: dlog.Snapshot, actions: list[dict]
+    ) -> list[dict]:
+        """When ICT is enabled, stamp the commit's commitInfo with
+        max(wall clock, previous ICT + 1) — strictly increasing even
+        under clock regression — and move commitInfo to the front."""
+        conf = snap.metadata.get("configuration", {}) or {}
+        if str(conf.get(self.ICT_ENABLE, "false")).lower() != "true":
+            return actions
+        prev = self._last_ict(snap.version)
+        ict = int(time.time() * 1000)
+        if prev is not None and ict <= prev:
+            ict = prev + 1
+        cis = [a for a in actions if "commitInfo" in a]
+        rest = [a for a in actions if "commitInfo" not in a]
+        ci = cis[0] if cis else dlog.commit_info("WRITE")
+        ci["commitInfo"]["inCommitTimestamp"] = ict
+        return [ci, *rest]
 
     def _snapshot(self, version: int | None = None) -> dlog.Snapshot:
         snap = dlog.replay(self.path, until=version)
@@ -462,6 +547,7 @@ class DeltaishTable:
         for _ in range(20):
             snap_now = self._snapshot()
             self._check_writer_protocol(snap_now, actions)
+            actions = self._apply_ict(snap_now, actions)
             v = snap_now.version + 1
             if read_version is not None:
                 for cv in range(read_version + 1, v):
@@ -774,6 +860,12 @@ class DeltaishTable:
                 raise ValueError(
                     f"{k!r}: use enable_column_mapping (it assigns "
                     "physical names and upgrades the protocol)"
+                )
+            if k == self.ICT_ENABLE:
+                raise ValueError(
+                    f"{k!r}: use enable_in_commit_timestamps (it "
+                    "records the enablement version and the writer "
+                    "feature)"
                 )
         snap = self._snapshot()
         conf = dict(snap.metadata.get("configuration", {}) or {})
@@ -1545,7 +1637,7 @@ class DeltaishTable:
             t = 0
             for action in dlog.read_commit(self.path, v):
                 if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp", 0)
+                    t = self._ci_ts(action["commitInfo"])
             if t <= ts_millis:
                 best = v
         if best < 0:
@@ -1577,7 +1669,7 @@ class DeltaishTable:
             t = 0
             for action in dlog.read_commit(self.path, v):
                 if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp", 0)
+                    t = self._ci_ts(action["commitInfo"])
             if t >= from_millis:
                 v_from = v - 1
                 break
@@ -2743,7 +2835,7 @@ class DeltaishTable:
             actions = dlog.read_commit(self.path, v)
             ts_ms = next(
                 (
-                    a["commitInfo"].get("timestamp", 0)
+                    self._ci_ts(a["commitInfo"])
                     for a in actions
                     if "commitInfo" in a
                 ),
@@ -2951,7 +3043,7 @@ class DeltaishTable:
             for a in actions:
                 if "commitInfo" in a:
                     op = a["commitInfo"].get("operation", "")
-                    ts_ms = a["commitInfo"].get("timestamp", 0)
+                    ts_ms = self._ci_ts(a["commitInfo"])
             cdc = [a["cdc"] for a in actions if "cdc" in a]
             adds = [
                 a["add"]["path"]

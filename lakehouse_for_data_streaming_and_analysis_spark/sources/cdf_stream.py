@@ -157,7 +157,10 @@ def _commit_partitions(
         for a in actions:
             if "commitInfo" in a:
                 op = a["commitInfo"].get("operation", "")
-                ts_ms = a["commitInfo"].get("timestamp", 0)
+                ci = a["commitInfo"]
+                ts_ms = int(
+                    ci.get("inCommitTimestamp", ci.get("timestamp", 0))
+                )
         cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
         adds = [
             a["add"]
@@ -278,7 +281,12 @@ def _starting_version(options: dict) -> int:
             t = 0
             for a in dlog.read_commit(path, v):
                 if "commitInfo" in a:
-                    t = a["commitInfo"].get("timestamp", 0)
+                    ci = a["commitInfo"]
+                    t = int(
+                        ci.get(
+                            "inCommitTimestamp", ci.get("timestamp", 0)
+                        )
+                    )
             if t >= ts:
                 return v
         versions = dlog.list_versions(path)

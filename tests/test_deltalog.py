@@ -2453,3 +2453,82 @@ def test_set_table_properties_guards_special_keys(spark, tmp_path):
     assert (
         t._snapshot().metadata["configuration"]["custom.owner"] == "etl"
     )
+
+
+def test_in_commit_timestamps_monotonic_under_clock_regression(
+    spark, tmp_path, monkeypatch
+):
+    """inCommitTimestamp: once enabled, every commit's authoritative
+    timestamp is WRITTEN INTO commitInfo and strictly increases even
+    when the wall clock runs backwards; TIMESTAMP AS OF resolves by
+    it, so time travel is immune to writer clock skew (the feature's
+    purpose)."""
+    import time as _time
+
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "ict"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    v_en = t.enable_in_commit_timestamps()
+    snap = t._snapshot()
+    conf = snap.metadata["configuration"]
+    assert conf["delta.enableInCommitTimestamps"] == "true"
+    assert conf["delta.inCommitTimestampEnablementVersion"] == str(v_en)
+    assert "inCommitTimestamp" in snap.protocol["writerFeatures"]
+    # commitInfo leads the ICT commit
+    first = dlog.read_commit(str(tmp_path / "ict"), v_en)[0]
+    assert "commitInfo" in first
+    base_ict = first["commitInfo"]["inCommitTimestamp"]
+
+    # clock regression: freeze time 1 hour in the PAST
+    frozen = _time.time() - 3600
+    real_time = _time.time
+    monkeypatch.setattr(
+        "lakehouse_for_data_streaming_and_analysis_spark.delta.table.time.time", lambda: frozen
+    )
+    v2 = t.append(spark.createDataFrame([(2,)], "k long"))
+    v3 = t.append(spark.createDataFrame([(3,)], "k long"))
+    icts = {}
+    for v in (v_en, v2, v3):
+        for a in dlog.read_commit(str(tmp_path / "ict"), v):
+            if "commitInfo" in a:
+                icts[v] = a["commitInfo"]["inCommitTimestamp"]
+    # strictly increasing despite the frozen-past clock
+    assert icts[v2] == base_ict + 1
+    assert icts[v3] == base_ict + 2
+    monkeypatch.setattr(
+        "lakehouse_for_data_streaming_and_analysis_spark.delta.table.time.time", real_time
+    )
+    # TIMESTAMP AS OF resolves by ICT, not the (regressed) wall field
+    assert t.version_as_of_timestamp(base_ict + 1) == v2
+    assert t.version_as_of_timestamp(base_ict + 10) == v3
+    with pytest.raises(ValueError, match="already enabled"):
+        t.enable_in_commit_timestamps()
+    with pytest.raises(ValueError, match="enable_in_commit_timestamps"):
+        t.set_table_properties(
+            {"delta.enableInCommitTimestamps": "true"}
+        )
+
+
+def test_ict_survives_checkpoint_truncation(spark, tmp_path):
+    """The monotonic floor falls back to the wall clock when the
+    previous commit's JSON is gone (checkpoint-truncated log): commits
+    still land with an ICT and feed resolution stays ordered."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "ictt"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    t.enable_in_commit_timestamps()
+    for i in range(2, 12):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    # checkpoint exists at v10; drop the older JSON commits
+    assert dlog.last_checkpoint_version(str(tmp_path / "ictt")) is not None
+    for v in range(0, 10):
+        os.remove(dlog.version_file(str(tmp_path / "ictt"), v))
+    v_next = t.append(spark.createDataFrame([(99,)], "k long"))
+    for a in dlog.read_commit(str(tmp_path / "ictt"), v_next):
+        if "commitInfo" in a:
+            assert a["commitInfo"]["inCommitTimestamp"] > 0
+    assert t.read().count() == 12
