@@ -86,6 +86,11 @@ class Snapshot:
     # checkpointed, like the spec's SetTransaction actions, so they
     # survive log truncation)
     txns: dict[str, int] = field(default_factory=dict)
+    # domain name -> configuration JSON string (the spec's
+    # domainMetadata actions: named metadata domains with
+    # last-writer-wins replay and tombstoning via removed=true;
+    # row tracking keeps its high-water mark here)
+    domains: dict[str, str] = field(default_factory=dict)
 
 
 def replay(table_path: str, until: int | None = None) -> Snapshot:
@@ -123,6 +128,14 @@ def replay(table_path: str, until: int | None = None) -> Snapshot:
                 if app is not None:
                     snap.txns[app] = max(
                         snap.txns.get(app, -1), int(txn.get("version", -1))
+                    )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    snap.domains.pop(dm["domain"], None)
+                else:
+                    snap.domains[dm["domain"]] = dm.get(
+                        "configuration", ""
                     )
     return snap
 
@@ -235,11 +248,24 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
             {"txn": {"appId": app, "version": v}}
             for app, v in snap.txns.items()
         ),
+        *(
+            {
+                "domainMetadata": {
+                    "domain": d,
+                    "configuration": c,
+                    "removed": False,
+                }
+            }
+            for d, c in snap.domains.items()
+        ),
     ]
     # one JSON-encoded action column per action type; parquet-friendly
     # without hand-maintaining the full nested spec schema (documented
     # divergence: the spec stores typed nested structs)
-    cols = {"protocol": [], "metaData": [], "add": [], "remove": [], "txn": []}
+    cols = {
+        "protocol": [], "metaData": [], "add": [], "remove": [],
+        "txn": [], "domainMetadata": [],
+    }
     for r in rows:
         for k in cols:
             v = r.get(k)
@@ -287,4 +313,9 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
         if j:
             txn = json.loads(j)
             snap.txns[txn["appId"]] = int(txn.get("version", -1))
+    for j in tbl.get("domainMetadata", []):  # absent pre-domains
+        if j:
+            dm = json.loads(j)
+            if not dm.get("removed"):
+                snap.domains[dm["domain"]] = dm.get("configuration", "")
     return snap

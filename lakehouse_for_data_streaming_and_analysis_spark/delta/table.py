@@ -197,6 +197,8 @@ class DeltaishTable:
             "deletionVectors",
             "timestampNtz",
             "inCommitTimestamp",
+            "domainMetadata",
+            "rowTracking",
         }
     )
 
@@ -249,6 +251,252 @@ class DeltaishTable:
         commitInfo timestamp — the protocol's resolution rule for
         TIMESTAMP AS OF, CDF timestamp ranges, and retention math."""
         return int(ci.get("inCommitTimestamp", ci.get("timestamp", 0)))
+
+    # ---------------------------------------------------- row tracking
+
+    RT_ENABLE = "delta.enableRowTracking"
+    RT_DOMAIN = "delta.rowTracking"
+    RT_ID_COL = "delta.rowTracking.materializedRowIdColumnName"
+    RT_VER_COL = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+    def _rt_enabled(self, snap: dlog.Snapshot) -> bool:
+        conf = snap.metadata.get("configuration", {}) or {}
+        return str(conf.get(self.RT_ENABLE, "false")).lower() == "true"
+
+    def _rt_materialized_cols(
+        self, snap: dlog.Snapshot
+    ) -> tuple[str, str] | None:
+        """(row-id column, commit-version column) PHYSICAL names for
+        materialized row tracking, or None when the table is not
+        row-tracked. The names are minted at enablement and never
+        collide with data columns (uuid suffix)."""
+        if not self._rt_enabled(snap):
+            return None
+        conf = snap.metadata.get("configuration", {}) or {}
+        return (conf[self.RT_ID_COL], conf[self.RT_VER_COL])
+
+    def _rt_hwm(self, snap: dlog.Snapshot) -> int:
+        """Row-id high-water mark from the delta.rowTracking metadata
+        domain (-1 on a freshly enabled table)."""
+        dm = snap.domains.get(self.RT_DOMAIN)
+        if not dm:
+            return -1
+        return int(json.loads(dm).get("rowIdHighWaterMark", -1))
+
+    @staticmethod
+    def _add_num_records(add: dict) -> int:
+        stats = add.get("stats")
+        if not stats:
+            raise ValueError(
+                f"row tracking needs numRecords stats on every add; "
+                f"file {add.get('path')} has none"
+            )
+        n = json.loads(stats).get("numRecords")
+        if n is None:
+            raise ValueError(
+                f"row tracking: file {add.get('path')} stats carry no "
+                "numRecords"
+            )
+        return int(n)
+
+    def enable_row_tracking(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.enableRowTracking' = 'true'): every row gets a STABLE
+        unique id and a row-commit version. Existing files are
+        backfilled in the same commit — each live add is re-committed
+        with a ``baseRowId`` (fresh id of row i = baseRowId + i) and
+        ``defaultRowCommitVersion``, dataChange=false since no logical
+        row changes — and the id high-water mark lands in the
+        ``delta.rowTracking`` metadata domain (a domainMetadata
+        action), which is also where concurrent writers conflict
+        instead of double-allocating. Rewrites afterwards PRESERVE ids
+        by materializing them into hidden physical columns whose names
+        are minted here."""
+        snap = self._snapshot()
+        if self._rt_enabled(snap):
+            raise ValueError("row tracking already enabled")
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        conf[self.RT_ENABLE] = "true"
+        conf[self.RT_ID_COL] = f"_row-id-col-{uuid.uuid4().hex}"
+        conf[self.RT_VER_COL] = f"_row-version-col-{uuid.uuid4().hex}"
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        proto = dict(snap.protocol or {})
+        feats = set(proto.get("writerFeatures", []) or [])
+        feats.update({"rowTracking", "domainMetadata"})
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats)
+        actions: list[dict] = [{"protocol": proto}, {"metaData": md}]
+        hwm = -1
+        for p in sorted(snap.files):
+            a = dict(snap.files[p])
+            n = self._add_num_records(a)
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = snap.version + 1
+            a["dataChange"] = False
+            hwm += n
+            actions.append({"add": a})
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": self.RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        actions.append(
+            dlog.commit_info(
+                "SET TBLPROPERTIES", properties={self.RT_ENABLE: "true"}
+            )
+        )
+        return self._commit_next(actions, read_version=snap.version)
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """The snapshot with ``_row_id`` / ``_row_commit_version``
+        appended — materialized values where a rewrite stored them,
+        fresh baseRowId + position otherwise."""
+        snap = self._snapshot(version)
+        if not self._rt_enabled(snap):
+            raise ValueError(
+                "row tracking is not enabled on this table; call "
+                "enable_row_tracking() first"
+            )
+        return self._read_snapshot_files(
+            snap, snap.files, with_row_ids=True
+        )
+
+    def _assign_row_ids(
+        self, snap: dlog.Snapshot, actions: list[dict], version: int
+    ) -> list[dict]:
+        """Stamp every UNSTAMPED add with a fresh baseRowId block and
+        defaultRowCommitVersion = this commit, and refresh the HWM
+        domain action. Runs INSIDE the OCC loop with the attempt's
+        snapshot, so a retried append re-stamps above the winner's
+        HWM — ids stay unique without coordination. Adds that already
+        carry a baseRowId (restore re-adds, backfill) keep it."""
+        if not self._rt_enabled(snap):
+            return actions
+        hwm = self._rt_hwm(snap)
+        out = []
+        for a in actions:
+            if "domainMetadata" in a and a["domainMetadata"].get(
+                "domain"
+            ) == self.RT_DOMAIN:
+                continue  # refreshed below
+            if "add" in a:
+                add = a["add"]
+                if "baseRowId" not in add or add.get(
+                    "__rt_stamped"
+                ):
+                    add = dict(add)
+                    n = self._add_num_records(add)
+                    add["baseRowId"] = hwm + 1
+                    add["defaultRowCommitVersion"] = version
+                    add["__rt_stamped"] = True
+                    hwm += n
+                    a = {"add": add}
+            out.append(a)
+        out.append(
+            {
+                "domainMetadata": {
+                    "domain": self.RT_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        return out
+
+    @staticmethod
+    def _strip_rt_marks(actions: list[dict]) -> list[dict]:
+        """A serialization copy without the retry-bookkeeping marker
+        (the WORKING list keeps it so a lost OCC race re-stamps)."""
+        return [
+            {
+                "add": {
+                    k: v
+                    for k, v in a["add"].items()
+                    if k != "__rt_stamped"
+                }
+            }
+            if "add" in a
+            else a
+            for a in actions
+        ]
+
+    def _rt_to_physical(
+        self, df: DataFrame, snap: dlog.Snapshot
+    ) -> DataFrame:
+        """Rename the logical ``_row_id`` / ``_row_commit_version``
+        columns of a rewrite's result to the table's hidden
+        MATERIALIZED column names so they persist into the new files
+        (where the read path's coalesce picks them up). No-op when the
+        frame carries no row ids."""
+        cols = self._rt_materialized_cols(snap)
+        if not cols or "_row_id" not in df.columns:
+            return df
+        return df.withColumnRenamed("_row_id", cols[0]).withColumnRenamed(
+            "_row_commit_version", cols[1]
+        )
+
+    def _raw_rt_read(
+        self, snap: dlog.Snapshot, rel_paths: list[str], data_schema
+    ) -> DataFrame:
+        """Raw-file read for compaction/clustering on a ROW-TRACKED
+        table: the physical data schema plus the materialized columns,
+        with fresh ids (baseRowId + row_index) FILLED IN wherever the
+        file has no materialized value — the rewrite then carries
+        every row's id forward even though row positions change."""
+        rt_cols = self._rt_materialized_cols(snap)
+        rs = T.StructType(
+            list(data_schema.fields)
+            + [
+                T.StructField(rt_cols[0], T.LongType(), True),
+                T.StructField(rt_cols[1], T.LongType(), True),
+            ]
+        )
+        df = self.spark.read.schema(rs).parquet(
+            *[os.path.join(self.path, p) for p in rel_paths]
+        )
+        df = df.withColumn(
+            "__fp", F.col("_metadata.file_path")
+        ).withColumn("__ri", F.col("_metadata.row_index"))
+        base_map = []
+        for p in rel_paths:
+            a = snap.files[p]
+            if "baseRowId" not in a:
+                raise ValueError(
+                    f"row tracking: file {p} has no baseRowId"
+                )
+            uri = "file:" + os.path.abspath(os.path.join(self.path, p))
+            base_map.append(
+                (uri, a["baseRowId"], a.get("defaultRowCommitVersion"))
+            )
+        df = df.join(
+            F.broadcast(
+                self.spark.createDataFrame(
+                    base_map, "__fp string, __base long, __dcv long"
+                )
+            ),
+            "__fp",
+        )
+        return (
+            df.withColumn(
+                rt_cols[0],
+                F.coalesce(
+                    F.col(rt_cols[0]), F.col("__base") + F.col("__ri")
+                ),
+            )
+            .withColumn(
+                rt_cols[1], F.coalesce(F.col(rt_cols[1]), F.col("__dcv"))
+            )
+            .drop("__fp", "__ri", "__base", "__dcv")
+        )
 
     def _last_ict(self, version: int) -> int | None:
         """The inCommitTimestamp of ``version``, or None when the
@@ -549,6 +797,7 @@ class DeltaishTable:
             self._check_writer_protocol(snap_now, actions)
             actions = self._apply_ict(snap_now, actions)
             v = snap_now.version + 1
+            actions = self._assign_row_ids(snap_now, actions, v)
             if read_version is not None:
                 for cv in range(read_version + 1, v):
                     for action in dlog.read_commit(self.path, cv):
@@ -568,7 +817,7 @@ class DeltaishTable:
                                 "the operation on the latest snapshot"
                             )
             try:
-                dlog.write_commit(self.path, v, actions)
+                dlog.write_commit(self.path, v, self._strip_rt_marks(actions))
                 if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
                     dlog.write_checkpoint(self.path, v)
                 return v
@@ -1313,8 +1562,22 @@ class DeltaishTable:
         md = dict(snap.metadata)
         md["id"] = uuid.uuid4().hex
         actions: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            # the clone inherits the source's protocol and metadata
+            # domains — resetting them would drop writer-feature gates
+            # (row tracking, ICT) while keeping the configuration that
+            # depends on them
+            {"protocol": dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})},
             {"metaData": md},
+            *(
+                {
+                    "domainMetadata": {
+                        "domain": d,
+                        "configuration": c,
+                        "removed": False,
+                    }
+                }
+                for d, c in snap.domains.items()
+            ),
         ]
         for p, a in snap.files.items():
             add = dict(a)
@@ -1347,8 +1610,18 @@ class DeltaishTable:
         md = dict(snap.metadata)
         md["id"] = uuid.uuid4().hex
         actions: list[dict] = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"protocol": dict(snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2})},
             {"metaData": md},
+            *(
+                {
+                    "domainMetadata": {
+                        "domain": d,
+                        "configuration": c,
+                        "removed": False,
+                    }
+                }
+                for d, c in snap.domains.items()
+            ),
         ]
         for p, a in snap.files.items():
             src = os.path.join(self.path, p)
@@ -1513,6 +1786,7 @@ class DeltaishTable:
         rel_paths,
         dv_map: dict[str, dict] | None = None,
         keep_tags: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Read files under the snapshot's DECLARED schema (not
         inference): files predating a schema evolution lack the new
@@ -1529,19 +1803,32 @@ class DeltaishTable:
         inserts are not filtered by later deletes; by default the
         SNAPSHOT's descriptors apply. ``keep_tags`` preserves the
         ``__fp`` (file URI) / ``__ri`` (row index) columns for writers
-        that need row positions (merge-on-read delete)."""
+        that need row positions (merge-on-read delete).
+
+        ``with_row_ids`` (row-tracked tables) appends ``_row_id`` /
+        ``_row_commit_version``: the MATERIALIZED per-row values when
+        the file carries the hidden physical columns (rewritten
+        files), else the fresh values baseRowId + row_index /
+        defaultRowCommitVersion from the file's add action — the
+        spec's resolution order."""
         schema = self._schema_for(snap)
+        rt_cols = self._rt_materialized_cols(snap) if with_row_ids else None
         rel_paths = list(rel_paths)
         if not rel_paths:
             empty_schema = schema
+            extra = []
             if keep_tags:
-                empty_schema = T.StructType(
-                    list(schema.fields)
-                    + [
-                        T.StructField("__fp", T.StringType()),
-                        T.StructField("__ri", T.LongType()),
-                    ]
-                )
+                extra += [
+                    T.StructField("__fp", T.StringType()),
+                    T.StructField("__ri", T.LongType()),
+                ]
+            if with_row_ids:
+                extra += [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField("_row_commit_version", T.LongType()),
+                ]
+            if extra:
+                empty_schema = T.StructType(list(schema.fields) + extra)
             return self.spark.createDataFrame([], empty_schema)
         if dv_map is None:
             dv_map = {
@@ -1585,6 +1872,17 @@ class DeltaishTable:
             self.spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
             )
+        if rt_cols:
+            # the hidden materialized columns are PHYSICAL file
+            # columns outside the logical schema; files that predate
+            # materialization simply lack them and read null
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [
+                    T.StructField(rt_cols[0], T.LongType(), True),
+                    T.StructField(rt_cols[1], T.LongType(), True),
+                ]
+            )
         reader = self.spark.read.schema(read_schema)
         if snap.metadata.get("partitionColumns"):
             # basePath drives partition-dir inference; it also requires
@@ -1595,7 +1893,7 @@ class DeltaishTable:
         df = reader.parquet(
             *[os.path.join(self.path, p) for p in rel_paths]
         )
-        tag = bool(dv_map) or keep_tags
+        tag = bool(dv_map) or keep_tags or bool(rt_cols)
         if tag:
             # _metadata must be captured on the scan itself — joins
             # and projections downstream lose the hidden column
@@ -1612,12 +1910,44 @@ class DeltaishTable:
                 ["__fp", "__ri"],
                 "left_anti",
             )
+        if rt_cols:
+            base_map = []
+            for p in rel_paths:
+                a = snap.files.get(p)
+                if a is None or "baseRowId" not in a:
+                    raise ValueError(
+                        f"row tracking: file {p} has no baseRowId; "
+                        "the table was not backfilled"
+                    )
+                uri = "file:" + os.path.abspath(
+                    os.path.join(self.path, p)
+                )
+                base_map.append(
+                    (uri, a["baseRowId"], a.get("defaultRowCommitVersion"))
+                )
+            df = df.join(
+                F.broadcast(
+                    self.spark.createDataFrame(
+                        base_map, "__fp string, __base long, __dcv long"
+                    )
+                ),
+                "__fp",
+            )
         proj = [
             F.col(mapping.get(f.name, f.name)).alias(f.name)
             for f in schema.fields
         ]
         if keep_tags:
             proj += [F.col("__fp"), F.col("__ri")]
+        if rt_cols:
+            proj += [
+                F.coalesce(
+                    F.col(rt_cols[0]), F.col("__base") + F.col("__ri")
+                ).alias("_row_id"),
+                F.coalesce(F.col(rt_cols[1]), F.col("__dcv")).alias(
+                    "_row_commit_version"
+                ),
+            ]
         return df.select(*proj)
 
     def _read_files(self, rel_paths: list[str]) -> DataFrame:
@@ -1814,26 +2144,47 @@ class DeltaishTable:
             return snap.version  # empty source: no-op
         touched = self.files_matching(k, bounds.lo, bounds.hi, snap=snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        target = self._read_snapshot_files(snap, touched)
+        rt = self._rt_enabled(snap)
+        target = self._read_snapshot_files(
+            snap, touched, with_row_ids=rt
+        )
         cdf = self._cdf_enabled(snap)
         changes: DataFrame | None = None
         tkeys = target.select(*keys).distinct()
         skeys = source.select(*keys).distinct()
+        if rt:
+            # matched source rows INHERIT the target row's id (update
+            # preserves identity); unmatched rows insert with null ->
+            # fresh ids. Commit version of every rewritten-by-source
+            # row nulls to this merge's default.
+            tids = target.groupBy(*keys).agg(
+                F.min("_row_id").alias("__tid")
+            )
+            source_rt = (
+                source.join(tids, list(keys), "left")
+                .withColumn("_row_id", F.col("__tid"))
+                .withColumn(
+                    "_row_commit_version", F.lit(None).cast("long")
+                )
+                .drop("__tid")
+            )
+        else:
+            source_rt = source
         if matched_update is None:
             kept = target.join(skeys, list(keys), "left_anti")
             if insert:
-                incoming = source.select(*target.columns)
+                incoming = source_rt.select(*target.columns)
             else:
-                incoming = source.join(
+                incoming = source_rt.join(
                     tkeys, list(keys), "left_semi"
                 ).select(*target.columns)
             result = kept.unionByName(incoming)
             matched_desc = "updateAll"
             if cdf:
                 pre = target.join(skeys, list(keys), "left_semi")
-                post = source.join(tkeys, list(keys), "left_semi").select(
-                    *target.columns
-                )
+                post = source_rt.join(
+                    tkeys, list(keys), "left_semi"
+                ).select(*target.columns)
                 changes = pre.withColumn(
                     "_change_type", F.lit("update_preimage")
                 ).unionByName(
@@ -1842,13 +2193,18 @@ class DeltaishTable:
                     )
                 )
                 if insert:
-                    ins = source.join(
+                    ins = source_rt.join(
                         tkeys, list(keys), "left_anti"
                     ).select(*target.columns)
                     changes = changes.unionByName(
                         ins.withColumn("_change_type", F.lit("insert"))
                     )
         else:
+            if rt:
+                matched_update = dict(matched_update)
+                matched_update["_row_commit_version"] = F.lit(None).cast(
+                    "long"
+                )
             t = target.alias("t")
             s = source.withColumn("__matched", F.lit(True)).alias("s")
             joined = t.join(s, list(keys), "left")
@@ -1870,11 +2226,14 @@ class DeltaishTable:
             result = joined.select(*proj)
             if insert:
                 result = result.unionByName(
-                    source.join(
+                    source_rt.join(
                         tkeys, list(keys), "left_anti"
                     ).select(*target.columns)
                 )
-            matched_desc = f"updateSet({sorted(matched_update)})"
+            matched_desc = (
+                "updateSet("
+                f"{sorted(c for c in matched_update if not c.startswith('_row_'))})"
+            )
             if cdf:
                 changed = joined.filter(cond)
                 pre = changed.select(
@@ -1914,9 +2273,15 @@ class DeltaishTable:
         # generated value fails before any file is written
         result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
-        adds = self._write_files(result, pcols, snap=snap)
+        adds = self._write_files(
+            self._rt_to_physical(result, snap), pcols, snap=snap
+        )
         cdc_actions = (
-            self._write_cdc_files(changes, snap=snap) if changes is not None else []
+            self._write_cdc_files(
+                changes.drop("_row_id", "_row_commit_version"), snap=snap
+            )
+            if changes is not None
+            else []
         )
         return self._commit_next(
             [
@@ -2061,7 +2426,10 @@ class DeltaishTable:
                 return snap.version  # empty source: no clause can fire
             cand = self.files_matching(k0, b.lo, b.hi, snap=snap)
 
-        target = self._read_snapshot_files(snap, cand, keep_tags=True)
+        rt = self._rt_enabled(snap)
+        target = self._read_snapshot_files(
+            snap, cand, keep_tags=True, with_row_ids=rt
+        )
         tj = target.alias("t")
         sj = source.withColumn("__merge_s", F.lit(True)).alias("s")
         on = None
@@ -2158,9 +2526,25 @@ class DeltaishTable:
             & in_hit
             & ~F.col("__act").isin([*del_labels, "__drop"])
         )
+        rt_proj = []
+        if rt:
+            # surviving target rows carry their id; update-labelled
+            # rows null their commit version (modified this commit);
+            # insert rows are source-side (t null) -> fresh ids
+            rt_proj = [
+                F.col("t._row_id").alias("_row_id"),
+                F.when(
+                    F.col("__act").isin(upd_labels)
+                    if upd_labels
+                    else F.lit(False),
+                    F.lit(None).cast("long"),
+                )
+                .otherwise(F.col("t._row_commit_version"))
+                .alias("_row_commit_version"),
+            ]
         result = j.filter(
             keep_pred | F.col("__act").isin(ins_labels)
-        ).select(*[_new_image(c) for c in data_cols])
+        ).select(*[_new_image(c) for c in data_cols], *rt_proj)
 
         changes = None
         if cdf:
@@ -2195,7 +2579,9 @@ class DeltaishTable:
         result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
         adds = (
-            self._write_files(result, pcols, snap=snap)
+            self._write_files(
+                self._rt_to_physical(result, snap), pcols, snap=snap
+            )
             if result.limit(1).count() > 0
             else []
         )
@@ -2316,8 +2702,13 @@ class DeltaishTable:
         )
         if not touched:
             return snap.version  # nothing matches: no-op, no commit
-        target = self._read_snapshot_files(snap, touched)
-        kept = target.filter(~is_match)
+        rt = self._rt_enabled(snap)
+        target = self._read_snapshot_files(
+            snap, touched, with_row_ids=rt
+        )
+        # row tracking: survivors carry their id AND commit version
+        # into the rewritten file (delete modifies neither)
+        kept = self._rt_to_physical(target.filter(~is_match), snap)
         adds = (
             self._write_files(kept, pcols, snap=snap)
             if kept.limit(1).count() > 0
@@ -2326,9 +2717,9 @@ class DeltaishTable:
         cdc_actions = []
         if cdf:
             cdc_actions = self._write_cdc_files(
-                target.filter(is_match).withColumn(
-                    "_change_type", F.lit("delete")
-                ),
+                target.filter(is_match)
+                .drop("_row_id", "_row_commit_version")
+                .withColumn("_change_type", F.lit("delete")),
                 snap=snap,
             )
         return self._commit_next(
@@ -2394,8 +2785,9 @@ class DeltaishTable:
         }
 
         if mode == "merge_on_read":
+            rt = self._rt_enabled(snap)
             tagged = self._read_snapshot_files(
-                snap, all_files, keep_tags=True
+                snap, all_files, keep_tags=True, with_row_ids=rt
             )
             matches = tagged.filter(is_match).localCheckpoint(eager=True)
             hit_rows = matches.select("__fp", "__ri").collect()
@@ -2420,12 +2812,22 @@ class DeltaishTable:
                         for c in post.columns
                     ]
                 )
+            if rt:
+                # updated rows keep their id in the NEW file; commit
+                # version nulls to this commit's default
+                post = post.withColumn(
+                    "_row_commit_version", F.lit(None).cast("long")
+                )
+            pre = pre.drop("_row_id", "_row_commit_version")
             self._enforce_checks(post, snap)
             actions, n_dvs = self._dv_mask_actions(snap, new_pos)
             # the updated rows land as NEW files; the old positions
             # are bitmap-masked — data written ∝ rows updated
             actions.extend(
-                {"add": a} for a in self._write_files(post, pcols, snap=snap)
+                {"add": a}
+                for a in self._write_files(
+                    self._rt_to_physical(post, snap), pcols, snap=snap
+                )
             )
             if self._cdf_enabled(snap):
                 actions.extend(
@@ -2434,7 +2836,9 @@ class DeltaishTable:
                         pre.withColumn(
                             "_change_type", F.lit("update_preimage")
                         ).unionByName(
-                            post.withColumn(
+                            post.drop(
+                                "_row_id", "_row_commit_version"
+                            ).withColumn(
                                 "_change_type",
                                 F.lit("update_postimage"),
                             )
@@ -2464,7 +2868,10 @@ class DeltaishTable:
         )
         if not touched:
             return snap.version
-        target = self._read_snapshot_files(snap, touched)
+        rt = self._rt_enabled(snap)
+        target = self._read_snapshot_files(
+            snap, touched, with_row_ids=rt
+        )
         # matched-ness is decided on the OLD values and carried as a
         # marker — a SET that changes a condition column must not
         # change which rows count as updated (postimages)
@@ -2491,16 +2898,32 @@ class DeltaishTable:
                 ],
                 F.col("__m"),
             )
+        if rt:
+            # row ids survive the update; the commit version of a
+            # MODIFIED row nulls out, falling back to the new file's
+            # defaultRowCommitVersion (= this UPDATE's commit)
+            updated = updated.withColumn(
+                "_row_commit_version",
+                F.when(F.col("__m"), F.lit(None).cast("long")).otherwise(
+                    F.col("_row_commit_version")
+                ),
+            )
         result = updated.drop("__m")
         self._enforce_checks(result, snap)
-        adds = self._write_files(result, pcols, snap=snap)
+        adds = self._write_files(
+            self._rt_to_physical(result, snap), pcols, snap=snap
+        )
         cdc_actions = []
         if self._cdf_enabled(snap):
-            pre = target.filter(is_match).withColumn(
-                "_change_type", F.lit("update_preimage")
+            pre = (
+                target.filter(is_match)
+                .drop("_row_id", "_row_commit_version")
+                .withColumn("_change_type", F.lit("update_preimage"))
             )
-            post = updated.filter(F.col("__m")).drop("__m").withColumn(
-                "_change_type", F.lit("update_postimage")
+            post = (
+                updated.filter(F.col("__m"))
+                .drop("__m", "_row_id", "_row_commit_version")
+                .withColumn("_change_type", F.lit("update_postimage"))
             )
             cdc_actions = self._write_cdc_files(pre.unionByName(post), snap=snap)
         return self._commit_next(
@@ -2532,8 +2955,13 @@ class DeltaishTable:
         if not dv_paths:
             return snap.version
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        live = self._read_snapshot_files(snap, dv_paths)  # DVs applied
-        adds = self._write_files(live, pcols, snap=snap)
+        live = self._read_snapshot_files(
+            snap, dv_paths, with_row_ids=self._rt_enabled(snap)
+        )  # DVs applied; surviving rows keep their ids (positions
+        # shift in the rewritten file, so they must materialize)
+        adds = self._write_files(
+            self._rt_to_physical(live, snap), pcols, snap=snap
+        )
         for a in adds:
             a["dataChange"] = False
         return self._commit_next(
@@ -2613,10 +3041,12 @@ class DeltaishTable:
             if n_out >= len(paths):
                 continue
             df = (
-                self.spark.read.schema(data_schema)
-                .parquet(*[os.path.join(self.path, p) for p in paths])
-                .coalesce(n_out)
-            )
+                self._raw_rt_read(snap, paths, data_schema)
+                if self._rt_enabled(snap)
+                else self.spark.read.schema(data_schema).parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                )
+            ).coalesce(n_out)
             part_dir = "/".join(f"{k}={v}" for k, v in key)
             adds = self._write_files_into(df, part_dir, dict(key))
             actions.extend({"add": a} for a in adds)
@@ -2731,9 +3161,18 @@ class DeltaishTable:
             )
         if not pcols:
             clustered = self._clustered(
-                self._read_snapshot_files(snap, snap.files), zcols, n_files, bits
+                self._read_snapshot_files(
+                    snap,
+                    snap.files,
+                    with_row_ids=self._rt_enabled(snap),
+                ),
+                zcols,
+                n_files,
+                bits,
             )
-            adds = self._write_files(clustered, (), snap=snap)
+            adds = self._write_files(
+                self._rt_to_physical(clustered, snap), (), snap=snap
+            )
             for a in adds:
                 a["dataChange"] = False
             return self._commit_next(
@@ -2757,8 +3196,12 @@ class DeltaishTable:
             groups.setdefault(key, []).append(path)
         actions: list[dict] = []
         for key, paths in groups.items():
-            df = self.spark.read.schema(data_schema).parquet(
-                *[os.path.join(self.path, p) for p in paths]
+            df = (
+                self._raw_rt_read(snap, paths, data_schema)
+                if self._rt_enabled(snap)
+                else self.spark.read.schema(data_schema).parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                )
             )
             clustered = self._clustered(
                 df, zcols_phys, max(1, min(n_files, len(paths))), bits

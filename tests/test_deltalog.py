@@ -2364,24 +2364,25 @@ def test_unknown_reader_feature_refuses_read(spark, tmp_path):
 
 
 def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
-    """rowTracking is writer-only: reading the table is legal (the
+    """icebergCompatV2 is writer-only: reading the table is legal (the
     spec says readers ignore writer features), but any commit must
-    refuse — this writer would not maintain the row-id invariants."""
+    refuse — this writer would not maintain the feature's
+    invariants."""
     _foreign_log(
         tmp_path / "wf",
         {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["icebergCompatV2"],
         },
         {},
     )
     t = DeltaishTable(spark, str(tmp_path / "wf"))
     got = t.read()
     assert sorted(r.id for r in got.collect()) == [1, 2, 3]
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         t.append(spark.createDataFrame([(9,)], "id long"))
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         t.delete("id = 1")
 
 
