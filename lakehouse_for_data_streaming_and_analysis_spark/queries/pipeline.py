@@ -1746,3 +1746,104 @@ def deltalog_column_mapping_audit(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bucket int, n_rows long, total_price double, n_status long"
     )
+
+
+@q(
+    "deltalog_row_tracking_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey % 2 = 0),
+       extra AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 2 = 1),
+       final AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS price,
+                CASE WHEN o_orderkey % 6 = 0 THEN 2 ELSE 1 END AS rcv
+         FROM base WHERE o_orderkey % 10 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 3 FROM extra
+         WHERE o_orderkey % 10 <> 0)
+       SELECT CAST(rcv AS BIGINT) AS row_commit_version,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+              CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price
+       FROM final GROUP BY 1""",
+)
+def deltalog_row_tracking_audit(spark, sf_dir):
+    """Row tracking end-to-end (delta/table.py enable_row_tracking /
+    read_with_row_ids): create a table of even order keys, enable row
+    tracking (backfill, v1), UPDATE keys ≡0 mod 6 at doubled price
+    (v2), append the odd keys (v3), DELETE keys ≡0 mod 10 (v4), then
+    OPTIMIZE (v5 — a full rewrite that must move nothing). The audit
+    groups the final snapshot BY ``_row_commit_version``: backfilled
+    untouched rows must still say v1, only the genuinely updated
+    rows v2, appended rows v3 — i.e. the delete and the compaction
+    bumped nobody — and ``n_distinct_ids`` equals the row count, the
+    uniqueness half of the contract. Id VALUES are
+    partition-layout-dependent, so the audit pins the
+    layout-independent invariants (version attribution + uniqueness
+    + survivor payloads); the oracle rebuilds them relationally.
+    Scale story: ids allocate per-commit from the domain HWM (no
+    global sort), preservation is per-file materialized columns —
+    both O(rows rewritten), never O(table)."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"rowtrack-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+                4, "o_orderkey"
+            ),
+        )
+        v_en = t.enable_row_tracking()
+        v_upd = t.update(
+            F.col("o_orderkey") % 6 == 0,
+            {"o_totalprice": F.col("o_totalprice") * 2},
+        )
+        v_app = t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+        )
+        t.delete(F.col("o_orderkey") % 10 == 0)
+        t.optimize(target_bytes=1 << 30)
+        vmap = {v_en: 1, v_upd: 2, v_app: 3}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in vmap.items() for x in kv]
+        )
+        rows = (
+            t.read_with_row_ids()
+            .groupBy(
+                mapping[F.col("_row_commit_version")]
+                .cast("long")
+                .alias("row_commit_version")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct("_row_id").cast("long").alias(
+                    "n_distinct_ids"
+                ),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "row_commit_version long, n_rows long, n_distinct_ids long, "
+        "total_price double",
+    )
