@@ -199,6 +199,7 @@ class DeltaishTable:
             "inCommitTimestamp",
             "domainMetadata",
             "rowTracking",
+            "clustering",
         }
     )
 
@@ -3019,8 +3020,21 @@ class DeltaishTable:
         declared schema so files predating a schema evolution keep
         the evolved column (as nulls) instead of dropping it. Under
         column mapping the read and rewrite both happen at PHYSICAL
-        names — compaction never consults the logical layer."""
+        names — compaction never consults the logical layer.
+
+        On a liquid-clustered table (CLUSTER BY declared) OPTIMIZE
+        *is* the clustering rewrite instead of a bin-pack."""
         snap = self._snapshot()
+        cdm = snap.domains.get(self.CLUSTERING_DOMAIN)
+        if cdm:
+            ccols = [
+                path[0]
+                for path in json.loads(cdm).get("clusteringColumns", [])
+            ]
+            if ccols:
+                return self.zorder_by(
+                    ccols, clustering_provider="liquid"
+                )
         data_schema = self._physical_struct(snap, self._data_schema(snap))
         groups: dict[tuple, list[str]] = {}
         sizes: dict[tuple, int] = {}
@@ -3138,14 +3152,99 @@ class DeltaishTable:
             .drop("_z")
         )
 
-    def zorder_by(self, zcols: list[str], n_files: int = 8, bits: int = 8) -> int:
+    # ------------------------------------------------ liquid clustering
+
+    CLUSTERING_DOMAIN = "delta.clustering"
+
+    def clustering_columns(self) -> list[str]:
+        """The table's CLUSTER BY columns, from the delta.clustering
+        metadata domain (empty when not a clustered table)."""
+        dm = self._snapshot().domains.get(self.CLUSTERING_DOMAIN)
+        if not dm:
+            return []
+        return [
+            path[0] for path in json.loads(dm).get("clusteringColumns", [])
+        ]
+
+    def cluster_by(self, cols: list[str] | None) -> int:
+        """ALTER TABLE ... CLUSTER BY (cols) — liquid clustering's
+        declaration half: the clustering key lives in the
+        ``delta.clustering`` metadata domain (one domainMetadata
+        commit; no data moves until the next OPTIMIZE, which then
+        clusters on these columns instead of bin-packing).
+        ``cols=None`` or ``[]`` is CLUSTER BY NONE — the domain is
+        tombstoned. Delta's rules enforced: at most 4 columns, only
+        existing ones, and never on a hive-partitioned table (liquid
+        REPLACES directory partitioning)."""
+        snap = self._snapshot()
+        cols = list(cols or [])
+        if len(cols) > 4:
+            raise ValueError(
+                f"CLUSTER BY supports at most 4 columns, got {len(cols)}"
+            )
+        if snap.metadata.get("partitionColumns"):
+            raise ValueError(
+                "CLUSTER BY on a hive-partitioned table: liquid "
+                "clustering replaces directory partitioning; create "
+                "the table unpartitioned"
+            )
+        names = {f.name for f in self._schema_for(snap).fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no such clustering column(s): {missing}")
+        actions: list[dict] = []
+        if cols:
+            proto = dict(snap.protocol or {})
+            feats = set(proto.get("writerFeatures", []) or [])
+            feats.update({"clustering", "domainMetadata"})
+            proto["minWriterVersion"] = 7
+            proto["writerFeatures"] = sorted(feats)
+            actions.append({"protocol": proto})
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": self.CLUSTERING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"clusteringColumns": [[c] for c in cols]}
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+        else:
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": self.CLUSTERING_DOMAIN,
+                        "configuration": "",
+                        "removed": True,
+                    }
+                }
+            )
+        actions.append(
+            dlog.commit_info("CLUSTER BY", clusteringColumns=cols)
+        )
+        return self._commit_next(actions, read_version=snap.version)
+
+    def zorder_by(
+        self,
+        zcols: list[str],
+        n_files: int = 8,
+        bits: int = 8,
+        clustering_provider: str | None = None,
+    ) -> int:
         """Z-ORDER clustering via the shared Morton-curve rewrite
         (maintenance/optimize.interleave_bits): range-partitioned on
         the z-value so every file's min/max stays narrow on EVERY
         zcol — making files_matching selective on all of them. On a
         partitioned table, clustering runs WITHIN each partition
         (Delta's semantics — zcols must not include partition columns)
-        with per-partition normalization bounds."""
+        with per-partition normalization bounds.
+
+        ``clustering_provider`` is set when OPTIMIZE routes here for a
+        liquid-clustered table: the rewritten adds carry the spec's
+        ``clusteringProvider`` marker and commitInfo records
+        clusterBy instead of zOrderBy."""
         snap = self._snapshot()
         pcols = snap.metadata.get("partitionColumns", ())
         if set(zcols) & set(pcols):
@@ -3175,6 +3274,13 @@ class DeltaishTable:
             )
             for a in adds:
                 a["dataChange"] = False
+                if clustering_provider:
+                    a["clusteringProvider"] = clustering_provider
+            ci = (
+                dlog.commit_info("OPTIMIZE", clusterBy=zcols)
+                if clustering_provider
+                else dlog.commit_info("OPTIMIZE", zOrderBy=zcols)
+            )
             return self._commit_next(
                 [
                     *({"add": a} for a in adds),
@@ -3182,7 +3288,7 @@ class DeltaishTable:
                         {"remove": self._tombstone(p, data_change=False)}
                         for p in snap.files
                     ),
-                    dlog.commit_info("OPTIMIZE", zOrderBy=zcols),
+                    ci,
                 ],
                 read_version=snap.version,
             )

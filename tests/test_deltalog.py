@@ -2533,3 +2533,83 @@ def test_ict_survives_checkpoint_truncation(spark, tmp_path):
         if "commitInfo" in a:
             assert a["commitInfo"]["inCommitTimestamp"] > 0
     assert t.read().count() == 12
+
+
+def test_liquid_clustering_cluster_by_then_optimize(spark, tmp_path):
+    """Liquid clustering: CLUSTER BY is a metadata-only domain commit
+    (no data moves), and the NEXT OPTIMIZE performs the clustering
+    rewrite — after it, stats-based skipping is selective on BOTH
+    cluster columns and the adds carry clusteringProvider=liquid."""
+    df = (
+        spark.range(2000)
+        .withColumn("a", (F.col("id") * 7919 % 100).cast("long"))
+        .withColumn("b", (F.col("id") * 104729 % 100).cast("long"))
+        .repartition(8)
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "lc"), df)
+    files_before = dict(t._snapshot().files)
+    v = t.cluster_by(["a", "b"])
+    assert t.clustering_columns() == ["a", "b"]
+    assert dict(t._snapshot().files) == files_before  # metadata-only
+    assert "clustering" in t._snapshot().protocol["writerFeatures"]
+    t.optimize()
+    snap = t._snapshot()
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in snap.files.values()
+    )
+    n = len(snap.files)
+    for col in ("a", "b"):
+        hits = t.files_matching(col, 10, 20)
+        assert 0 < len(hits) < n, (col, len(hits), n)
+    # history records clusterBy, not zOrderBy
+    ops = {h["version"]: h["operation"] for h in t.history()}
+    assert ops[v] == "CLUSTER BY"
+    assert ops[t.version] == "OPTIMIZE"
+    params = [
+        a["commitInfo"]["operationParameters"]
+        for a in dlog.read_commit(str(tmp_path / "lc"), t.version)
+        if "commitInfo" in a
+    ][0]
+    assert "clusterBy" in params
+    # CLUSTER BY NONE tombstones the domain; optimize bin-packs again
+    t.cluster_by(None)
+    assert t.clustering_columns() == []
+
+
+def test_cluster_by_guards(spark, tmp_path):
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "lcg"),
+        spark.range(10).withColumn("g", (F.col("id") % 2).cast("int")),
+    )
+    with pytest.raises(ValueError, match="at most 4"):
+        t.cluster_by(["id", "g", "id", "g", "id"])
+    with pytest.raises(ValueError, match="no such clustering"):
+        t.cluster_by(["zzz"])
+    tp = DeltaishTable.create(
+        spark,
+        str(tmp_path / "lcp"),
+        spark.range(10).withColumn("g", (F.col("id") % 2).cast("int")),
+        partition_by=("g",),
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        tp.cluster_by(["id"])
+
+
+def test_clustering_preserves_row_ids(spark, tmp_path):
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "lcrt"),
+        spark.range(200).withColumn("v", F.col("id") * 2.0).repartition(4),
+    )
+    t.enable_row_tracking()
+    t.cluster_by(["v"])
+    before = {
+        r.id: r._row_id for r in t.read_with_row_ids().collect()
+    }
+    t.optimize()
+    after = {
+        r.id: r._row_id for r in t.read_with_row_ids().collect()
+    }
+    assert after == before
