@@ -59,13 +59,14 @@ ROWS_ONLY: tuple[str, ...] = ()
 # already sit in queries() positions 50-99 (registry order), so the
 # round-5 rotation (`tools/rotate_window.py CORRECTNESS_r04.json
 # --apply`) promotes precisely this set and closes the original
-# registry at 239/239.  The eleven r4-added queries
+# registry at 239/239.  The twelve r4-added queries
 # (deltalog_cdf_merge_feed, deltalog_clone_divergence,
 # deltalog_identity_generated, cdf_stream_consume,
 # cdf_incremental_view_maintenance, deltalog_mor_delete_audit,
 # deltalog_update_audit, deltalog_merge_matrix_audit,
 # deltalog_column_mapping_audit, deltalog_row_tracking_audit,
-# gopher_repetition_filters — each sim+dtype-lint green)
+# gopher_repetition_filters, ann_recall_audit — each sim+dtype-lint
+# green)
 # append to the registry tail and follow in
 # the r6 window (or r5's spare slots if the driver accepts >50):
 #   brand_basket_affinity, sequence_packing_map, weighted_sample_topk,

@@ -1712,3 +1712,76 @@ def embedding_int8_quantization(spark, sf_dir):
             F.lit(10.0) * F.log10(F.avg(F.col("x") * F.col("x")) / err2), 4
         ).alias("snr_db"),
     )
+
+
+def _ann_recall_oracle() -> str:
+    """Composed from the four ANN oracles verbatim (each is a
+    self-contained WITH..SELECT; wrapping keeps their CTE scopes
+    separate), so this audit can never drift from the per-method
+    correctness definitions."""
+    brute = ORACLES["ann_brute_force_topk"]
+    parts = []
+    for name, key in (
+        ("ivf", "ann_ivf_topk"),
+        ("lsh", "ann_lsh_topk"),
+        ("pq", "ann_pq_topk"),
+    ):
+        parts.append(
+            f"""SELECT '{name}' AS method,
+              CAST((SELECT COUNT(*) FROM brute_pairs) AS BIGINT) AS n_base,
+              CAST(COUNT(*) AS BIGINT) AS n_matched,
+              CAST(ROUND(COUNT(*) * 1.0
+                   / (SELECT COUNT(*) FROM brute_pairs), 4) AS DOUBLE)
+                AS recall
+       FROM (SELECT qid, vec_id FROM ({ORACLES[key]}) x) a
+       JOIN brute_pairs b USING (qid, vec_id)"""
+        )
+    u = "\n       UNION ALL\n       ".join(parts)
+    return (
+        f"WITH brute_pairs AS (SELECT qid, vec_id FROM ({brute}) t)\n"
+        f"       {u}"
+    )
+
+
+@q("ann_recall_audit")
+def ann_recall_audit(spark, sf_dir):
+    """Recall@5 of every approximate-nearest-neighbor path against
+    the exact brute-force baseline, in ONE audit: for each method
+    (IVF cell probe, hyperplane-LSH bucket probe, product-quantized
+    ADC scan) the fraction of the true top-5 pairs it returned. This
+    is the quality dial a 100 TB deployment tunes (probe count /
+    band count / codebook size vs recall); the exact scan stays a
+    test-side yardstick — production traffic runs the bucketed
+    paths, which shuffle on cell/band keys instead of all-pairs.
+    The oracle composes the four methods' own DuckDB definitions
+    verbatim, so a recall mismatch isolates to the intersection
+    logic, never a drifted method."""
+    brute = QUERIES["ann_brute_force_topk"](spark, sf_dir).select(
+        "qid", "vec_id"
+    )
+    n_base = F.lit(None)  # computed via join below
+    rows = None
+    for name, key in (
+        ("ivf", "ann_ivf_topk"),
+        ("lsh", "ann_lsh_topk"),
+        ("pq", "ann_pq_topk"),
+    ):
+        approx = QUERIES[key](spark, sf_dir).select("qid", "vec_id")
+        matched = approx.join(brute, ["qid", "vec_id"])
+        agg = matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched")
+        ).crossJoin(
+            brute.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+        ).select(
+            F.lit(name).alias("method"),
+            "n_base",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_base"), 4
+            ).alias("recall"),
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows
+
+
+ORACLES["ann_recall_audit"] = _ann_recall_oracle()
