@@ -2613,3 +2613,30 @@ def test_clustering_preserves_row_ids(spark, tmp_path):
         r.id: r._row_id for r in t.read_with_row_ids().collect()
     }
     assert after == before
+
+
+def test_timestamp_ntz_roundtrip(spark, tmp_path):
+    """timestampNtz table feature: a TIMESTAMP_NTZ column (wall time,
+    no zone) survives create/append/read and predicate pruning — the
+    schemaString round-trips the timestamp_ntz type."""
+    df = spark.sql(
+        "SELECT id AS k, "
+        "timestamp_ntz'2024-03-01 10:00:00' + make_interval(0,0,0,0,0,0,id)"
+        " AS ts FROM range(10)"
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "ntz"), df)
+    got = t.read()
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+    assert got.count() == 10
+    t.append(
+        spark.sql(
+            "SELECT CAST(100 AS BIGINT) AS k, "
+            "timestamp_ntz'2024-03-02 00:00:00' AS ts"
+        )
+    )
+    assert t.read().count() == 11
+    sj = json.loads(t._snapshot().metadata["schemaString"])
+    assert sj["fields"][1]["type"] == "timestamp_ntz"
+    # skipping on the ntz column still answers (ISO-string stats order)
+    hits = t.files_matching("ts", "2024-03-02", "2024-03-03")
+    assert hits
