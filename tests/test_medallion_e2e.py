@@ -152,3 +152,119 @@ def test_full_medallion_pipeline_on_real_log(spark, tmp_path):
     ), "per-commit minValues must be present for latency analytics"
     total = stats.agg(F.sum("numRecords")).collect()[0][0]
     assert total == n_ticks
+
+
+def test_modern_features_compose_on_silver(spark, tmp_path):
+    """The round-4 features COMPOSE on one silver table: row
+    tracking + change data feed + in-commit timestamps + liquid
+    clustering + a CHECK constraint, all active while MERGE batches
+    stream in. Verifies the cross-feature invariants no single-feature
+    test sees: (a) row ids stay stable across merge + clustering
+    OPTIMIZE, (b) the change feed attributes each merge while the
+    clustering rewrite emits NO feed rows (dataChange=false), (c)
+    incremental-fold of the feed equals the final snapshot, (d) ICT
+    keeps version timestamps strictly increasing throughout."""
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import DeltaishTable
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import log as dlog
+
+    silver = DeltaishTable.create(
+        spark,
+        str(tmp_path / "silver"),
+        spark.createDataFrame(
+            [(i, float(i), "init") for i in range(20)],
+            "k long, v double, src string",
+        ),
+    )
+    silver.enable_change_data_feed()
+    silver.enable_in_commit_timestamps()
+    silver.enable_row_tracking()
+    silver.cluster_by(["k", "v"])
+    silver.add_check_constraint("v_nonneg", "v >= 0")
+    v_setup = silver.version
+
+    ids0 = {
+        r.k: r._row_id for r in silver.read_with_row_ids().collect()
+    }
+    # three merge micro-batches: updates overlap, inserts extend
+    for batch, lo in enumerate((0, 10, 20)):
+        silver.merge(
+            spark.createDataFrame(
+                [(k, float(k) + 100.0 * (batch + 1), f"b{batch}")
+                 for k in range(lo, lo + 10)],
+                "k long, v double, src string",
+            ),
+            ["k"],
+        )
+    v_merges = silver.version
+    silver.optimize()  # liquid clustering rewrite
+    assert silver.version == v_merges + 1
+
+    # (a) ids stable for every pre-existing key
+    ids1 = {
+        r.k: r._row_id for r in silver.read_with_row_ids().collect()
+    }
+    assert all(ids1[k] == ids0[k] for k in ids0)
+    assert len(set(ids1.values())) == 30
+
+    # (b) feed covers the merges; the OPTIMIZE emits nothing
+    feed = silver.read_change_feed(v_setup, silver.version)
+    assert feed.filter(
+        F.col("_commit_version") > v_merges
+    ).count() == 0
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type["insert"] == 10  # keys 20-29
+    assert by_type["update_preimage"] == by_type["update_postimage"] == 20
+
+    # (c) signed fold of the feed == final snapshot state
+    folded = (
+        feed.withColumn(
+            "w",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("dv"))
+    )
+    base = silver.read(version=v_setup).groupBy("k").agg(
+        F.sum("v").alias("bv")
+    )
+    final = silver.read().groupBy("k").agg(F.sum("v").alias("fv"))
+    joined = (
+        final.join(base, "k", "left")
+        .join(folded, "k", "left")
+        .select(
+            "k",
+            (
+                F.coalesce("bv", F.lit(0.0))
+                + F.coalesce("dv", F.lit(0.0))
+                - F.col("fv")
+            ).alias("err"),
+        )
+    )
+    assert joined.filter(F.abs(F.col("err")) > 1e-9).count() == 0
+
+    # (d) ICT strictly increasing across every commit since enable
+    icts = []
+    for v in range(2, silver.version + 1):
+        for a in dlog.read_commit(str(tmp_path / "silver"), v):
+            if "commitInfo" in a and "inCommitTimestamp" in a["commitInfo"]:
+                icts.append(a["commitInfo"]["inCommitTimestamp"])
+    assert len(icts) == silver.version - 1
+    assert all(b > a for a, b in zip(icts, icts[1:]))
+
+    # CHECK constraint still bites through the whole stack
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="v_nonneg"):
+        silver.append(
+            spark.createDataFrame(
+                [(99, -1.0, "bad")], "k long, v double, src string"
+            )
+        )
