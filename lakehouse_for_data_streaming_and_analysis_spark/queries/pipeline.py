@@ -1847,3 +1847,34 @@ def deltalog_row_tracking_audit(spark, sf_dir):
         "row_commit_version long, n_rows long, n_distinct_ids long, "
         "total_price double",
     )
+
+
+def _with_pinned_shuffle(fn):
+    def wrapped(spark, sf_dir):
+        with _pinned_shuffle(spark):
+            return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+# The transaction-log audits build multi-commit scratch tables from a
+# few thousand rows: their cost is ~10 small Spark jobs each, so 32
+# shuffle partitions per join/agg is pure scheduling overhead (the
+# same sizing rationale as the streaming runs above — and exactly the
+# knob a real deployment sets to cluster width).
+for _name in (
+    "deltalog_snapshot_audit",
+    "deltalog_cdf_merge_feed",
+    "deltalog_clone_divergence",
+    "deltalog_identity_generated",
+    "cdf_stream_consume",
+    "cdf_incremental_view_maintenance",
+    "deltalog_mor_delete_audit",
+    "deltalog_update_audit",
+    "deltalog_merge_matrix_audit",
+    "deltalog_column_mapping_audit",
+    "deltalog_row_tracking_audit",
+):
+    QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
