@@ -157,8 +157,18 @@ class DeltaishTable:
                 if f["name"] in id_hwms:
                     md[cls.IDENTITY_HWM] = id_hwms[f["name"]]
                 f["metadata"] = md
+        min_writer = 2
+        if generated_columns:
+            min_writer = 4
+        if identity_columns:
+            min_writer = 6
         actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": min_writer,
+                }
+            },
             {
                 "metaData": {
                     "id": uuid.uuid4().hex,
@@ -203,6 +213,54 @@ class DeltaishTable:
         }
     )
 
+    # Legacy writer protocol versions imply feature sets; upgrading a
+    # table to the table-features protocol (minWriterVersion 7) MUST
+    # enumerate them, or a spec-compliant external writer would stop
+    # honoring the features the version used to imply (at v7, only
+    # LISTED features are active).
+    _LEGACY_WRITER_FEATURES = (
+        (2, ("appendOnly", "invariants")),
+        (3, ("checkConstraints",)),
+        (4, ("changeDataFeed", "generatedColumns")),
+        (5, ("columnMapping",)),
+        (6, ("identityColumns",)),
+    )
+
+    def _bump_writer_version(
+        self, snap: dlog.Snapshot, floor: int
+    ) -> dict | None:
+        """A protocol action raising minWriterVersion to ``floor``
+        (None when already there). Features activated by table
+        properties carry a legacy writer-version floor so external
+        writers that don't implement them refuse instead of
+        committing without honoring them — CHECK constraints are v3,
+        CDF/generated columns v4, identity v6."""
+        proto = dict(snap.protocol or {})
+        cur = int(proto.get("minWriterVersion", 2))
+        if cur >= floor:
+            return None
+        proto["minWriterVersion"] = floor
+        return {"protocol": proto}
+
+    def _protocol_with_features(
+        self, snap: dlog.Snapshot, new_features: set[str]
+    ) -> dict:
+        """The protocol action for an upgrade to writer v7 carrying
+        ``new_features``: prior explicit writerFeatures are kept, and
+        when the prior protocol was a LEGACY version its implied
+        features are expanded into the list first."""
+        proto = dict(snap.protocol or {})
+        old_v = int(proto.get("minWriterVersion", 2))
+        feats = set(proto.get("writerFeatures", []) or [])
+        if old_v < 7:
+            for v, fl in self._LEGACY_WRITER_FEATURES:
+                if old_v >= v:
+                    feats.update(fl)
+        feats.update(new_features)
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = sorted(feats)
+        return proto
+
     ICT_ENABLE = "delta.enableInCommitTimestamps"
     ICT_VERSION = "delta.inCommitTimestampEnablementVersion"
     ICT_TIMESTAMP = "delta.inCommitTimestampEnablementTimestamp"
@@ -229,11 +287,9 @@ class DeltaishTable:
         conf[self.ICT_TIMESTAMP] = str(now_ms)
         md = dict(snap.metadata)
         md["configuration"] = conf
-        proto = dict(snap.protocol or {})
-        feats = set(proto.get("writerFeatures", []) or [])
-        feats.add("inCommitTimestamp")
-        proto["minWriterVersion"] = 7
-        proto["writerFeatures"] = sorted(feats)
+        proto = self._protocol_with_features(
+            snap, {"inCommitTimestamp"}
+        )
         ci = dlog.commit_info(
             "SET TBLPROPERTIES", properties={self.ICT_ENABLE: "true"}
         )
@@ -322,11 +378,9 @@ class DeltaishTable:
         conf[self.RT_VER_COL] = f"_row-version-col-{uuid.uuid4().hex}"
         md = dict(snap.metadata)
         md["configuration"] = conf
-        proto = dict(snap.protocol or {})
-        feats = set(proto.get("writerFeatures", []) or [])
-        feats.update({"rowTracking", "domainMetadata"})
-        proto["minWriterVersion"] = 7
-        proto["writerFeatures"] = sorted(feats)
+        proto = self._protocol_with_features(
+            snap, {"rowTracking", "domainMetadata"}
+        )
         actions: list[dict] = [{"protocol": proto}, {"metaData": md}]
         hwm = -1
         for p in sorted(snap.files):
@@ -679,7 +733,6 @@ class DeltaishTable:
                 md = f.get("metadata", {}) or {}
                 if "delta.columnMapping.id" in md:
                     ids[f["name"]] = int(md["delta.columnMapping.id"])
-        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         cols = []
         for c in df.columns:
             phys = mapping.get(c, c)
@@ -717,8 +770,18 @@ class DeltaishTable:
         if mapping is None and snap is None and dlog.list_versions(self.path):
             snap = dlog.replay(self.path)
         df, mapping = self._physicalize(df, snap, mapping)
+        prev_fid = None
         if mapping:
             partition_by = tuple(mapping.get(c, c) for c in partition_by)
+            # field ids in the footers (id-mode readability); restore
+            # the session conf afterwards — it must not leak into
+            # unrelated writes on the shared session
+            prev_fid = self.spark.conf.get(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         moved: list[str] = []
         adds: list[dict] = []
@@ -767,6 +830,10 @@ class DeltaishTable:
             raise
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+            if prev_fid is not None:
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", prev_fid
+                )
         return adds
 
     def _commit_next(
@@ -1086,8 +1153,10 @@ class DeltaishTable:
         md = dict(snap.metadata)
         conf[key] = expr
         md["configuration"] = conf
+        proto = self._bump_writer_version(snap, 3)
         return self._commit_next(
             [
+                *([proto] if proto else []),
                 {"metaData": md},
                 dlog.commit_info("ADD CONSTRAINT", name=name, expr=expr),
             ],
@@ -1116,6 +1185,17 @@ class DeltaishTable:
                     f"{k!r}: use enable_in_commit_timestamps (it "
                     "records the enablement version and the writer "
                     "feature)"
+                )
+            if k == self.RT_ENABLE:
+                raise ValueError(
+                    f"{k!r}: use enable_row_tracking (it backfills "
+                    "baseRowIds, mints the materialized column names, "
+                    "and registers the writer features)"
+                )
+            if k == "delta.enableChangeDataFeed":
+                raise ValueError(
+                    f"{k!r}: use enable_change_data_feed (it records "
+                    "the enablement version the feed readers check)"
                 )
         snap = self._snapshot()
         conf = dict(snap.metadata.get("configuration", {}) or {})
@@ -1211,7 +1291,7 @@ class DeltaishTable:
 
         return bool(
             _re.search(
-                rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])",
+                rf"(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])",
                 expr,
             )
         )
@@ -1230,11 +1310,15 @@ class DeltaishTable:
             ):
                 out.append(f"constraint {k[len(self.CONSTRAINT_PREFIX):]}: {expr}")
         for f in json.loads(snap.metadata["schemaString"])["fields"]:
-            expr = (f.get("metadata", {}) or {}).get(
-                "delta.generationExpression"
-            )
+            md = f.get("metadata", {}) or {}
+            expr = md.get("delta.generationExpression")
             if expr and f["name"] != col and self._expr_references(expr, col):
                 out.append(f"generated column {f['name']}: {expr}")
+            inv = md.get("delta.invariants")
+            if inv:
+                iexpr = json.loads(inv)["expression"]["expression"]
+                if self._expr_references(iexpr, col):
+                    out.append(f"invariant on {f['name']}: {iexpr}")
         return out
 
     def enable_column_mapping(self, mode: str = "name") -> int:
@@ -2263,7 +2347,7 @@ class DeltaishTable:
                     )
                 )
                 if insert:
-                    ins = source.join(
+                    ins = source_rt.join(
                         tkeys, list(keys), "left_anti"
                     ).select(*target.columns)
                     changes = changes.unionByName(
@@ -3032,8 +3116,29 @@ class DeltaishTable:
                 for path in json.loads(cdm).get("clusteringColumns", [])
             ]
             if ccols:
+                # incremental trigger: only files that have never been
+                # clustered (new writes since the last OPTIMIZE) make
+                # it run; an already-converged table is a NO-OP, so
+                # scheduled maintenance is O(new data), not O(table).
+                # (The rewrite itself re-clusters the whole table for
+                # globally-narrow file ranges — delta's liquid rewrites
+                # per-node incrementally, a refinement documented out
+                # of scope.)
+                unclustered = [
+                    p
+                    for p, a in snap.files.items()
+                    if a.get("clusteringProvider") != "liquid"
+                ]
+                if not unclustered:
+                    return snap.version
+                total = sum(
+                    a.get("size", 0) for a in snap.files.values()
+                )
+                n_files = max(1, math.ceil(total / target_bytes))
                 return self.zorder_by(
-                    ccols, clustering_provider="liquid"
+                    ccols,
+                    n_files=n_files,
+                    clustering_provider="liquid",
                 )
         data_schema = self._physical_struct(snap, self._data_schema(snap))
         groups: dict[tuple, list[str]] = {}
@@ -3194,12 +3299,13 @@ class DeltaishTable:
             raise ValueError(f"no such clustering column(s): {missing}")
         actions: list[dict] = []
         if cols:
-            proto = dict(snap.protocol or {})
-            feats = set(proto.get("writerFeatures", []) or [])
-            feats.update({"clustering", "domainMetadata"})
-            proto["minWriterVersion"] = 7
-            proto["writerFeatures"] = sorted(feats)
-            actions.append({"protocol": proto})
+            actions.append(
+                {
+                    "protocol": self._protocol_with_features(
+                        snap, {"clustering", "domainMetadata"}
+                    )
+                }
+            )
             actions.append(
                 {
                     "domainMetadata": {
@@ -3498,8 +3604,10 @@ class DeltaishTable:
         conf[self.CDF_PROP] = "true"
         md = dict(snap.metadata)
         md["configuration"] = conf
+        proto = self._bump_writer_version(snap, 4)
         return self._commit_next(
             [
+                *([proto] if proto else []),
                 {"metaData": md},
                 dlog.commit_info(
                     "SET TBLPROPERTIES",

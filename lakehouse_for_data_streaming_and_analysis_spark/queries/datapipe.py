@@ -1759,7 +1759,6 @@ def ann_recall_audit(spark, sf_dir):
     brute = QUERIES["ann_brute_force_topk"](spark, sf_dir).select(
         "qid", "vec_id"
     )
-    n_base = F.lit(None)  # computed via join below
     rows = None
     for name, key in (
         ("ivf", "ann_ivf_topk"),

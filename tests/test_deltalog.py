@@ -2552,7 +2552,7 @@ def test_liquid_clustering_cluster_by_then_optimize(spark, tmp_path):
     assert t.clustering_columns() == ["a", "b"]
     assert dict(t._snapshot().files) == files_before  # metadata-only
     assert "clustering" in t._snapshot().protocol["writerFeatures"]
-    t.optimize()
+    t.optimize(target_bytes=8 * 1024)  # sized so several files result
     snap = t._snapshot()
     assert all(
         a.get("clusteringProvider") == "liquid"
@@ -2640,3 +2640,133 @@ def test_timestamp_ntz_roundtrip(spark, tmp_path):
     # skipping on the ntz column still answers (ISO-string stats order)
     hits = t.files_matching("ts", "2024-03-02", "2024-03-03")
     assert hits
+
+
+def test_rename_guard_sees_backticked_and_invariant_refs(
+    spark, tmp_path
+):
+    """The reference guard must catch backtick-quoted identifiers in
+    CHECK expressions and delta.invariants field metadata — missing
+    either would let a rename orphan the expression and break every
+    later write."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "bt"),
+        spark.createDataFrame([(1, 2.0)], "a long, b double"),
+    )
+    t.enable_column_mapping()
+    t.add_check_constraint("pos", "`a` > 0")
+    with pytest.raises(ValueError, match="constraint pos"):
+        t.rename_column("a", "c")
+    t.drop_check_constraint("pos")
+    t.rename_column("a", "c")  # now legal
+    # invariants: foreign-log style field metadata
+    _foreign_log(
+        tmp_path / "inv2",
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+        {"delta.columnMapping.mode": "name",
+         "delta.columnMapping.maxColumnId": "1"},
+        phys_col="col-feedface00000000000000000000000000",
+        field_md={
+            "delta.invariants": json.dumps(
+                {"expression": {"expression": "id > 0"}}
+            )
+        },
+    )
+    t2 = DeltaishTable(spark, str(tmp_path / "inv2"))
+    with pytest.raises(ValueError, match="invariant on id"):
+        t2.rename_column("id", "key")
+    # (drop shares _referencing_exprs; the single-column guard fires
+    # first on this one-column fixture)
+
+
+def test_protocol_upgrade_enumerates_legacy_features(spark, tmp_path):
+    """Upgrading to the table-features protocol must LIST the features
+    the legacy writer version implied — at v7 only listed features are
+    active, so dropping them would release external writers from CDF /
+    constraint obligations."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "pf"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    t.add_check_constraint("pos", "k > 0")  # legacy floor 3
+    assert t._snapshot().protocol["minWriterVersion"] == 3
+    t.enable_change_data_feed()  # legacy floor 4
+    assert t._snapshot().protocol["minWriterVersion"] == 4
+    t.enable_row_tracking()  # upgrade to table features
+    proto = t._snapshot().protocol
+    assert proto["minWriterVersion"] == 7
+    feats = set(proto["writerFeatures"])
+    assert {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "rowTracking",
+        "domainMetadata",
+    } <= feats
+
+
+def test_generic_property_path_cannot_dodge_feature_apis(
+    spark, tmp_path
+):
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "dodge"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    for k in (
+        "delta.enableRowTracking",
+        "delta.enableChangeDataFeed",
+        "delta.enableInCommitTimestamps",
+    ):
+        with pytest.raises(ValueError, match="use enable_"):
+            t.set_table_properties({k: "true"})
+
+
+def test_clustered_optimize_is_incremental(spark, tmp_path):
+    """Scheduled OPTIMIZE on a clustered table is O(new data): a
+    converged table NO-OPs, an append of new (unclustered) files
+    triggers a recluster sized by target_bytes."""
+    df = (
+        spark.range(2000)
+        .withColumn("a", (F.col("id") * 7919 % 100).cast("long"))
+        .repartition(6)
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "inc"), df)
+    t.cluster_by(["a"])
+    t.optimize(target_bytes=8 * 1024)
+    v_clustered = t.version
+    assert t.optimize(target_bytes=8 * 1024) == v_clustered  # no-op
+    assert t.version == v_clustered
+    t.append(
+        spark.range(2000, 2200).withColumn(
+            "a", (F.col("id") % 100).cast("long")
+        )
+    )
+    v2 = t.optimize(target_bytes=8 * 1024)
+    assert v2 == t.version and v2 > v_clustered
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in t._snapshot().files.values()
+    )
+
+
+def test_mapped_write_restores_field_id_conf(spark, tmp_path):
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "conf"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    t.enable_column_mapping()
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try:
+        t.append(spark.createDataFrame([(2,)], "k long"))
+        assert (
+            spark.conf.get("spark.sql.parquet.fieldId.write.enabled")
+            == "false"
+        )
+    finally:
+        spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")

@@ -230,3 +230,28 @@ def test_row_tracking_guards(spark, tmp_path):
     t.enable_row_tracking()
     with pytest.raises(ValueError, match="already enabled"):
         t.enable_row_tracking()
+
+
+def test_merge_matched_update_with_insert_under_cdf(spark, tmp_path):
+    """The rt + CDF + matched_update + insert corner: the CDF insert
+    image must come from the id-carrying source frame (a bare-source
+    select of target columns would fail resolving _row_id)."""
+    t = _table(spark, tmp_path)
+    t.enable_change_data_feed()
+    t.enable_row_tracking()
+    before = _ids(t)
+    v = t.merge(
+        spark.createDataFrame(
+            [(3, -1.0), (900, 9.0)], "k long, x double"
+        ),
+        ["k"],
+        matched_update={"x": F.col("s.x")},
+        matched_condition=F.col("s.x") < 0,
+    )
+    after = _ids(t)
+    assert after[3] == (before[3][0], v)  # updated: id kept, rcv bumped
+    assert after[900][0] not in {i for i, _ in before.values()}
+    feed = t.read_change_feed(v - 1, v)
+    kinds = sorted(r["_change_type"] for r in feed.collect())
+    assert kinds == ["insert", "update_postimage", "update_preimage"]
+    assert "_row_id" not in feed.columns
