@@ -3430,10 +3430,29 @@ class DeltaishTable:
         actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
         return self._commit_next(actions, read_version=snap.version)
 
-    def vacuum(self, retention_hours: float = 168.0) -> list[str]:
+    def vacuum(
+        self,
+        retention_hours: float = 168.0,
+        enforce_retention: bool = True,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Time travel to versions referencing them stops working
-        afterwards — exactly Delta's trade-off."""
+        afterwards — exactly Delta's trade-off.
+
+        Safety rails, mirroring delta-spark: a retention below the
+        7-day default REFUSES unless ``enforce_retention=False`` (the
+        retentionDurationCheck escape hatch) — a short window can
+        delete files a concurrent reader or un-checkpointed stream
+        still references. ``dry_run=True`` returns the would-be
+        deletions without touching storage (VACUUM ... DRY RUN)."""
+        if enforce_retention and retention_hours < 168.0:
+            raise ValueError(
+                f"retention_hours={retention_hours} is below the 7-day "
+                "default; concurrent readers and streams may still "
+                "reference these files. Pass enforce_retention=False "
+                "to override (delta-spark's retentionDurationCheck)."
+            )
         cutoff = (time.time() - retention_hours * 3600.0) * 1000.0
         snap = self._snapshot()
         root = os.path.abspath(self.path) + os.sep
@@ -3448,7 +3467,8 @@ class DeltaishTable:
                 if not os.path.abspath(full).startswith(root):
                     continue
                 if os.path.exists(full):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(path)
         # Deletion-vector files: referenced only through live adds'
         # descriptors (never tombstoned as such), so clean the ones no
@@ -3478,7 +3498,8 @@ class DeltaishTable:
                 os.path.abspath(full) not in live_dvs
                 and os.path.getmtime(full) * 1000.0 <= cutoff
             ):
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(fn)
         # Change-data files are never part of the live snapshot (cdc
         # actions carry no removes), so age them out by their COMMIT
@@ -3506,8 +3527,11 @@ class DeltaishTable:
                 if os.path.abspath(full).startswith(root) and os.path.exists(
                     full
                 ):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
+        if dry_run:
+            return deleted
         if deleted:
             self._commit_next(
                 [dlog.commit_info("VACUUM END", numDeletedFiles=len(deleted))],

@@ -225,7 +225,7 @@ def test_maintenance_guards_and_vacuum(spark, tmp_path):
     assert [
         f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
     ] == dv_files, "within retention: kept"
-    deleted = t.vacuum(retention_hours=0.0)
+    deleted = t.vacuum(retention_hours=0.0, enforce_retention=False)
     assert [
         f for f in os.listdir(t.path) if f.startswith("deletion_vector_")
     ] == []
@@ -447,7 +447,7 @@ def test_restore_to_dv_version(spark, tmp_path):
     # vacuum the DV file away (purge de-referenced it... but restore
     # re-referenced it; drop the reference first)
     t.purge()
-    deleted = t.vacuum(retention_hours=0.0)
+    deleted = t.vacuum(retention_hours=0.0, enforce_retention=False)
     assert any(p.startswith("deletion_vector_") for p in deleted)
     with pytest.raises(FileNotFoundError, match="RESTORE"):
         t.restore(v_dv)

@@ -171,7 +171,7 @@ def test_vacuum_deletes_tombstones_and_breaks_old_versions(spark, tmp_path):
     t.optimize()
     tombs = list(t._snapshot().tombstones)
     assert tombs
-    deleted = t.vacuum(retention_hours=0.0)
+    deleted = t.vacuum(retention_hours=0.0, enforce_retention=False)
     assert sorted(deleted) == sorted(tombs)
     for p in deleted:
         assert not os.path.exists(os.path.join(t.path, p))
@@ -803,7 +803,7 @@ def test_changes_between_vacuumed_range_raises(spark, tmp_path):
     t.append(src.limit(80))        # v1: adds files inside the range
     v1 = t.version
     t.overwrite(src.limit(30))     # v2: removes v1's files (outside range)
-    t.vacuum(retention_hours=0.0)  # physically deletes them
+    t.vacuum(retention_hours=0.0, enforce_retention=False)  # physically deletes them
     with pytest.raises(ValueError, match="vacuumed"):
         t.changes_between(v0, v1)
 
@@ -875,7 +875,7 @@ def test_restore_to_vacuumed_version_raises(spark, tmp_path):
     src = _orders(spark, 200)
     t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
     t.overwrite(src.filter(F.col("o_orderkey") % 2 == 0))
-    t.vacuum(retention_hours=0.0)  # v0's files are gone
+    t.vacuum(retention_hours=0.0, enforce_retention=False)  # v0's files are gone
     v_before = t.version
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(0)
@@ -1460,7 +1460,7 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
     # overwrite tombstones the absolute source paths; vacuum on the
     # clone must skip them (deleting would corrupt the source)
     clone.overwrite(src_rows.limit(10))
-    deleted = clone.vacuum(retention_hours=0.0)
+    deleted = clone.vacuum(retention_hours=0.0, enforce_retention=False)
     assert all(not os.path.isabs(p) for p in deleted)
     assert _rows(src.read()) == _rows(src_rows), (
         "clone vacuum must never touch source data"
@@ -1618,7 +1618,7 @@ def test_deep_clone_survives_source_vacuum(spark, tmp_path):
     assert _rows(clone.read()) == _rows(src_rows)
     # destroy the source's files entirely
     src.optimize()
-    src.vacuum(retention_hours=0.0)
+    src.vacuum(retention_hours=0.0, enforce_retention=False)
     import shutil as _sh
 
     _sh.rmtree(src.path)
@@ -1648,7 +1648,7 @@ def test_vacuum_ages_out_change_data_files(spark, tmp_path):
     assert t.read_change_feed(v1, v2).count() > 0
 
     # past retention: cdc files deleted, feed range expired
-    deleted = t.vacuum(retention_hours=0.0)
+    deleted = t.vacuum(retention_hours=0.0, enforce_retention=False)
     assert any(p.startswith("_change_data/") for p in deleted)
     assert not [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]
     with pytest.raises(ValueError, match="missing cdc file|expired"):
@@ -2770,3 +2770,29 @@ def test_mapped_write_restores_field_id_conf(spark, tmp_path):
         )
     finally:
         spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+
+
+def test_vacuum_retention_guard_and_dry_run(spark, tmp_path):
+    """Short retention refuses unless explicitly overridden (the
+    retentionDurationCheck rail), and DRY RUN lists would-be
+    deletions without removing a byte or committing."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "vg"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    t.overwrite(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError, match="7-day default"):
+        t.vacuum(retention_hours=0.0)
+    v_before = t.version
+    would = t.vacuum(
+        retention_hours=0.0, enforce_retention=False, dry_run=True
+    )
+    assert would  # the overwritten v0 file qualifies
+    assert t.version == v_before  # no VACUUM commit
+    for p in would:
+        assert os.path.exists(str(tmp_path / "vg" / p))  # untouched
+    gone = t.vacuum(retention_hours=0.0, enforce_retention=False)
+    assert sorted(gone) == sorted(would)
+    for p in gone:
+        assert not os.path.exists(str(tmp_path / "vg" / p))
