@@ -51,63 +51,62 @@ ROWS_ONLY: tuple[str, ...] = ()
 # the newly green names from CORRECTNESS_r{N}.json into DRIVER_GREEN
 # and promote the next unchecked block into WINDOW_PRIORITY.
 
-# Cumulative driver-green rows: 43 (r1) + 46 (r2) + 50 (r3) = 139,
-# disjoint sets (CORRECTNESS_r0{1,2,3}.json).
+# Cumulative driver-green rows: 43 (r1) + 46 (r2) + 50 (r3) + 49 (r4)
+# = 188, disjoint sets (CORRECTNESS_r0{1,2,3,4}.json).  r4's one red
+# row (user_event_profile — driver-canonicalizer crash on an
+# array<string> output column, not a value mismatch) is fixed
+# (array_join in queries/olap.py + raw-sort fidelity in
+# tools/driver_sim.py) and heads the round-5 window below for
+# re-verification.
 #
-# ROUND-5 ENDGAME PLAN: after the round-4 window below, 50 of the
-# original 239 registry names remain never-driver-checked; they
-# already sit in queries() positions 50-99 (registry order), so the
-# round-5 rotation (`tools/rotate_window.py CORRECTNESS_r04.json
-# --apply`) promotes precisely this set and closes the original
-# registry at 239/239.  The twelve r4-added queries
-# (deltalog_cdf_merge_feed, deltalog_clone_divergence,
-# deltalog_identity_generated, cdf_stream_consume,
-# cdf_incremental_view_maintenance, deltalog_mor_delete_audit,
-# deltalog_update_audit, deltalog_merge_matrix_audit,
-# deltalog_column_mapping_audit, deltalog_row_tracking_audit,
-# gopher_repetition_filters, ann_recall_audit — each sim+dtype-lint
-# green)
-# append to the registry tail and follow in
-# the r6 window (or r5's spare slots if the driver accepts >50):
-#   brand_basket_affinity, sequence_packing_map, weighted_sample_topk,
-#   twap_daily, vwap_returnflag_month, max_drawdown_by_type,
-#   ewma_daily_value, zscore_anomaly_days, pit_feature_join,
-#   realized_vol_monthly, beta_vs_market, bollinger_band_breakouts,
-#   rsi_14day, cascading_time_rollup, yoy_revenue_growth,
-#   ts_shape_match_topk, monthly_revenue_moving_avg,
-#   rolling_median_value, winsorized_value_stats, open_order_backlog,
-#   holt_linear_forecast, holt_winters_seasonal, kalman_local_level,
-#   cusum_changepoints, resample_ffill_daily, bigram_lm_surprisal,
-#   char_class_entropy, fourgram_uniqueness, lexicon_sentiment_scores,
-#   keyword_search_ranked, boilerplate_trigram_share, vocab_oov_rate,
-#   top_ngram_char_share, context_length_packing,
-#   funnel_view_click_purchase, retention_cohorts, mad_by_type,
+# ROUND-6 ENDGAME PLAN: the round-5 window (WINDOW_PRIORITY below,
+# produced by `tools/rotate_window.py CORRECTNESS_r04.json --apply`)
+# covers the fixed red row, all 12 r4-added delta/ANN/Gopher queries,
+# and 37 of the 50 remaining never-checked original-registry names.
+# If it comes back 50/50 green, cumulative = 238/251 and exactly
+# THIRTEEN names remain — the round-6 window, already ordered in
+# queries() positions 50-62 so the r6 rotation
+# (`tools/rotate_window.py CORRECTNESS_r05.json --apply`) promotes
+# precisely this set and closes the registry at 251/251:
 #   chi_square_type_dow, triangle_count_handoff_graph,
 #   seasonal_residual_anomalies, cumulative_distinct_users_by_type,
 #   longest_event_streak_per_user, time_to_conversion_stats,
 #   user_activity_gini, top_event_trigrams, ks_two_sample,
 #   mann_whitney_u, bpe_vocab_merges, quality_classifier_scores,
 #   bpe_tokenize_docs
+# (each sim + dtype-lint green; any r5 red rows re-enter the r6
+# window head automatically via rotate_window's failed-first rule.)
 DRIVER_GREEN = (
     "acf_by_lag",
+    "adf_stationarity",
+    "aggnav_priority_rollup",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ar_forecast_intervals",
+    "ar_walk_forward_eval",
     "arch_lm_test",
+    "arima_garch_residual_fit",
+    "arima_order_search",
     "asof_join_last_price",
     "audio_wav_features",
+    "bloom_prefilter_join",
     "broadcast_left_enrich",
     "case_bucketing",
     "cdc_apply_profile",
     "chart_all_coin_cloud",
     "chart_big_number_trend",
+    "chart_big_number_trend_eth",
     "chart_change_percent",
     "chart_coin_reporting",
     "chart_price_with_ma",
+    "chart_price_with_ma_eth",
     "chart_realtime_price",
+    "chart_realtime_price_eth",
     "chart_streaming_coins",
     "chart_supply_gauge",
+    "chart_supply_gauge_eth",
     "chart_top_trading_volume",
     "chart_total_volume_day",
     "chart_two_level_reagg",
@@ -125,9 +124,12 @@ DRIVER_GREEN = (
     "cube_status_priority",
     "customer_order_distribution",
     "customer_order_timeline",
+    "customer_rfm_segments",
+    "customers_above_nation_avg",
     "cv_fold_rmse",
     "daily_ohlcv",
     "date_id_arithmetic",
+    "dedup_components",
     "deltalog_snapshot_audit",
     "dickey_fuller_tstat",
     "dim_date_generate",
@@ -138,8 +140,11 @@ DRIVER_GREEN = (
     "dormant_customer_balances",
     "dq_constraint_report",
     "dsir_importance_weights",
+    "embedding_int8_quantization",
     "embedding_neardup_pairs",
     "embedding_norm_outliers",
+    "embedding_vector_stats",
+    "event_type_transition_matrix",
     "exact_dedup_groups",
     "exact_quantiles_by_type",
     "exact_substring_dup_coverage",
@@ -147,13 +152,22 @@ DRIVER_GREEN = (
     "forecast_eval_metrics",
     "forecast_revenue_change",
     "full_outer_concat",
+    "fuzzy_part_pairs",
+    "gap_fill_forward_daily",
+    "garch_order_grid",
+    "garch_volatility",
     "global_sum_filtered",
     "grouped_max_topn",
     "grouping_sets_year_priority",
     "hashed_bow_vectorize",
+    "histogram_fixed_buckets",
     "hot_key_diagnosis",
     "image_bmp_features",
+    "incremental_agg_merge",
+    "intersect_repeat_customers",
+    "interval_overlap_join",
     "json_extract_group",
+    "kmeans_embedding_clusters",
     "label_centroid_profile",
     "lag_returns",
     "langid_stopword_heuristic",
@@ -161,6 +175,7 @@ DRIVER_GREEN = (
     "last_per_day",
     "late_shipment_priority_counts",
     "left_anti_new_rows",
+    "ljung_box_whitenoise",
     "local_supplier_volume",
     "loyal_customers_division",
     "malformed_json_audit",
@@ -168,15 +183,21 @@ DRIVER_GREEN = (
     "market_share_yearly",
     "min_price_supplier_per_part",
     "minhash_lsh_neardup",
+    "modal_event_type_per_user",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
+    "nation_balance_flags",
     "nation_pair_volume",
+    "neardup_canonical_selection",
     "ngram_jaccard_pairs",
     "null_default_coalesce",
     "null_semantics_audit",
     "order_lifecycle_snapshot",
     "order_priority_exists",
+    "order_value_window_suite",
     "orderby_limit_topk",
+    "pacf_by_lag",
+    "pagerank_user_influence",
     "pii_scrub_stats",
     "pivot_priority_by_year",
     "price_band_range_join",
@@ -188,29 +209,42 @@ DRIVER_GREEN = (
     "promotion_part_suppliers",
     "props_map_profile",
     "pruned_scan_projection",
+    "pyds_tick_ingest",
     "quality_threshold_sweep",
+    "ranked_orders_window_suite",
+    "region_nation_hierarchy_rollup",
+    "regr_value_trend",
     "rest_ingest_typed",
     "returned_items_topk",
+    "revenue_share_of_region",
     "rolling_origin_cv",
     "rolling_stats",
     "rollup_year_priority",
+    "running_distinct_users",
+    "salted_skew_join_revenue",
     "scd2_as_of_snapshot",
     "scd2_dimension_evolution",
     "scd2_hash_projection",
+    "schema_evolution_union",
     "semdedup_cluster_prune",
+    "semi_additive_month_end_balance",
+    "semi_join_recent_customers",
     "sessionize_user_events",
     "shipping_priority_topk",
     "simhash_hamming_pairs",
     "sketch_cardinalities",
     "small_lot_revenue",
     "sole_late_supplier_ranking",
+    "source_unigram_kl",
     "sql_interface_star_pricing",
     "star_filtered_dim_subquery",
     "star_revenue_by_nation_month",
+    "stats_moments_by_type",
     "stratified_sample_rates",
     "stream_stream_attribution_join",
     "streaming_bronze_final_state",
     "streaming_dedup_final_state",
+    "streaming_state_audit",
     "supplier_revenue_share_filter",
     "surrogate_keys_global",
     "table_freshness_report",
@@ -218,6 +252,7 @@ DRIVER_GREEN = (
     "text_quality_scores",
     "tfidf_top_terms",
     "time_grained_series",
+    "time_range_rolling_avg",
     "token_counts",
     "token_heavy_hitters",
     "top_supplier_by_revenue",
@@ -227,61 +262,63 @@ DRIVER_GREEN = (
     "two_key_left_merge",
     "tz_localized_fact_keys",
     "union_all_series",
+    "unpivot_priority_revenue",
+    "vector_dim_profile",
     "winnow_fingerprints",
 )
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "kmeans_embedding_clusters",
-    "source_unigram_kl",
-    "embedding_int8_quantization",
-    "pyds_tick_ingest",
-    "streaming_state_audit",
-    "adf_stationarity",
-    "ljung_box_whitenoise",
-    "pacf_by_lag",
-    "ar_forecast_intervals",
-    "garch_volatility",
-    "arima_order_search",
-    "garch_order_grid",
-    "arima_garch_residual_fit",
-    "ar_walk_forward_eval",
-    "chart_realtime_price_eth",
-    "chart_price_with_ma_eth",
-    "chart_big_number_trend_eth",
-    "chart_supply_gauge_eth",
-    "unpivot_priority_revenue",
-    "ranked_orders_window_suite",
-    "semi_join_recent_customers",
-    "embedding_vector_stats",
-    "stats_moments_by_type",
     "user_event_profile",
-    "dedup_components",
-    "pagerank_user_influence",
-    "neardup_canonical_selection",
-    "region_nation_hierarchy_rollup",
-    "interval_overlap_join",
-    "salted_skew_join_revenue",
-    "bloom_prefilter_join",
-    "regr_value_trend",
-    "time_range_rolling_avg",
-    "histogram_fixed_buckets",
-    "gap_fill_forward_daily",
-    "intersect_repeat_customers",
-    "customers_above_nation_avg",
-    "fuzzy_part_pairs",
-    "vector_dim_profile",
-    "order_value_window_suite",
-    "nation_balance_flags",
-    "running_distinct_users",
-    "revenue_share_of_region",
-    "modal_event_type_per_user",
-    "incremental_agg_merge",
-    "aggnav_priority_rollup",
-    "schema_evolution_union",
-    "semi_additive_month_end_balance",
-    "customer_rfm_segments",
-    "event_type_transition_matrix",
+    "ann_recall_audit",
+    "deltalog_cdf_merge_feed",
+    "deltalog_clone_divergence",
+    "deltalog_identity_generated",
+    "cdf_stream_consume",
+    "cdf_incremental_view_maintenance",
+    "deltalog_mor_delete_audit",
+    "deltalog_update_audit",
+    "deltalog_merge_matrix_audit",
+    "deltalog_column_mapping_audit",
+    "deltalog_row_tracking_audit",
+    "brand_basket_affinity",
+    "sequence_packing_map",
+    "weighted_sample_topk",
+    "twap_daily",
+    "vwap_returnflag_month",
+    "max_drawdown_by_type",
+    "ewma_daily_value",
+    "zscore_anomaly_days",
+    "pit_feature_join",
+    "realized_vol_monthly",
+    "beta_vs_market",
+    "bollinger_band_breakouts",
+    "rsi_14day",
+    "cascading_time_rollup",
+    "yoy_revenue_growth",
+    "ts_shape_match_topk",
+    "monthly_revenue_moving_avg",
+    "rolling_median_value",
+    "winsorized_value_stats",
+    "open_order_backlog",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
+    "kalman_local_level",
+    "cusum_changepoints",
+    "resample_ffill_daily",
+    "bigram_lm_surprisal",
+    "char_class_entropy",
+    "fourgram_uniqueness",
+    "lexicon_sentiment_scores",
+    "keyword_search_ranked",
+    "boilerplate_trigram_share",
+    "vocab_oov_rate",
+    "top_ngram_char_share",
+    "context_length_packing",
+    "gopher_repetition_filters",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "mad_by_type",
 )
 
 

@@ -409,7 +409,8 @@ def stats_moments_by_type(spark, sf_dir):
 @q(
     "user_event_profile",
     """SELECT user_id,
-              list_sort(list(DISTINCT event_type)) AS event_types,
+              array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                AS event_types,
               CAST(COUNT(*) AS BIGINT) AS n_events,
               arg_min(event_type, event_id) AS first_type,
               arg_max(event_type, event_id) AS last_type
@@ -417,12 +418,17 @@ def stats_moments_by_type(spark, sf_dir):
 )
 def user_event_profile(spark, sf_dir):
     """Per-user behavioral profile: the distinct event-type set
-    collected as a SORTED array (deterministic cross-engine), plus
+    collected, SORTED, and joined to a ','-delimited string
+    (deterministic cross-engine AND driver-canonicalizable — the
+    driver's pandas sort_values cannot factorize list cells, so
+    array-typed output columns crash its compare; r4 lesson), plus
     first/last event type keyed on the unique event_id (min_by/max_by
     with a total key — never on a tie-prone timestamp)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
         F.count(F.lit(1)).alias("n_events"),
         F.min_by("event_type", "event_id").alias("first_type"),
         F.max_by("event_type", "event_id").alias("last_type"),

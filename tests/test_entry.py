@@ -55,3 +55,24 @@ def test_queries_md_in_sync(tmp_path):
     with open("/root/repo/QUERIES.md") as f:
         committed = f.read()
     assert generated == committed, "run python -m lakehouse_for_data_streaming_and_analysis_spark.inventory"
+
+
+def test_driver_sim_crashes_on_list_typed_outputs():
+    """Sim-fidelity pin (r4 lesson): the driver canonicalizes with
+    pandas sort_values over RAW columns, which raises on list cells.
+    ``tools.driver_sim._frame_key`` must reproduce that crash so
+    array/map/struct output columns fail the pre-flight instead of
+    burning a driver window slot (``user_event_profile``, r4)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tools.driver_sim import _frame_key
+
+    scalar = pd.DataFrame({"a": [2, 1], "b": ["y", "x"]})
+    cols, rows = _frame_key(scalar)
+    assert cols == ("a", "b")
+    assert rows == sorted(rows)
+
+    listy = pd.DataFrame({"a": [1, 2], "arr": [["x"], ["y", "z"]]})
+    with _pytest.raises(TypeError):
+        _frame_key(listy)
