@@ -71,7 +71,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     # Warm the JVM + parquet footers + Python workers once (excluded from
     # per-query time — worker spawn is per-cluster-lifetime, not per-query).
     next(iter(qs.values()))(spark, sf_dir).count()
@@ -101,26 +100,57 @@ def main() -> None:
         except (OSError, IndexError, ValueError):
             return 0
 
-    total = 0.0
-    steal0 = _steal_jiffies()
-    t_wall0 = time.perf_counter()
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    def _timed_loop() -> tuple[dict[str, float], float, dict]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        steal0 = _steal_jiffies()
+        t_wall0 = time.perf_counter()
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+            print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        wall = time.perf_counter() - t_wall0
+        # attribution of run-to-run variance (BASELINE.md: host CPU
+        # steal inflates single runs up to ~2x): record host steal
+        # observed DURING this run so a slow total is distinguishable
+        # from a slow engine.
+        env = {
+            "steal_seconds_during_run": round(
+                (_steal_jiffies() - steal0) / 100.0, 1
+            ),
+            "wall_seconds_timed_loop": round(wall, 1),
+        }
+        return timings, total, env
 
-    # attribution of run-to-run variance (BASELINE.md: host CPU steal
-    # inflates single runs up to ~2x): record host steal observed
-    # DURING this run so a slow total is distinguishable from a slow
-    # engine.
-    env = {
-        "steal_seconds_during_run": round((_steal_jiffies() - steal0) / 100.0, 1),
-        "wall_seconds_timed_loop": round(time.perf_counter() - t_wall0, 1),
-    }
+    # STEAL GUARD (round-4 post-mortem: a 114 s-steal run produced
+    # per-query outliers that read as regressions on unchanged code):
+    # a record whose measured steal exceeds ~10% of timed wall is
+    # noise-dominated, so retry up to $SPARK_GRAFT_BENCH_RETRIES times
+    # and keep the attempt with the LOWEST steal fraction.
+    max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    best = None
+    for attempt in range(1, max_attempts + 1):
+        timings, total, env = _timed_loop()
+        frac = env["steal_seconds_during_run"] / max(
+            env["wall_seconds_timed_loop"], 1e-9
+        )
+        env["steal_fraction"] = round(frac, 3)
+        env["attempt"] = attempt
+        if best is None or frac < best[3]:
+            best = (timings, total, env, frac)
+        if frac <= 0.10:
+            break
+        print(
+            f"# steal {env['steal_seconds_during_run']}s is "
+            f"{frac:.0%} of timed wall — noisy host, "
+            f"{'retrying' if attempt < max_attempts else 'keeping cleanest'}",
+            file=sys.stderr,
+        )
+    timings, total, env, _ = best
     # best-of-warm re-run for the JIT-flagged queries: the delta
     # between this and the timed (cold) run above is residual
     # compilation, not plan cost
@@ -163,6 +193,8 @@ def main() -> None:
                 # 2x-baseline gate can normalize away noisy-neighbor
                 # variance (BASELINE.md: steal inflates totals ~±40%)
                 "steal_seconds": env["steal_seconds_during_run"],
+                "steal_fraction": env["steal_fraction"],
+                "attempt": env["attempt"],
                 "n_queries": len(timings),
             }
         )

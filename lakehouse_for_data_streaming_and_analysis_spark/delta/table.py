@@ -227,16 +227,31 @@ class DeltaishTable:
     )
 
     def _bump_writer_version(
-        self, snap: dlog.Snapshot, floor: int
+        self, snap: dlog.Snapshot, floor: int, feature: str
     ) -> dict | None:
-        """A protocol action raising minWriterVersion to ``floor``
-        (None when already there). Features activated by table
-        properties carry a legacy writer-version floor so external
-        writers that don't implement them refuse instead of
+        """A protocol action making ``feature`` active for external
+        writers (None when it already is). Features activated by
+        table properties carry a legacy writer-version floor so
+        external writers that don't implement them refuse instead of
         committing without honoring them — CHECK constraints are v3,
-        CDF/generated columns v4, identity v6."""
+        CDF/generated columns v4, identity v6.
+
+        On a LEGACY protocol (minWriterVersion < 7) the version floor
+        itself implies the feature, so the action just raises the
+        version. On a TABLE-FEATURES protocol (v7) only LISTED
+        features are active — a version bump alone would let a
+        compliant external writer commit without honoring the
+        feature — so the action appends ``feature`` to
+        writerFeatures instead (enabling CHECK/CDF after e.g.
+        clustering or row tracking upgraded the table to v7)."""
         proto = dict(snap.protocol or {})
         cur = int(proto.get("minWriterVersion", 2))
+        if cur >= 7:
+            if feature in (proto.get("writerFeatures") or []):
+                return None
+            return {
+                "protocol": self._protocol_with_features(snap, {feature})
+            }
         if cur >= floor:
             return None
         proto["minWriterVersion"] = floor
@@ -1153,7 +1168,7 @@ class DeltaishTable:
         md = dict(snap.metadata)
         conf[key] = expr
         md["configuration"] = conf
-        proto = self._bump_writer_version(snap, 3)
+        proto = self._bump_writer_version(snap, 3, "checkConstraints")
         return self._commit_next(
             [
                 *([proto] if proto else []),
@@ -1196,6 +1211,19 @@ class DeltaishTable:
                 raise ValueError(
                     f"{k!r}: use enable_change_data_feed (it records "
                     "the enablement version the feed readers check)"
+                )
+            if k in (self.RT_ID_COL, self.RT_VER_COL):
+                raise ValueError(
+                    f"{k!r} is engine-managed bookkeeping (minted by "
+                    "enable_row_tracking); overwriting it would break "
+                    "row-id preservation through OPTIMIZE/clone"
+                )
+            if k == self.MAPPING_MAX_ID:
+                raise ValueError(
+                    f"{k!r} is engine-managed bookkeeping (advanced "
+                    "by schema evolution under column mapping); "
+                    "overwriting it would cause future column-id "
+                    "collisions"
                 )
         snap = self._snapshot()
         conf = dict(snap.metadata.get("configuration", {}) or {})
@@ -1358,13 +1386,31 @@ class DeltaishTable:
         md_action = dict(snap.metadata)
         md_action["schemaString"] = json.dumps(sj)
         md_action["configuration"] = conf
-        proto = dict(snap.protocol or {})
-        proto["minReaderVersion"] = max(
-            int(proto.get("minReaderVersion", 1)), 2
-        )
-        proto["minWriterVersion"] = max(
-            int(proto.get("minWriterVersion", 2)), 5
-        )
+        old_proto = snap.protocol or {}
+        if int(old_proto.get("minWriterVersion", 2)) >= 7:
+            # table-features protocol: only LISTED features are
+            # active — a version floor alone would let an external
+            # writer skip physicalizing column names (writing
+            # logical-named files that read back as null), so the
+            # feature must be enumerated
+            proto = self._protocol_with_features(snap, {"columnMapping"})
+            if int(proto.get("minReaderVersion", 1)) >= 3:
+                proto["readerFeatures"] = sorted(
+                    set(proto.get("readerFeatures") or [])
+                    | {"columnMapping"}
+                )
+            else:
+                proto["minReaderVersion"] = max(
+                    int(proto.get("minReaderVersion", 1)), 2
+                )
+        else:
+            proto = dict(old_proto)
+            proto["minReaderVersion"] = max(
+                int(proto.get("minReaderVersion", 1)), 2
+            )
+            proto["minWriterVersion"] = max(
+                int(proto.get("minWriterVersion", 2)), 5
+            )
         return self._commit_next(
             [
                 {"protocol": proto},
@@ -1449,6 +1495,12 @@ class DeltaishTable:
         if refs:
             raise ValueError(
                 f"cannot drop {name!r}: referenced by {'; '.join(refs)}"
+            )
+        if name in self._clustering_logical(snap):
+            raise ValueError(
+                f"cannot drop clustering column {name!r}; run "
+                "cluster_by() without it first (the delta.clustering "
+                "domain would point at a missing column)"
             )
         sj["fields"] = [f for f in sj["fields"] if f["name"] != name]
         md = dict(snap.metadata)
@@ -2280,7 +2332,28 @@ class DeltaishTable:
             # matched source rows INHERIT the target row's id (update
             # preserves identity); unmatched rows insert with null ->
             # fresh ids. Commit version of every rewritten-by-source
-            # row nulls to this merge's default.
+            # row nulls to this merge's default. Source keys are
+            # unique (checked above); if the TARGET carries duplicate
+            # keys, the upsert's collapse-to-one-source-row shape
+            # would silently discard all but min(_row_id) — violating
+            # the uniqueness/preservation invariant row tracking
+            # guarantees — so that combination refuses (delta-spark's
+            # multiple-match MERGE error is the analogous guard).
+            multi = (
+                target.join(skeys, list(keys), "left_semi")
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if multi:
+                raise ValueError(
+                    "MERGE under row tracking: a source row matches "
+                    f"multiple target rows (key {multi[0]}); the "
+                    "inherited row id would not be unique. "
+                    "Deduplicate the target first."
+                )
             tids = target.groupBy(*keys).agg(
                 F.min("_row_id").alias("__tid")
             )
@@ -3137,12 +3210,8 @@ class DeltaishTable:
         On a liquid-clustered table (CLUSTER BY declared) OPTIMIZE
         *is* the clustering rewrite instead of a bin-pack."""
         snap = self._snapshot()
-        cdm = snap.domains.get(self.CLUSTERING_DOMAIN)
-        if cdm:
-            ccols = [
-                path[0]
-                for path in json.loads(cdm).get("clusteringColumns", [])
-            ]
+        if snap.domains.get(self.CLUSTERING_DOMAIN):
+            ccols = self._clustering_logical(snap)
             if ccols:
                 # incremental trigger: only files that have never been
                 # clustered (new writes since the last OPTIMIZE) make
@@ -3289,15 +3358,27 @@ class DeltaishTable:
 
     CLUSTERING_DOMAIN = "delta.clustering"
 
-    def clustering_columns(self) -> list[str]:
-        """The table's CLUSTER BY columns, from the delta.clustering
-        metadata domain (empty when not a clustered table)."""
-        dm = self._snapshot().domains.get(self.CLUSTERING_DOMAIN)
+    def _clustering_logical(self, snap: dlog.Snapshot) -> list[str]:
+        """The CLUSTER BY columns as LOGICAL names. The
+        ``delta.clustering`` domain stores PHYSICAL names (delta-spark
+        does the same — physical names are stable under RENAME COLUMN,
+        so the domain never goes stale); resolve them back through the
+        column mapping for callers that operate on the logical
+        schema."""
+        dm = snap.domains.get(self.CLUSTERING_DOMAIN)
         if not dm:
             return []
-        return [
+        phys = [
             path[0] for path in json.loads(dm).get("clusteringColumns", [])
         ]
+        inv = {p: l for l, p in self._column_mapping(snap).items()}
+        return [inv.get(p, p) for p in phys]
+
+    def clustering_columns(self) -> list[str]:
+        """The table's CLUSTER BY columns (logical names), from the
+        delta.clustering metadata domain (empty when not a clustered
+        table)."""
+        return self._clustering_logical(self._snapshot())
 
     def cluster_by(self, cols: list[str] | None) -> int:
         """ALTER TABLE ... CLUSTER BY (cols) — liquid clustering's
@@ -3325,6 +3406,9 @@ class DeltaishTable:
         missing = [c for c in cols if c not in names]
         if missing:
             raise ValueError(f"no such clustering column(s): {missing}")
+        # the domain stores PHYSICAL names (stable under RENAME
+        # COLUMN; delta-spark's convention — see _clustering_logical)
+        pmap = self._column_mapping(snap)
         actions: list[dict] = []
         if cols:
             actions.append(
@@ -3339,7 +3423,11 @@ class DeltaishTable:
                     "domainMetadata": {
                         "domain": self.CLUSTERING_DOMAIN,
                         "configuration": json.dumps(
-                            {"clusteringColumns": [[c] for c in cols]}
+                            {
+                                "clusteringColumns": [
+                                    [pmap.get(c, c)] for c in cols
+                                ]
+                            }
                         ),
                         "removed": False,
                     }
@@ -3656,7 +3744,7 @@ class DeltaishTable:
         conf[self.CDF_PROP] = "true"
         md = dict(snap.metadata)
         md["configuration"] = conf
-        proto = self._bump_writer_version(snap, 4)
+        proto = self._bump_writer_version(snap, 4, "changeDataFeed")
         return self._commit_next(
             [
                 *([proto] if proto else []),

@@ -1756,9 +1756,17 @@ def ann_recall_audit(spark, sf_dir):
     The oracle composes the four methods' own DuckDB definitions
     verbatim, so a recall mismatch isolates to the intersection
     logic, never a drifted method."""
-    brute = QUERIES["ann_brute_force_topk"](spark, sf_dir).select(
-        "qid", "vec_id"
+    # the exact baseline is shared by all three comparisons: compute
+    # its (qid, vec_id) top-5 pairs ONCE and pin them with an eager
+    # localCheckpoint — without it the lazy plan re-runs the full
+    # brute-force scan per method join AND per n_base aggregate
+    # (6x the most expensive pipeline in the audit)
+    brute = (
+        QUERIES["ann_brute_force_topk"](spark, sf_dir)
+        .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
     )
+    n_base = brute.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
     rows = None
     for name, key in (
         ("ivf", "ann_ivf_topk"),
@@ -1769,9 +1777,7 @@ def ann_recall_audit(spark, sf_dir):
         matched = approx.join(brute, ["qid", "vec_id"])
         agg = matched.agg(
             F.count(F.lit(1)).cast("long").alias("n_matched")
-        ).crossJoin(
-            brute.agg(F.count(F.lit(1)).cast("long").alias("n_base"))
-        ).select(
+        ).crossJoin(n_base).select(
             F.lit(name).alias("method"),
             "n_base",
             "n_matched",

@@ -2796,3 +2796,412 @@ def test_vacuum_retention_guard_and_dry_run(spark, tmp_path):
     assert sorted(gone) == sorted(would)
     for p in gone:
         assert not os.path.exists(str(tmp_path / "vg" / p))
+
+
+def test_v7_feature_enablement_after_table_features_upgrade(spark, tmp_path):
+    """At minWriterVersion 7 only LISTED features are active, so
+    enabling CHECK constraints / CDF / column mapping on a table that
+    is ALREADY at the table-features protocol must append the feature
+    to writerFeatures — a bare version floor would let a compliant
+    external writer commit without honoring it."""
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), _orders(spark, 20))
+    t.cluster_by(["o_orderkey"])  # upgrades to v7
+    proto = t._snapshot().protocol
+    assert proto["minWriterVersion"] == 7
+    assert "checkConstraints" not in (proto.get("writerFeatures") or [])
+
+    t.add_check_constraint("pos_price", "o_totalprice > 0")
+    wf = t._snapshot().protocol["writerFeatures"]
+    assert "checkConstraints" in wf
+
+    t.enable_change_data_feed()
+    wf = t._snapshot().protocol["writerFeatures"]
+    assert "changeDataFeed" in wf
+
+    t.enable_column_mapping()
+    proto = t._snapshot().protocol
+    assert "columnMapping" in proto["writerFeatures"]
+    assert proto["minReaderVersion"] >= 2
+    # the CHECK is actually honored post-upgrade
+    with pytest.raises(ValueError, match="pos_price"):
+        t.append(
+            spark.createDataFrame(
+                [(1, 1, "O", -5.0, "1-URGENT")],
+                t.read().schema,
+            )
+        )
+
+
+def test_column_mapping_listed_in_reader_features_at_v3(spark, tmp_path):
+    """columnMapping is a reader+writer feature: once minReaderVersion
+    is 3 (e.g. after deletion vectors), enabling it must list it in
+    readerFeatures too, not just bump a legacy reader floor."""
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), _orders(spark, 20))
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    t.delete(F.col("o_orderkey") == keys[0], mode="merge_on_read")
+    assert t._snapshot().protocol["minReaderVersion"] == 3
+    t.enable_column_mapping()
+    proto = t._snapshot().protocol
+    assert "columnMapping" in (proto.get("readerFeatures") or [])
+    assert "columnMapping" in proto["writerFeatures"]
+    # renames still metadata-only and readable
+    t.rename_column("o_totalprice", "price")
+    assert "price" in t.read().columns
+
+
+def test_merge_under_row_tracking_refuses_duplicate_target_keys(
+    spark, tmp_path
+):
+    """A source row matching multiple target rows would inherit one
+    row id for a collapsed row set, silently violating row-id
+    uniqueness — refuse, like Delta's multiple-match MERGE error."""
+    base = _orders(spark, 6)
+    dup_target = base.unionByName(base.limit(2))
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), dup_target)
+    t.enable_row_tracking()
+    src = base.limit(1).withColumn("o_totalprice", F.lit(9.0))
+    with pytest.raises(ValueError, match="multiple target rows"):
+        t.merge(src, keys=["o_orderkey"])
+
+
+def test_clustering_domain_stores_physical_names(spark, tmp_path):
+    """The delta.clustering domain keys on PHYSICAL column names so a
+    RENAME COLUMN never leaves a stale logical name behind: OPTIMIZE
+    after the rename still clusters, clustering_columns() reports the
+    new logical name, and dropping a clustering column refuses."""
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), _orders(spark, 40))
+    t.enable_column_mapping()
+    t.cluster_by(["o_totalprice"])
+    phys = json.loads(t._snapshot().domains[t.CLUSTERING_DOMAIN])
+    stored = [p[0] for p in phys["clusteringColumns"]]
+    assert stored == [t._column_mapping(t._snapshot())["o_totalprice"]]
+
+    t.rename_column("o_totalprice", "price")
+    assert t.clustering_columns() == ["price"]
+    t.append(_orders(spark, 10).withColumnRenamed("o_totalprice", "price"))
+    v = t.optimize()  # clusters on the renamed column, no stale-name error
+    assert v == t.version
+    assert all(
+        a.get("clusteringProvider") == "liquid"
+        for a in t._snapshot().files.values()
+    )
+    with pytest.raises(ValueError, match="clustering column"):
+        t.drop_column("price")
+
+
+def test_set_table_properties_guards_engine_bookkeeping(spark, tmp_path):
+    """The generic SET TBLPROPERTIES path must not overwrite
+    engine-managed row-tracking materialized-column names or the
+    column-mapping max id."""
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), _orders(spark, 5))
+    for key in (
+        "delta.rowTracking.materializedRowIdColumnName",
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        "delta.columnMapping.maxColumnId",
+    ):
+        with pytest.raises(ValueError, match="engine-managed"):
+            t.set_table_properties({key: "boom"})
+
+
+# ------------------- reverse-direction protocol fixtures (round 5) --
+# Handwritten delta-spark-style logs exercising the round-4 feature
+# set FROM THE OUTSIDE: the bytes below are composed from the public
+# PROTOCOL.md framing directly (struct literals, not this engine's
+# serializers), so any drift in our reading of the spec fails these
+# pins even without delta-spark in the sandbox.
+
+
+def _ext_log(root, actions_by_version):
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    for v, actions in actions_by_version.items():
+        with open(log_dir / f"{v:020d}.json", "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+
+def _ext_parquet(root, fname, cols):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(cols), str(root / fname))
+    return os.path.getsize(str(root / fname))
+
+
+def test_reads_external_deletion_vector_fixture(spark, tmp_path):
+    """A DV descriptor + DV file handwritten in the spec's exact
+    on-disk framing (version byte, BE dataSize/CRC frame, magic
+    1681511377, portable RoaringBitmapArray, RFC-1924 base85 uuid)
+    reads back with exactly the undeleted rows."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    root = tmp_path / "ext_dv"
+    root.mkdir()
+    fname = "part-00000-dv.snappy.parquet"
+    size = _ext_parquet(
+        root, fname, {"id": [0, 1, 2, 3, 4], "v": list("abcde")}
+    )
+
+    # ---- DV blob for deleted positions {1, 3}, composed by hand ----
+    roaring32 = (
+        struct.pack("<II", 12346, 1)      # no-run cookie, 1 container
+        + struct.pack("<HH", 0, 1)        # key 0, cardinality-1 = 1
+        + struct.pack("<I", 16)           # offset header
+        + struct.pack("<2H", 1, 3)        # array container {1, 3}
+    )
+    data = (
+        struct.pack("<I", 1681511377)     # RoaringBitmapArray magic
+        + struct.pack("<q", 1)            # one 32-bit bitmap
+        + struct.pack("<I", 0)            # bitmap key 0
+        + roaring32
+    )
+    entry = (
+        struct.pack(">I", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    u = _uuid.uuid4()
+    with open(root / f"deletion_vector_{u}.bin", "wb") as f:
+        f.write(b"\x01" + entry)
+
+    # RFC-1924 base85 of the uuid (hand-rolled; 20 chars)
+    alpha = (
+        "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+    )
+    enc = []
+    for i in range(0, 16, 4):
+        (x,) = struct.unpack_from(">I", u.bytes, i)
+        grp = []
+        for _ in range(5):
+            grp.append(alpha[x % 85])
+            x //= 85
+        enc.extend(reversed(grp))
+    b85_uuid = "".join(enc)
+
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _ext_log(
+        root,
+        {
+            0: [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "11111111-0000-0000-0000-000000000000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 1700000000000,
+                    }
+                },
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": 5}),
+                        "deletionVector": {
+                            "storageType": "u",
+                            "pathOrInlineDv": b85_uuid,
+                            "offset": 1,
+                            "sizeInBytes": len(data),
+                            "cardinality": 2,
+                        },
+                    }
+                },
+                {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            ]
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    assert _rows(t.read()) == [("0", "a"), ("2", "c"), ("4", "e")]
+    # and the engine can keep writing: a MOR delete merges into the
+    # externally-written DV
+    t.delete(F.col("id") == 4, mode="merge_on_read")
+    assert _rows(t.read()) == [("0", "a"), ("2", "c")]
+    dv = next(iter(t._snapshot().files.values()))["deletionVector"]
+    assert dv["cardinality"] == 3
+
+
+def test_reads_external_column_mapping_fixture(spark, tmp_path):
+    """A name-mode column-mapping log whose schema field was RENAMED
+    by an external writer (logical name differs from the physical
+    parquet column) reads back under the logical name."""
+    root = tmp_path / "ext_map"
+    root.mkdir()
+    fname = "part-00000-map.snappy.parquet"
+    size = _ext_parquet(
+        root,
+        fname,
+        {"col-aaaa1111": [10, 20], "col-bbbb2222": ["x", "y"]},
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "renamed_id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaaa1111",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbbb2222",
+                    },
+                },
+            ],
+        }
+    )
+    _ext_log(
+        root,
+        {
+            0: [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {
+                    "metaData": {
+                        "id": "22222222-0000-0000-0000-000000000000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name",
+                            "delta.columnMapping.maxColumnId": "2",
+                        },
+                        "createdTime": 1700000000000,
+                    }
+                },
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": 2}),
+                    }
+                },
+                {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            ]
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    assert t.read().columns == ["renamed_id", "v"]
+    assert _rows(t.read()) == [("10", "x"), ("20", "y")]
+    # engine appends physicalize through the external mapping
+    t.append(t.spark.createDataFrame([(30, "z")], t.read().schema))
+    assert _rows(t.read().filter(F.col("renamed_id") == 30)) == [("30", "z")]
+    import pyarrow.parquet as pq
+
+    new_rel = [
+        p for p in t._snapshot().files if p != fname
+    ][0]
+    cols = pq.read_schema(str(root / new_rel)).names
+    assert set(cols) == {"col-aaaa1111", "col-bbbb2222"}
+
+
+def test_reads_external_row_tracking_fixture(spark, tmp_path):
+    """Row-tracking metadata written by an external writer (baseRowId,
+    defaultRowCommitVersion, rowIdHighWaterMark domain, materialized
+    column names) yields the spec's fresh row ids, and an engine
+    append allocates ABOVE the external high-water mark."""
+    root = tmp_path / "ext_rt"
+    root.mkdir()
+    fname = "part-00000-rt.snappy.parquet"
+    size = _ext_parquet(root, fname, {"id": [7, 8, 9]})
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    _ext_log(
+        root,
+        {
+            0: [
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["rowTracking", "domainMetadata"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "33333333-0000-0000-0000-000000000000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.enableRowTracking": "true",
+                            "delta.rowTracking.materializedRowIdColumnName": "_row-id-col-ext",
+                            "delta.rowTracking.materializedRowCommitVersionColumnName": "_row-version-col-ext",
+                        },
+                        "createdTime": 1700000000000,
+                    }
+                },
+                {
+                    "add": {
+                        "path": fname,
+                        "partitionValues": {},
+                        "size": size,
+                        "modificationTime": 1700000000000,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": 3}),
+                        "baseRowId": 100,
+                        "defaultRowCommitVersion": 0,
+                    }
+                },
+                {
+                    "domainMetadata": {
+                        "domain": "delta.rowTracking",
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": 102}
+                        ),
+                        "removed": False,
+                    }
+                },
+                {"commitInfo": {"timestamp": 1700000000000, "operation": "WRITE"}},
+            ]
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    got = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.read_with_row_ids().collect()
+    }
+    assert got == {7: (100, 0), 8: (101, 0), 9: (102, 0)}
+    t.append(t.spark.createDataFrame([(99,)], "id long"))
+    ids = sorted(
+        r["_row_id"] for r in t.read_with_row_ids().collect()
+    )
+    assert ids == [100, 101, 102, 103]  # fresh block above external HWM
