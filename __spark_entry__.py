@@ -63,17 +63,18 @@ ROWS_ONLY: tuple[str, ...] = ()
 # produced by `tools/rotate_window.py CORRECTNESS_r04.json --apply`)
 # covers the fixed red row, all 12 r4-added delta/ANN/Gopher queries,
 # and 37 of the 50 remaining never-checked original-registry names.
-# If it comes back 50/50 green, cumulative = 238/251 and exactly
-# THIRTEEN names remain — the round-6 window, already ordered in
-# queries() positions 50-62 so the r6 rotation
+# If it comes back 50/50 green, cumulative = 238/252 and exactly
+# FOURTEEN names remain — the round-6 window, already ordered in
+# queries() positions 50-63 so the r6 rotation
 # (`tools/rotate_window.py CORRECTNESS_r05.json --apply`) promotes
-# precisely this set and closes the registry at 251/251:
-#   chi_square_type_dow, triangle_count_handoff_graph,
-#   seasonal_residual_anomalies, cumulative_distinct_users_by_type,
-#   longest_event_streak_per_user, time_to_conversion_stats,
-#   user_activity_gini, top_event_trigrams, ks_two_sample,
-#   mann_whitney_u, bpe_vocab_merges, quality_classifier_scores,
-#   bpe_tokenize_docs
+# precisely this set and closes the registry at 252/252:
+#   deltalog_skipping_audit (r5-added: predicate data skipping on the
+#   row-level write paths), chi_square_type_dow,
+#   triangle_count_handoff_graph, seasonal_residual_anomalies,
+#   cumulative_distinct_users_by_type, longest_event_streak_per_user,
+#   time_to_conversion_stats, user_activity_gini, top_event_trigrams,
+#   ks_two_sample, mann_whitney_u, bpe_vocab_merges,
+#   quality_classifier_scores, bpe_tokenize_docs
 # (each sim + dtype-lint green; any r5 red rows re-enter the r6
 # window head automatically via rotate_window's failed-first rule.)
 DRIVER_GREEN = (

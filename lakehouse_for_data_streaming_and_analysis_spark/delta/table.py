@@ -18,7 +18,7 @@ import os
 import shutil
 import time
 import uuid
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2267,6 +2267,335 @@ class DeltaishTable:
         df = self._read_files(self.files_matching(col, lo, hi))
         return df.filter(F.col(col).between(lo, hi))
 
+    # ---------------------------------------- predicate data skipping
+    #
+    # Generic stats-based candidate-file pruning for row-level writes
+    # (Delta's DataSkippingReader, reduced to the sound core): the
+    # DELETE/UPDATE condition is compiled to a conservative
+    # "can this file possibly hold a TRUE row?" check over each add's
+    # footer stats (min/max/nullCount) and partition values. Anything
+    # the compiler does not understand degrades to "keep the file" —
+    # pruning can only ever drop files that PROVABLY contain no
+    # matching row, so the exact filter downstream stays authoritative.
+    #
+    # Two expression front-ends feed one IR, because conditions arrive
+    # both as SQL strings (Catalyst parseExpression tree: And/EqualTo/
+    # UnresolvedAttribute/Literal nodes) and as pyspark Columns
+    # (ColumnNode tree: UnresolvedFunction("and"/"<="/...) nodes).
+
+    _CATALYST_CMP = {
+        "EqualTo": "=",
+        "EqualNullSafe": "=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+    }
+    _NODE_CMP = {"=": "=", "==": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    _FLIP = {"=": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    _NEG = {"=": "ne", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+    @staticmethod
+    def _lit_value(raw, dtype_str: str | None):
+        """Canonical Python value for a Catalyst/ColumnNode literal.
+        Catalyst internal encodings (date = epoch days, timestamp =
+        epoch micros, UTF8String / BigDecimal java objects) unfold to
+        date / datetime / str / float; unknown shapes raise and the
+        caller keeps the file."""
+        if dtype_str == "date" and isinstance(raw, int):
+            return date.fromordinal(date(1970, 1, 1).toordinal() + raw)
+        if dtype_str and dtype_str.startswith("timestamp") and isinstance(
+            raw, int
+        ):
+            return datetime(1970, 1, 1) + timedelta(microseconds=raw)
+        if isinstance(raw, (int, float, str, bool, date, datetime)):
+            return raw
+        # java-side object (UTF8String, BigDecimal, java.sql.Date...)
+        s = str(raw)
+        if dtype_str == "string":
+            return s
+        if dtype_str and dtype_str.startswith("decimal"):
+            return float(s)
+        # last resort: ISO-looking strings stay strings (sort like
+        # their values); numbers parse
+        try:
+            return float(s) if "." in s else int(s)
+        except ValueError:
+            return s
+
+    def _ir_from_catalyst(self, ex):
+        cls = ex.getClass().getSimpleName()
+
+        def kids():
+            ch = ex.children()
+            return [ch.apply(i) for i in range(ch.size())]
+
+        if cls == "And":
+            return ("and", [self._ir_from_catalyst(c) for c in kids()])
+        if cls == "Or":
+            return ("or", [self._ir_from_catalyst(c) for c in kids()])
+        if cls == "Not":
+            return self._negate_ir(self._ir_from_catalyst(kids()[0]))
+        if cls in ("IsNull", "IsNotNull"):
+            c = kids()[0]
+            if c.getClass().getSimpleName() != "UnresolvedAttribute":
+                return ("true",)
+            name = c.name().split(".")[-1]
+            return ("isnull" if cls == "IsNull" else "isnotnull", name)
+        if cls == "In":
+            ks = kids()
+            if ks[0].getClass().getSimpleName() != "UnresolvedAttribute":
+                return ("true",)
+            name = ks[0].name().split(".")[-1]
+            vals = []
+            for lit in ks[1:]:
+                if lit.getClass().getSimpleName() != "Literal":
+                    return ("true",)
+                vals.append(
+                    self._lit_value(
+                        lit.value(), lit.dataType().simpleString()
+                    )
+                )
+            return ("or", [("cmp", "=", name, v) for v in vals])
+        if cls in self._CATALYST_CMP:
+            op = self._CATALYST_CMP[cls]
+            l, r = kids()
+            lc, rc = (
+                l.getClass().getSimpleName(),
+                r.getClass().getSimpleName(),
+            )
+            if lc == "Literal" and rc == "UnresolvedAttribute":
+                l, r, lc, rc = r, l, rc, lc
+                op = self._FLIP[op]
+            if lc != "UnresolvedAttribute" or rc != "Literal":
+                return ("true",)
+            v = self._lit_value(r.value(), r.dataType().simpleString())
+            if v is None:
+                return ("true",)
+            return ("cmp", op, l.name().split(".")[-1], v)
+        return ("true",)
+
+    def _ir_from_node(self, n):
+        cls = n.getClass().getSimpleName()
+        if cls != "UnresolvedFunction":
+            return ("true",)
+        fn = n.functionName()
+        args = n.arguments()
+        kids = [args.apply(i) for i in range(args.size())]
+
+        def _attr(a):
+            if a.getClass().getSimpleName() != "UnresolvedAttribute":
+                return None
+            parts = a.nameParts()
+            return parts.apply(parts.size() - 1)
+
+        def _lit(a):
+            if a.getClass().getSimpleName() != "Literal":
+                return None
+            return self._lit_value(a.value(), None)
+
+        if fn == "and":
+            return ("and", [self._ir_from_node(k) for k in kids])
+        if fn == "or":
+            return ("or", [self._ir_from_node(k) for k in kids])
+        if fn in ("not", "!"):
+            return self._negate_ir(self._ir_from_node(kids[0]))
+        if fn in ("isNull", "isnull") and len(kids) == 1:
+            name = _attr(kids[0])
+            return ("isnull", name) if name else ("true",)
+        if fn in ("isNotNull", "isnotnull") and len(kids) == 1:
+            name = _attr(kids[0])
+            return ("isnotnull", name) if name else ("true",)
+        if fn == "in":
+            name = _attr(kids[0])
+            if name is None:
+                return ("true",)
+            vals = [_lit(k) for k in kids[1:]]
+            if any(v is None for v in vals):
+                return ("true",)
+            return ("or", [("cmp", "=", name, v) for v in vals])
+        if fn in self._NODE_CMP:
+            op = self._NODE_CMP[fn]
+            l, r = kids
+            name, v = _attr(l), _lit(r)
+            if name is None and v is None:
+                return ("true",)
+            if name is None:
+                name, v, op = _attr(r), _lit(l), self._FLIP[op]
+            if name is None or v is None:
+                return ("true",)
+            return ("cmp", op, name, v)
+        return ("true",)
+
+    def _negate_ir(self, ir):
+        kind = ir[0]
+        if kind == "and":
+            return ("or", [self._negate_ir(c) for c in ir[1]])
+        if kind == "or":
+            return ("and", [self._negate_ir(c) for c in ir[1]])
+        if kind == "isnull":
+            return ("isnotnull", ir[1])
+        if kind == "isnotnull":
+            return ("isnull", ir[1])
+        if kind == "cmp":
+            # NOT over SQL three-valued comparisons never turns a NULL
+            # row TRUE, so the min/max flip stays sound
+            _, op, col, v = ir
+            neg = self._NEG[op]
+            if neg == "ne":
+                return ("ne", col, v)
+            return ("cmp", neg, col, v)
+        return ("true",)
+
+    @staticmethod
+    def _cmp_pair(stat, lit):
+        """(stat, lit) coerced to a comparable pair, or TypeError.
+        Stats JSON carries dates/timestamps as ISO strings — ISO
+        orders like the values, so temporal literals compare as
+        isoformat text."""
+        if isinstance(lit, datetime):
+            if isinstance(stat, str):
+                return stat.replace("T", " "), lit.isoformat(sep=" ")
+            raise TypeError
+        if isinstance(lit, date):
+            if isinstance(stat, str):
+                return stat[:10], lit.isoformat()
+            raise TypeError
+        if isinstance(lit, bool) or isinstance(stat, bool):
+            if isinstance(stat, bool) and isinstance(lit, bool):
+                return stat, lit
+            raise TypeError
+        if isinstance(stat, (int, float)) and isinstance(lit, (int, float)):
+            return stat, lit
+        if isinstance(stat, str) and isinstance(lit, str):
+            return stat, lit
+        raise TypeError
+
+    def _ir_can_match(self, ir, bounds: dict) -> bool:
+        kind = ir[0]
+        if kind == "true":
+            return True
+        if kind == "and":
+            return all(self._ir_can_match(c, bounds) for c in ir[1])
+        if kind == "or":
+            return any(self._ir_can_match(c, bounds) for c in ir[1])
+        if kind == "isnull":
+            st = bounds.get(ir[1])
+            if st is None or st[2] is None:
+                return True
+            return st[2] > 0
+        if kind == "isnotnull":
+            st = bounds.get(ir[1])
+            if st is None or st[2] is None or st[3] is None:
+                return True
+            return st[2] < st[3]
+        if kind == "ne":
+            st = bounds.get(ir[1])
+            if st is None or st[0] is None or st[1] is None:
+                return True
+            try:
+                mn, v = self._cmp_pair(st[0], ir[2])
+                mx, _ = self._cmp_pair(st[1], ir[2])
+            except TypeError:
+                return True
+            return not (mn == mx == v)
+        _, op, col, v = ir
+        st = bounds.get(col)
+        if st is None or st[0] is None or st[1] is None:
+            return True
+        try:
+            mn, vv = self._cmp_pair(st[0], v)
+            mx, _ = self._cmp_pair(st[1], v)
+        except TypeError:
+            return True
+        if op == "=":
+            return mn <= vv <= mx
+        if op == "<":
+            return mn < vv
+        if op == "<=":
+            return mn <= vv
+        if op == ">":
+            return mx > vv
+        return mx >= vv  # ">="
+
+    def files_matching_predicate(
+        self, condition, snap: dlog.Snapshot | None = None
+    ) -> list[str]:
+        """Live files that could hold a row satisfying ``condition``
+        (SQL string or pyspark Column). Conservative: any part of the
+        predicate (or any file's stats) the compiler cannot reason
+        about keeps the file. DELETE/UPDATE use this to bound their
+        find-touched scan to the candidate files instead of the whole
+        table — the stats live in the transaction log, so pruning a
+        100 TB table costs zero data IO."""
+        if snap is None:
+            snap = self._snapshot()
+        try:
+            if isinstance(condition, str):
+                parser = (
+                    self.spark._jsparkSession.sessionState().sqlParser()
+                )
+                ir = self._ir_from_catalyst(
+                    parser.parseExpression(condition)
+                )
+            else:
+                ir = self._ir_from_node(condition._jc.node())
+        except Exception:  # noqa: BLE001 - unsupported shape: keep all
+            return list(snap.files)
+        if ir == ("true",):
+            return list(snap.files)
+        pcols = set(snap.metadata.get("partitionColumns", ()))
+        dtypes = {
+            f.name: f.dataType for f in self._schema_for(snap).fields
+        }
+        pmap = self._column_mapping(snap)
+        logical_cols = list(dtypes)
+        out = []
+        for path, add in snap.files.items():
+            stats = add.get("stats")
+            s = (
+                json.loads(stats)
+                if isinstance(stats, str)
+                else (stats or {})
+            )
+            mns = s.get("minValues", {}) or {}
+            mxs = s.get("maxValues", {}) or {}
+            ncs = s.get("nullCount", {}) or {}
+            nrec = s.get("numRecords")
+            pv = add.get("partitionValues", {}) or {}
+            bounds: dict[str, tuple] = {}
+            for c in logical_cols:
+                phys = pmap.get(c, c)
+                if c in pcols:
+                    raw = pv.get(phys)
+                    if raw is None:
+                        # partition value null: the column is all-null
+                        bounds[c] = (None, None, nrec, nrec)
+                    else:
+                        try:
+                            v = self._typed_partition_value(
+                                raw, dtypes.get(c)
+                            )
+                        except (TypeError, ValueError):
+                            v = raw
+                        if isinstance(v, (date, datetime)):
+                            v = (
+                                v.isoformat(sep=" ")
+                                if isinstance(v, datetime)
+                                else v.isoformat()
+                            )
+                        bounds[c] = (v, v, 0, nrec)
+                else:
+                    bounds[c] = (
+                        mns.get(phys),
+                        mxs.get(phys),
+                        ncs.get(phys),
+                        nrec,
+                    )
+            if self._ir_can_match(ir, bounds):
+                out.append(path)
+        return out
+
     # ------------------------------------------------------------ merge
 
     def merge(
@@ -2850,7 +3179,9 @@ class DeltaishTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        all_files = list(snap.files)
+        # data skipping: the find-touched scan reads only files whose
+        # stats could hold a matching row (see files_matching_predicate)
+        all_files = self.files_matching_predicate(condition, snap=snap)
         if not all_files:
             return snap.version
         cdf = self._cdf_enabled(snap)
@@ -2968,7 +3299,9 @@ class DeltaishTable:
                     "explicit values are not accepted"
                 )
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
-        all_files = list(snap.files)
+        # data skipping: scan only stat-candidate files (conservative;
+        # the exact is_match filter below stays authoritative)
+        all_files = self.files_matching_predicate(condition, snap=snap)
         if not all_files:
             return snap.version
         exprs = {

