@@ -1162,9 +1162,17 @@ class DeltaishTable:
         conf = dict(snap.metadata.get("configuration", {}) or {})
         if key in conf:
             raise ValueError(f"constraint {name!r} already exists")
-        self._violations_or_raise(
-            self._read_snapshot_files(snap, snap.files), {name: expr}
-        )
+        # validation scans only files whose stats could hold a
+        # VIOLATING row (expr IS FALSE implies NOT(expr) IS TRUE, so
+        # the candidate set of NOT(expr) covers every violator;
+        # unsupported expression shapes keep all files). ADD
+        # CONSTRAINT on a 100 TB table then reads only the files the
+        # log cannot prove clean.
+        cand = self.files_matching_predicate(f"NOT ({expr})", snap=snap)
+        if cand:
+            self._violations_or_raise(
+                self._read_snapshot_files(snap, cand), {name: expr}
+            )
         md = dict(snap.metadata)
         conf[key] = expr
         md["configuration"] = conf
@@ -1940,20 +1948,43 @@ class DeltaishTable:
     def _dv_pos_df(self, dv_map: dict[str, dict]) -> DataFrame:
         """(file URI, row index) pairs deleted by the given
         deletionVector descriptors — the anti-join side of a DV-aware
-        scan. Driver memory is bounded by the total DV cardinality of
-        the files being READ (the deleted-row count, which OPTIMIZE/
-        purge keeps small by materializing old DVs)."""
-        rows = []
+        scan. The bitmaps are DECODED ON THE EXECUTORS (mapInPandas
+        over one descriptor row per file; ``roaring.read_descriptor``
+        is pure file IO against the table's shared storage, the same
+        access delta-spark's scan does), so neither the driver's
+        memory nor the plan carries the deleted-row positions — only
+        O(files) descriptor rows. Inline ('i') DVs decode from the
+        descriptor itself; 'u'/'p' DVs read their file per batch."""
+        table_path = self.path
+        desc_rows = []
         for rel, dv in dv_map.items():
             # Spark renders _metadata.file_path in the single-slash
             # Hadoop form ("file:/abs/path"), not the RFC "file:///"
             uri = "file:" + os.path.abspath(
-                os.path.join(self.path, rel)
+                os.path.join(table_path, rel)
             )
-            for pos in self.dv_positions(dv):
-                rows.append((uri, pos))
-        return self.spark.createDataFrame(
-            rows, "__dv_fp string, __dv_ri long"
+            desc_rows.append((uri, json.dumps(dv)))
+
+        def _decode(batches):
+            import pandas as pd
+
+            from lakehouse_for_data_streaming_and_analysis_spark.delta import (
+                roaring as _roaring,
+            )
+
+            for pdf in batches:
+                for uri, dv_json in zip(pdf["uri"], pdf["dv"]):
+                    pos = _roaring.read_descriptor(
+                        table_path, json.loads(dv_json)
+                    )
+                    yield pd.DataFrame(
+                        {"__dv_fp": [uri] * len(pos), "__dv_ri": pos}
+                    )
+
+        return (
+            self.spark.createDataFrame(desc_rows, "uri string, dv string")
+            .repartition(max(1, min(len(desc_rows), 32)))
+            .mapInPandas(_decode, "__dv_fp string, __dv_ri long")
         )
 
     def _read_snapshot_files(
@@ -2596,6 +2627,23 @@ class DeltaishTable:
                 out.append(path)
         return out
 
+    def _files_for_key_bounds(
+        self, keys: list[str], bounds, snap: dlog.Snapshot
+    ) -> list[str]:
+        """MERGE candidate files: AND of every key's source [min, max]
+        range, evaluated through the predicate skipper (a key whose
+        source bound is NULL contributes no clause — conservative)."""
+        cond = None
+        for k in keys:
+            lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+            if lo is None or hi is None:
+                continue
+            c = (F.col(k) >= F.lit(lo)) & (F.col(k) <= F.lit(hi))
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            return list(snap.files)
+        return self.files_matching_predicate(cond, snap=snap)
+
     # ------------------------------------------------------------ merge
 
     def merge(
@@ -2633,9 +2681,18 @@ class DeltaishTable:
         )
         if dup:
             raise ValueError(f"source has duplicate merge keys: {dup[0]}")
-        k = keys[0]
+        # one agg computes every key's source bounds; files are pruned
+        # on ALL keys jointly (AND of per-key ranges through the
+        # predicate skipper), not just keys[0]
         bounds = source.agg(
-            F.min(k).alias("lo"), F.max(k).alias("hi")
+            *[
+                f
+                for k in keys
+                for f in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ]
         ).collect()[0]
         snap = self._snapshot()
         if self._identity_meta(snap):
@@ -2645,9 +2702,9 @@ class DeltaishTable:
                 "rewrite (delta-spark restricted this combination for "
                 "the same reason). Append new rows instead."
             )
-        if bounds.lo is None:
+        if bounds[f"__lo_{keys[0]}"] is None:
             return snap.version  # empty source: no-op
-        touched = self.files_matching(k, bounds.lo, bounds.hi, snap=snap)
+        touched = self._files_for_key_bounds(keys, bounds, snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
         rt = self._rt_enabled(snap)
         target = self._read_snapshot_files(
@@ -2941,16 +2998,23 @@ class DeltaishTable:
         cdf = self._cdf_enabled(snap)
         pcols = tuple(snap.metadata.get("partitionColumns", ()))
 
-        k0 = keys[0]
         if wnmbs:
+            # whenNotMatchedBySource inspects EVERY target row
             cand = list(snap.files)
         else:
             b = source.agg(
-                F.min(k0).alias("lo"), F.max(k0).alias("hi")
+                *[
+                    f
+                    for k in keys
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ]
             ).collect()[0]
-            if b.lo is None:
+            if b[f"__lo_{keys[0]}"] is None:
                 return snap.version  # empty source: no clause can fire
-            cand = self.files_matching(k0, b.lo, b.hi, snap=snap)
+            cand = self._files_for_key_bounds(keys, b, snap)
 
         rt = self._rt_enabled(snap)
         target = self._read_snapshot_files(

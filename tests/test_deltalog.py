@@ -3334,3 +3334,48 @@ def test_delete_update_scan_only_candidate_files(spark, tmp_path):
     assert len(seen[0]) < 8
     got = t.read().filter(F.col("o_totalprice") == 1.0).count()
     assert got == 100  # keys 101..200 live and updated
+
+
+def test_merge_and_check_constraint_prune_candidates(spark, tmp_path):
+    """MERGE prunes candidate files on ALL keys jointly (not just the
+    first), and ADD CONSTRAINT validates only files whose stats could
+    hold a violating row."""
+    df = (
+        _orders(spark, None)
+        .limit(1000)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+
+    seen: list[list[str]] = []
+    orig = DeltaishTable._read_snapshot_files
+
+    def spy(self, snap, rel_paths, **kw):
+        seen.append(list(rel_paths))
+        return orig(self, snap, rel_paths, **kw)
+
+    import unittest.mock as mock
+
+    src = (
+        t.read()
+        .filter(F.col("o_orderkey") <= keys[50])
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    )
+    with mock.patch.object(DeltaishTable, "_read_snapshot_files", spy):
+        t.merge(src, keys=["o_orderkey"])
+    assert len(seen[0]) < 8  # multi-key-bounds pruning engaged
+    assert (
+        t.read().count() == 1000
+    )  # pure update upsert: no rows added or lost
+
+    # every live file has o_totalprice > 0, so validation scans none
+    seen.clear()
+    with mock.patch.object(DeltaishTable, "_read_snapshot_files", spy):
+        t.add_check_constraint("pos_price", "o_totalprice > 0")
+    assert seen == [] or len(seen[0]) == 0
+    assert "pos_price" in t.check_constraints()
+    # and a constraint that DOES have violators still raises
+    with pytest.raises(ValueError, match="violated"):
+        t.add_check_constraint("impossible", f"o_orderkey > {keys[-1]}")
