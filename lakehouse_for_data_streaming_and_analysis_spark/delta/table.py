@@ -1622,6 +1622,173 @@ class DeltaishTable:
         actions.append(dlog.commit_info("WRITE", mode="Overwrite"))
         return self._commit_next(actions, read_version=snap.version)
 
+    def overwrite_where(self, df: DataFrame, condition) -> int:
+        """INSERT OVERWRITE with ``replaceWhere`` — Delta's selective
+        overwrite, the canonical partition-reload: atomically replace
+        EXACTLY the rows matching ``condition`` with ``df``'s rows, in
+        one commit. The pattern that reloads one day of a
+        date-partitioned 100 TB table without touching the rest.
+
+        Delta's semantics, enforced the same way:
+        - every incoming row must itself satisfy ``condition``
+          (validated; otherwise the write would smuggle rows outside
+          the replaced region — delta-spark raises the same error);
+        - only files OWNING a matching row are rewritten. Candidates
+          come from log-stats data skipping (files_matching_predicate)
+          so the find-touched scan never opens provably-clean files;
+          non-matching rows of touched files survive via rewrite;
+        - CHECK constraints and generated/identity columns apply to
+          the incoming rows; under row tracking surviving rows keep
+          their ids (commit versions untouched) and incoming rows get
+          fresh ids;
+        - under CDF the replaced rows record ``delete`` and the
+          incoming rows ``insert`` cdc actions."""
+        snap = self._snapshot()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
+        df = self._apply_generated(df, snap)
+        df, hwm_updates = self._apply_identity(df, snap)
+        evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
+        assert evolved is None  # merge_schema=False never evolves
+        self._enforce_checks(df, snap)
+        stray = df.filter(~is_match).limit(1).collect()
+        if stray:
+            raise ValueError(
+                "replaceWhere: written data contains a row outside "
+                f"the replaced region ({condition!s}), e.g. "
+                f"{stray[0].asDict()}"
+            )
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        rt = self._rt_enabled(snap)
+        cands = self.files_matching_predicate(condition, snap=snap)
+        touched: list[str] = []
+        if cands:
+            tagged = self._read_snapshot_files(
+                snap, cands, keep_tags=True
+            )
+            touched = sorted(
+                {
+                    self._uri_to_rel(r["__fp"])
+                    for r in tagged.filter(is_match)
+                    .select("__fp")
+                    .distinct()
+                    .collect()
+                }
+            )
+        actions: list[dict] = []
+        if hwm_updates:
+            md = dict(snap.metadata)
+            md["schemaString"] = self._schema_json_with_hwm(
+                snap.metadata["schemaString"], hwm_updates
+            )
+            actions.append({"metaData": md})
+        keep_adds: list[dict] = []
+        if touched:
+            target = self._read_snapshot_files(
+                snap, touched, with_row_ids=rt
+            )
+            kept = self._rt_to_physical(target.filter(~is_match), snap)
+            if kept.limit(1).count() > 0:
+                keep_adds = self._write_files(kept, pcols, snap=snap)
+        adds = self._write_files(df, pcols, snap=snap)
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            replaced = (
+                self._read_snapshot_files(snap, touched).filter(is_match)
+                if touched
+                else None
+            )
+            changes = df.withColumn("_change_type", F.lit("insert"))
+            if replaced is not None:
+                changes = replaced.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(changes)
+            cdc_actions = self._write_cdc_files(changes, snap=snap)
+        return self._commit_next(
+            [
+                *actions,
+                *({"add": a} for a in adds),
+                *({"add": a} for a in keep_adds),
+                *({"remove": self._tombstone(p)} for p in touched),
+                *({"cdc": c} for c in cdc_actions),
+                dlog.commit_info(
+                    "WRITE",
+                    mode="Overwrite",
+                    replaceWhere=str(condition),
+                    numTouchedFiles=len(touched),
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` on a Delta-style log):
+        replace ONLY the partitions ``df`` writes into, leaving every
+        other partition untouched — the append-or-reload pattern for
+        partition-grained backfills. The replaced set is derived from
+        the ACTUAL partition directories the write produced (not a
+        reimplementation of Hive value formatting), so typed partition
+        values can never mismatch their string form. Writing into no
+        existing partition degrades to a plain append of new
+        partitions. CDF records the replaced partitions' rows as
+        deletes and the incoming rows as inserts."""
+        snap = self._snapshot()
+        pcols = tuple(snap.metadata.get("partitionColumns", ()))
+        if not pcols:
+            raise ValueError(
+                "dynamic partition overwrite requires a partitioned "
+                "table; use overwrite() or overwrite_where()"
+            )
+        df = self._apply_generated(df, snap)
+        df, hwm_updates = self._apply_identity(df, snap)
+        evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
+        assert evolved is None  # merge_schema=False never evolves
+        self._enforce_checks(df, snap)
+        adds = self._write_files(df, pcols, snap=snap)
+        new_parts = {
+            tuple(sorted((a.get("partitionValues") or {}).items()))
+            for a in adds
+        }
+        removes = [
+            p
+            for p, a in snap.files.items()
+            if tuple(sorted((a.get("partitionValues") or {}).items()))
+            in new_parts
+        ]
+        actions: list[dict] = []
+        if hwm_updates:
+            md = dict(snap.metadata)
+            md["schemaString"] = self._schema_json_with_hwm(
+                snap.metadata["schemaString"], hwm_updates
+            )
+            actions.append({"metaData": md})
+        cdc_actions: list[dict] = []
+        if self._cdf_enabled(snap):
+            changes = df.withColumn("_change_type", F.lit("insert"))
+            if removes:
+                changes = (
+                    self._read_snapshot_files(snap, removes)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(changes)
+                )
+            cdc_actions = self._write_cdc_files(changes, snap=snap)
+        return self._commit_next(
+            [
+                *actions,
+                *({"add": a} for a in adds),
+                *({"remove": self._tombstone(p)} for p in removes),
+                *({"cdc": c} for c in cdc_actions),
+                dlog.commit_info(
+                    "WRITE",
+                    mode="Overwrite",
+                    partitionOverwriteMode="dynamic",
+                    replacedPartitions=len(new_parts),
+                ),
+            ],
+            read_version=snap.version,
+        )
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — the undo operation:
         commit the file-level diff that returns the live set (and the

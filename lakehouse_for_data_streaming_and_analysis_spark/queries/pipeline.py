@@ -1603,6 +1603,109 @@ def deltalog_skipping_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_replace_where_audit",
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                     FROM orders),
+       region AS (SELECT * FROM base WHERE o_orderkey <= 400),
+       repl AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+                       o_totalprice + 1000 AS o_totalprice
+                FROM region WHERE o_orderkey % 2 = 0),
+       final AS (SELECT * FROM base WHERE o_orderkey > 400
+                 UNION ALL SELECT * FROM repl),
+       u AS (
+         SELECT 'final' AS kind, o_orderstatus AS label,
+                COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+         FROM final GROUP BY 2
+         UNION ALL
+         SELECT 'cdf', 'delete', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM region
+         UNION ALL
+         SELECT 'cdf', 'insert', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM repl)
+       SELECT kind, label, CAST(n AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price
+       FROM u""",
+)
+def deltalog_replace_where_audit(spark, sf_dir):
+    """INSERT OVERWRITE ... replaceWhere end-to-end (delta/table.py
+    overwrite_where, r5): build a table over all orders, then replace
+    EXACTLY the o_orderkey <= 400 region — its even keys come back
+    with status 'R' and price +1000, its odd keys disappear — in one
+    selective-overwrite commit (candidates from log-stats skipping;
+    delta-spark's partition-reload pattern). The audit reads the final
+    state grouped by status AND the commit's change feed (region rows
+    as deletes, replacement rows as inserts); the oracle recomputes
+    both relationally, so the hash match certifies the region boundary
+    (no row outside o_orderkey<=400 was touched), the replacement
+    contents, and the CDF attribution. Scratch table per-invocation,
+    removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"rw-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        t.enable_change_data_feed()
+        v0 = t.version
+        repl = (
+            t.read()
+            .filter((F.col("o_orderkey") <= 400) & (F.col("o_orderkey") % 2 == 0))
+            .select(
+                "o_orderkey",
+                F.lit("R").alias("o_orderstatus"),
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            )
+        )
+        t.overwrite_where(repl, "o_orderkey <= 400")
+        final = (
+            t.read()
+            .groupBy(F.col("o_orderstatus").alias("label"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit("final").alias("kind"), "label", "n_rows", "total_price")
+        )
+        cdf = (
+            t.read_change_feed(v0, t.version)
+            .groupBy(F.col("_change_type").alias("label"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit("cdf").alias("kind"), "label", "n_rows", "total_price")
+        )
+        rows = final.unionByName(cdf).collect()
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "kind string, label string, n_rows long, total_price double"
+    )
+
+
 def _skipping_state(t, stage: str, pruned: bool):
     return (
         t.read()

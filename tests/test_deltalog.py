@@ -3379,3 +3379,145 @@ def test_merge_and_check_constraint_prune_candidates(spark, tmp_path):
     # and a constraint that DOES have violators still raises
     with pytest.raises(ValueError, match="violated"):
         t.add_check_constraint("impossible", f"o_orderkey > {keys[-1]}")
+
+
+def test_overwrite_where_replaces_exactly_the_region(spark, tmp_path):
+    """replaceWhere: one commit replaces exactly the matching rows;
+    incoming rows outside the region refuse; survivors in touched
+    files are preserved; candidates come from stats pruning; CDF
+    records delete+insert; row ids survive for untouched rows."""
+    df = (
+        _orders(spark, None)
+        .limit(600)
+        .repartitionByRange(6, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.enable_row_tracking()
+    t.enable_change_data_feed()
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    cut = keys[99]
+    ids_before = {
+        r.o_orderkey: r._row_id
+        for r in t.read_with_row_ids().collect()
+    }
+
+    # region = lowest 100 keys; replacement = 40 fresh rows inside it
+    repl = (
+        t.read()
+        .filter(F.col("o_orderkey") <= cut)
+        .limit(40)
+        .withColumn("o_totalprice", F.lit(7.0))
+    )
+    v_before = t.version
+    t.overwrite_where(repl, f"o_orderkey <= {cut}")
+    out = t.read()
+    assert out.count() == 540  # 600 - 100 + 40
+    assert out.filter(F.col("o_orderkey") <= cut).count() == 40
+    assert (
+        out.filter(F.col("o_orderkey") <= cut)
+        .agg(F.min("o_totalprice"))
+        .collect()[0][0]
+        == 7.0
+    )
+    # untouched rows kept their row ids
+    ids_after = {
+        r.o_orderkey: r._row_id
+        for r in t.read_with_row_ids()
+        .filter(F.col("o_orderkey") > cut)
+        .collect()
+    }
+    assert all(ids_before[k] == v for k, v in ids_after.items())
+    # CDF: 100 deletes + 40 inserts for the commit ((v_from, v_to])
+    feed = t.read_change_feed(v_before, t.version)
+    by_type = {
+        r._change_type: r.n
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {"delete": 100, "insert": 40}
+    # a stray row outside the region refuses before any commit
+    v_now = t.version
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            t.read().limit(1).withColumn(
+                "o_orderkey", F.lit(int(keys[-1]) + 10).cast("long")
+            ),
+            f"o_orderkey <= {cut}",
+        )
+    assert t.version == v_now
+
+    # pruning engaged: the find-touched scan saw < all files
+    seen: list[list[str]] = []
+    orig = DeltaishTable._read_snapshot_files
+
+    def spy(self, snap, rel_paths, **kw):
+        seen.append(list(rel_paths))
+        return orig(self, snap, rel_paths, **kw)
+
+    import unittest.mock as mock
+
+    repl2 = (
+        t.read()
+        .filter(F.col("o_orderkey") > keys[-50])
+        .withColumn("o_totalprice", F.lit(9.0))
+    )
+    n_files = len(t._snapshot().files)
+    with mock.patch.object(DeltaishTable, "_read_snapshot_files", spy):
+        t.overwrite_where(repl2, f"o_orderkey > {keys[-50]}")
+    assert len(seen[0]) < n_files
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite: only the partitions present in the
+    written frame are replaced; unwritten partitions are untouched;
+    a frame targeting a brand-new partition degrades to append; an
+    unpartitioned table refuses."""
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(300)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=("o_orderstatus",)
+    )
+    before = {
+        r.o_orderstatus: r.n
+        for r in t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(before) >= {"O", "F"}
+
+    # replace ONLY status 'F' with two rows
+    repl = spark.createDataFrame(
+        [(1_000_001, "F", 1.0), (1_000_002, "F", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    t.overwrite_partitions(repl)
+    after = {
+        r.o_orderstatus: r.n
+        for r in t.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after["F"] == 2
+    for s, n in before.items():
+        if s != "F":
+            assert after[s] == n  # untouched partitions intact
+
+    # brand-new partition: pure append, nothing replaced
+    newp = spark.createDataFrame(
+        [(1_000_003, "X", 3.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    t.overwrite_partitions(newp)
+    assert t.read().filter(F.col("o_orderstatus") == "X").count() == 1
+    assert t.read().filter(F.col("o_orderstatus") == "F").count() == 2
+
+    flat = DeltaishTable.create(
+        spark, str(tmp_path / "flat"), df.limit(10)
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        flat.overwrite_partitions(repl)
