@@ -2645,6 +2645,23 @@ class DeltaishTable:
             return ("cmp", neg, col, v)
         return ("true",)
 
+    def _ir_columns(self, ir) -> set[str]:
+        """Column names a skipping IR references (OPTIMIZE WHERE's
+        partition-predicate check)."""
+        kind = ir[0]
+        if kind in ("and", "or"):
+            out: set[str] = set()
+            for c in ir[1]:
+                out |= self._ir_columns(c)
+            return out
+        if kind in ("isnull", "isnotnull"):
+            return {ir[1]}
+        if kind in ("cmp",):
+            return {ir[2]}
+        if kind == "ne":
+            return {ir[1]}
+        return set()
+
     @staticmethod
     def _cmp_pair(stat, lit):
         """(stat, lit) coerced to a comparable pair, or TypeError.
@@ -3762,7 +3779,9 @@ class DeltaishTable:
             ]
         )
 
-    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+    def optimize(
+        self, target_bytes: int = 128 * 1024 * 1024, where=None
+    ) -> int:
         """Bin-pack small files per partition (dataChange=false, as the
         spec requires for pure compaction — streams reading the table
         skip these commits). Inputs are read under the snapshot's
@@ -3771,9 +3790,47 @@ class DeltaishTable:
         column mapping the read and rewrite both happen at PHYSICAL
         names — compaction never consults the logical layer.
 
+        ``where`` scopes compaction to matching partitions (Delta's
+        ``OPTIMIZE tbl WHERE``): like delta-spark, only PARTITION
+        predicates are accepted — a data-column predicate could split
+        a file's rows across the boundary, which a pure file-level
+        rewrite cannot honor. Scheduled maintenance of a 100 TB table
+        compacts yesterday's partition, not the table.
+
         On a liquid-clustered table (CLUSTER BY declared) OPTIMIZE
         *is* the clustering rewrite instead of a bin-pack."""
         snap = self._snapshot()
+        in_scope = None
+        if where is not None:
+            pcols_set = set(snap.metadata.get("partitionColumns", ()))
+            if snap.domains.get(self.CLUSTERING_DOMAIN):
+                raise ValueError(
+                    "OPTIMIZE WHERE on a clustered table: liquid "
+                    "clustering replaces partitioning; run optimize() "
+                    "unscoped"
+                )
+            try:
+                parser = (
+                    self.spark._jsparkSession.sessionState().sqlParser()
+                )
+                ir = (
+                    self._ir_from_catalyst(parser.parseExpression(where))
+                    if isinstance(where, str)
+                    else self._ir_from_node(where._jc.node())
+                )
+            except Exception:  # noqa: BLE001
+                ir = ("true",)
+            bad = self._ir_columns(ir) - pcols_set
+            if bad or ir == ("true",):
+                raise ValueError(
+                    "OPTIMIZE WHERE accepts only partition-column "
+                    f"predicates; {sorted(bad) or where!r} is not "
+                    "(delta-spark's rule: a data predicate could "
+                    "split a file across the boundary)"
+                )
+            in_scope = set(
+                self.files_matching_predicate(where, snap=snap)
+            )
         if snap.domains.get(self.CLUSTERING_DOMAIN):
             ccols = self._clustering_logical(snap)
             if ccols:
@@ -3805,6 +3862,8 @@ class DeltaishTable:
         groups: dict[tuple, list[str]] = {}
         sizes: dict[tuple, int] = {}
         for path, add in snap.files.items():
+            if in_scope is not None and path not in in_scope:
+                continue
             if add.get("deletionVector"):
                 # compaction reads files RAW; folding a DV'd file in
                 # would resurrect its deleted rows. purge() is the

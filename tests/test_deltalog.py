@@ -3521,3 +3521,49 @@ def test_overwrite_partitions_dynamic(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partitioned"):
         flat.overwrite_partitions(repl)
+
+
+def test_optimize_where_scopes_to_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE compacts only the matching partitions; data-
+    column predicates refuse (delta-spark's partition-predicate rule);
+    clustered tables refuse the scope."""
+    df = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(400)
+    t = DeltaishTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=("o_orderstatus",)
+    )
+    # fragment both partitions with small appends
+    for _ in range(3):
+        t.append(df.limit(40))
+    files_per = {}
+    for p, a in t._snapshot().files.items():
+        s = a["partitionValues"]["o_orderstatus"]
+        files_per[s] = files_per.get(s, 0) + 1
+    assert files_per["O"] >= 4 and files_per["F"] >= 4
+
+    before = sorted(
+        tuple(str(x) for x in r) for r in t.read().collect()
+    )
+    t.optimize(where="o_orderstatus = 'F'")
+    after_files = {}
+    for p, a in t._snapshot().files.items():
+        s = a["partitionValues"]["o_orderstatus"]
+        after_files[s] = after_files.get(s, 0) + 1
+    assert after_files["F"] == 1  # compacted
+    assert after_files["O"] == files_per["O"]  # untouched
+    assert before == sorted(
+        tuple(str(x) for x in r) for r in t.read().collect()
+    )
+
+    with pytest.raises(ValueError, match="partition-column"):
+        t.optimize(where="o_totalprice > 0")
+    with pytest.raises(ValueError, match="partition-column"):
+        t.optimize(where="length(o_orderstatus) = 1")  # unsupported shape
+
+    flat = DeltaishTable.create(
+        spark, str(tmp_path / "c"), df.limit(20)
+    )
+    flat.cluster_by(["o_orderkey"])
+    with pytest.raises(ValueError, match="clustered"):
+        flat.optimize(where="o_orderkey > 0")
