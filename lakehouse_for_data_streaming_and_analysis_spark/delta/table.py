@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 import uuid
@@ -2508,14 +2509,30 @@ class DeltaishTable:
             return datetime(1970, 1, 1) + timedelta(microseconds=raw)
         if isinstance(raw, (int, float, str, bool, date, datetime)):
             return raw
-        # java-side object (UTF8String, BigDecimal, java.sql.Date...)
+        # java-side object (UTF8String, BigDecimal, java.sql.Date,
+        # java.sql.Timestamp...)
         s = str(raw)
         if dtype_str == "string":
             return s
         if dtype_str and dtype_str.startswith("decimal"):
             return float(s)
-        # last resort: ISO-looking strings stay strings (sort like
-        # their values); numbers parse
+        # temporal-looking strings MUST parse to date/datetime: a raw
+        # java.sql.Timestamp renders "2024-01-02 03:00:00.0" while
+        # stats JSON renders isoformat "2024-01-02T03:00:00" — naive
+        # string comparison of the two orders WRONG (' ' < 'T'), which
+        # would falsely prune files. _cmp_pair normalizes both sides
+        # once they are typed.
+        m = re.fullmatch(
+            r"(\d{4}-\d{2}-\d{2})[ T](\d{2}:\d{2}:\d{2})(\.\d+)?", s
+        )
+        if m:
+            frac = (m.group(3) or "")[:7]
+            return datetime.fromisoformat(
+                f"{m.group(1)}T{m.group(2)}{frac}"
+            )
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+            return date.fromisoformat(s)
+        # last resort: numbers parse; anything else stays a string
         try:
             return float(s) if "." in s else int(s)
         except ValueError:
@@ -2670,7 +2687,10 @@ class DeltaishTable:
         isoformat text."""
         if isinstance(lit, datetime):
             if isinstance(stat, str):
-                return stat.replace("T", " "), lit.isoformat(sep=" ")
+                s = stat.replace("T", " ")
+                if s.endswith("+00:00"):  # tz-aware stats, UTC session
+                    s = s[:-6]
+                return s, lit.isoformat(sep=" ")
             raise TypeError
         if isinstance(lit, date):
             if isinstance(stat, str):

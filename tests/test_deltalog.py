@@ -3567,3 +3567,52 @@ def test_optimize_where_scopes_to_partitions(spark, tmp_path):
     flat.cluster_by(["o_orderkey"])
     with pytest.raises(ValueError, match="clustered"):
         flat.optimize(where="o_orderkey > 0")
+
+
+def test_files_matching_predicate_temporal_literals(spark, tmp_path):
+    """Temporal literals prune correctly through BOTH front-ends:
+    stats JSON stores isoformat ('T'-separated) strings while a raw
+    java.sql.Timestamp renders with a space — naive string comparison
+    of the two orders wrong, so the skipper must type-normalize. The
+    boundary-equality case (literal == file max) must KEEP the file."""
+    import datetime as dt
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "value"
+    ).limit(2000)
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ev.repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+    )
+    snap = t._snapshot()
+    n = len(snap.files)
+    assert n == 4
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo = bounds.lo
+    if hasattr(lo, "to_pydatetime"):
+        lo = lo.to_pydatetime()
+
+    # SQL front-end with a TIMESTAMP literal
+    sql_cand = t.files_matching_predicate(
+        f"ts <= TIMESTAMP '{lo}'", snap=snap
+    )
+    assert len(sql_cand) == 1
+    # Column front-end with a python datetime literal — same answer
+    col_cand = t.files_matching_predicate(
+        F.col("ts") <= F.lit(lo), snap=snap
+    )
+    assert col_cand == sql_cand
+    # boundary equality keeps the owning file (no false prune)
+    eq_cand = t.files_matching_predicate(
+        F.col("ts") == F.lit(lo), snap=snap
+    )
+    assert len(eq_cand) >= 1
+    # and the pruned DELETE agrees with ground truth
+    before = t.read().count()
+    t.delete(F.col("ts") == F.lit(lo))
+    removed = before - t.read().count()
+    truth = ev.filter(F.col("ts") == F.lit(lo)).count()
+    assert removed == truth >= 1
