@@ -309,6 +309,71 @@ def b85_decode(text: str) -> bytes:
 # ----------------------------------------------- descriptor resolution
 
 
+def validate_descriptor(table_path: str, dv: dict) -> None:
+    """Frame-validate a deletionVector descriptor WITHOUT decoding
+    its positions: storage type known, base85 uuid well-formed, the
+    DV file present with the right version byte, the entry's stored
+    dataSize matching the descriptor. O(1) IO per descriptor — cheap
+    enough to run driver-side for every referenced file, so a
+    malformed or vacuumed descriptor raises a loud ValueError at plan
+    time instead of a wrapped executor exception mid-scan (the
+    strict-decode-or-refuse contract; the O(positions) bitmap decode
+    itself stays on the executors)."""
+    import os
+    import struct as _struct
+    import uuid as _uuid
+
+    st = dv.get("storageType")
+    if st == "i":
+        data = b85_decode(dv["pathOrInlineDv"])
+        size = int(dv.get("sizeInBytes", len(data)))
+        if size > len(data):
+            raise ValueError(
+                "deletion vector: inline sizeInBytes exceeds decoded "
+                "payload"
+            )
+        return
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        if len(enc) < 20:
+            raise ValueError(
+                "deletion vector: pathOrInlineDv shorter than a base85 "
+                "uuid"
+            )
+        u = _uuid.UUID(bytes=b85_decode(enc[-20:]))
+        path = os.path.join(
+            table_path, enc[:-20], f"deletion_vector_{u}.bin"
+        )
+    elif st == "p":
+        path = dv["pathOrInlineDv"]
+    else:
+        raise NotImplementedError(
+            f"deletion vector storageType {st!r} is not supported"
+        )
+    if not os.path.exists(path):
+        raise ValueError(
+            f"deletion vector file missing: {path} (vacuumed?)"
+        )
+    offset = int(dv["offset"])
+    with open(path, "rb") as f:
+        head = f.read(1)
+        if not head or head[0] != 1:
+            raise ValueError(
+                "deletion vector: unknown on-disk format version "
+                f"{head[0] if head else '<empty>'}"
+            )
+        f.seek(offset)
+        frame = f.read(4)
+    if len(frame) < 4:
+        raise ValueError("deletion vector: offset past end of file")
+    (data_size,) = _struct.unpack(">I", frame)
+    if data_size != int(dv["sizeInBytes"]):
+        raise ValueError(
+            f"deletion vector: stored dataSize {data_size} != "
+            f"descriptor sizeInBytes {dv['sizeInBytes']}"
+        )
+
+
 def read_descriptor(table_path: str, dv: dict) -> list[int]:
     """Deleted row positions for a deletionVector descriptor, given
     the table root ('u' paths resolve against it). Pure file IO —

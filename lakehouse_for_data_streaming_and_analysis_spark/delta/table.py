@@ -2126,6 +2126,11 @@ class DeltaishTable:
         table_path = self.path
         desc_rows = []
         for rel, dv in dv_map.items():
+            # strict-decode-or-refuse happens at PLAN time: frame-
+            # validate each descriptor driver-side (O(1) IO each) so a
+            # malformed/vacuumed DV raises a plain ValueError here
+            # instead of a wrapped executor exception mid-scan
+            roaring.validate_descriptor(table_path, dv)
             # Spark renders _metadata.file_path in the single-slash
             # Hadoop form ("file:/abs/path"), not the RFC "file:///"
             uri = "file:" + os.path.abspath(

@@ -1527,7 +1527,7 @@ def deltalog_update_audit(spark, sf_dir):
        v1 AS (SELECT * FROM base WHERE NOT o_orderkey <= 400),
        v2 AS (SELECT o_orderkey,
                      CASE WHEN o_orderkey > (SELECT cut FROM hi)
-                          THEN o_totalprice * 0.5
+                          THEN o_totalprice * 2
                           ELSE o_totalprice END AS o_totalprice
               FROM v1),
        u AS (
@@ -1552,7 +1552,7 @@ def deltalog_skipping_audit(spark, sf_dir):
     (``pruned_scan``; the oracle pins it literally TRUE) and
     value-checks both table states relationally, so the hash match
     certifies pruning never dropped a file it needed (DELETE removed
-    exactly the band; the DV-backed UPDATE halved exactly the band).
+    exactly the band; the DV-backed UPDATE doubled exactly the band).
     Scratch table per-invocation, removed before return."""
     import shutil
     import uuid
@@ -1590,7 +1590,7 @@ def deltalog_skipping_audit(spark, sf_dir):
         agg1 = _skipping_state(t, "after_delete", pruned)
         t.update(
             upd_pred,
-            {"o_totalprice": F.col("o_totalprice") * 0.5},
+            {"o_totalprice": F.col("o_totalprice") * 2},
             mode="merge_on_read",
         )
         agg2 = _skipping_state(t, "after_update", pruned)
