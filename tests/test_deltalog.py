@@ -3616,3 +3616,71 @@ def test_files_matching_predicate_temporal_literals(spark, tmp_path):
     removed = before - t.read().count()
     truth = ev.filter(F.col("ts") == F.lit(lo)).count()
     assert removed == truth >= 1
+
+
+def test_files_matching_predicate_soundness_sweep(spark, tmp_path):
+    """Soundness invariant over a diverse predicate battery: the
+    candidate set is ALWAYS a superset of the files that truly own a
+    matching row (pruning may keep too much, never too little), for
+    numeric/string/null/boolean shapes, conjunctions, disjunctions,
+    negations, IN lists, and unsupported expressions."""
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+        .limit(1200)
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    snap = t._snapshot()
+    tagged = t._read_snapshot_files(
+        snap, snap.files, keep_tags=True
+    ).localCheckpoint(eager=True)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    mid = keys[len(keys) // 2]
+
+    predicates = [
+        f"o_orderkey = {keys[0]}",
+        f"o_orderkey <= {keys[10]}",
+        f"o_orderkey > {keys[-10]}",
+        f"o_orderkey >= {mid} AND o_orderkey < {keys[-1]}",
+        f"o_orderkey < {keys[5]} OR o_orderkey > {keys[-5]}",
+        f"NOT (o_orderkey > {mid})",
+        f"o_orderkey IN ({keys[0]}, {mid}, {keys[-1]})",
+        "o_orderstatus = 'F'",
+        "o_orderstatus = 'ZZ'",
+        "o_totalprice > 100000.0",
+        "o_totalprice <= 0.0",
+        "o_orderdate >= DATE '1995-01-01'",
+        "o_orderdate < DATE '1990-01-01'",
+        "o_orderkey IS NULL",
+        "o_orderkey IS NOT NULL",
+        f"o_orderstatus = 'O' AND o_orderkey <= {keys[20]}",
+        # unsupported shapes: must keep everything
+        "o_orderpriority LIKE '1%'",
+        "o_orderkey % 2 = 0",
+        "upper(o_orderstatus) = 'F'",
+        f"CASE WHEN o_orderkey > {mid} THEN true ELSE false END",
+    ]
+    for pred in predicates:
+        cands = set(t.files_matching_predicate(pred, snap=snap))
+        truth = {
+            t._uri_to_rel(r["__fp"])
+            for r in tagged.filter(
+                F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+            )
+            .select("__fp")
+            .distinct()
+            .collect()
+        }
+        assert truth <= cands, (
+            f"UNSOUND prune for {pred!r}: "
+            f"missing {sorted(truth - cands)}"
+        )
+    # and the supported shapes actually prune something somewhere
+    assert len(
+        t.files_matching_predicate(f"o_orderkey = {keys[0]}", snap=snap)
+    ) < len(snap.files)
