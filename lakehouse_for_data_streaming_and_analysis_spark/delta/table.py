@@ -720,6 +720,54 @@ class DeltaishTable:
     def version(self) -> int:
         return self._snapshot().version
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of table-level facts from the
+        current snapshot — id/format/location, partition and
+        clustering columns, live file count and byte/row totals,
+        properties, protocol, and feature lists. Pure log metadata:
+        zero data IO at any table size."""
+        snap = self._snapshot()
+        n_rows = 0
+        have_stats = True
+        for a in snap.files.values():
+            stats = a.get("stats")
+            s = (
+                json.loads(stats)
+                if isinstance(stats, str)
+                else (stats or {})
+            )
+            n = s.get("numRecords")
+            if n is None:
+                have_stats = False
+            else:
+                n_rows += int(n)
+        proto = snap.protocol or {}
+        return {
+            "id": snap.metadata.get("id"),
+            "format": "parquet",
+            "location": self.path,
+            "partitionColumns": list(
+                snap.metadata.get("partitionColumns", [])
+            ),
+            "clusteringColumns": self._clustering_logical(snap),
+            "numFiles": len(snap.files),
+            "sizeInBytes": sum(
+                a.get("size", 0) for a in snap.files.values()
+            ),
+            "numRows": n_rows if have_stats else None,
+            "numDeletionVectors": sum(
+                1 for a in snap.files.values() if a.get("deletionVector")
+            ),
+            "properties": dict(
+                snap.metadata.get("configuration", {}) or {}
+            ),
+            "minReaderVersion": proto.get("minReaderVersion"),
+            "minWriterVersion": proto.get("minWriterVersion"),
+            "readerFeatures": sorted(proto.get("readerFeatures") or []),
+            "writerFeatures": sorted(proto.get("writerFeatures") or []),
+            "version": snap.version,
+        }
+
     def history(self) -> list[dict]:
         return dlog.history(self.path)
 

@@ -3684,3 +3684,26 @@ def test_files_matching_predicate_soundness_sweep(spark, tmp_path):
     assert len(
         t.files_matching_predicate(f"o_orderkey = {keys[0]}", snap=snap)
     ) < len(snap.files)
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL reports table facts from pure log metadata."""
+    df = _orders(spark, 100).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.cluster_by(["o_totalprice"])
+    t.delete(
+        F.col("o_orderkey")
+        == t.read().agg(F.min("o_orderkey")).collect()[0][0],
+        mode="merge_on_read",
+    )
+    d = t.detail()
+    assert d["numFiles"] == 4
+    assert d["numRows"] == 100  # DV'd rows still physically present
+    assert d["numDeletionVectors"] == 1
+    assert d["clusteringColumns"] == ["o_totalprice"]
+    assert d["partitionColumns"] == []
+    assert d["minWriterVersion"] == 7
+    assert "clustering" in d["writerFeatures"]
+    assert "deletionVectors" in d["readerFeatures"]
+    assert d["sizeInBytes"] > 0
+    assert d["version"] == t.version
