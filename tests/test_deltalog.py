@@ -3707,3 +3707,46 @@ def test_describe_detail(spark, tmp_path):
     assert "deletionVectors" in d["readerFeatures"]
     assert d["sizeInBytes"] > 0
     assert d["version"] == t.version
+
+
+def test_overwrite_where_conflicts_with_concurrent_append(spark, tmp_path):
+    """OCC pin for the selective overwrite: an append landing between
+    replaceWhere's snapshot read and its commit makes the rewrite's
+    inputs stale, so the commit must surface ConcurrentCommitError
+    (never silently drop the concurrent rows) and leave the appended
+    state intact."""
+    import unittest.mock as mock
+
+    df = _orders(spark, 200).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    keys = sorted(r.o_orderkey for r in t.read().collect())
+    cut = keys[49]
+    racer_rows = df.limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000).cast("long")
+    )
+
+    orig = DeltaishTable._write_files
+    state = {"raced": False}
+
+    def racing(self, d, *a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            # a second writer handle lands an append mid-flight
+            DeltaishTable(self.spark, self.path).append(racer_rows)
+        return orig(self, d, *a, **k)
+
+    repl = (
+        t.read()
+        .filter(F.col("o_orderkey") <= cut)
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    with mock.patch.object(DeltaishTable, "_write_files", racing):
+        with pytest.raises(ConcurrentCommitError, match="data files"):
+            t.overwrite_where(repl, f"o_orderkey <= {cut}")
+    # the append won; the overwrite left no trace
+    assert t.read().count() == 205
+    assert t.read().filter(F.col("o_totalprice") == 1.0).count() == 0
+    # re-run against the fresh snapshot succeeds
+    t.overwrite_where(repl, f"o_orderkey <= {cut}")
+    assert t.read().count() == 205 - 50 + 10
