@@ -63,14 +63,16 @@ ROWS_ONLY: tuple[str, ...] = ()
 # produced by `tools/rotate_window.py CORRECTNESS_r04.json --apply`)
 # covers the fixed red row, all 12 r4-added delta/ANN/Gopher queries,
 # and 37 of the 50 remaining never-checked original-registry names.
-# If it comes back 50/50 green, cumulative = 238/253 and exactly
-# FIFTEEN names remain — the round-6 window, already ordered in
-# queries() positions 50-64 so the r6 rotation
+# If it comes back 50/50 green, cumulative = 238/254 and exactly
+# SIXTEEN names remain — the round-6 window, already ordered in
+# queries() positions 50-65 so the r6 rotation
 # (`tools/rotate_window.py CORRECTNESS_r05.json --apply`) promotes
-# precisely this set and closes the registry at 253/253:
+# precisely this set and closes the registry at 254/254:
 #   deltalog_skipping_audit (r5-added: predicate data skipping on the
 #   row-level write paths), deltalog_replace_where_audit (r5-added:
-#   selective overwrite / replaceWhere), chi_square_type_dow,
+#   selective overwrite / replaceWhere),
+#   deltalog_dynamic_overwrite_audit (r5-added: dynamic partition
+#   overwrite), chi_square_type_dow,
 #   triangle_count_handoff_graph, seasonal_residual_anomalies,
 #   cumulative_distinct_users_by_type, longest_event_streak_per_user,
 #   time_to_conversion_stats, user_activity_gini, top_event_trigrams,

@@ -1706,6 +1706,92 @@ def deltalog_replace_where_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_dynamic_overwrite_audit",
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                     FROM orders),
+       repl AS (SELECT o_orderkey, o_orderstatus,
+                       o_totalprice + 1 AS o_totalprice
+                FROM base WHERE o_orderstatus = 'F'
+                ORDER BY o_orderkey LIMIT 100),
+       final AS (SELECT * FROM base WHERE o_orderstatus <> 'F'
+                 UNION ALL SELECT * FROM repl)
+       SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS untouched_intact
+       FROM final GROUP BY 1""",
+)
+def deltalog_dynamic_overwrite_audit(spark, sf_dir):
+    """Dynamic partition overwrite end-to-end (delta/table.py
+    overwrite_partitions, r5): build an o_orderstatus-partitioned
+    table over all orders, then overwrite ONLY the 'F' partition with
+    its 100 lowest-key rows (price +1) — Spark's
+    partitionOverwriteMode=dynamic through the transaction log. The
+    audit groups the final state by status AND asserts the other
+    partitions' FILE SETS are byte-identical before/after
+    (``untouched_intact``; the oracle pins it literally TRUE), so the
+    hash match certifies the replaced-partition derivation touched
+    exactly one partition. Scratch table per-invocation, removed
+    before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"dyn-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark, table_dir, orders, partition_by=("o_orderstatus",)
+        )
+        before = {
+            p
+            for p, a in t._snapshot().files.items()
+            if a["partitionValues"]["o_orderstatus"] != "F"
+        }
+        repl = (
+            t.read()
+            .filter(F.col("o_orderstatus") == "F")
+            .orderBy("o_orderkey")
+            .limit(100)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        )
+        t.overwrite_partitions(repl)
+        after = {
+            p
+            for p, a in t._snapshot().files.items()
+            if a["partitionValues"]["o_orderstatus"] != "F"
+        }
+        intact = before == after
+        rows = (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("untouched_intact", F.lit(intact))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n_rows long, total_price double, "
+        "untouched_intact boolean",
+    )
+
+
 def _skipping_state(t, stage: str, pruned: bool):
     return (
         t.read()
