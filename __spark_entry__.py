@@ -88,6 +88,7 @@ DRIVER_GREEN = (
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_recall_audit",
     "ar_forecast_intervals",
     "ar_walk_forward_eval",
     "arch_lm_test",
@@ -95,10 +96,19 @@ DRIVER_GREEN = (
     "arima_order_search",
     "asof_join_last_price",
     "audio_wav_features",
+    "beta_vs_market",
+    "bigram_lm_surprisal",
     "bloom_prefilter_join",
+    "boilerplate_trigram_share",
+    "bollinger_band_breakouts",
+    "brand_basket_affinity",
     "broadcast_left_enrich",
+    "cascading_time_rollup",
     "case_bucketing",
     "cdc_apply_profile",
+    "cdf_incremental_view_maintenance",
+    "cdf_stream_consume",
+    "char_class_entropy",
     "chart_all_coin_cloud",
     "chart_big_number_trend",
     "chart_big_number_trend_eth",
@@ -119,6 +129,7 @@ DRIVER_GREEN = (
     "compression_ratio_quality",
     "conjunctive_filter",
     "contamination_ngram_overlap",
+    "context_length_packing",
     "corpus_curation_funnel",
     "corpus_mixture_weights",
     "corpus_shuffle_shards",
@@ -130,11 +141,20 @@ DRIVER_GREEN = (
     "customer_order_timeline",
     "customer_rfm_segments",
     "customers_above_nation_avg",
+    "cusum_changepoints",
     "cv_fold_rmse",
     "daily_ohlcv",
     "date_id_arithmetic",
     "dedup_components",
+    "deltalog_cdf_merge_feed",
+    "deltalog_clone_divergence",
+    "deltalog_column_mapping_audit",
+    "deltalog_identity_generated",
+    "deltalog_merge_matrix_audit",
+    "deltalog_mor_delete_audit",
+    "deltalog_row_tracking_audit",
     "deltalog_snapshot_audit",
+    "deltalog_update_audit",
     "dickey_fuller_tstat",
     "dim_date_generate",
     "dim_time_generate",
@@ -149,28 +169,36 @@ DRIVER_GREEN = (
     "embedding_norm_outliers",
     "embedding_vector_stats",
     "event_type_transition_matrix",
+    "ewma_daily_value",
     "exact_dedup_groups",
     "exact_quantiles_by_type",
     "exact_substring_dup_coverage",
     "except_all_keys",
     "forecast_eval_metrics",
     "forecast_revenue_change",
+    "fourgram_uniqueness",
     "full_outer_concat",
+    "funnel_view_click_purchase",
     "fuzzy_part_pairs",
     "gap_fill_forward_daily",
     "garch_order_grid",
     "garch_volatility",
     "global_sum_filtered",
+    "gopher_repetition_filters",
     "grouped_max_topn",
     "grouping_sets_year_priority",
     "hashed_bow_vectorize",
     "histogram_fixed_buckets",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
     "hot_key_diagnosis",
     "image_bmp_features",
     "incremental_agg_merge",
     "intersect_repeat_customers",
     "interval_overlap_join",
     "json_extract_group",
+    "kalman_local_level",
+    "keyword_search_ranked",
     "kmeans_embedding_clusters",
     "label_centroid_profile",
     "lag_returns",
@@ -179,15 +207,19 @@ DRIVER_GREEN = (
     "last_per_day",
     "late_shipment_priority_counts",
     "left_anti_new_rows",
+    "lexicon_sentiment_scores",
     "ljung_box_whitenoise",
     "local_supplier_volume",
     "loyal_customers_division",
+    "mad_by_type",
     "malformed_json_audit",
     "market_cap_arithmetic",
     "market_share_yearly",
+    "max_drawdown_by_type",
     "min_price_supplier_per_part",
     "minhash_lsh_neardup",
     "modal_event_type_per_user",
+    "monthly_revenue_moving_avg",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "nation_balance_flags",
@@ -196,6 +228,7 @@ DRIVER_GREEN = (
     "ngram_jaccard_pairs",
     "null_default_coalesce",
     "null_semantics_audit",
+    "open_order_backlog",
     "order_lifecycle_snapshot",
     "order_priority_exists",
     "order_value_window_suite",
@@ -203,6 +236,7 @@ DRIVER_GREEN = (
     "pacf_by_lag",
     "pagerank_user_influence",
     "pii_scrub_stats",
+    "pit_feature_join",
     "pivot_priority_by_year",
     "price_band_range_join",
     "price_reconstruction",
@@ -216,14 +250,19 @@ DRIVER_GREEN = (
     "pyds_tick_ingest",
     "quality_threshold_sweep",
     "ranked_orders_window_suite",
+    "realized_vol_monthly",
     "region_nation_hierarchy_rollup",
     "regr_value_trend",
+    "resample_ffill_daily",
     "rest_ingest_typed",
+    "retention_cohorts",
     "returned_items_topk",
     "revenue_share_of_region",
+    "rolling_median_value",
     "rolling_origin_cv",
     "rolling_stats",
     "rollup_year_priority",
+    "rsi_14day",
     "running_distinct_users",
     "salted_skew_join_revenue",
     "scd2_as_of_snapshot",
@@ -233,6 +272,7 @@ DRIVER_GREEN = (
     "semdedup_cluster_prune",
     "semi_additive_month_end_balance",
     "semi_join_recent_customers",
+    "sequence_packing_map",
     "sessionize_user_events",
     "shipping_priority_topk",
     "simhash_hamming_pairs",
@@ -259,70 +299,46 @@ DRIVER_GREEN = (
     "time_range_rolling_avg",
     "token_counts",
     "token_heavy_hitters",
+    "top_ngram_char_share",
     "top_supplier_by_revenue",
     "topk_parts_per_nation",
     "train_val_test_split",
+    "ts_shape_match_topk",
     "tumbling_window_agg",
+    "twap_daily",
     "two_key_left_merge",
     "tz_localized_fact_keys",
     "union_all_series",
     "unpivot_priority_revenue",
+    "user_event_profile",
     "vector_dim_profile",
+    "vocab_oov_rate",
+    "vwap_returnflag_month",
+    "weighted_sample_topk",
     "winnow_fingerprints",
+    "winsorized_value_stats",
+    "yoy_revenue_growth",
+    "zscore_anomaly_days",
 )
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "user_event_profile",
-    "ann_recall_audit",
-    "deltalog_cdf_merge_feed",
-    "deltalog_clone_divergence",
-    "deltalog_identity_generated",
-    "cdf_stream_consume",
-    "cdf_incremental_view_maintenance",
-    "deltalog_mor_delete_audit",
-    "deltalog_update_audit",
-    "deltalog_merge_matrix_audit",
-    "deltalog_column_mapping_audit",
-    "deltalog_row_tracking_audit",
-    "brand_basket_affinity",
-    "sequence_packing_map",
-    "weighted_sample_topk",
-    "twap_daily",
-    "vwap_returnflag_month",
-    "max_drawdown_by_type",
-    "ewma_daily_value",
-    "zscore_anomaly_days",
-    "pit_feature_join",
-    "realized_vol_monthly",
-    "beta_vs_market",
-    "bollinger_band_breakouts",
-    "rsi_14day",
-    "cascading_time_rollup",
-    "yoy_revenue_growth",
-    "ts_shape_match_topk",
-    "monthly_revenue_moving_avg",
-    "rolling_median_value",
-    "winsorized_value_stats",
-    "open_order_backlog",
-    "holt_linear_forecast",
-    "holt_winters_seasonal",
-    "kalman_local_level",
-    "cusum_changepoints",
-    "resample_ffill_daily",
-    "bigram_lm_surprisal",
-    "char_class_entropy",
-    "fourgram_uniqueness",
-    "lexicon_sentiment_scores",
-    "keyword_search_ranked",
-    "boilerplate_trigram_share",
-    "vocab_oov_rate",
-    "top_ngram_char_share",
-    "context_length_packing",
-    "gopher_repetition_filters",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "mad_by_type",
+    "deltalog_skipping_audit",
+    "deltalog_replace_where_audit",
+    "deltalog_dynamic_overwrite_audit",
+    "chi_square_type_dow",
+    "triangle_count_handoff_graph",
+    "seasonal_residual_anomalies",
+    "cumulative_distinct_users_by_type",
+    "longest_event_streak_per_user",
+    "time_to_conversion_stats",
+    "user_activity_gini",
+    "top_event_trigrams",
+    "ks_two_sample",
+    "mann_whitney_u",
+    "bpe_vocab_merges",
+    "quality_classifier_scores",
+    "bpe_tokenize_docs",
 )
 
 
