@@ -2535,17 +2535,31 @@ class DeltaishTable:
     # UnresolvedAttribute/Literal nodes) and as pyspark Columns
     # (ColumnNode tree: UnresolvedFunction("and"/"<="/...) nodes).
 
+    # EqualNullSafe gets its OWN op ("eqns"): positively it skips like
+    # '=' (a non-null literal never matches a NULL row), but its
+    # negation NOT (col <=> v) is TRUE for NULL rows — unlike
+    # NOT (col = v) — and parquet min/max stats ignore nulls, so the
+    # plain 'ne' check would prune a file holding only v plus NULLs
+    # even though its NULL rows match (ADVICE r5, high).
     _CATALYST_CMP = {
         "EqualTo": "=",
-        "EqualNullSafe": "=",
+        "EqualNullSafe": "eqns",
         "LessThan": "<",
         "LessThanOrEqual": "<=",
         "GreaterThan": ">",
         "GreaterThanOrEqual": ">=",
     }
-    _NODE_CMP = {"=": "=", "==": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
-    _FLIP = {"=": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
-    _NEG = {"=": "ne", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+    _NODE_CMP = {
+        "=": "=",
+        "==": "=",
+        "<=>": "eqns",
+        "<": "<",
+        "<=": "<=",
+        ">": ">",
+        ">=": ">=",
+    }
+    _FLIP = {"=": "=", "eqns": "eqns", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+    _NEG = {"=": "ne", "eqns": "ne_ns", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
 
     @staticmethod
     def _lit_value(raw, dtype_str: str | None):
@@ -2585,11 +2599,18 @@ class DeltaishTable:
             )
         if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
             return date.fromisoformat(s)
-        # last resort: numbers parse; anything else stays a string
+        # last resort: numbers parse; any OTHER unrecognized object
+        # rendering raises so the caller keeps the file — a temporal
+        # string that missed the regex (Instant's 'Z', a non-UTC
+        # offset) must not fall through to plain string comparison
+        # against differently-formatted ISO stats, which could
+        # falsely prune (ADVICE r5, low)
         try:
             return float(s) if "." in s else int(s)
         except ValueError:
-            return s
+            raise ValueError(
+                f"unrecognized literal rendering: {s!r}"
+            ) from None
 
     def _ir_from_catalyst(self, ex):
         cls = ex.getClass().getSimpleName()
@@ -2707,12 +2728,18 @@ class DeltaishTable:
             return ("isnull", ir[1])
         if kind == "cmp":
             # NOT over SQL three-valued comparisons never turns a NULL
-            # row TRUE, so the min/max flip stays sound
+            # row TRUE, so the min/max flip stays sound — EXCEPT
+            # null-safe equality, whose negation IS true for NULL rows
+            # and therefore needs the nullCount-aware 'ne_ns' check
             _, op, col, v = ir
             neg = self._NEG[op]
-            if neg == "ne":
-                return ("ne", col, v)
+            if neg in ("ne", "ne_ns"):
+                return (neg, col, v)
             return ("cmp", neg, col, v)
+        if kind == "ne":  # NOT(col != v) is TRUE only where col = v
+            return ("cmp", "=", ir[1], ir[2])
+        if kind == "ne_ns":  # NOT(NOT(col <=> v)) = col <=> v
+            return ("cmp", "eqns", ir[1], ir[2])
         return ("true",)
 
     def _ir_columns(self, ir) -> set[str]:
@@ -2728,9 +2755,22 @@ class DeltaishTable:
             return {ir[1]}
         if kind in ("cmp",):
             return {ir[2]}
-        if kind == "ne":
+        if kind in ("ne", "ne_ns"):
             return {ir[1]}
         return set()
+
+    def _ir_degraded(self, ir) -> bool:
+        """True when any sub-expression degraded to ('true',) during
+        IR compilation. OPTIMIZE WHERE rejects such predicates
+        outright: a vanished conjunct could reference a data column,
+        silently widening the compaction scope past the documented
+        partition-only rule (ADVICE r5, low)."""
+        kind = ir[0]
+        if kind == "true":
+            return True
+        if kind in ("and", "or"):
+            return any(self._ir_degraded(c) for c in ir[1])
+        return False
 
     @staticmethod
     def _cmp_pair(stat, lit):
@@ -2787,6 +2827,24 @@ class DeltaishTable:
             except TypeError:
                 return True
             return not (mn == mx == v)
+        if kind == "ne_ns":
+            # NOT (col <=> v): TRUE for NULL rows too, and min/max
+            # stats ignore nulls — prune only when the file provably
+            # holds nothing but v AND zero nulls
+            st = bounds.get(ir[1])
+            if (
+                st is None
+                or st[0] is None
+                or st[1] is None
+                or st[2] is None
+            ):
+                return True
+            try:
+                mn, v = self._cmp_pair(st[0], ir[2])
+                mx, _ = self._cmp_pair(st[1], ir[2])
+            except TypeError:
+                return True
+            return not (mn == mx == v and st[2] == 0)
         _, op, col, v = ir
         st = bounds.get(col)
         if st is None or st[0] is None or st[1] is None:
@@ -2796,7 +2854,9 @@ class DeltaishTable:
             mx, _ = self._cmp_pair(st[1], v)
         except TypeError:
             return True
-        if op == "=":
+        if op in ("=", "eqns"):
+            # null-safe equality against a non-null literal matches
+            # exactly where '=' does, so positive skipping is shared
             return mn <= vv <= mx
         if op == "<":
             return mn < vv
@@ -3511,7 +3571,14 @@ class DeltaishTable:
             tagged = self._read_snapshot_files(
                 snap, all_files, keep_tags=True
             )
-            matches = tagged.filter(is_match)
+            # one materialized row set for all three consumers
+            # (touched-file collect, DV pack, CDC write) — without the
+            # checkpoint a nondeterministic condition (rand(),
+            # current_timestamp) could surface a file in the second
+            # evaluation that was absent from the first, KeyError-ing
+            # uri_to_rel or dropping positions (ADVICE r5; update()
+            # already does this)
+            matches = tagged.filter(is_match).localCheckpoint(eager=True)
             actions, n_dvs = self._dv_mask_actions(snap, matches)
             if actions is None:
                 return snap.version  # no-op
@@ -3894,7 +3961,11 @@ class DeltaishTable:
             except Exception:  # noqa: BLE001
                 ir = ("true",)
             bad = self._ir_columns(ir) - pcols_set
-            if bad or ir == ("true",):
+            # any sub-expression that degraded to ('true',) vanishes
+            # from the column set — 'p = 1 AND lower(c) = "a"' must
+            # be rejected like a fully-unsupported predicate, not
+            # silently compact all of p=1
+            if bad or self._ir_degraded(ir):
                 raise ValueError(
                     "OPTIMIZE WHERE accepts only partition-column "
                     f"predicates; {sorted(bad) or where!r} is not "

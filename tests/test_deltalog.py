@@ -3560,6 +3560,14 @@ def test_optimize_where_scopes_to_partitions(spark, tmp_path):
         t.optimize(where="o_totalprice > 0")
     with pytest.raises(ValueError, match="partition-column"):
         t.optimize(where="length(o_orderstatus) = 1")  # unsupported shape
+    # a conjunct that degrades to ('true',) must reject too — its
+    # data-column reference vanished from the column set, but the
+    # scope would silently widen to the whole o_orderstatus='F'
+    # partition (ADVICE r5)
+    with pytest.raises(ValueError, match="partition-column"):
+        t.optimize(
+            where="o_orderstatus = 'F' AND lower(o_orderstatus) = 'f'"
+        )
 
     flat = DeltaishTable.create(
         spark, str(tmp_path / "c"), df.limit(20)
@@ -3659,6 +3667,9 @@ def test_files_matching_predicate_soundness_sweep(spark, tmp_path):
         "o_orderkey IS NULL",
         "o_orderkey IS NOT NULL",
         f"o_orderstatus = 'O' AND o_orderkey <= {keys[20]}",
+        "o_orderstatus <=> 'F'",
+        "NOT (o_orderstatus <=> 'F')",
+        f"NOT (o_orderkey <=> {mid})",
         # unsupported shapes: must keep everything
         "o_orderpriority LIKE '1%'",
         "o_orderkey % 2 = 0",
@@ -3684,6 +3695,62 @@ def test_files_matching_predicate_soundness_sweep(spark, tmp_path):
     assert len(
         t.files_matching_predicate(f"o_orderkey = {keys[0]}", snap=snap)
     ) < len(snap.files)
+
+
+def test_null_safe_equality_skipping(spark, tmp_path):
+    """EqualNullSafe carries its own skipping op: NOT (col <=> v) is
+    TRUE for NULL rows, and parquet min/max stats ignore nulls, so a
+    file holding only v plus NULLs must stay a candidate — the plain
+    'ne' check would prune it and DELETE would silently skip the NULL
+    rows (ADVICE r5, high). Positive <=> prunes like '='."""
+    rows = (
+        [(i, 0, "X") for i in range(10)]
+        + [(i, 0, None) for i in range(10, 14)]  # file A: 'X' + NULLs
+        + [(i, 1, "Y") for i in range(100, 110)]  # file B: all 'Y'
+    )
+    df = spark.createDataFrame(rows, "id long, g int, status string")
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        df.repartitionByRange(2, "g").sortWithinPartitions("id"),
+    )
+    snap = t._snapshot()
+    assert len(snap.files) == 2
+
+    # the X/NULL file has min==max=='X' — NOT(<=>) must keep BOTH
+    cand = t.files_matching_predicate("NOT (status <=> 'X')", snap=snap)
+    assert len(cand) == 2
+    # whereas NOT(=) correctly prunes it (NULL rows are not TRUE)
+    ne_cand = t.files_matching_predicate("NOT (status = 'X')", snap=snap)
+    assert len(ne_cand) == 1
+    # positive direction shares '='-style pruning
+    pos = t.files_matching_predicate("status <=> 'Y'", snap=snap)
+    assert len(pos) == 1
+    # double negation folds back to null-safe equality
+    dn = t.files_matching_predicate(
+        "NOT (NOT (status <=> 'Y'))", snap=snap
+    )
+    assert set(dn) == set(pos)
+    # Column front-end parity
+    assert set(
+        t.files_matching_predicate(
+            F.col("status").eqNullSafe(F.lit("Y")), snap=snap
+        )
+    ) == set(pos)
+    assert (
+        len(
+            t.files_matching_predicate(
+                ~F.col("status").eqNullSafe(F.lit("X")), snap=snap
+            )
+        )
+        == 2
+    )
+
+    # end-to-end: the DELETE the advice called out — NULL-status rows
+    # in the all-'X' file must go
+    t.delete("NOT (status <=> 'X')")
+    left = t.read().collect()
+    assert len(left) == 10 and all(r.status == "X" for r in left)
 
 
 def test_describe_detail(spark, tmp_path):
