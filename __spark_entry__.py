@@ -26,6 +26,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     pipeline,
     product,
     relational,
+    textprep,
     timeseries,
     training,
 )
@@ -393,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(lmstats.QUERIES)
     out.update(product.QUERIES)
     out.update(training.QUERIES)
+    out.update(textprep.QUERIES)
     return _rotation_order(out)
 
 
@@ -415,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(lmstats.ORACLES)
     out.update(product.ORACLES)
     out.update(training.ORACLES)
+    out.update(textprep.ORACLES)
     # fixture-bound oracles, computed at call time so they always
     # derive their literals (deflate ratios / IRLS model coefficients)
     # from the sf dir the caller oracles against

@@ -1,0 +1,400 @@
+"""Corpus-statistics operators for pretraining-data preparation that
+profile the token DISTRIBUTION itself: Zipf rank-frequency shape,
+cross-source Jensen-Shannon drift, lexical diversity (TTR / hapax),
+token burstiness (over-dispersion), readability, and token-length
+profiles.
+
+These complement the per-document quality gates (queries/curation.py),
+the n-gram/LM statistics (queries/lmstats.py), and the dedup family
+(operators/dedup.py): here the unit of analysis is the source or the
+vocabulary term, the aggregates a corpus curator watches for
+distribution shift between crawl snapshots or between candidate
+mixtures.
+
+Scale story (100 TB): every query is one explode of the token stream
+followed by map-side-combined aggregates onto VOCABULARY-sized or
+SOURCE-sized keys — the shuffled payload is counts per (source, token),
+orders of magnitude smaller than the corpus. The pairwise JS matrix
+joins two copies of the per-source distribution table (sources x vocab
+rows, kilobytes), never the corpus. All DuckDB-oracle-backed; float
+expressions are written identically on both engines and rounded before
+hash-compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as textfns
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _tok_stream(spark, sf_dir, *cols):
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    return docs.select(
+        *cols, F.explode(textfns.tokens("text")).alias("tok")
+    )
+
+
+@q(
+    "zipf_rank_frequency",
+    f"""WITH tk AS (SELECT source, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       cnt AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       rk AS (SELECT source, tok, c,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY c DESC, tok) AS rnk
+              FROM cnt)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS vocab,
+              ROUND(SUM(CASE WHEN rnk <= 5 THEN c ELSE 0 END)
+                    / CAST(SUM(c) AS DOUBLE), 6) AS top5_share,
+              ROUND(SUM(CASE WHEN rnk > 20 THEN c ELSE 0 END)
+                    / CAST(SUM(c) AS DOUBLE), 6) AS tail_share,
+              ROUND(regr_slope(ln(CAST(c AS DOUBLE)),
+                               ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope
+       FROM rk GROUP BY source""",
+)
+def zipf_rank_frequency(spark, sf_dir):
+    """Zipf rank-frequency profile per source: vocabulary size, head
+    mass (top-5 ranks), tail mass (ranks > 20), and the log-log
+    rank-frequency slope (regr_slope of ln(count) on ln(rank) — a
+    natural corpus would sit near -1; synthetic or boilerplate-heavy
+    text flattens). Corpus curators track this per crawl snapshot to
+    catch template explosions.
+
+    One token explode -> per-(source, token) counts (map-side
+    combine), a rank window over the VOCABULARY-sized count table,
+    then a per-source fold. Nothing after the first aggregate is
+    proportional to corpus size."""
+    cnt = (
+        _tok_stream(spark, sf_dir, "source")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = cnt.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+        ),
+    )
+    return rk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= 5, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top5_share"),
+        F.round(
+            F.sum(F.when(F.col("rnk") > 20, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("tail_share"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("c").cast("double")),
+                F.log(F.col("rnk").cast("double")),
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@q(
+    "js_divergence_sources",
+    f"""WITH tk AS (SELECT source, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       cnt AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY 1),
+       grid AS (SELECT s.source, v.tok,
+                       COALESCE(c.c, 0) / CAST(t.t AS DOUBLE) AS p
+                FROM (SELECT DISTINCT source FROM cnt) s
+                CROSS JOIN (SELECT DISTINCT tok FROM cnt) v
+                LEFT JOIN cnt c ON c.source = s.source AND c.tok = v.tok
+                JOIN tot t ON t.source = s.source),
+       pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                        a.p AS p, b.p AS q
+                 FROM grid a JOIN grid b
+                   ON a.tok = b.tok AND a.source < b.source)
+       SELECT src_a, src_b,
+              ROUND(SUM(CASE WHEN p > 0
+                             THEN 0.5 * p * ln(2.0 * p / (p + q))
+                             ELSE 0 END)
+                  + SUM(CASE WHEN q > 0
+                             THEN 0.5 * q * ln(2.0 * q / (p + q))
+                             ELSE 0 END), 6) AS js_div
+       FROM pairs GROUP BY 1, 2""",
+)
+def js_divergence_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    unigram distributions — the symmetric, bounded drift metric used
+    to compare crawl snapshots / candidate mixture components (KL, its
+    one-sided cousin, is source_unigram_kl in lmstats).
+
+    The corpus collapses to a (source x vocab) probability grid in one
+    aggregate; the pair matrix is a self-equi-join of that grid on the
+    token key (sources^2 x vocab rows — kilobytes — never a row-level
+    cross product). Zero-probability cells enter via a constant-key
+    expansion of the distinct source/token sets, so the equi-join
+    stays total without an outer join per pair."""
+    cnt = (
+        _tok_stream(spark, sf_dir, "source")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    srcs = cnt.select("source").distinct().withColumn("k", F.lit(1))
+    vocab = cnt.select("tok").distinct().withColumn("k", F.lit(1))
+    grid = (
+        srcs.join(vocab, "k")
+        .drop("k")
+        .join(cnt, ["source", "tok"], "left")
+        .join(tot, "source")
+        .select(
+            "source",
+            "tok",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("t").cast("double"))
+            .alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "tok", F.col("p").alias("p")
+    )
+    b = grid.select(
+        F.col("source").alias("src_b"), "tok", F.col("p").alias("q")
+    )
+    pairs = a.join(b, "tok").filter(F.col("src_a") < F.col("src_b"))
+    half_p = F.sum(
+        F.when(
+            F.col("p") > 0,
+            0.5 * F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+        ).otherwise(F.lit(0.0))
+    )
+    half_q = F.sum(
+        F.when(
+            F.col("q") > 0,
+            0.5 * F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+        ).otherwise(F.lit(0.0))
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.round(half_p + half_q, 6).alias("js_div")
+    )
+
+
+@q(
+    "token_length_histogram",
+    f"""WITH tk AS (SELECT source, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       c AS (SELECT source, length(tok) AS tok_len, COUNT(*) AS n
+             FROM tk GROUP BY 1, 2),
+       t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1)
+       SELECT c.source, CAST(tok_len AS INT) AS tok_len,
+              CAST(n AS BIGINT) AS n_tokens,
+              ROUND(n / CAST(tot AS DOUBLE), 6) AS share
+       FROM c JOIN t ON c.source = t.source""",
+)
+def token_length_histogram(spark, sf_dir):
+    """Token-length distribution per source (count + share per exact
+    length). Length profiles are a cheap tokenizer-health check —
+    a drift toward very long 'tokens' usually means markup or
+    concatenation bugs upstream of BPE. Map-side combine onto
+    (source, length) keys; the share join touches only the
+    source-sized totals table."""
+    c = (
+        _tok_stream(spark, sf_dir, "source")
+        .groupBy("source", F.length("tok").cast("int").alias("tok_len"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    return c.join(t, "source").select(
+        "source",
+        "tok_len",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("share"),
+    )
+
+
+@q(
+    "flesch_reading_ease",
+    f"""WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks
+                   FROM documents),
+       tk AS (SELECT doc_id, source, unnest(toks) AS tok FROM d),
+       sy AS (SELECT doc_id, source,
+                     COUNT(*) AS words,
+                     SUM(greatest(1, len(regexp_extract_all(tok,
+                                                            '[aeiouy]+'))))
+                       AS syllables
+              FROM tk GROUP BY 1, 2),
+       f AS (SELECT doc_id, source, words, syllables,
+                    CAST(ceil(words / 15.0) AS BIGINT) AS sentences,
+                    206.835
+                      - 1.015 * (words / ceil(words / 15.0))
+                      - 84.6 * (syllables / CAST(words AS DOUBLE)) AS fre
+             FROM sy)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              ROUND(AVG(syllables / CAST(words AS DOUBLE)), 6)
+                AS avg_syllables_per_word,
+              ROUND(AVG(fre), 4) AS avg_reading_ease
+       FROM f GROUP BY source""",
+)
+def flesch_reading_ease(spark, sf_dir):
+    """Flesch reading-ease per source, with syllables approximated as
+    vowel-group runs (max 1 per word) and sentences as 15-token
+    spans — the fixture corpus carries no punctuation, so the sentence
+    proxy is deterministic on both engines. Readability is a standard
+    document-quality feature alongside the stopword/length gates.
+
+    One explode, per-doc word/syllable fold, then a source-level
+    average — the formula evaluates per document BEFORE averaging so
+    long docs don't dominate."""
+    tk = _tok_stream(spark, sf_dir, "doc_id", "source")
+    sy = tk.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("words"),
+        F.sum(
+            F.greatest(
+                F.lit(1),
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("tok"), F.lit("[aeiouy]+"), F.lit(0)
+                    )
+                ),
+            )
+        ).alias("syllables"),
+    )
+    fre = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words") / F.ceil(F.col("words") / 15.0))
+        - 84.6 * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    f = sy.withColumn("fre", fre)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.avg(F.col("syllables") / F.col("words").cast("double")), 6
+        ).alias("avg_syllables_per_word"),
+        F.round(F.avg("fre"), 4).alias("avg_reading_ease"),
+    )
+
+
+@q(
+    "ttr_lexical_diversity",
+    f"""WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+       SELECT doc_id,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+              ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    / CAST(SUM(c) AS DOUBLE), 6) AS hapax_share
+       FROM c GROUP BY doc_id""",
+)
+def ttr_lexical_diversity(spark, sf_dir):
+    """Type-token ratio and hapax-legomena share per document — the
+    classic lexical-diversity pair: templated/spun text scores low
+    TTR, OCR noise scores an anomalously high hapax share. Both feed
+    document-quality classifiers next to the curation gates.
+
+    Explode -> per-(doc, token) counts with map-side combine -> one
+    doc-keyed fold. The doc key rides the same shuffle partitioning
+    end to end."""
+    c = (
+        _tok_stream(spark, sf_dir, "doc_id")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("hapax_share"),
+    )
+
+
+@q(
+    "token_burstiness_dispersion",
+    f"""WITH tk AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok
+                    FROM documents),
+       dc AS (SELECT tok, doc_id, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+       nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       st AS (SELECT tok, SUM(c) AS total,
+                     SUM(c * c) AS sumsq,
+                     COUNT(*) AS docs_with
+              FROM dc GROUP BY tok),
+       top AS (SELECT tok, total, sumsq, docs_with
+               FROM st ORDER BY total DESC, tok LIMIT 15)
+       SELECT tok, CAST(total AS BIGINT) AS total_count,
+              CAST(docs_with AS BIGINT) AS docs_with,
+              ROUND(total / CAST(n AS DOUBLE), 6) AS mean_per_doc,
+              ROUND((sumsq / CAST(n AS DOUBLE)
+                     - (total / CAST(n AS DOUBLE))
+                       * (total / CAST(n AS DOUBLE)))
+                    / (total / CAST(n AS DOUBLE)), 6) AS dispersion
+       FROM top, nd""",
+)
+def token_burstiness_dispersion(spark, sf_dir):
+    """Burstiness (variance-to-mean dispersion index) of the corpus's
+    15 most frequent tokens: content words clump within documents
+    (dispersion > 1), function words spread evenly (~1) — a
+    distribution-shape signal dedup and boilerplate detectors use to
+    pick discriminative shingle vocabulary.
+
+    The zero-inclusive variance needs NO zero-filled join: with N the
+    corpus doc count (a 1-row aggregate, broadcast), var = E[c^2] -
+    E[c]^2 folds from sum(c) and sum(c^2) over only the nonzero
+    per-doc counts."""
+    dc = (
+        _tok_stream(spark, sf_dir, "doc_id")
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    ).withColumn("k", F.lit(1))
+    st = dc.groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+        F.count(F.lit(1)).alias("docs_with"),
+    )
+    top = st.orderBy(F.desc("total"), F.asc("tok")).limit(15)
+    mean = F.col("total") / F.col("n")
+    return (
+        top.withColumn("k", F.lit(1))
+        .join(F.broadcast(nd), "k")
+        .select(
+            "tok",
+            F.col("total").cast("long").alias("total_count"),
+            F.col("docs_with").cast("long").alias("docs_with"),
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(
+                (F.col("sumsq") / F.col("n") - mean * mean) / mean, 6
+            ).alias("dispersion"),
+        )
+    )
