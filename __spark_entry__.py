@@ -29,6 +29,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     textprep,
     timeseries,
     training,
+    windowlab,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -395,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(product.QUERIES)
     out.update(training.QUERIES)
     out.update(textprep.QUERIES)
+    out.update(windowlab.QUERIES)
     return _rotation_order(out)
 
 
@@ -418,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(product.ORACLES)
     out.update(training.ORACLES)
     out.update(textprep.ORACLES)
+    out.update(windowlab.ORACLES)
     # fixture-bound oracles, computed at call time so they always
     # derive their literals (deflate ratios / IRLS model coefficients)
     # from the sf dir the caller oracles against
