@@ -54,34 +54,26 @@ ROWS_ONLY: tuple[str, ...] = ()
 # and promote the next unchecked block into WINDOW_PRIORITY.
 
 # Cumulative driver-green rows: 43 (r1) + 46 (r2) + 50 (r3) + 49 (r4)
-# = 188, disjoint sets (CORRECTNESS_r0{1,2,3,4}.json).  r4's one red
-# row (user_event_profile — driver-canonicalizer crash on an
-# array<string> output column, not a value mismatch) is fixed
-# (array_join in queries/olap.py + raw-sort fidelity in
-# tools/driver_sim.py) and heads the round-5 window below for
-# re-verification.
+# + 50 (r5) = 238, disjoint sets (CORRECTNESS_r0{1..5}.json). The r5
+# window came back 50/50 green — user_event_profile's r4
+# canonicalizer crash is re-verified green and the original
+# 239-query registry plus every r4 addition is now fully
+# driver-verified.
 #
-# ROUND-6 ENDGAME PLAN: the round-5 window (WINDOW_PRIORITY below,
-# produced by `tools/rotate_window.py CORRECTNESS_r04.json --apply`)
-# covers the fixed red row, all 12 r4-added delta/ANN/Gopher queries,
-# and 37 of the 50 remaining never-checked original-registry names.
-# If it comes back 50/50 green, cumulative = 238/254 and exactly
-# SIXTEEN names remain — the round-6 window, already ordered in
-# queries() positions 50-65 so the r6 rotation
-# (`tools/rotate_window.py CORRECTNESS_r05.json --apply`) promotes
-# precisely this set and closes the registry at 254/254:
-#   deltalog_skipping_audit (r5-added: predicate data skipping on the
-#   row-level write paths), deltalog_replace_where_audit (r5-added:
-#   selective overwrite / replaceWhere),
-#   deltalog_dynamic_overwrite_audit (r5-added: dynamic partition
-#   overwrite), chi_square_type_dow,
-#   triangle_count_handoff_graph, seasonal_residual_anomalies,
-#   cumulative_distinct_users_by_type, longest_event_streak_per_user,
-#   time_to_conversion_stats, user_activity_gini, top_event_trigrams,
-#   ks_two_sample, mann_whitney_u, bpe_vocab_merges,
-#   quality_classifier_scores, bpe_tokenize_docs
-# (each sim + dtype-lint green; any r5 red rows re-enter the r6
-# window head automatically via rotate_window's failed-first rule.)
+# ROUND-6 WINDOW (WINDOW_PRIORITY below, produced by
+# `tools/rotate_window.py CORRECTNESS_r05.json --apply` then extended
+# with this round's additions): the 16 remaining never-checked names
+# (3 r5-added delta audits + 13 original-registry stats/graph/BPE
+# queries) head the window and CLOSE THE PRE-r6 REGISTRY at 254/254
+# if green; the 34 spare slots carry round 6's 20 new queries
+# (corpus distribution statistics, the ANSI window/aggregate
+# surface, and 4 new transaction-log audits: time travel, RESTORE,
+# parquet checkpoints, VACUUM), each sim + dtype-lint green before
+# staging. The window holds 36 names; the driver's remaining 14
+# slots re-check already-green queries (stability signal, no new
+# information). If all 36 come green, cumulative = 274/274 — every
+# registered query driver-verified. Any red rows re-enter the r7
+# window head automatically via rotate_window's failed-first rule.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",
@@ -341,6 +333,30 @@ WINDOW_PRIORITY = (
     "bpe_vocab_merges",
     "quality_classifier_scores",
     "bpe_tokenize_docs",
+    # --- round-6 additions (each sim + dtype-lint green pre-window):
+    # corpus distribution statistics (queries/textprep.py)
+    "zipf_rank_frequency",
+    "js_divergence_sources",
+    "token_length_histogram",
+    "flesch_reading_ease",
+    "ttr_lexical_diversity",
+    "token_burstiness_dispersion",
+    # ANSI window/aggregate surface (queries/windowlab.py)
+    "ntile_value_bands",
+    "first_last_nth_window",
+    "value_range_window_sum",
+    "session_window_batch",
+    "dau_wau_mau",
+    "inter_event_gap_quantiles",
+    "corr_covar_matrix",
+    "regr_diagnostics_full",
+    "boolean_aggregate_gates",
+    "approx_quantile_accuracy_gate",
+    # delta-protocol audits (queries/pipeline.py)
+    "deltalog_time_travel_audit",
+    "deltalog_restore_audit",
+    "deltalog_checkpoint_audit",
+    "deltalog_vacuum_audit",
 )
 
 

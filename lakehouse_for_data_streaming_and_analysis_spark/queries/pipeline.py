@@ -2142,6 +2142,394 @@ def deltalog_row_tracking_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_time_travel_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       app AS (SELECT o_orderkey, o_totalprice + 0.5 AS o_totalprice
+               FROM base WHERE o_orderkey <= 400),
+       v1 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+       v2 AS (SELECT * FROM v1 WHERE NOT (o_orderkey <= 200)),
+       v3 AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 100 = 0
+                          THEN o_totalprice + 7 ELSE o_totalprice END
+                       AS o_totalprice
+              FROM v2),
+       u AS (
+         SELECT 'v0' AS stage, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM base
+         UNION ALL SELECT 'v1', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v1
+         UNION ALL SELECT 'v2', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v2
+         UNION ALL SELECT 'v3', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v3)
+       SELECT stage, CAST(n AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price,
+              TRUE AS ts_travel_ok
+       FROM u""",
+)
+def deltalog_time_travel_audit(spark, sf_dir):
+    """Time travel by VERSION and by TIMESTAMP (delta/table.py read /
+    read_as_of_timestamp): four commits — create, append (low keys,
+    price +0.5), copy-on-write DELETE (keys <= 200), UPDATE (+7 on
+    every 100th key) — then every historical version is re-read and
+    value-checked against its relationally-recomputed state, so the
+    hash certifies snapshot isolation (no commit leaked into an
+    earlier version's read). The timestamp axis re-reads v1 by its
+    commitInfo timestamp and must see exactly the v1 aggregate
+    (``ts_travel_ok``; oracle pins TRUE). Version reads are pure log
+    replay — no data is copied to serve history. Scratch table
+    per-invocation, removed before return."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"tt-{uuid.uuid4().hex}"
+    )
+
+    def _agg(df, stage):
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+            .collect()
+        )
+
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        t.append(
+            t.read()
+            .filter(F.col("o_orderkey") <= 400)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 0.5)
+        )
+        v1 = t.version
+        ts_v1 = [h for h in t.history() if h["version"] == v1][0][
+            "timestamp"
+        ]
+        _time.sleep(0.02)  # commitInfo has millisecond grain
+        t.delete("o_orderkey <= 200")
+        t.update(
+            "o_orderkey % 100 = 0",
+            {"o_totalprice": F.col("o_totalprice") + 7},
+        )
+        rows = []
+        for v, stage in ((0, "v0"), (v1, "v1"), (v1 + 1, "v2"), (v1 + 2, "v3")):
+            rows.extend(_agg(t.read(v), stage))
+        by_ts = _agg(t.read_as_of_timestamp(ts_v1), "v1")[0]
+        ok = (
+            by_ts["n_rows"] == rows[1]["n_rows"]
+            and by_ts["total_price"] == rows[1]["total_price"]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, ok) for r in rows],
+        "stage string, n_rows long, total_price double, ts_travel_ok boolean",
+    )
+
+
+@q(
+    "deltalog_restore_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       app AS (SELECT o_orderkey, o_totalprice + 0.5 AS o_totalprice
+               FROM base WHERE o_orderkey <= 400),
+       v1 AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+       v2 AS (SELECT * FROM v1 WHERE NOT (o_orderkey <= 200)),
+       u AS (
+         SELECT 'pre_restore' AS stage, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM v2
+         UNION ALL SELECT 'restored', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v1
+         UNION ALL SELECT 'time_travel_v2', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v2)
+       SELECT stage, CAST(n AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price,
+              TRUE AS history_preserved
+       FROM u""",
+)
+def deltalog_restore_audit(spark, sf_dir):
+    """RESTORE TABLE ... TO VERSION AS OF (delta/table.py restore):
+    create -> append -> DELETE, then restore to the pre-delete
+    version. The restored state must equal v1 EXACTLY (the oracle
+    recomputes it relationally), restore must be a NEW commit — the
+    deleted-over v2 stays time-travelable afterwards (re-read and
+    value-checked) and the version count grows to four
+    (``history_preserved``; oracle pins TRUE) — undo without history
+    rewrite, exactly Delta's contract. File-level diff only: restore
+    re-adds v1's file pointers, no data is rewritten. Scratch table
+    per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"rst-{uuid.uuid4().hex}"
+    )
+
+    def _agg(df, stage):
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+            .collect()
+        )
+
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        t.append(
+            t.read()
+            .filter(F.col("o_orderkey") <= 400)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 0.5)
+        )
+        v1 = t.version
+        t.delete("o_orderkey <= 200")
+        v2 = t.version
+        rows = _agg(t.read(), "pre_restore")
+        t.restore(v1)
+        rows += _agg(t.read(), "restored")
+        rows += _agg(t.read(v2), "time_travel_v2")
+        preserved = t.version == v2 + 1 and len(t.history()) == v2 + 2
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, preserved) for r in rows],
+        "stage string, n_rows long, total_price double, "
+        "history_preserved boolean",
+    )
+
+
+@q(
+    "deltalog_checkpoint_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 2000),
+       slices AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+                  FROM base WHERE o_orderkey > 0 AND o_orderkey <= 300),
+       late AS (SELECT o_orderkey, o_totalprice + 2 AS o_totalprice
+                FROM base WHERE o_orderkey <= 50
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 2 AS o_totalprice
+                FROM base WHERE o_orderkey <= 50),
+       cp AS (SELECT * FROM base UNION ALL SELECT * FROM slices),
+       fin AS (SELECT * FROM cp UNION ALL SELECT * FROM late),
+       u AS (
+         SELECT 'at_checkpoint' AS stage, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM cp
+         UNION ALL SELECT 'final', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM fin)
+       SELECT stage, CAST(n AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price,
+              TRUE AS resumed_from_checkpoint
+       FROM u""",
+)
+def deltalog_checkpoint_audit(spark, sf_dir):
+    """Parquet log checkpoints (delta/log.py write_checkpoint /
+    read_checkpoint / _last_checkpoint): create + 3 appends, force a
+    checkpoint, then 2 more appends. The snapshot AT the checkpoint
+    version and the final snapshot are both value-checked against
+    relational recomputation, and ``resumed_from_checkpoint`` pins
+    that (a) ``_last_checkpoint`` points at the forced version, (b)
+    the checkpoint file alone reproduces the live-file set of a full
+    replay — the property that makes a 1e5-commit log load O(tail),
+    not O(history), on a 100 TB table's driver. Scratch table
+    per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"cp-{uuid.uuid4().hex}"
+    )
+
+    def _agg(df, stage):
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+            .collect()
+        )
+
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        for cut in (100, 200, 300):
+            t.append(
+                orders.filter(
+                    (F.col("o_orderkey") > cut - 100)
+                    & (F.col("o_orderkey") <= cut)
+                ).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+            )
+        cp_version = dlog.write_checkpoint(table_dir)
+        for _ in range(2):
+            t.append(
+                orders.filter(F.col("o_orderkey") <= 50).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 2
+                )
+            )
+        rows = _agg(t.read(cp_version), "at_checkpoint")
+        rows += _agg(t.read(), "final")
+        cp_snap = dlog.read_checkpoint(table_dir, cp_version)
+        full_snap = t._snapshot(cp_version)
+        resumed = (
+            dlog.last_checkpoint_version(table_dir) == cp_version
+            and set(cp_snap.files) == set(full_snap.files)
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, resumed) for r in rows],
+        "stage string, n_rows long, total_price double, "
+        "resumed_from_checkpoint boolean",
+    )
+
+
+@q(
+    "deltalog_vacuum_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       kept AS (SELECT o_orderkey, o_totalprice + 3 AS o_totalprice
+                FROM base WHERE o_orderkey > 200),
+       u AS (
+         SELECT 'before_vacuum' AS stage, COUNT(*) AS n,
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tp FROM kept
+         UNION ALL SELECT 'after_vacuum', COUNT(*),
+                SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM kept)
+       SELECT stage, CAST(n AS BIGINT) AS n_rows,
+              CAST(ROUND(tp, 2) AS DOUBLE) AS total_price,
+              CAST(8 AS BIGINT) AS n_files_vacuumed,
+              TRUE AS dry_run_matched,
+              TRUE AS old_version_unreadable
+       FROM u""",
+)
+def deltalog_vacuum_audit(spark, sf_dir):
+    """VACUUM end-to-end (delta/table.py vacuum): create an 8-file
+    table, overwrite it (tombstoning all 8), then (a) DRY RUN lists
+    exactly the 8 tombstoned files without deleting anything, (b) the
+    real vacuum (retention 0, explicit retentionDurationCheck
+    override) deletes exactly that list, (c) the live state reads
+    identically before and after (value-checked relationally), and
+    (d) time travel to the pre-overwrite version now fails — Delta's
+    documented trade-off, pinned as ``old_version_unreadable``. The
+    oracle pins the file count and both flags literally, so the hash
+    certifies vacuum touched exactly the tombstone set. Scratch table
+    per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"vac-{uuid.uuid4().hex}"
+    )
+
+    def _agg(t, stage):
+        return (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .select(F.lit(stage).alias("stage"), "n_rows", "total_price")
+            .collect()
+        )
+
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        t.overwrite(
+            orders.filter(F.col("o_orderkey") > 200).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 3
+            )
+        )
+        rows = _agg(t, "before_vacuum")
+        dry = sorted(
+            t.vacuum(
+                retention_hours=0.0, enforce_retention=False, dry_run=True
+            )
+        )
+        survived_dry = all(
+            os.path.exists(os.path.join(table_dir, p)) for p in dry
+        )
+        real = sorted(
+            t.vacuum(retention_hours=0.0, enforce_retention=False)
+        )
+        gone = not any(
+            os.path.exists(os.path.join(table_dir, p)) for p in real
+        )
+        rows += _agg(t, "after_vacuum")
+        try:
+            t.read(0).count()
+            unreadable = False
+        except Exception:  # noqa: BLE001 - vacuumed history must fail
+            unreadable = True
+        n_vac = len(real)
+        matched = dry == real and survived_dry and gone
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, n_vac, matched, unreadable) for r in rows],
+        "stage string, n_rows long, total_price double, "
+        "n_files_vacuumed long, dry_run_matched boolean, "
+        "old_version_unreadable boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -2169,5 +2557,9 @@ for _name in (
     "deltalog_merge_matrix_audit",
     "deltalog_column_mapping_audit",
     "deltalog_row_tracking_audit",
+    "deltalog_time_travel_audit",
+    "deltalog_restore_audit",
+    "deltalog_checkpoint_audit",
+    "deltalog_vacuum_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
