@@ -398,3 +398,65 @@ def token_burstiness_dispersion(spark, sf_dir):
             ).alias("dispersion"),
         )
     )
+
+
+@q(
+    "ngram_novelty_curve",
+    f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+       tg AS (SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS g
+              FROM d),
+       firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY g),
+       per_doc AS (
+         SELECT tg.doc_id,
+                COUNT(*) AS n_grams,
+                SUM(CASE WHEN f.first_doc = tg.doc_id
+                         THEN 1 ELSE 0 END) AS novel
+         FROM tg JOIN firsts f ON tg.g = f.g
+         GROUP BY tg.doc_id)
+       SELECT CAST(doc_id // 50 AS BIGINT) AS doc_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+              ROUND(SUM(novel) / CAST(SUM(n_grams) AS DOUBLE), 6)
+                AS novel_share
+       FROM per_doc GROUP BY 1""",
+)
+def ngram_novelty_curve(spark, sf_dir):
+    """Novelty-decay curve: processing documents in doc_id order, what
+    share of each bucket's trigrams has never been seen in any
+    earlier document? A healthy diverse corpus decays slowly; a
+    template-dominated crawl collapses toward zero — the saturation
+    diagnostic that tells a curator when additional data stops adding
+    information. 'First seen' is one min-aggregate over the trigram
+    stream (no ordered scan state); the join back to the stream is
+    gram-keyed, and at 100 TB the firsts table is vocabulary-sized —
+    broadcast or bloom-pruned."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            textfns.shingles(textfns.tokens("text"), 3)
+        ).alias("g"),
+    )
+    firsts = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tg.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return per_doc.groupBy(
+        (F.col("doc_id") / 50).cast("long").alias("doc_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.round(
+            F.sum("novel") / F.sum("n_grams").cast("double"), 6
+        ).alias("novel_share"),
+    )

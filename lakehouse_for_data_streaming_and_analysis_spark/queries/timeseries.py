@@ -1467,3 +1467,221 @@ def resample_ffill_daily(spark, sf_dir):
         F.last("close", ignorenulls=True).over(w).alias("close"),
         "was_gap",
     )
+
+
+_DAILY_OHLCV_SQL = """
+         SELECT b.event_type, b.d, b.high, b.low, c.close, b.volume
+         FROM (SELECT event_type, CAST(ts AS DATE) AS d,
+                      ROUND(MAX(value), 4) AS high,
+                      ROUND(MIN(value), 4) AS low,
+                      COUNT(*) AS volume
+               FROM events GROUP BY 1, 2) b
+         JOIN (SELECT event_type, d, close FROM (
+                 SELECT event_type, CAST(ts AS DATE) AS d,
+                        ROUND(value, 4) AS close,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY event_type, CAST(ts AS DATE)
+                          ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events) WHERE rn = 1) c
+           ON b.event_type = c.event_type AND b.d = c.d"""
+
+
+def _daily_ohlcv(ev):
+    """Per-series daily OHLCV bar from the tick stream: high/low/close
+    (+ tick count as volume), closes picked by latest (ts, event_id).
+    Rounded at the stage boundary so both engines feed identical
+    doubles downstream (house convention, see bollinger/rsi)."""
+    wday = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(wday))
+        .withColumn("d", F.to_date("ts"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn") == 1, F.col("value"))), 4
+            ).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
+
+@q(
+    "stochastic_oscillator_14d",
+    f"""WITH daily AS ({_DAILY_OHLCV_SQL}),
+       k AS (
+         SELECT event_type, d, close,
+                COUNT(*) OVER w AS n_win,
+                MIN(low) OVER w AS low14,
+                MAX(high) OVER w AS high14
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       pk AS (
+         SELECT event_type, d,
+                ROUND(100.0 * (close - low14) / (high14 - low14), 4)
+                  AS pct_k
+         FROM k WHERE n_win = 14 AND high14 > low14)
+       SELECT event_type, d, pct_k,
+              ROUND(AVG(pct_k) OVER (PARTITION BY event_type ORDER BY d
+                                     ROWS BETWEEN 2 PRECEDING
+                                              AND CURRENT ROW), 4)
+                AS pct_d
+       FROM pk""",
+)
+def stochastic_oscillator_14d(spark, sf_dir):
+    """Stochastic oscillator over per-series daily bars: %K locates
+    the close within the 14-day high-low channel, %D is its 3-day
+    moving average — the bounded momentum indicator beside RSI
+    (Cutler) and Bollinger in the reference's charting notebooks'
+    genre. %K rounds before the %D average so both engines smooth
+    identical inputs. One shuffle to daily grain; the channel and
+    smoothing windows share the per-series partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_ohlcv(ev)
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    k = daily.select(
+        "event_type",
+        "d",
+        "close",
+        F.count(F.lit(1)).over(w14).alias("n_win"),
+        F.min("low").over(w14).alias("low14"),
+        F.max("high").over(w14).alias("high14"),
+    ).filter((F.col("n_win") == 14) & (F.col("high14") > F.col("low14")))
+    pk = k.select(
+        "event_type",
+        "d",
+        F.round(
+            100.0
+            * (F.col("close") - F.col("low14"))
+            / (F.col("high14") - F.col("low14")),
+            4,
+        ).alias("pct_k"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return pk.select(
+        "event_type",
+        "d",
+        "pct_k",
+        F.round(F.avg("pct_k").over(w3), 4).alias("pct_d"),
+    )
+
+
+@q(
+    "atr_14day",
+    f"""WITH daily AS ({_DAILY_OHLCV_SQL}),
+       tr AS (
+         SELECT event_type, d,
+                ROUND(GREATEST(
+                  high - low,
+                  ABS(high - LAG(close) OVER w),
+                  ABS(low - LAG(close) OVER w)), 4) AS true_range
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+       f AS (SELECT event_type, d, true_range FROM tr
+             WHERE true_range IS NOT NULL)
+       SELECT event_type, d, true_range,
+              ROUND(AVG(true_range) OVER (PARTITION BY event_type
+                                          ORDER BY d
+                                          ROWS BETWEEN 13 PRECEDING
+                                                   AND CURRENT ROW), 4)
+                AS atr14,
+              COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                AS n_win
+       FROM f QUALIFY n_win = 14""",
+)
+def atr_14day(spark, sf_dir):
+    """14-day Average True Range (simple-average variant, like the
+    Cutler RSI — Wilder's recursive smoothing is an EWMA fold, not a
+    window): true range spans today's bar against yesterday's close,
+    catching gap moves the high-low span alone misses. True range
+    rounds before the rolling average. Same one-shuffle daily-grain
+    plan as the other indicator queries."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_ohlcv(ev)
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    tr = daily.select(
+        "event_type",
+        "d",
+        F.round(
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - F.lag("close").over(wlag)),
+                F.abs(F.col("low") - F.lag("close").over(wlag)),
+            ),
+            4,
+        ).alias("true_range"),
+    ).filter(F.col("true_range").isNotNull())
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    out = tr.select(
+        "event_type",
+        "d",
+        "true_range",
+        F.round(F.avg("true_range").over(w14), 4).alias("atr14"),
+        F.count(F.lit(1)).over(w14).alias("n_win"),
+    )
+    return out.filter(F.col("n_win") == 14)
+
+
+@q(
+    "on_balance_volume",
+    f"""WITH daily AS ({_DAILY_OHLCV_SQL}),
+       dirn AS (
+         SELECT event_type, d, volume,
+                CASE WHEN close > LAG(close) OVER w THEN 1
+                     WHEN close < LAG(close) OVER w THEN -1
+                     ELSE 0 END AS sgn
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY d))
+       SELECT event_type, d,
+              CAST(SUM(sgn * volume) OVER (PARTITION BY event_type
+                                           ORDER BY d
+                                           ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS obv
+       FROM dirn""",
+)
+def on_balance_volume(spark, sf_dir):
+    """On-balance volume: the running sum of daily tick volume signed
+    by the close-to-close direction — volume-flow confirmation for
+    the price indicators. Integer arithmetic end-to-end (sign x
+    count), so the cumulative fold is exactly order-stable on both
+    engines; the first day's NULL lag contributes sign 0, matching
+    the CASE's ELSE arm."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = _daily_ohlcv(ev)
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    sgn = (
+        F.when(F.col("close") > F.lag("close").over(wlag), 1)
+        .when(F.col("close") < F.lag("close").over(wlag), -1)
+        .otherwise(0)
+    )
+    dirn = daily.select("event_type", "d", "volume", sgn.alias("sgn"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dirn.select(
+        "event_type",
+        "d",
+        F.sum(F.col("sgn") * F.col("volume"))
+        .over(wcum)
+        .cast("long")
+        .alias("obv"),
+    )
