@@ -65,13 +65,14 @@ ROWS_ONLY: tuple[str, ...] = ()
 # with this round's additions): the 16 remaining never-checked names
 # (3 r5-added delta audits + 13 original-registry stats/graph/BPE
 # queries) head the window and CLOSE THE PRE-r6 REGISTRY at 254/254
-# if green; the 34 spare slots carry round 6's 20 new queries
+# if green; the 34 spare slots carry round 6's 34 new queries
 # (corpus distribution statistics, the ANSI window/aggregate
-# surface, and 4 new transaction-log audits: time travel, RESTORE,
-# parquet checkpoints, VACUUM), each sim + dtype-lint green before
-# staging. The window holds 36 names; the driver's remaining 14
-# slots re-check already-green queries (stability signal, no new
-# information). If all 36 come green, cumulative = 274/274 — every
+# surface, financial indicators, graph/embedding/novelty analyses,
+# 7 new transaction-log audits — time travel, RESTORE, parquet
+# checkpoints, VACUUM, schema evolution, CHECK constraints,
+# Z-ORDER — and a native-session-window streaming run), each sim +
+# dtype-lint green before staging. The window holds exactly 50
+# names. If all 50 come green, cumulative = 288/288 — every
 # registered query driver-verified. Any red rows re-enter the r7
 # window head automatically via rotate_window's failed-first rule.
 DRIVER_GREEN = (
@@ -357,6 +358,21 @@ WINDOW_PRIORITY = (
     "deltalog_restore_audit",
     "deltalog_checkpoint_audit",
     "deltalog_vacuum_audit",
+    # --- round-6 batch 2 (fills the window to exactly 50):
+    "stochastic_oscillator_14d",
+    "atr_14day",
+    "on_balance_volume",
+    "histogram_equi_depth_bands",
+    "pivot_dow_multi_agg",
+    "grouping_id_rollup_audit",
+    "user_inactive_day_spans",
+    "ngram_novelty_curve",
+    "embedding_centroid_separation",
+    "label_propagation_rounds",
+    "deltalog_schema_evolution_audit",
+    "deltalog_check_constraint_audit",
+    "deltalog_zorder_audit",
+    "streaming_session_final_state",
 )
 
 

@@ -912,3 +912,89 @@ def temperature_mixture_weights(spark, sf_dir, alpha: float = 0.3):
         F.round(p_temp, 6).alias("temp_share"),
         F.round(p_temp / q_nat, 4).alias("sampling_factor"),
     )
+
+
+@q(
+    "embedding_centroid_separation",
+    """WITH dims AS (
+         SELECT label, generate_subscripts(embedding, 1) AS dim,
+                CAST(unnest(embedding) AS DOUBLE) AS val
+         FROM embeddings),
+       cent AS (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY 1, 2),
+       nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1),
+       gcent AS (SELECT dim, AVG(val) AS g FROM dims GROUP BY 1),
+       dg AS (SELECT c.label,
+                     ROUND(sqrt(SUM((c.m - gcent.g) * (c.m - gcent.g))), 6)
+                       AS dist_to_global
+              FROM cent c JOIN gcent ON c.dim = gcent.dim GROUP BY c.label),
+       pair AS (SELECT a.label AS la, b.label AS lb,
+                       sqrt(SUM((a.m - b.m) * (a.m - b.m))) AS d
+                FROM cent a JOIN cent b
+                  ON a.dim = b.dim AND a.label <> b.label
+                GROUP BY 1, 2),
+       near AS (SELECT la AS label, lb AS nearest_label,
+                       ROUND(d, 6) AS nearest_dist,
+                       ROW_NUMBER() OVER (PARTITION BY la
+                                          ORDER BY d, lb) AS rn
+                FROM pair)
+       SELECT nv.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+              dg.dist_to_global, near.nearest_label, near.nearest_dist
+       FROM nv JOIN dg ON nv.label = dg.label
+       JOIN near ON nv.label = near.label AND near.rn = 1""",
+)
+def embedding_centroid_separation(spark, sf_dir):
+    """Class-separability audit over the embedding table: each
+    label's centroid distance to the GLOBAL centroid (is the class
+    off-center at all?) and to its NEAREST other-class centroid (the
+    confusion risk) — the cheap geometric screen run before trusting
+    labels for classifier training or SemDeDup-style pruning.
+
+    Everything reduces through (label, dim) partial means: the
+    centroid table is labels x dims rows, the pairwise distance
+    matrix labels^2 x dims — kilobytes at any corpus scale, after a
+    single posexplode + map-side-combined average over the vectors.
+    min_by picks the nearest neighbor with a (distance, label)
+    struct so ties break identically on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = vectors.as_double("embedding")
+    dims = e.select("label", F.posexplode(emb).alias("dim", "val"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("val").alias("m"))
+    nv = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    glob = dims.groupBy("dim").agg(F.avg("val").alias("g"))
+    dg = (
+        cent.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("m") - F.col("g")) * (F.col("m") - F.col("g"))
+                    )
+                ),
+                6,
+            ).alias("dist_to_global")
+        )
+    )
+    a = cent.select(F.col("label").alias("la"), "dim", F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("lb"), "dim", F.col("m").alias("mb"))
+    pair = (
+        a.join(b, "dim")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            ).alias("d")
+        )
+    )
+    near = pair.groupBy(F.col("la").alias("label")).agg(
+        F.min_by("lb", F.struct("d", "lb")).alias("nearest_label"),
+        F.round(F.min("d"), 6).alias("nearest_dist"),
+    )
+    return (
+        nv.join(dg, "label")
+        .join(near, "label")
+        .select(
+            "label", "n_vecs", "dist_to_global", "nearest_label", "nearest_dist"
+        )
+    )

@@ -948,3 +948,103 @@ def bloom_prefilter_join(spark, sf_dir):
             ),
         )
     )
+
+
+def _label_prop_oracle(n_rounds: int = 3) -> str:
+    """Unrolled synchronous min-label propagation: round k+1 labels =
+    least(own label, min over in-neighbors' labels) on the symmetric
+    hand-off graph — the same per-round CTE shape as the PageRank
+    oracle, one CTE pair per round."""
+    its = []
+    for k in range(n_rounds):
+        its.append(f"""
+       nm{k} AS (SELECT e.b AS node, MIN(l.label) AS m
+                 FROM l{k} l JOIN e ON l.node = e.a GROUP BY e.b),
+       l{k + 1} AS (SELECT l.node,
+                         LEAST(l.label, COALESCE(nm{k}.m, l.label)) AS label
+                     FROM l{k} l LEFT JOIN nm{k} ON l.node = nm{k}.node)""")
+    rounds_union = "\n         UNION ALL ".join(
+        f"""SELECT {k} AS round,
+                COUNT(DISTINCT label) AS n_labels,
+                (SELECT COUNT(*) FROM l{k} a JOIN l{max(k - 1, 0)} b
+                  ON a.node = b.node AND a.label <> b.label) AS n_changed
+         FROM l{k}"""
+        for k in range(n_rounds + 1)
+    )
+    return f"""WITH raw AS (
+         SELECT s, t FROM (
+           SELECT user_id AS s,
+                  lead(user_id) OVER (PARTITION BY event_type
+                      ORDER BY epoch_us(ts) // 1000000, event_id) AS t
+           FROM events)
+         WHERE t IS NOT NULL AND t <> s),
+       e AS (SELECT DISTINCT a, b FROM (
+               SELECT s AS a, t AS b FROM raw
+               UNION ALL SELECT t, s FROM raw)),
+       l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),{",".join(its)}
+       SELECT CAST(round AS INT) AS round,
+              CAST(n_labels AS BIGINT) AS n_labels,
+              CAST(n_changed AS BIGINT) AS n_changed
+       FROM ({rounds_union})"""
+
+
+@q("label_propagation_rounds", _label_prop_oracle())
+def label_propagation_rounds(spark, sf_dir):
+    """Community coarsening trace: 3 synchronous rounds of min-label
+    propagation over the symmetric user hand-off graph, reporting per
+    round how many distinct labels survive and how many nodes changed
+    label — the convergence telemetry an operator watches to size
+    max_iters for the full connected-components run (dedup_components
+    runs it to convergence; this pins the per-round dynamics).
+    Each round is one co-partitioned join + min-aggregate with
+    lineage truncated by localCheckpoint — the bounded-round pattern
+    that survives 100 TB graphs because state is one (node, label)
+    row per vertex, never paths."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("s"),
+        F.lead("user_id").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull() & (F.col("t") != F.col("s")))
+    sym = (
+        raw.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .union(raw.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    stats = [(0, labels.select("label").distinct().count(), 0)]
+    for k in range(1, 4):
+        nm = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("m"))
+        )
+        updated = (
+            labels.join(nm, labels["node"] == nm["node2"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("m"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("label") != F.col("old")).count()
+        labels = updated.select("node", "label")
+        stats.append(
+            (k, labels.select("label").distinct().count(), changed)
+        )
+    return spark.createDataFrame(
+        stats, "round int, n_labels long, n_changed long"
+    )

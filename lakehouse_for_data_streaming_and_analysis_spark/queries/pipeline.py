@@ -656,6 +656,88 @@ def streaming_dedup_final_state(spark, sf_dir):
 
 
 @q(
+    "streaming_session_final_state",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                          > INTERVAL 12 HOUR
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events),
+       s AS (SELECT user_id, ts,
+                    SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+             FROM g),
+       sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                       epoch(MAX(ts) - MIN(ts)) + 43200.0 AS dur_s
+                FROM s GROUP BY 1, 2)
+       SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_sessions,
+              CAST(SUM(n_events) AS BIGINT) AS n_events,
+              ROUND(AVG(dur_s), 1) AS avg_session_secs
+       FROM sess GROUP BY user_id""",
+)
+def streaming_session_final_state(spark, sf_dir):
+    """Native SESSION WINDOWS under a real StreamingQuery (T1-family
+    extension): the replayed event stream aggregates
+    groupBy(user_id, session_window(ts, '12 hours')) across
+    micro-batches — the stateful operator MERGES sessions as later
+    batches bridge gaps, the semantics that make session windows a
+    streaming-native primitive rather than a gaps-and-islands batch
+    trick. Complete mode (no watermark: the finite replay must not
+    drop late rows); the drained per-session memory table rolls up to
+    per-user session counts/durations in batch, and must hash-match
+    the lag/cumsum islands oracle — the same contract
+    session_window_batch pins for the batch evaluator, now proven for
+    the incremental state machine. State is per (user, open session),
+    bounded by the gap at 100 TB with a watermark evicting closed
+    sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = _ensure_bronze_replay(spark, sf_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    sess = stream.groupBy(
+        "user_id", F.session_window("ts", "12 hours").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tbl = f"session_final_state_{sf_tag}"
+    with _pinned_shuffle(spark):
+        q_handle = (
+            sess.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q_handle.awaitTermination(300)
+    if not finished:
+        q_handle.stop()
+        raise TimeoutError(
+            "streaming_session_final_state did not drain within 300s; "
+            "a partial memory table would silently fail the oracle"
+        )
+    per_sess = spark.table(tbl).select(
+        "user_id",
+        "n_events",
+        (
+            F.col("sw.end").cast("double") - F.col("sw.start").cast("double")
+        ).alias("dur_s"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("dur_s"), 1).alias("avg_session_secs"),
+    )
+
+
+@q(
     "deltalog_snapshot_audit",
     """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
        v0 AS (SELECT * FROM base WHERE o_orderkey % 3 = 0),
@@ -2530,6 +2612,255 @@ def deltalog_vacuum_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_schema_evolution_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       evo AS (SELECT o_orderkey, o_totalprice + 0.5 AS o_totalprice,
+                      o_orderstatus
+               FROM orders WHERE o_orderkey <= 400),
+       fin AS (SELECT o_orderkey, o_totalprice,
+                      CAST(NULL AS VARCHAR) AS o_orderstatus FROM base
+               UNION ALL SELECT * FROM evo)
+       SELECT COALESCE(o_orderstatus, '(pre-evolution)') AS status,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS strict_append_refused
+       FROM fin GROUP BY 1""",
+)
+def deltalog_schema_evolution_audit(spark, sf_dir):
+    """Schema evolution through the transaction log (delta/table.py
+    _enforce_or_evolve): a widened frame (new o_orderstatus column)
+    is first REFUSED by the default strict append — Delta's schema
+    enforcement, pinned as ``strict_append_refused`` — then lands
+    via merge_schema=True, committing evolved metaData in the same
+    commit as the adds. Pre-evolution files are re-read under the
+    evolved schema with the new column as NULL (no rewrite — the
+    whole point: evolving a 100 TB table is one metadata action).
+    Final state grouped by the evolved column is recomputed
+    relationally by the oracle. Scratch table per-invocation,
+    removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    evo = orders.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 0.5).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"evo-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, base)
+        try:
+            t.append(evo)
+            refused = False
+        except Exception:  # noqa: BLE001 - strict enforcement must raise
+            refused = True
+        t.append(evo, merge_schema=True)
+        rows = (
+            t.read()
+            .groupBy(
+                F.coalesce(F.col("o_orderstatus"), F.lit("(pre-evolution)"))
+                .alias("status")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, refused) for r in rows],
+        "status string, n_rows long, total_price double, "
+        "strict_append_refused boolean",
+    )
+
+
+@q(
+    "deltalog_check_constraint_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_totalprice > 900),
+       good AS (SELECT o_orderkey + 1000000 AS o_orderkey,
+                       o_totalprice + 0.25 AS o_totalprice
+                FROM base WHERE o_orderkey <= 400),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM good)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS violating_write_refused,
+              TRUE AS violating_constraint_refused
+       FROM fin""",
+)
+def deltalog_check_constraint_audit(spark, sf_dir):
+    """CHECK constraints through the log (delta/table.py
+    add_check_constraint / _enforce_checks): constrain
+    o_totalprice > 900 on a conforming table, then (a) an append
+    carrying a violating row REFUSES atomically — nothing of the
+    batch lands — and (b) adding a second constraint the EXISTING
+    data already violates also refuses (Delta validates history
+    before accepting a constraint). A conforming append lands
+    normally. Both refusals are pinned as oracle-TRUE flags; the
+    final state is recomputed relationally, certifying the refused
+    batch left no partial rows. Scratch table per-invocation,
+    removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_totalprice") > 900)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"chk-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, base)
+        t.add_check_constraint("price_floor", "o_totalprice > 900")
+        bad = spark.createDataFrame(
+            [(999_999_999, 1.0)], "o_orderkey long, o_totalprice double"
+        )
+        try:
+            t.append(bad)
+            write_refused = False
+        except Exception:  # noqa: BLE001 - violating batch must refuse
+            write_refused = True
+        try:
+            t.add_check_constraint("impossible", "o_totalprice > 1e12")
+            constraint_refused = False
+        except Exception:  # noqa: BLE001 - history violates: refuse
+            constraint_refused = True
+        t.append(
+            base.filter(F.col("o_orderkey") <= 400).select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 0.25).alias("o_totalprice"),
+            )
+        )
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, write_refused, constraint_refused)],
+        "n_rows long, total_price double, violating_write_refused boolean, "
+        "violating_constraint_refused boolean",
+    )
+
+
+@q(
+    "deltalog_zorder_audit",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+                     FROM orders)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS state_invariant,
+              TRUE AS both_dims_selective
+       FROM base""",
+)
+def deltalog_zorder_audit(spark, sf_dir):
+    """Z-ORDER end-to-end (delta/table.py zorder_by): a table laid
+    out by o_orderkey ranges — where an o_custkey band predicate
+    matches EVERY file — is re-clustered on (o_custkey, o_orderkey)
+    via the Morton-curve rewrite. The audit pins (a) the table state
+    is byte-identical before/after (dataChange=false compaction
+    contract; oracle recomputes the aggregate relationally) and (b)
+    AFTER z-ordering, log-stats skipping prunes files for BOTH a
+    custkey band and an orderkey band (``both_dims_selective``) —
+    the multi-dimension selectivity that a single-column sort cannot
+    give and the reason Z-ORDER exists for 100 TB range scans.
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"zo-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        snap0 = t._snapshot()
+        ck = t.read().agg(F.max("o_custkey"), F.max("o_orderkey")).collect()[0]
+        ck_band = f"o_custkey <= {int(ck[0]) // 10}"
+        ok_band = f"o_orderkey <= {int(ck[1]) // 10}"
+        before_ck = len(t.files_matching_predicate(ck_band, snap=snap0))
+        t.zorder_by(["o_custkey", "o_orderkey"], n_files=8)
+        snap1 = t._snapshot()
+        after_ck = len(t.files_matching_predicate(ck_band, snap=snap1))
+        after_ok = len(t.files_matching_predicate(ok_band, snap=snap1))
+        selective = (
+            before_ck == len(snap0.files)  # orderkey layout: ck matches all
+            and after_ck < len(snap1.files)
+            and after_ok < len(snap1.files)
+        )
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+        invariant = row["n_rows"] == snap0_rows(snap0)
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, invariant, selective)],
+        "n_rows long, total_price double, state_invariant boolean, "
+        "both_dims_selective boolean",
+    )
+
+
+def snap0_rows(snap) -> int:
+    """Total numRecords of a snapshot's live files (log stats only)."""
+    import json as _json
+
+    total = 0
+    for a in snap.files.values():
+        s = a.get("stats")
+        if isinstance(s, str):
+            s = _json.loads(s)
+        total += int((s or {}).get("numRecords") or 0)
+    return total
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -2561,5 +2892,8 @@ for _name in (
     "deltalog_restore_audit",
     "deltalog_checkpoint_audit",
     "deltalog_vacuum_audit",
+    "deltalog_schema_evolution_audit",
+    "deltalog_check_constraint_audit",
+    "deltalog_zorder_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
