@@ -96,18 +96,55 @@ class Snapshot:
 def replay(table_path: str, until: int | None = None) -> Snapshot:
     """Reconstruct table state: resume from the newest usable parquet
     checkpoint (if any at or before ``until``), then replay only the
-    later JSON commits — the production Delta read path."""
+    later JSON commits — the production Delta read path.
+
+    Truncated history (cleanup_metadata removed the early commits) is
+    detected, never silently misread: time travel to a version whose
+    JSON is gone and that no surviving checkpoint covers raises; a
+    GAP in the replayed range (a missing middle commit) raises rather
+    than replaying around it."""
     snap = Snapshot()
     start = 0
     cp = last_checkpoint_version(table_path)
     if cp is not None and (until is None or cp <= until):
         snap = read_checkpoint(table_path, cp)
         start = cp + 1
-    for v in list_versions(table_path):
-        if v < start:
-            continue
-        if until is not None and v > until:
-            break
+    versions = list_versions(table_path)
+    replayed = [
+        v for v in versions if v >= start and (until is None or v <= until)
+    ]
+    if replayed and (snap.version >= 0 or start > 0):
+        expected = start
+    elif replayed:
+        expected = replayed[0]  # no checkpoint: any prefix is fine
+    else:
+        expected = None
+    for v in replayed:
+        if v != expected:
+            raise ValueError(
+                f"delta log is truncated: commit {expected} is missing "
+                f"(found {v}); history below the last checkpoint may "
+                "have been removed by cleanup_metadata"
+            )
+        expected = v + 1
+    if (
+        until is not None
+        and versions
+        and not replayed
+        and snap.version < 0
+    ):
+        raise ValueError(
+            f"cannot reconstruct version {until}: its commits were "
+            "removed by metadata cleanup and no checkpoint at or "
+            "before it survives"
+        )
+    if replayed and snap.version < 0 and replayed[0] > 0:
+        raise ValueError(
+            f"cannot reconstruct version {until if until is not None else replayed[-1]}: "
+            f"commits 0..{replayed[0] - 1} were removed by metadata "
+            "cleanup and no checkpoint at or before it survives"
+        )
+    for v in replayed:
         snap.version = v
         for action in read_commit(table_path, v):
             if "metaData" in action:
@@ -319,3 +356,48 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
             if not dm.get("removed"):
                 snap.domains[dm["domain"]] = dm.get("configuration", "")
     return snap
+
+
+def cleanup_metadata(
+    table_path: str,
+    retention_hours: float = 720.0,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Delta's log metadata cleanup (``delta.logRetentionDuration``,
+    default 30 days): delete commit JSONs — and superseded checkpoint
+    files — STRICTLY BELOW the newest checkpoint, oldest-first and
+    only while each file's age exceeds the retention window. Stopping
+    at the first too-young file keeps the surviving log contiguous
+    (mtimes are monotone with version), the invariant replay()'s
+    truncation guard relies on. Nothing at or above the newest
+    checkpoint is ever touched, so the current state and every
+    version >= the checkpoint stay reconstructible; history below it
+    becomes time-travel-unreachable — exactly Delta's trade-off, and
+    the reason a 1e5-commit streaming table's _delta_log stays
+    bounded. Returns the deleted file names."""
+    cp = last_checkpoint_version(table_path)
+    if cp is None:
+        return []  # nothing may be deleted without a covering checkpoint
+    now = time.time() * 1000.0 if now_ms is None else float(now_ms)
+    cutoff = now - retention_hours * 3600.0 * 1000.0
+    lp = log_path(table_path)
+    deleted: list[str] = []
+    for v in list_versions(table_path):
+        if v >= cp:
+            break
+        p = version_file(table_path, v)
+        if os.path.getmtime(p) * 1000.0 >= cutoff:
+            break  # contiguous prefix only
+        os.remove(p)
+        deleted.append(os.path.basename(p))
+    for name in sorted(os.listdir(lp)):
+        if not name.endswith(".checkpoint.parquet"):
+            continue
+        stem = name[: -len(".checkpoint.parquet")]
+        if not stem.isdigit() or int(stem) >= cp:
+            continue
+        p = os.path.join(lp, name)
+        if os.path.getmtime(p) * 1000.0 < cutoff:
+            os.remove(p)
+            deleted.append(name)
+    return deleted

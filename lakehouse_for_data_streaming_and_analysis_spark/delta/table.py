@@ -4313,6 +4313,46 @@ class DeltaishTable:
         actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
         return self._commit_next(actions, read_version=snap.version)
 
+    def cleanup_metadata(
+        self, retention_hours: float | None = None
+    ) -> list[str]:
+        """Log metadata cleanup (delta.logRetentionDuration, default
+        30 days): drop commit JSONs and superseded checkpoints older
+        than the retention window and strictly below the newest
+        checkpoint — the companion of VACUUM for the _delta_log side.
+        Without it a long-lived streaming table accumulates one JSON
+        per commit forever; with it the log stays O(checkpoint
+        interval + retention window). History below the cut becomes
+        time-travel-unreachable, and replay() raises a clear error
+        for such versions instead of misreading a truncated log.
+
+        The retention defaults from the table property
+        ``delta.logRetentionDuration`` (``interval N days|hours``)
+        when set, else 720 h. delta-spark runs this automatically at
+        checkpoint time; here it is explicit, like the maintenance
+        entry points the reference schedules (delta_manager.py)."""
+        if retention_hours is None:
+            conf = self._snapshot().metadata.get("configuration", {}) or {}
+            raw = conf.get("delta.logRetentionDuration")
+            retention_hours = 720.0
+            if raw:
+                m = re.fullmatch(
+                    r"\s*interval\s+(\d+)\s+(day|days|hour|hours)\s*",
+                    str(raw).lower(),
+                )
+                if not m:
+                    raise ValueError(
+                        f"unparseable delta.logRetentionDuration {raw!r}; "
+                        "expected 'interval N days' or 'interval N hours'"
+                    )
+                n = int(m.group(1))
+                retention_hours = float(
+                    n * 24 if m.group(2).startswith("day") else n
+                )
+        return dlog.cleanup_metadata(
+            self.path, retention_hours=retention_hours
+        )
+
     def vacuum(
         self,
         retention_hours: float = 168.0,

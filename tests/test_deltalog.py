@@ -3817,3 +3817,75 @@ def test_overwrite_where_conflicts_with_concurrent_append(spark, tmp_path):
     # re-run against the fresh snapshot succeeds
     t.overwrite_where(repl, f"o_orderkey <= {cut}")
     assert t.read().count() == 205 - 50 + 10
+
+
+def test_cleanup_metadata_truncates_log_safely(spark, tmp_path):
+    """Log metadata cleanup (delta.logRetentionDuration): expired
+    commit JSONs and superseded checkpoints strictly below the newest
+    checkpoint are deleted; the current state and every version >= the
+    checkpoint stay reconstructible; cleaned history raises a CLEAR
+    error instead of silently replaying a truncated log."""
+    df = _orders(spark, 60)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    for i in range(5):
+        t.append(df.limit(5 + i))
+    exp_total = t.read().count()
+    v3_count = t.read(3).count()
+    dlog.write_checkpoint(str(t.path))  # cp at v5... pin explicitly:
+    cp = dlog.last_checkpoint_version(str(t.path))
+    assert cp == 5
+
+    # young files survive the default 30-day window
+    assert t.cleanup_metadata() == []
+    # no checkpoint below cp -> only JSONs 0..4 are eligible
+    deleted = dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert deleted == [f"{v:020d}.json" for v in range(5)]
+    assert dlog.list_versions(str(t.path)) == [5]
+
+    # live state + at/above-checkpoint reads intact
+    assert t.read().count() == exp_total
+    assert t.read(5).count() == exp_total
+    t.append(df.limit(3))
+    assert t.read().count() == exp_total + 3
+    assert t.read(5).count() == exp_total
+
+    # cleaned history raises, loudly and specifically
+    with pytest.raises(ValueError, match="metadata cleanup"):
+        t.read(3).count()
+    assert v3_count > 0  # it existed before the cut
+    # history() reflects the surviving log only
+    assert [h["version"] for h in t.history()] == [5, 6]
+
+
+def test_cleanup_metadata_respects_property_and_contiguity(
+    spark, tmp_path
+):
+    """The retention default comes from delta.logRetentionDuration;
+    an unparseable property refuses; superseded checkpoint files are
+    cleaned with the JSONs; a gap in the surviving range raises."""
+    df = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(4))
+    dlog.write_checkpoint(str(t.path), 1)
+    t.append(df.limit(4))
+    t.append(df.limit(4))
+    dlog.write_checkpoint(str(t.path))  # cp at v3; v1 checkpoint now old
+    t.set_table_properties(
+        {"delta.logRetentionDuration": "interval 0 hours"}
+    )
+    deleted = t.cleanup_metadata()
+    assert f"{1:020d}.checkpoint.parquet" in deleted
+    assert dlog.list_versions(str(t.path)) == [3, 4]
+    assert t.read().count() == t.read(4).count()
+
+    t.set_table_properties(
+        {"delta.logRetentionDuration": "sometimes, on tuesdays"}
+    )
+    with pytest.raises(ValueError, match="logRetentionDuration"):
+        t.cleanup_metadata()
+
+    # a missing MIDDLE commit is a gap, not a cleanup prefix
+    os.remove(dlog.version_file(str(t.path), 4))
+    t2 = DeltaishTable(spark, str(t.path))
+    with pytest.raises(ValueError, match="truncated"):
+        t2.read(5).count()
