@@ -2861,6 +2861,98 @@ def snap0_rows(snap) -> int:
     return total
 
 
+@q(
+    "deltalog_log_cleanup_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 2000),
+       s1 AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       s2 AS (SELECT o_orderkey, o_totalprice + 2 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       s3 AS (SELECT o_orderkey, o_totalprice + 3 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       post AS (SELECT o_orderkey, o_totalprice + 4 AS o_totalprice
+                FROM base WHERE o_orderkey <= 100),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+               UNION ALL SELECT * FROM post)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              CAST(3 AS BIGINT) AS n_log_files_removed,
+              TRUE AS surviving_log_contiguous,
+              TRUE AS cleaned_history_raises
+       FROM fin""",
+)
+def deltalog_log_cleanup_audit(spark, sf_dir):
+    """Log metadata cleanup end-to-end (delta/log.py
+    cleanup_metadata, the logRetentionDuration maintenance op):
+    create + 3 appends, checkpoint at the head, one post-checkpoint
+    append, then expire the pre-checkpoint commits. The audit pins
+    (a) exactly the 3 below-checkpoint JSONs go (count oracle-pinned),
+    (b) the surviving log is the contiguous [checkpoint..head] range,
+    (c) the LIVE state is value-identical after cleanup (relational
+    recompute — the checkpoint alone must carry the state), and (d)
+    time travel into the cleaned range raises the specific
+    metadata-cleanup error rather than replaying a truncated log.
+    This is the _delta_log-side VACUUM: a 1e5-commit streaming
+    table's log stays O(checkpoint interval + retention). Scratch
+    table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    slice_df = orders.filter(F.col("o_orderkey") <= 100)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"lc-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        for bump in (1, 2, 3):
+            t.append(
+                slice_df.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + bump
+                )
+            )
+        cp = dlog.write_checkpoint(table_dir)
+        t.append(
+            slice_df.withColumn("o_totalprice", F.col("o_totalprice") + 4)
+        )
+        removed = dlog.cleanup_metadata(table_dir, retention_hours=0.0)
+        contiguous = dlog.list_versions(table_dir) == [cp, cp + 1]
+        try:
+            t.read(cp - 1).count()
+            raises = False
+        except ValueError:
+            raises = True
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, len(removed), contiguous, raises)],
+        "n_rows long, total_price double, n_log_files_removed long, "
+        "surviving_log_contiguous boolean, cleaned_history_raises boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -2895,5 +2987,6 @@ for _name in (
     "deltalog_schema_evolution_audit",
     "deltalog_check_constraint_audit",
     "deltalog_zorder_audit",
+    "deltalog_log_cleanup_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
