@@ -266,15 +266,69 @@ def checkpoint_file(table_path: str, version: int) -> str:
     )
 
 
-def write_checkpoint(table_path: str, version: int | None = None) -> int:
+def multipart_checkpoint_file(
+    table_path: str, version: int, part: int, parts: int
+) -> str:
+    """Spec naming for classic multi-part checkpoints:
+    ``<v 020d>.checkpoint.<part 010d>.<parts 010d>.parquet``
+    (part is 1-based)."""
+    return os.path.join(
+        log_path(table_path),
+        f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet",
+    )
+
+
+def checkpoint_part_paths(table_path: str, version: int) -> list[str]:
+    """Resolve the parquet file(s) of the checkpoint at ``version``:
+    the single-file form if present, else the complete multi-part
+    set. An INCOMPLETE multi-part set (a part missing — e.g. a torn
+    upload) raises rather than reconstructing partial state."""
+    single = checkpoint_file(table_path, version)
+    if os.path.exists(single):
+        return [single]
+    prefix = f"{version:020d}.checkpoint."
+    lp = log_path(table_path)
+    found: dict[int, tuple[int, str]] = {}
+    declared: set[int] = set()
+    if os.path.isdir(lp):
+        for name in os.listdir(lp):
+            if not (name.startswith(prefix) and name.endswith(".parquet")):
+                continue
+            bits = name[len(prefix): -len(".parquet")].split(".")
+            if len(bits) != 2 or not all(b.isdigit() for b in bits):
+                continue
+            found[int(bits[0])] = (int(bits[1]), os.path.join(lp, name))
+            declared.add(int(bits[1]))
+    if not found:
+        return []
+    n = max(declared)
+    if len(declared) != 1 or sorted(found) != list(range(1, n + 1)):
+        raise ValueError(
+            f"incomplete multi-part checkpoint at version {version}: "
+            f"have parts {sorted(found)} of {sorted(declared)} — "
+            "refusing to reconstruct partial state"
+        )
+    return [found[p][1] for p in sorted(found)]
+
+
+def write_checkpoint(
+    table_path: str, version: int | None = None, parts: int = 1
+) -> int:
     """Materialize the snapshot at ``version`` (default: latest) as a
-    parquet checkpoint and advance ``_last_checkpoint``."""
+    parquet checkpoint and advance ``_last_checkpoint``. With
+    ``parts > 1`` the actions split round-robin across the spec's
+    multi-part file set (`.checkpoint.<k>.<n>.parquet`) — the classic
+    form for tables whose live-file set outgrows one parquet object;
+    readers must consume every part (the spec allows any distribution
+    of actions across them, which round-robin exercises maximally)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     versions = list_versions(table_path)
     if version is None:
         version = versions[-1]
+    if parts < 1:
+        raise ValueError(f"parts must be >= 1, got {parts}")
     snap = replay(table_path, until=version)
     rows: list[dict] = [
         {"protocol": snap.protocol or None},
@@ -299,22 +353,33 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
     # one JSON-encoded action column per action type; parquet-friendly
     # without hand-maintaining the full nested spec schema (documented
     # divergence: the spec stores typed nested structs)
-    cols = {
-        "protocol": [], "metaData": [], "add": [], "remove": [],
-        "txn": [], "domainMetadata": [],
-    }
-    for r in rows:
-        for k in cols:
-            v = r.get(k)
-            cols[k].append(
-                json.dumps(v, separators=(",", ":")) if v else None
+    def _table(chunk: list[dict]):
+        cols = {
+            "protocol": [], "metaData": [], "add": [], "remove": [],
+            "txn": [], "domainMetadata": [],
+        }
+        for r in chunk:
+            for k in cols:
+                v = r.get(k)
+                cols[k].append(
+                    json.dumps(v, separators=(",", ":")) if v else None
+                )
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in cols.items()}
+        )
+
+    if parts == 1:
+        pq.write_table(_table(rows), checkpoint_file(table_path, version))
+    else:
+        for k in range(parts):
+            pq.write_table(
+                _table(rows[k::parts]),
+                multipart_checkpoint_file(
+                    table_path, version, k + 1, parts
+                ),
             )
-    pq.write_table(
-        pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}),
-        checkpoint_file(table_path, version),
-    )
     with open(os.path.join(log_path(table_path), LAST_CHECKPOINT), "w") as f:
-        json.dump({"version": version, "parts": 1}, f)
+        json.dump({"version": version, "parts": parts}, f)
     return version
 
 
@@ -324,37 +389,49 @@ def last_checkpoint_version(table_path: str) -> int | None:
         return None
     with open(p) as f:
         v = int(json.load(f)["version"])
-    return v if os.path.exists(checkpoint_file(table_path, v)) else None
+    try:
+        return v if checkpoint_part_paths(table_path, v) else None
+    except ValueError:
+        return None  # incomplete part set: fall back to full replay
 
 
 def read_checkpoint(table_path: str, version: int) -> Snapshot:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(checkpoint_file(table_path, version)).to_pydict()
+    paths = checkpoint_part_paths(table_path, version)
+    if not paths:
+        raise FileNotFoundError(
+            f"no checkpoint at version {version} under "
+            f"{log_path(table_path)}"
+        )
     snap = Snapshot(version=version)
-    for j in tbl["protocol"]:
-        if j:
-            snap.protocol = json.loads(j)
-    for j in tbl["metaData"]:
-        if j:
-            snap.metadata = json.loads(j)
-    for j in tbl["add"]:
-        if j:
-            add = json.loads(j)
-            snap.files[add["path"]] = add
-    for j in tbl["remove"]:
-        if j:
-            rm = json.loads(j)
-            snap.tombstones[rm["path"]] = rm
-    for j in tbl.get("txn", []):  # absent in pre-txn checkpoints
-        if j:
-            txn = json.loads(j)
-            snap.txns[txn["appId"]] = int(txn.get("version", -1))
-    for j in tbl.get("domainMetadata", []):  # absent pre-domains
-        if j:
-            dm = json.loads(j)
-            if not dm.get("removed"):
-                snap.domains[dm["domain"]] = dm.get("configuration", "")
+    for path in paths:
+        tbl = pq.read_table(path).to_pydict()
+        for j in tbl["protocol"]:
+            if j:
+                snap.protocol = json.loads(j)
+        for j in tbl["metaData"]:
+            if j:
+                snap.metadata = json.loads(j)
+        for j in tbl["add"]:
+            if j:
+                add = json.loads(j)
+                snap.files[add["path"]] = add
+        for j in tbl["remove"]:
+            if j:
+                rm = json.loads(j)
+                snap.tombstones[rm["path"]] = rm
+        for j in tbl.get("txn", []):  # absent in pre-txn checkpoints
+            if j:
+                txn = json.loads(j)
+                snap.txns[txn["appId"]] = int(txn.get("version", -1))
+        for j in tbl.get("domainMetadata", []):  # absent pre-domains
+            if j:
+                dm = json.loads(j)
+                if not dm.get("removed"):
+                    snap.domains[dm["domain"]] = dm.get(
+                        "configuration", ""
+                    )
     return snap
 
 
@@ -391,9 +468,11 @@ def cleanup_metadata(
         os.remove(p)
         deleted.append(os.path.basename(p))
     for name in sorted(os.listdir(lp)):
-        if not name.endswith(".checkpoint.parquet"):
+        # both checkpoint forms: <v>.checkpoint.parquet and the
+        # multi-part <v>.checkpoint.<k>.<n>.parquet
+        if ".checkpoint." not in name or not name.endswith(".parquet"):
             continue
-        stem = name[: -len(".checkpoint.parquet")]
+        stem = name.split(".checkpoint.", 1)[0]
         if not stem.isdigit() or int(stem) >= cp:
             continue
         p = os.path.join(lp, name)

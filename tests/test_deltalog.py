@@ -3889,3 +3889,48 @@ def test_cleanup_metadata_respects_property_and_contiguity(
     t2 = DeltaishTable(spark, str(t.path))
     with pytest.raises(ValueError, match="truncated"):
         t2.read(5).count()
+
+
+def test_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Classic multi-part checkpoints (<v>.checkpoint.<k>.<n>.parquet):
+    the round-robin part set reproduces the full-replay snapshot
+    exactly; _last_checkpoint declares the part count; cleanup can
+    then drop the pre-checkpoint JSONs with only the part set carrying
+    state; an INCOMPLETE part set is refused loudly, never partially
+    reconstructed."""
+    df = _orders(spark, 80).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    for i in range(3):
+        t.append(df.limit(6 + i))
+    t.delete(
+        F.col("o_orderkey")
+        == t.read().agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    exp = t.read().count()
+    full = dlog.replay(str(t.path))
+
+    cp = dlog.write_checkpoint(str(t.path), parts=3)
+    paths = dlog.checkpoint_part_paths(str(t.path), cp)
+    assert len(paths) == 3 and all(
+        f".checkpoint.{k:010d}.{3:010d}." in paths[k - 1]
+        for k in (1, 2, 3)
+    )
+    assert not os.path.exists(dlog.checkpoint_file(str(t.path), cp))
+    snap = dlog.read_checkpoint(str(t.path), cp)
+    assert set(snap.files) == set(full.files)
+    assert set(snap.tombstones) == set(full.tombstones)
+    assert snap.metadata == full.metadata
+
+    # the part set alone must carry the state
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert dlog.list_versions(str(t.path)) == [cp]
+    t2 = DeltaishTable(spark, str(t.path))
+    assert t2.read().count() == exp
+
+    # a missing part is a hard error, not partial state
+    os.remove(paths[1])
+    with pytest.raises(ValueError, match="incomplete multi-part"):
+        dlog.checkpoint_part_paths(str(t.path), cp)
+    assert dlog.last_checkpoint_version(str(t.path)) is None
+    with pytest.raises(ValueError, match="metadata cleanup"):
+        DeltaishTable(spark, str(t.path)).read().count()
