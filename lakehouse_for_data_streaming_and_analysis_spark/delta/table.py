@@ -3204,6 +3204,7 @@ class DeltaishTable:
         when_matched=(),
         when_not_matched=(),
         when_not_matched_by_source=(),
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE with Delta's FULL clause matrix (delta-spark's
         whenMatchedUpdate/Delete, whenNotMatchedInsert,
@@ -3237,7 +3238,18 @@ class DeltaishTable:
 
         Under ``delta.enableChangeDataFeed`` every clause attributes
         its rows: update clauses emit pre/postimages, deletes emit
-        ``delete`` rows, inserts ``insert`` rows."""
+        ``delete`` rows, inserts ``insert`` rows.
+
+        ``schema_evolution=True`` is delta-spark's MERGE ... WITH
+        SCHEMA EVOLUTION: source columns absent from the target are
+        ADDED to the table schema in the same commit (metaData action
+        beside the adds), updateAll/insertAll assign only the columns
+        the source actually carries (target-only columns stay
+        unchanged on update, NULL on insert — autoMerge's SET *
+        expansion), and pre-merge files read the new columns as NULL.
+        Column-mapped tables refuse (new fields would need minted
+        physical names inside the merge commit — the append evolution
+        path owns that machinery)."""
 
         def _norm(clauses, allowed, group):
             out = []
@@ -3287,12 +3299,44 @@ class DeltaishTable:
         snap = self._snapshot()
         schema = self._schema_for(snap)
         data_cols = [f.name for f in schema.fields]
+        orig_cols = set(data_cols)
+        src_col_set = set(source.columns)
         dtypes = {f.name: f.dataType for f in schema.fields}
+        evolved_md_action = None
+        if schema_evolution:
+            extras = [
+                f for f in source.schema.fields if f.name not in orig_cols
+            ]
+            if extras and self._column_mapping(snap):
+                raise NotImplementedError(
+                    "MERGE WITH SCHEMA EVOLUTION on a column-mapped "
+                    "table: the new fields would need minted physical "
+                    "names/ids inside the merge commit. Evolve via "
+                    "append(merge_schema=True) first."
+                )
+            if extras:
+                evolved = T.StructType(
+                    [
+                        *schema.fields,
+                        *[
+                            T.StructField(f.name, f.dataType, True)
+                            for f in extras
+                        ],
+                    ]
+                )
+                md = dict(snap.metadata)
+                md["schemaString"] = evolved.json()
+                evolved_md_action = {"metaData": md}
+                data_cols = data_cols + [f.name for f in extras]
+                dtypes.update({f.name: f.dataType for f in extras})
         if any(c["action"] == "update_all" for c in wm) or any(
             c["action"] == "insert_all" for c in wnm
         ):
             missing = [c for c in data_cols if c not in source.columns]
-            if missing:
+            # under schema evolution SET * expands to the SOURCE's
+            # columns (autoMerge): target-only columns are allowed to
+            # be absent — unchanged on update, NULL on insert
+            if missing and not schema_evolution:
                 raise ValueError(
                     f"updateAll/insertAll need source columns {missing}"
                 )
@@ -3405,12 +3449,27 @@ class DeltaishTable:
             return snap.version  # converged: nothing to rewrite
         touched = [self._uri_to_rel(u) for u in hit_uris]
 
+        def _t_col(c):
+            # a column minted by THIS merge's schema evolution has no
+            # target side yet: pre-merge rows carry NULL
+            if c in orig_cols:
+                return F.col(f"t.{c}")
+            return F.lit(None).cast(dtypes[c])
+
         def _new_image(c):
-            e = F.col(f"t.{c}")
+            e = _t_col(c)
             for lbl, _, cl in labeled:
                 a = cl["action"]
-                if a in ("update_all", "insert_all"):
+                if a == "update_all":
+                    if c not in src_col_set:
+                        continue  # SET * touches source columns only
                     v = F.col(f"s.{c}")
+                elif a == "insert_all":
+                    v = (
+                        F.col(f"s.{c}")
+                        if c in src_col_set
+                        else F.lit(None).cast(dtypes[c])
+                    )
                 elif a == "update":
                     if c not in cl["set"]:
                         continue
@@ -3424,7 +3483,7 @@ class DeltaishTable:
                 e = F.when(F.col("__act") == lbl, v).otherwise(e)
             return e.alias(c)
 
-        t_image = [F.col(f"t.{c}").alias(c) for c in data_cols]
+        t_image = [_t_col(c).alias(c) for c in data_cols]
         in_hit = (
             F.col("t.__fp").isin(hit_uris) if hit_uris else F.lit(False)
         )
@@ -3508,6 +3567,7 @@ class DeltaishTable:
 
         return self._commit_next(
             [
+                *([evolved_md_action] if evolved_md_action else []),
                 *({"add": a} for a in adds),
                 *({"remove": self._tombstone(p)} for p in touched),
                 *({"cdc": c} for c in cdc_actions),

@@ -3934,3 +3934,61 @@ def test_multipart_checkpoint_roundtrip(spark, tmp_path):
     assert dlog.last_checkpoint_version(str(t.path)) is None
     with pytest.raises(ValueError, match="metadata cleanup"):
         DeltaishTable(spark, str(t.path)).read().count()
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE ... WITH SCHEMA EVOLUTION: source-only columns join the
+    table schema in the merge commit; SET * expands to the SOURCE's
+    columns (target-only columns unchanged on update, NULL on
+    insert); pre-merge rows read the new column as NULL; the change
+    feed's preimages carry NULL for it; column-mapped tables refuse."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 10.0, "keep"), (2, 20.0, "keep")],
+            "k long, v double, w string",
+        ),
+    )
+    t.enable_change_data_feed()
+    v0 = t.version
+    src = spark.createDataFrame(
+        [(2, 21.0, "B"), (3, 30.0, "C")], "k long, v double, tag string"
+    )
+    # strict mode still refuses the missing target column
+    with pytest.raises(ValueError, match="need source columns"):
+        t.merge_into(
+            src, ["k"],
+            when_matched=[{"action": "update_all"}],
+            when_not_matched=[{"action": "insert_all"}],
+        )
+    t.merge_into(
+        src, ["k"],
+        when_matched=[{"action": "update_all"}],
+        when_not_matched=[{"action": "insert_all"}],
+        schema_evolution=True,
+    )
+    rows = {r.k: r for r in t.read().collect()}
+    assert set(t.read().columns) == {"k", "v", "w", "tag"}
+    assert rows[1].v == 10.0 and rows[1].w == "keep" and rows[1].tag is None
+    assert rows[2].v == 21.0 and rows[2].w == "keep" and rows[2].tag == "B"
+    assert rows[3].v == 30.0 and rows[3].w is None and rows[3].tag == "C"
+    # pre-evolution version still reads with its own schema
+    assert set(t.read(v0).columns) == {"k", "v", "w"}
+    # CDF preimage carries NULL for the evolved column
+    cdf = t.read_change_feed(v0, t.version)
+    pre = [r for r in cdf.collect() if r["_change_type"] == "update_preimage"]
+    assert len(pre) == 1 and pre[0].tag is None and pre[0].v == 20.0
+
+    mapped = DeltaishTable.create(
+        spark,
+        str(tmp_path / "m"),
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+    )
+    mapped.enable_column_mapping("name")
+    with pytest.raises(NotImplementedError, match="SCHEMA EVOLUTION"):
+        mapped.merge_into(
+            src, ["k"],
+            when_matched=[{"action": "update_all"}],
+            schema_evolution=True,
+        )
