@@ -1048,3 +1048,103 @@ def label_propagation_rounds(spark, sf_dir):
     return spark.createDataFrame(
         stats, "round int, n_labels long, n_changed long"
     )
+
+
+@q(
+    "incremental_dedup_bloom",
+    f"""WITH old AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+       nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       bits AS (
+         SELECT DISTINCT b FROM old, (VALUES (0), (1), (2), (3)) AS h(i),
+         LATERAL (SELECT CASE i
+                    WHEN 0 THEN {_bloom_pos_sql('text', 0)}
+                    WHEN 1 THEN {_bloom_pos_sql('text', 1)}
+                    WHEN 2 THEN {_bloom_pos_sql('text', 2)}
+                    ELSE {_bloom_pos_sql('text', 3)} END AS b) AS p),
+       probe AS (
+         SELECT doc_id,
+                text,
+                {_bloom_pos_sql('text', 0)} AS b0,
+                {_bloom_pos_sql('text', 1)} AS b1,
+                {_bloom_pos_sql('text', 2)} AS b2,
+                {_bloom_pos_sql('text', 3)} AS b3
+         FROM nw),
+       passed AS (
+         SELECT doc_id FROM probe
+         WHERE b0 IN (SELECT b FROM bits)
+           AND b1 IN (SELECT b FROM bits)
+           AND b2 IN (SELECT b FROM bits)
+           AND b3 IN (SELECT b FROM bits)),
+       truth AS (
+         SELECT doc_id FROM nw
+         WHERE text IN (SELECT text FROM old))
+       SELECT (SELECT COUNT(*) FROM nw) AS n_new_docs,
+              (SELECT COUNT(*) FROM passed) AS n_bloom_candidates,
+              (SELECT COUNT(*) FROM truth) AS n_true_dups,
+              (SELECT COUNT(*) FROM passed)
+                - (SELECT COUNT(*) FROM truth) AS n_false_positives,
+              (SELECT COUNT(*) FROM nw)
+                - (SELECT COUNT(*) FROM truth) AS n_unique_new""",
+)
+def incremental_dedup_bloom(spark, sf_dir):
+    """Incremental (snapshot-vs-history) exact dedup with a bloom
+    prefilter — the shape a recurring crawl uses: the HISTORICAL
+    corpus is summarized once as a deterministic bloom bit set (4
+    md5-derived positions per text, same filter as
+    bloom_prefilter_join), the NEW batch probes it map-side, and only
+    the bloom survivors pay the exact verification join against
+    history. At 100 TB of history the bit set is megabytes
+    (broadcast), the new batch never shuffles for the non-candidates,
+    and the exact join's build side is the candidate set, not the
+    corpus. The oracle reproduces the filter bit for bit, so the hash
+    pins zero false negatives (every true duplicate passes) AND the
+    exact false-positive count on this data."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    nw = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    def pos(col, i):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(col), 1 + 8 * i, 8), 16, 10
+            ).cast("long"),
+            F.lit(_BLOOM_M),
+        )
+
+    bits = old.select(
+        F.explode(
+            F.array(*[pos(F.col("text"), i) for i in range(4)])
+        ).alias("b")
+    ).distinct()
+    probe = nw.select(
+        "doc_id",
+        "text",
+        *[pos(F.col("text"), i).alias(f"b{i}") for i in range(4)],
+    )
+    passed = probe
+    for i in range(4):
+        passed = passed.join(
+            F.broadcast(bits.withColumnRenamed("b", f"__bb{i}")),
+            F.col(f"b{i}") == F.col(f"__bb{i}"),
+            "left_semi",
+        )
+    n_new = nw.count()
+    n_cand = passed.count()
+    n_true = (
+        passed.select("doc_id", "text")
+        .join(F.broadcast(old.distinct()), "text", "left_semi")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_new,
+                n_cand,
+                n_true,
+                n_cand - n_true,
+                n_new - n_true,
+            )
+        ],
+        "n_new_docs long, n_bloom_candidates long, n_true_dups long, "
+        "n_false_positives long, n_unique_new long",
+    )

@@ -314,6 +314,135 @@ def stream_stream_attribution_join(spark, sf_dir):
     )
 
 
+def _ensure_outer_attr_replay(spark, sf_dir: str) -> str:
+    """Time-ordered replay for the OUTER stream-stream join, plus TWO
+    trailing sentinel files (far-future events): sentinel batch K
+    advances the watermark past every real event, and the batch after
+    it applies that watermark — evicting join state and EMITTING the
+    unmatched-left NULL rows. Without the second trailing batch the
+    final watermark is computed but never applied, and availableNow
+    would end with the outer rows still buffered (the classic
+    stream-stream outer-join flush gotcha)."""
+    ev = load_table(spark, sf_dir, "events")
+    replay_dir = _replay_dir(sf_dir, "outerattr")
+    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
+        os.makedirs(replay_dir, exist_ok=True)
+        ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(replay_dir)
+        # each sentinel file carries BOTH a click and a purchase row:
+        # the join's effective watermark is the MIN across the two
+        # input branches, and rows advance only the branch whose
+        # filter they pass
+        for days in (400, 401):  # two batches: advance, then apply
+            for etype, eid in (("click", -1), ("purchase", -2)):
+                sentinel = ev.limit(1).select(
+                    F.lit(eid).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {days} DAYS")).alias(
+                        "ts"
+                    ),
+                    F.lit(-1).alias("user_id"),
+                    F.lit(etype).alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+                sentinel.select(
+                    [F.col(c).cast(dict(ev.dtypes)[c]) for c in ev.columns]
+                ).repartition(1).write.mode("append").parquet(replay_dir)
+    return replay_dir
+
+
+@q(
+    "stream_stream_outer_attribution",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+       c AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type IN ('click', 'view'))
+       SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3)
+                AS lag_secs
+       FROM p LEFT JOIN c
+         ON p.user_id = c.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts""",
+)
+def stream_stream_outer_attribution(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner attribution join (stream_stream_attribution_join) cannot
+    give: purchases with NO preceding click/view in 4 hours must
+    STILL emit, with NULL click columns, once the watermark proves no
+    match can arrive. The replay appends two far-future sentinel
+    batches so the final watermark both advances AND gets applied
+    (outer rows flush in the batch AFTER the one that moved the
+    watermark — availableNow without that trailing batch would end
+    with them silently buffered). The streamed rows must equal the
+    batch LEFT JOIN row-for-row, NULLs included — state eviction
+    emitted every unmatched left row exactly once, none early. At
+    100 TB the same watermark bounds the buffered state to the join
+    interval per key."""
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = _ensure_outer_attr_replay(spark, sf_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "8 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 4 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    tbl = f"outer_attribution_{sf_tag}"
+    with _pinned_shuffle(spark):
+        handle = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = handle.awaitTermination(300)
+        assert finished, "outer attribution run did not finish within 300 s"
+    return (
+        spark.table(tbl)
+        .filter(F.col("purchase_id") >= 0)  # drop the sentinel rows
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "purchase_ts",
+            "click_ts",
+            F.round(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / 1e6,
+                3,
+            ).alias("lag_secs"),
+        )
+    )
+
+
 _REST_ROWS = [
     {"symbol": "BTC", "name": "bitcoin", "supply": "19000000.5", "maxSupply": "21000000", "volume24h": "123.25"},
     {"symbol": "ETH", "name": "ethereum", "supply": "120000000", "maxSupply": None, "volume24h": "456.5"},
