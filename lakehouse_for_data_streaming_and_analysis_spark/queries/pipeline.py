@@ -3082,6 +3082,115 @@ def deltalog_log_cleanup_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_merge_evolution_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+       src AS (SELECT o_orderkey,
+                      o_totalprice + 10 AS o_totalprice,
+                      CASE WHEN o_orderkey % 2 = 0 THEN 'even'
+                           ELSE 'odd' END AS parity
+               FROM base WHERE o_orderkey <= 400
+               UNION ALL
+               SELECT o_orderkey + 1000000, 5.0, 'new'
+               FROM base WHERE o_orderkey <= 50),
+       matched AS (SELECT b.o_orderkey, s.o_totalprice, s.parity
+                   FROM base b JOIN src s ON b.o_orderkey = s.o_orderkey),
+       untouched AS (SELECT o_orderkey, o_totalprice,
+                            CAST(NULL AS VARCHAR) AS parity
+                     FROM base
+                     WHERE o_orderkey NOT IN
+                           (SELECT o_orderkey FROM src)),
+       inserted AS (SELECT s.o_orderkey, s.o_totalprice, s.parity
+                    FROM src s
+                    WHERE s.o_orderkey NOT IN
+                          (SELECT o_orderkey FROM base)),
+       fin AS (SELECT * FROM matched UNION ALL SELECT * FROM untouched
+               UNION ALL SELECT * FROM inserted)
+       SELECT COALESCE(parity, '(pre-merge)') AS parity,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price
+       FROM fin GROUP BY 1""",
+)
+def deltalog_merge_evolution_audit(spark, sf_dir):
+    """MERGE ... WITH SCHEMA EVOLUTION end-to-end (delta/table.py
+    merge_into(schema_evolution=True)): the source carries a column
+    the target lacks (`parity`); one merge commit updates the matched
+    band (price +10, parity set), inserts brand-new keys, AND evolves
+    the schema — untouched pre-merge rows read the new column as
+    NULL. The oracle recomputes the matched/untouched/inserted
+    partition of the final state relationally, so the hash certifies
+    both the clause routing and that evolution rewrote ONLY the files
+    owning modified rows (pre-merge files serve NULLs through the
+    evolved schema, no rewrite). Scratch table per-invocation,
+    removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"me-{uuid.uuid4().hex}"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") <= 400)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 2 == 0, "even")
+            .otherwise("odd")
+            .alias("parity"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") <= 50).select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                F.lit(5.0).alias("o_totalprice"),
+                F.lit("new").alias("parity"),
+            )
+        )
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+        )
+        t.merge_into(
+            src,
+            ["o_orderkey"],
+            when_matched=[{"action": "update_all"}],
+            when_not_matched=[{"action": "insert_all"}],
+            schema_evolution=True,
+        )
+        rows = (
+            t.read()
+            .groupBy(
+                F.coalesce(F.col("parity"), F.lit("(pre-merge)")).alias(
+                    "parity"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "parity string, n_rows long, total_price double"
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -3117,5 +3226,6 @@ for _name in (
     "deltalog_check_constraint_audit",
     "deltalog_zorder_audit",
     "deltalog_log_cleanup_audit",
+    "deltalog_merge_evolution_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
