@@ -132,6 +132,10 @@ def main() -> None:
     # noise-dominated, so retry up to $SPARK_GRAFT_BENCH_RETRIES times
     # and keep the attempt with the LOWEST steal fraction.
     max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    # r6: a noisy host tends to STAY noisy for minutes — back-to-back
+    # retries just resample the same interference. Sleep between
+    # over-threshold attempts so transient neighbors pass.
+    backoff_s = float(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF", "60"))
     best = None
     for attempt in range(1, max_attempts + 1):
         timings, total, env = _timed_loop()
@@ -150,6 +154,8 @@ def main() -> None:
             f"{'retrying' if attempt < max_attempts else 'keeping cleanest'}",
             file=sys.stderr,
         )
+        if attempt < max_attempts and backoff_s > 0:
+            time.sleep(backoff_s)
     timings, total, env, _ = best
     # best-of-warm re-run for the JIT-flagged queries: the delta
     # between this and the timed (cold) run above is residual
