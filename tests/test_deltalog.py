@@ -3992,3 +3992,51 @@ def test_merge_with_schema_evolution(spark, tmp_path):
             when_matched=[{"action": "update_all"}],
             schema_evolution=True,
         )
+
+
+def test_fsck_repairs_missing_files(spark, tmp_path):
+    """FSCK: physically-deleted data files drop out of the live set
+    via one remove-only commit; reads work again with the surviving
+    rows; dry_run only reports; a table with nothing missing is a
+    no-op; a missing DELETION VECTOR is NOT repaired (dropping it
+    would resurrect deleted rows)."""
+    df = _orders(spark, 80).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    assert t.fsck() == []  # healthy table: no commit, no report
+    v_healthy = t.version
+
+    snap = t._snapshot()
+    victim = sorted(snap.files)[0]
+    survivors = t.read().count() - json.loads(
+        snap.files[victim]["stats"]
+    )["numRecords"]
+    os.remove(os.path.join(str(t.path), victim))
+    with pytest.raises(Exception):
+        t.read().count()  # missing file: reads throw
+
+    assert t.fsck(dry_run=True) == [victim]
+    assert t.version == v_healthy  # dry run commits nothing
+    assert t.fsck() == [victim]
+    assert t.version == v_healthy + 1
+    assert t.read().count() == survivors
+    assert t.history()[-1]["operation"] == "FSCK"
+
+    # a missing DV is a loud failure, not an fsck repair
+    t2 = DeltaishTable.create(
+        spark, str(tmp_path / "dv"), _orders(spark, 40)
+    )
+    t2.delete(
+        F.col("o_orderkey")
+        == t2.read().agg(F.min("o_orderkey")).collect()[0][0],
+        mode="merge_on_read",
+    )
+    dv_files = [
+        fn
+        for fn in os.listdir(str(t2.path))
+        if fn.startswith("deletion_vector_")
+    ]
+    assert dv_files
+    os.remove(os.path.join(str(t2.path), dv_files[0]))
+    assert t2.fsck(dry_run=True) == []  # data file is present
+    with pytest.raises(Exception):
+        t2.read().count()
