@@ -123,6 +123,7 @@ def ensure_replay_dirs(spark, sf_dir: str) -> None:
     _ensure_bronze_replay(spark, sf_dir)
     _ensure_attr_replay(spark, sf_dir)
     _ensure_dedup_replay(spark, sf_dir)
+    _ensure_outer_attr_replay(spark, sf_dir)
 
 
 @q(
