@@ -72,9 +72,20 @@ ROWS_ONLY: tuple[str, ...] = ()
 # checkpoints, VACUUM, schema evolution, CHECK constraints,
 # Z-ORDER — and a native-session-window streaming run), each sim +
 # dtype-lint green before staging. The window holds exactly 50
-# names. If all 50 come green, cumulative = 288/288 — every
-# registered query driver-verified. Any red rows re-enter the r7
-# window head automatically via rotate_window's failed-first rule.
+# names. If all 50 come green, cumulative = 288 driver-verified. Any
+# red rows re-enter the r7 window head automatically via
+# rotate_window's failed-first rule.
+#
+# ROUND-7 STAGING: four round-6 late additions sit just past the
+# window (positions 51+ via _rotation_order's middle group) and are
+# the natural r7 window head after `tools/rotate_window.py
+# CORRECTNESS_r06.json --apply`:
+#   deltalog_log_cleanup_audit (logRetentionDuration metadata
+#   cleanup), deltalog_merge_evolution_audit (MERGE WITH SCHEMA
+#   EVOLUTION), stream_stream_outer_attribution (left-outer
+#   stream-stream interval join with watermark-flush sentinels),
+#   incremental_dedup_bloom (bloom-prefiltered snapshot-vs-history
+#   dedup) — each sim + dtype-lint green at add time.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",

@@ -211,6 +211,7 @@ class DeltaishTable:
             "domainMetadata",
             "rowTracking",
             "clustering",
+            "allowColumnDefaults",
         }
     )
 
@@ -1585,6 +1586,8 @@ class DeltaishTable:
         (appId, version) — ``last_txn_version`` lets a retried writer
         detect it already committed."""
         snap = self._snapshot()
+        # defaults fill first so generation expressions can read them
+        df = self._apply_column_defaults(df, snap)
         df = self._apply_generated(df, snap)
         df, hwm_updates = self._apply_identity(df, snap)
         evolved = self._enforce_or_evolve(df, snap, merge_schema)
@@ -4372,6 +4375,145 @@ class DeltaishTable:
             )
         actions.append(dlog.commit_info("OPTIMIZE", zOrderBy=zcols))
         return self._commit_next(actions, read_version=snap.version)
+
+    # ------------------------------------------------- column defaults
+
+    COLUMN_DEFAULT = "CURRENT_DEFAULT"  # spec field-metadata key
+
+    def _column_defaults(self, snap: dlog.Snapshot) -> dict[str, str]:
+        out = {}
+        for f in json.loads(snap.metadata["schemaString"])["fields"]:
+            md = f.get("metadata", {}) or {}
+            if self.COLUMN_DEFAULT in md:
+                out[f["name"]] = md[self.COLUMN_DEFAULT]
+        return out
+
+    def _apply_column_defaults(
+        self, df: DataFrame, snap: dlog.Snapshot
+    ) -> DataFrame:
+        """Fill columns ABSENT from the written frame that carry a
+        CURRENT_DEFAULT — the allowColumnDefaults contract. A column
+        the writer DID provide is never touched (explicit NULL stays
+        NULL, like SQL DEFAULT)."""
+        defaults = self._column_defaults(snap)
+        if not defaults:
+            return df
+        dtypes = {
+            f.name: f.dataType for f in self._schema_for(snap).fields
+        }
+        have = set(df.columns)
+        for name, expr in defaults.items():
+            if name not in have:
+                df = df.withColumn(
+                    name, F.expr(expr).cast(dtypes[name])
+                )
+        return df
+
+    def set_column_default(self, col: str, sql_expr: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT — the spec's
+        ``allowColumnDefaults`` writer feature: the expression lands
+        in the field's CURRENT_DEFAULT metadata and subsequent
+        appends that OMIT the column get it evaluated per write
+        (constant-foldable expressions only — a default may not read
+        other columns, delta's rule). Rows written before the default
+        keep reading NULL: defaults are write-time, never a backfill,
+        which is why Delta refuses ADD COLUMN ... DEFAULT and so do
+        we (evolve the column first, then set its default).
+
+        The protocol side is table-features-ONLY (no legacy writer
+        version implies it): the commit upgrades to writer v7 with
+        ``allowColumnDefaults`` listed, so an external writer that
+        does not implement defaults refuses instead of inserting
+        NULLs where the default belongs."""
+        snap = self._snapshot()
+        dtypes = {
+            f.name: f.dataType for f in self._schema_for(snap).fields
+        }
+        if col not in dtypes:
+            raise ValueError(f"no such column {col!r}")
+        if col in self._identity_meta(snap):
+            raise ValueError(
+                f"{col!r} is an identity column; its values are "
+                "engine-assigned"
+            )
+        if any(
+            f["name"] == col
+            and "delta.generationExpression" in (f.get("metadata") or {})
+            for f in json.loads(snap.metadata["schemaString"])["fields"]
+        ):
+            raise ValueError(
+                f"{col!r} is a generated column; its values come from "
+                "its generation expression"
+            )
+        # constant-foldable check: the default must evaluate with NO
+        # input columns in scope (and must cast to the column's type)
+        try:
+            self.spark.range(1).select(
+                F.expr(sql_expr).cast(dtypes[col])
+            ).collect()
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f"default for {col!r} must be a constant-foldable "
+                f"expression castable to {dtypes[col].simpleString()}: "
+                f"{sql_expr!r} ({e})"
+            ) from None
+        schema = json.loads(snap.metadata["schemaString"])
+        for f in schema["fields"]:
+            if f["name"] == col:
+                md = dict(f.get("metadata", {}) or {})
+                md[self.COLUMN_DEFAULT] = sql_expr
+                f["metadata"] = md
+        md_action = dict(snap.metadata)
+        md_action["schemaString"] = json.dumps(
+            schema, separators=(",", ":")
+        )
+        actions: list[dict] = []
+        proto = snap.protocol or {}
+        if "allowColumnDefaults" not in (
+            proto.get("writerFeatures") or []
+        ):
+            actions.append(
+                {
+                    "protocol": self._protocol_with_features(
+                        snap, {"allowColumnDefaults"}
+                    )
+                }
+            )
+        actions.append({"metaData": md_action})
+        actions.append(
+            dlog.commit_info(
+                "ALTER COLUMN", column=col, setDefault=sql_expr
+            )
+        )
+        return self._commit_next(actions, read_version=snap.version)
+
+    def drop_column_default(self, col: str) -> int:
+        """ALTER COLUMN ... DROP DEFAULT: removes CURRENT_DEFAULT;
+        the writer feature stays listed (spec features are one-way)."""
+        snap = self._snapshot()
+        schema = json.loads(snap.metadata["schemaString"])
+        found = False
+        for f in schema["fields"]:
+            if f["name"] == col and self.COLUMN_DEFAULT in (
+                f.get("metadata") or {}
+            ):
+                md = dict(f["metadata"])
+                del md[self.COLUMN_DEFAULT]
+                f["metadata"] = md
+                found = True
+        if not found:
+            raise ValueError(f"column {col!r} has no default")
+        md_action = dict(snap.metadata)
+        md_action["schemaString"] = json.dumps(
+            schema, separators=(",", ":")
+        )
+        return self._commit_next(
+            [
+                {"metaData": md_action},
+                dlog.commit_info("ALTER COLUMN", column=col, dropDefault=True),
+            ],
+            read_version=snap.version,
+        )
 
     def fsck(self, dry_run: bool = False) -> list[str]:
         """FSCK REPAIR TABLE: drop add entries whose data files are

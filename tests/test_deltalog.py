@@ -4040,3 +4040,53 @@ def test_fsck_repairs_missing_files(spark, tmp_path):
     assert t2.fsck(dry_run=True) == []  # data file is present
     with pytest.raises(Exception):
         t2.read().count()
+
+
+def test_column_defaults(spark, tmp_path):
+    """allowColumnDefaults: SET DEFAULT stores CURRENT_DEFAULT in the
+    field metadata and upgrades the protocol to writer v7 with the
+    feature LISTED; appends omitting the column get the default, rows
+    that provided it (even as NULL) are untouched, and pre-default
+    rows keep reading NULL (write-time, never backfill); defaults
+    must be constant-foldable and castable; identity/generated
+    columns and unknown columns refuse; DROP DEFAULT reverts to
+    NULL-fill for omitted columns."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 10.0, None)], "k long, v double, status string"
+        ),
+    )
+    t.set_column_default("status", "'pending'")
+    proto = t._snapshot().protocol
+    assert proto["minWriterVersion"] == 7
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+
+    # omitted column -> default; provided column -> untouched
+    t.append(spark.createDataFrame([(2, 20.0)], "k long, v double"))
+    t.append(
+        spark.createDataFrame(
+            [(3, 30.0, None)], "k long, v double, status string"
+        )
+    )
+    rows = {r.k: r.status for r in t.read().collect()}
+    assert rows == {1: None, 2: "pending", 3: None}
+
+    # constant-foldable defaults may be expressions, not just literals
+    t.set_column_default("v", "1.5 * 2")
+    t.append(spark.createDataFrame([(4, "x")], "k long, status string"))
+    assert {
+        r.k: (r.v, r.status) for r in t.read().collect()
+    }[4] == (3.0, "x")
+
+    with pytest.raises(ValueError, match="constant-foldable"):
+        t.set_column_default("v", "k + 1")  # reads another column
+    with pytest.raises(ValueError, match="no such column"):
+        t.set_column_default("nope", "1")
+
+    t.drop_column_default("status")
+    t.append(spark.createDataFrame([(5, 50.0)], "k long, v double"))
+    assert {r.k: r.status for r in t.read().collect()}[5] is None
+    with pytest.raises(ValueError, match="has no default"):
+        t.drop_column_default("status")
