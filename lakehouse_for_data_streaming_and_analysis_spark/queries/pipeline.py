@@ -3192,6 +3192,96 @@ def deltalog_merge_evolution_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_column_defaults_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice,
+                            CAST(NULL AS VARCHAR) AS status
+                     FROM orders),
+       defaulted AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice,
+                            'pending' AS status
+                     FROM orders WHERE o_orderkey <= 300),
+       explicit AS (SELECT o_orderkey, o_totalprice + 2 AS o_totalprice,
+                           CAST(NULL AS VARCHAR) AS status
+                    FROM orders WHERE o_orderkey <= 100),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM defaulted
+               UNION ALL SELECT * FROM explicit)
+       SELECT COALESCE(status, '(null)') AS status,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS feature_listed_v7
+       FROM fin GROUP BY 1""",
+)
+def deltalog_column_defaults_audit(spark, sf_dir):
+    """Column DEFAULTs end-to-end (delta/table.py set_column_default,
+    the spec's allowColumnDefaults writer feature): rows written
+    BEFORE the default keep NULL (write-time, never backfill), an
+    append OMITTING the column gets the default evaluated, an append
+    that explicitly provides NULL stays NULL (SQL DEFAULT semantics),
+    and the enabling commit upgrades to writer v7 with the feature
+    LISTED (``feature_listed_v7``; oracle pins TRUE) so external
+    writers that don't implement defaults refuse. Final state
+    recomputed relationally. Scratch table per-invocation, removed
+    before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"cd-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark,
+            table_dir,
+            orders.withColumn("status", F.lit(None).cast("string")),
+        )
+        t.set_column_default("status", "'pending'")
+        t.append(
+            orders.filter(F.col("o_orderkey") <= 300).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            )
+        )
+        t.append(
+            orders.filter(F.col("o_orderkey") <= 100).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 2).alias("o_totalprice"),
+                F.lit(None).cast("string").alias("status"),
+            )
+        )
+        proto = t._snapshot().protocol
+        listed = proto.get("minWriterVersion") == 7 and (
+            "allowColumnDefaults" in (proto.get("writerFeatures") or [])
+        )
+        rows = (
+            t.read()
+            .groupBy(
+                F.coalesce(F.col("status"), F.lit("(null)")).alias("status")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*r, listed) for r in rows],
+        "status string, n_rows long, total_price double, "
+        "feature_listed_v7 boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -3228,5 +3318,6 @@ for _name in (
     "deltalog_zorder_audit",
     "deltalog_log_cleanup_audit",
     "deltalog_merge_evolution_audit",
+    "deltalog_column_defaults_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
