@@ -3282,6 +3282,170 @@ def deltalog_column_defaults_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_fsck_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice,
+                            CASE WHEN o_orderkey <= 400 THEN 'lo'
+                                 ELSE 'hi' END AS band
+                     FROM orders),
+       kept AS (SELECT * FROM base WHERE band = 'hi')
+       SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+                AS n_rows_before,
+              CAST((SELECT COUNT(*) FROM kept) AS BIGINT)
+                AS n_rows_after,
+              CAST(ROUND((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FROM kept), 2) AS DOUBLE) AS total_price_after,
+              TRUE AS read_failed_before_repair,
+              TRUE AS dry_run_reported_only""",
+)
+def deltalog_fsck_audit(spark, sf_dir):
+    """FSCK REPAIR TABLE end-to-end (delta/table.py fsck): a
+    band-partitioned table loses its entire 'lo' partition to an
+    out-of-band rm -rf; reads throw (pinned as a TRUE flag), DRY RUN
+    reports the losses without committing, and the repair drops
+    exactly the missing adds in one remove-only commit — the final
+    state must equal the 'hi' band relationally (the oracle
+    recomputes it), proving the repair neither dropped a surviving
+    file nor kept a ghost. Scratch table per-invocation, removed
+    before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") <= 400, "lo")
+        .otherwise("hi")
+        .alias("band"),
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"fsck-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(
+            spark, table_dir, orders, partition_by=("band",)
+        )
+        n_before = t.read().count()
+        v0 = t.version
+        shutil.rmtree(os.path.join(table_dir, "band=lo"))
+        try:
+            t.read().count()
+            read_failed = False
+        except Exception:  # noqa: BLE001 - missing files must throw
+            read_failed = True
+        dry = t.fsck(dry_run=True)
+        dry_only = bool(dry) and t.version == v0
+        repaired = t.fsck()
+        dry_only = dry_only and sorted(repaired) == sorted(dry)
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_after"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("tp_after"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_before, row["n_after"], row["tp_after"], read_failed, dry_only)],
+        "n_rows_before long, n_rows_after long, total_price_after double, "
+        "read_failed_before_repair boolean, dry_run_reported_only boolean",
+    )
+
+
+@q(
+    "deltalog_multipart_checkpoint_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 2000),
+       s1 AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       s2 AS (SELECT o_orderkey, o_totalprice + 2 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              CAST(3 AS BIGINT) AS n_parts,
+              TRUE AS parts_carry_state,
+              TRUE AS incomplete_set_refuses
+       FROM fin""",
+)
+def deltalog_multipart_checkpoint_audit(spark, sf_dir):
+    """Multi-part classic checkpoints end-to-end (delta/log.py
+    write_checkpoint(parts=N)): a 3-part checkpoint (round-robin
+    action split — the most adversarial distribution the spec
+    permits) plus metadata cleanup leaves the part set as the ONLY
+    carrier of pre-checkpoint state; the final read must equal the
+    relational recompute (``parts_carry_state``), and deleting one
+    part makes resolution REFUSE with the incomplete-set error while
+    `_last_checkpoint` degrades to None rather than serving partial
+    state (``incomplete_set_refuses``; both oracle-pinned TRUE).
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    slice_df = orders.filter(F.col("o_orderkey") <= 100)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"mp-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        for bump in (1, 2):
+            t.append(
+                slice_df.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + bump
+                )
+            )
+        cp = dlog.write_checkpoint(table_dir, parts=3)
+        paths = dlog.checkpoint_part_paths(table_dir, cp)
+        dlog.cleanup_metadata(table_dir, retention_hours=0.0)
+        fresh = DeltaishTable(spark, table_dir)
+        row = (
+            fresh.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+        carried = len(paths) == 3 and dlog.list_versions(table_dir) == [cp]
+        os.remove(paths[1])
+        try:
+            dlog.checkpoint_part_paths(table_dir, cp)
+            refuses = False
+        except ValueError:
+            refuses = (
+                dlog.last_checkpoint_version(table_dir) is None
+            )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, len(paths), carried, refuses)],
+        "n_rows long, total_price double, n_parts long, "
+        "parts_carry_state boolean, incomplete_set_refuses boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -3319,5 +3483,7 @@ for _name in (
     "deltalog_log_cleanup_audit",
     "deltalog_merge_evolution_audit",
     "deltalog_column_defaults_audit",
+    "deltalog_fsck_audit",
+    "deltalog_multipart_checkpoint_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
