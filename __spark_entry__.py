@@ -76,16 +76,19 @@ ROWS_ONLY: tuple[str, ...] = ()
 # red rows re-enter the r7 window head automatically via
 # rotate_window's failed-first rule.
 #
-# ROUND-7 STAGING: four round-6 late additions sit just past the
+# ROUND-7 STAGING: seven round-6 late additions sit just past the
 # window (positions 51+ via _rotation_order's middle group) and are
 # the natural r7 window head after `tools/rotate_window.py
 # CORRECTNESS_r06.json --apply`:
 #   deltalog_log_cleanup_audit (logRetentionDuration metadata
 #   cleanup), deltalog_merge_evolution_audit (MERGE WITH SCHEMA
-#   EVOLUTION), stream_stream_outer_attribution (left-outer
-#   stream-stream interval join with watermark-flush sentinels),
-#   incremental_dedup_bloom (bloom-prefiltered snapshot-vs-history
-#   dedup) — each sim + dtype-lint green at add time.
+#   EVOLUTION), deltalog_column_defaults_audit (allowColumnDefaults),
+#   deltalog_fsck_audit (FSCK REPAIR), deltalog_multipart_checkpoint_
+#   audit (classic parts=N checkpoints), stream_stream_outer_
+#   attribution (left-outer stream-stream interval join with
+#   watermark-flush sentinels), incremental_dedup_bloom
+#   (bloom-prefiltered snapshot-vs-history dedup) — each sim +
+#   dtype-lint green at add time.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",
