@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -86,6 +87,10 @@ class Snapshot:
     # checkpointed, like the spec's SetTransaction actions, so they
     # survive log truncation)
     txns: dict[str, int] = field(default_factory=dict)
+    # appId -> lastUpdated millis of the winning txn action (the
+    # spec's optional freshness stamp; setTransactionRetentionDuration
+    # expires only stamped entries at checkpoint time)
+    txn_updated: dict[str, int] = field(default_factory=dict)
     # domain name -> configuration JSON string (the spec's
     # domainMetadata actions: named metadata domains with
     # last-writer-wins replay and tombstoning via removed=true;
@@ -163,9 +168,12 @@ def replay(table_path: str, until: int | None = None) -> Snapshot:
                 txn = action["txn"]
                 app = txn.get("appId")
                 if app is not None:
-                    snap.txns[app] = max(
-                        snap.txns.get(app, -1), int(txn.get("version", -1))
-                    )
+                    tv = int(txn.get("version", -1))
+                    if tv >= snap.txns.get(app, -1):
+                        snap.txns[app] = tv
+                        lu = txn.get("lastUpdated")
+                        if lu is not None:
+                            snap.txn_updated[app] = int(lu)
             elif "domainMetadata" in action:
                 dm = action["domainMetadata"]
                 if dm.get("removed"):
@@ -311,6 +319,38 @@ def checkpoint_part_paths(table_path: str, version: int) -> list[str]:
     return [found[p][1] for p in sorted(found)]
 
 
+def _txn_retention_cutoff(snap: Snapshot) -> float | None:
+    """Expiry cutoff (epoch ms) for SetTransaction entries, from the
+    ``delta.setTransactionRetentionDuration`` table property — None
+    when unset (keep everything, Delta's default)."""
+    conf = (snap.metadata or {}).get("configuration", {}) or {}
+    raw = conf.get("delta.setTransactionRetentionDuration")
+    if not raw:
+        return None
+    m = re.fullmatch(
+        r"\s*interval\s+(\d+)\s+(day|days|hour|hours)\s*",
+        str(raw).lower(),
+    )
+    if not m:
+        raise ValueError(
+            f"unparseable delta.setTransactionRetentionDuration {raw!r};"
+            " expected 'interval N days' or 'interval N hours'"
+        )
+    n = int(m.group(1))
+    hours = n * 24 if m.group(2).startswith("day") else n
+    return time.time() * 1000.0 - hours * 3600.0 * 1000.0
+
+
+def _txn_expired(snap: Snapshot, app: str, cutoff: float | None) -> bool:
+    """Only entries carrying the optional lastUpdated stamp can age
+    out — an unstamped SetTransaction is retained forever (the spec's
+    rule: without a timestamp there is nothing sound to expire)."""
+    if cutoff is None:
+        return False
+    lu = snap.txn_updated.get(app)
+    return lu is not None and lu < cutoff
+
+
 def write_checkpoint(
     table_path: str, version: int | None = None, parts: int = 1
 ) -> int:
@@ -330,14 +370,30 @@ def write_checkpoint(
     if parts < 1:
         raise ValueError(f"parts must be >= 1, got {parts}")
     snap = replay(table_path, until=version)
+    # checkpoint time is when SetTransaction retention is applied —
+    # the checkpoint is the only artifact that carries txns forward
+    # past log cleanup, so dropping expired entries here bounds the
+    # watermark table of a long-lived many-writer stream
+    txn_cutoff = _txn_retention_cutoff(snap)
     rows: list[dict] = [
         {"protocol": snap.protocol or None},
         {"metaData": snap.metadata or None},
         *({"add": a} for a in snap.files.values()),
         *({"remove": r} for r in snap.tombstones.values()),
         *(
-            {"txn": {"appId": app, "version": v}}
+            {
+                "txn": {
+                    "appId": app,
+                    "version": v,
+                    **(
+                        {"lastUpdated": snap.txn_updated[app]}
+                        if app in snap.txn_updated
+                        else {}
+                    ),
+                }
+            }
             for app, v in snap.txns.items()
+            if not _txn_expired(snap, app, txn_cutoff)
         ),
         *(
             {
@@ -425,6 +481,10 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
             if j:
                 txn = json.loads(j)
                 snap.txns[txn["appId"]] = int(txn.get("version", -1))
+                if txn.get("lastUpdated") is not None:
+                    snap.txn_updated[txn["appId"]] = int(
+                        txn["lastUpdated"]
+                    )
         for j in tbl.get("domainMetadata", []):  # absent pre-domains
             if j:
                 dm = json.loads(j)

@@ -1618,7 +1618,15 @@ class DeltaishTable:
         actions.extend({"add": a} for a in adds)
         if txn_app_id is not None:
             actions.append(
-                {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
+                {
+                    "txn": {
+                        "appId": txn_app_id,
+                        "version": int(txn_version or 0),
+                        # spec's optional freshness stamp — the handle
+                        # setTransactionRetentionDuration expires on
+                        "lastUpdated": int(time.time() * 1000),
+                    }
+                }
             )
         actions.append(dlog.commit_info("WRITE", mode="Append"))
         return self._commit_next(
@@ -1898,6 +1906,13 @@ class DeltaishTable:
             dlog.commit_info("RESTORE", restoredVersion=int(version))
         )
         return self._commit_next(actions, read_version=cur.version)
+
+    def restore_to_timestamp(self, ts_millis: int) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF: resolve the newest
+        version whose commit timestamp <= the given instant (the same
+        resolution as read_as_of_timestamp, ICT-aware) and restore to
+        it — the time axis of the same undo commit."""
+        return self.restore(self.version_as_of_timestamp(ts_millis))
 
     def shallow_clone(
         self, dest_path: str, version: int | None = None
@@ -5147,6 +5162,7 @@ class DeltaishTable:
                             "txn": {
                                 "appId": txn_app_id,
                                 "version": int(batch_id),
+                                "lastUpdated": int(time.time() * 1000),
                             }
                         },
                         dlog.commit_info(

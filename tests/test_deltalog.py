@@ -4090,3 +4090,62 @@ def test_column_defaults(spark, tmp_path):
     assert {r.k: r.status for r in t.read().collect()}[5] is None
     with pytest.raises(ValueError, match="has no default"):
         t.drop_column_default("status")
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TO TIMESTAMP AS OF resolves through the same ICT-aware
+    timestamp->version mapping as reads and restores to it."""
+    import time as _time
+
+    df = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(7))
+    n1 = t.read().count()
+    ts1 = [h for h in t.history() if h["version"] == t.version][0][
+        "timestamp"
+    ]
+    _time.sleep(0.02)
+    t.delete("o_orderkey >= 0")
+    assert t.read().count() == 0
+    t.restore_to_timestamp(ts1)
+    assert t.read().count() == n1
+    assert t.history()[-1]["operation"] == "RESTORE"
+
+
+def test_set_transaction_retention(spark, tmp_path):
+    """SetTransaction retention: txn actions carry the optional
+    lastUpdated stamp; at checkpoint time entries older than
+    delta.setTransactionRetentionDuration are dropped (the checkpoint
+    is what carries txns past log cleanup), unset property keeps
+    everything, and the watermark survives checkpoint+cleanup when
+    fresh."""
+    df = _orders(spark, 30)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(3), txn_app_id="writerA", txn_version=7)
+    assert t.last_txn_version("writerA") == 7
+    snap = t._snapshot()
+    assert "writerA" in snap.txn_updated  # stamped
+
+    # no property: checkpoint + cleanup preserve the watermark
+    dlog.write_checkpoint(str(t.path))
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert DeltaishTable(spark, str(t.path)).last_txn_version(
+        "writerA"
+    ) == 7
+
+    # zero retention: the next checkpoint drops the (stamped) entry
+    t.set_table_properties(
+        {"delta.setTransactionRetentionDuration": "interval 0 hours"}
+    )
+    dlog.write_checkpoint(str(t.path))
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    t2 = DeltaishTable(spark, str(t.path))
+    assert t2.last_txn_version("writerA") == -1
+    # data unaffected
+    assert t2.read().count() == 33
+
+    with pytest.raises(ValueError, match="setTransactionRetention"):
+        t.set_table_properties(
+            {"delta.setTransactionRetentionDuration": "whenever"}
+        )
+        dlog.write_checkpoint(str(t.path))
