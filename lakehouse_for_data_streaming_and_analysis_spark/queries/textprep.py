@@ -469,3 +469,94 @@ def ngram_novelty_curve(spark, sf_dir):
             F.sum("novel") / F.sum("n_grams").cast("double"), 6
         ).alias("novel_share"),
     )
+
+
+@q(
+    "dedup_cluster_size_histogram",
+    """WITH cl AS (SELECT md5(text) AS h, COUNT(*) AS sz
+                   FROM documents GROUP BY 1),
+       tot AS (SELECT SUM(sz) AS n_docs FROM cl)
+       SELECT CAST(sz AS BIGINT) AS cluster_size,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(sz) AS BIGINT) AS n_docs,
+              ROUND(SUM(sz - 1) / CAST(tot.n_docs AS DOUBLE), 6)
+                AS removable_share
+       FROM cl, tot GROUP BY sz, tot.n_docs""",
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster SIZE distribution — the shape report a dedup
+    run is judged by: how many exact-duplicate clusters exist at each
+    size, how many documents they hold, and what share of the corpus
+    each size class would shed under keep-one-per-cluster
+    (exact_dedup_groups lists the clusters; this is their census).
+    A long tail of large clusters means template explosion; all-1s
+    means the corpus is already clean. One hash-keyed fold to
+    clusters, then a size-keyed fold of the CLUSTER table — nothing
+    after the first aggregate is corpus-proportional."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    cl = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    tot = cl.agg(F.sum("sz").cast("double").alias("n_docs_tot")).withColumn(
+        "k", F.lit(1)
+    )
+    return (
+        cl.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("docs_in"),
+            F.sum(F.col("sz") - 1).alias("removable"),
+        )
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("docs_in").cast("long").alias("n_docs"),
+            F.round(
+                F.col("removable") / F.col("n_docs_tot"), 6
+            ).alias("removable_share"),
+        )
+    )
+
+
+@q(
+    "tokenizer_fertility_stats",
+    f"""WITH d AS (
+         SELECT source,
+                length(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
+                length({_TOKS_SQL}) AS n_ws
+         FROM documents)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              ROUND(SUM(n_bpe) / CAST(SUM(n_ws) AS DOUBLE), 6)
+                AS corpus_fertility,
+              ROUND(AVG(n_bpe / CAST(n_ws AS DOUBLE)), 6)
+                AS avg_doc_fertility,
+              ROUND(MAX(n_bpe / CAST(n_ws AS DOUBLE)), 6)
+                AS max_doc_fertility
+       FROM d GROUP BY source""",
+)
+def tokenizer_fertility_stats(spark, sf_dir):
+    """Tokenizer fertility per source: pre-tokenizer pieces per
+    whitespace word (corpus-weighted AND per-doc averaged) — the
+    budget number that converts 'documents' into 'training tokens'
+    and flags sources whose text shape (digits, punctuation runs)
+    will fragment under BPE. Pure map-side expression fold; one
+    source-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    d = docs.select(
+        "source",
+        F.size(textfns.bpe_ish_tokens("text")).alias("n_bpe"),
+        F.size(textfns.tokens("text")).alias("n_ws"),
+    )
+    ratio = F.col("n_bpe") / F.col("n_ws").cast("double")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_ws").cast("double"), 6
+        ).alias("corpus_fertility"),
+        F.round(F.avg(ratio), 6).alias("avg_doc_fertility"),
+        F.round(F.max(ratio), 6).alias("max_doc_fertility"),
+    )

@@ -644,3 +644,29 @@ def user_inactive_day_spans(spark, sf_dir):
         F.max("gap_days").cast("long").alias("longest_gap_days"),
         F.sum("gap_days").cast("long").alias("total_inactive_days"),
     )
+
+
+@q(
+    "weekday_hour_heatmap",
+    """SELECT CAST(dayofweek(ts) AS INT) AS dow,
+              CAST(hour(ts) AS INT) AS hour_of_day,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(AVG(value), 6) AS avg_value
+       FROM events GROUP BY 1, 2""",
+)
+def weekday_hour_heatmap(spark, sf_dir):
+    """Activity heatmap: events and mean value per (day-of-week,
+    hour-of-day) cell — the seasonality fingerprint behind capacity
+    planning and anomaly baselines. Calendar convention is
+    reconciled per engine: DuckDB's dayofweek is 0=Sunday..6, Spark's
+    dayofweek is 1=Sunday..7, so the Spark side emits dayofweek-1 —
+    the same cell labels from each engine's own calendar. One
+    map-side fold onto 168 keys."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
