@@ -87,8 +87,9 @@ ROWS_ONLY: tuple[str, ...] = ()
 #   audit (classic parts=N checkpoints), stream_stream_outer_
 #   attribution (left-outer stream-stream interval join with
 #   watermark-flush sentinels), incremental_dedup_bloom
-#   (bloom-prefiltered snapshot-vs-history dedup) — each sim +
-#   dtype-lint green at add time.
+#   (bloom-prefiltered snapshot-vs-history dedup), plus
+#   dedup_cluster_size_histogram, tokenizer_fertility_stats, and
+#   weekday_hour_heatmap — each sim + dtype-lint green at add time.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",
