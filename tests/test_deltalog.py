@@ -4149,3 +4149,88 @@ def test_set_transaction_retention(spark, tmp_path):
             {"delta.setTransactionRetentionDuration": "whenever"}
         )
         dlog.write_checkpoint(str(t.path))
+
+
+def test_files_matching_predicate_fuzzed_soundness(spark, tmp_path):
+    """Hypothesis fuzz over the skipping IR: random predicate trees
+    (comparisons incl. null-safe equality, IN lists, IS [NOT] NULL,
+    AND/OR/NOT to depth 3) against a table that CONTAINS NULLs in a
+    stats column — candidates must always be a superset of the files
+    truly owning a TRUE row. This generalizes the fixed battery and
+    specifically stresses the r6 EqualNullSafe fix (NOT (col <=> v)
+    over all-v-plus-NULL files)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = []
+    for i in range(240):
+        status = [None, "F", "O", "P"][i % 4]
+        rows.append((i, status, float(i % 7) * 100.0))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).repartitionByRange(6, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    snap = t._snapshot()
+    tagged = t._read_snapshot_files(
+        snap, snap.files, keep_tags=True
+    ).localCheckpoint(eager=True)
+
+    ints = st.sampled_from([-1, 0, 39, 40, 41, 120, 238, 239, 240])
+    strs = st.sampled_from(["'F'", "'O'", "'P'", "'ZZ'"])
+    floats = st.sampled_from(["0.0", "100.0", "300.0", "600.0", "699.0"])
+
+    def leaf():
+        cmp_ops = st.sampled_from(["=", "<", "<=", ">", ">=", "<=>"])
+        int_cmp = st.tuples(cmp_ops, ints).map(
+            lambda t_: f"o_orderkey {t_[0]} {t_[1]}"
+        )
+        str_cmp = st.tuples(cmp_ops, strs).map(
+            lambda t_: f"o_orderstatus {t_[0]} {t_[1]}"
+        )
+        flt_cmp = st.tuples(cmp_ops, floats).map(
+            lambda t_: f"o_totalprice {t_[0]} {t_[1]}"
+        )
+        in_list = st.lists(ints, min_size=1, max_size=3).map(
+            lambda v: f"o_orderkey IN ({', '.join(map(str, v))})"
+        )
+        nulls = st.sampled_from(
+            [
+                "o_orderstatus IS NULL",
+                "o_orderstatus IS NOT NULL",
+                "o_orderkey IS NULL",
+            ]
+        )
+        return st.one_of(int_cmp, str_cmp, flt_cmp, in_list, nulls)
+
+    predicate = st.recursive(
+        leaf(),
+        lambda kids: st.one_of(
+            st.tuples(kids, kids).map(lambda t_: f"({t_[0]}) AND ({t_[1]})"),
+            st.tuples(kids, kids).map(lambda t_: f"({t_[0]}) OR ({t_[1]})"),
+            kids.map(lambda p: f"NOT ({p})"),
+        ),
+        max_leaves=4,
+    )
+
+    @settings(
+        max_examples=50,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(pred=predicate)
+    def check(pred):
+        cands = set(t.files_matching_predicate(pred, snap=snap))
+        truth = {
+            t._uri_to_rel(r["__fp"])
+            for r in tagged.filter(
+                F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+            )
+            .select("__fp")
+            .distinct()
+            .collect()
+        }
+        assert truth <= cands, (
+            f"UNSOUND prune for {pred!r}: missing {sorted(truth - cands)}"
+        )
+
+    check()
