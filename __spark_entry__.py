@@ -99,18 +99,23 @@ DRIVER_GREEN = (
     "ann_lsh_topk",
     "ann_pq_topk",
     "ann_recall_audit",
+    "approx_quantile_accuracy_gate",
     "ar_forecast_intervals",
     "ar_walk_forward_eval",
     "arch_lm_test",
     "arima_garch_residual_fit",
     "arima_order_search",
     "asof_join_last_price",
+    "atr_14day",
     "audio_wav_features",
     "beta_vs_market",
     "bigram_lm_surprisal",
     "bloom_prefilter_join",
     "boilerplate_trigram_share",
     "bollinger_band_breakouts",
+    "boolean_aggregate_gates",
+    "bpe_tokenize_docs",
+    "bpe_vocab_merges",
     "brand_basket_affinity",
     "broadcast_left_enrich",
     "cascading_time_rollup",
@@ -134,6 +139,7 @@ DRIVER_GREEN = (
     "chart_top_trading_volume",
     "chart_total_volume_day",
     "chart_two_level_reagg",
+    "chi_square_type_dow",
     "commit_cadence_gaps",
     "commit_latency_summary",
     "compression_ratio_quality",
@@ -143,10 +149,12 @@ DRIVER_GREEN = (
     "corpus_curation_funnel",
     "corpus_mixture_weights",
     "corpus_shuffle_shards",
+    "corr_covar_matrix",
     "count_distinct_metrics",
     "cross_source_duplicate_audit",
     "cross_split_leakage",
     "cube_status_priority",
+    "cumulative_distinct_users_by_type",
     "customer_order_distribution",
     "customer_order_timeline",
     "customer_rfm_segments",
@@ -155,16 +163,27 @@ DRIVER_GREEN = (
     "cv_fold_rmse",
     "daily_ohlcv",
     "date_id_arithmetic",
+    "dau_wau_mau",
     "dedup_components",
     "deltalog_cdf_merge_feed",
+    "deltalog_check_constraint_audit",
+    "deltalog_checkpoint_audit",
     "deltalog_clone_divergence",
     "deltalog_column_mapping_audit",
+    "deltalog_dynamic_overwrite_audit",
     "deltalog_identity_generated",
     "deltalog_merge_matrix_audit",
     "deltalog_mor_delete_audit",
+    "deltalog_replace_where_audit",
+    "deltalog_restore_audit",
     "deltalog_row_tracking_audit",
+    "deltalog_schema_evolution_audit",
+    "deltalog_skipping_audit",
     "deltalog_snapshot_audit",
+    "deltalog_time_travel_audit",
     "deltalog_update_audit",
+    "deltalog_vacuum_audit",
+    "deltalog_zorder_audit",
     "dickey_fuller_tstat",
     "dim_date_generate",
     "dim_time_generate",
@@ -174,6 +193,7 @@ DRIVER_GREEN = (
     "dormant_customer_balances",
     "dq_constraint_report",
     "dsir_importance_weights",
+    "embedding_centroid_separation",
     "embedding_int8_quantization",
     "embedding_neardup_pairs",
     "embedding_norm_outliers",
@@ -184,6 +204,8 @@ DRIVER_GREEN = (
     "exact_quantiles_by_type",
     "exact_substring_dup_coverage",
     "except_all_keys",
+    "first_last_nth_window",
+    "flesch_reading_ease",
     "forecast_eval_metrics",
     "forecast_revenue_change",
     "fourgram_uniqueness",
@@ -196,21 +218,27 @@ DRIVER_GREEN = (
     "global_sum_filtered",
     "gopher_repetition_filters",
     "grouped_max_topn",
+    "grouping_id_rollup_audit",
     "grouping_sets_year_priority",
     "hashed_bow_vectorize",
+    "histogram_equi_depth_bands",
     "histogram_fixed_buckets",
     "holt_linear_forecast",
     "holt_winters_seasonal",
     "hot_key_diagnosis",
     "image_bmp_features",
     "incremental_agg_merge",
+    "inter_event_gap_quantiles",
     "intersect_repeat_customers",
     "interval_overlap_join",
+    "js_divergence_sources",
     "json_extract_group",
     "kalman_local_level",
     "keyword_search_ranked",
     "kmeans_embedding_clusters",
+    "ks_two_sample",
     "label_centroid_profile",
+    "label_propagation_rounds",
     "lag_returns",
     "langid_stopword_heuristic",
     "large_volume_customers",
@@ -220,9 +248,11 @@ DRIVER_GREEN = (
     "lexicon_sentiment_scores",
     "ljung_box_whitenoise",
     "local_supplier_volume",
+    "longest_event_streak_per_user",
     "loyal_customers_division",
     "mad_by_type",
     "malformed_json_audit",
+    "mann_whitney_u",
     "market_cap_arithmetic",
     "market_share_yearly",
     "max_drawdown_by_type",
@@ -236,8 +266,11 @@ DRIVER_GREEN = (
     "nation_pair_volume",
     "neardup_canonical_selection",
     "ngram_jaccard_pairs",
+    "ngram_novelty_curve",
+    "ntile_value_bands",
     "null_default_coalesce",
     "null_semantics_audit",
+    "on_balance_volume",
     "open_order_backlog",
     "order_lifecycle_snapshot",
     "order_priority_exists",
@@ -247,6 +280,7 @@ DRIVER_GREEN = (
     "pagerank_user_influence",
     "pii_scrub_stats",
     "pit_feature_join",
+    "pivot_dow_multi_agg",
     "pivot_priority_by_year",
     "price_band_range_join",
     "price_reconstruction",
@@ -258,10 +292,12 @@ DRIVER_GREEN = (
     "props_map_profile",
     "pruned_scan_projection",
     "pyds_tick_ingest",
+    "quality_classifier_scores",
     "quality_threshold_sweep",
     "ranked_orders_window_suite",
     "realized_vol_monthly",
     "region_nation_hierarchy_rollup",
+    "regr_diagnostics_full",
     "regr_value_trend",
     "resample_ffill_daily",
     "rest_ingest_typed",
@@ -279,10 +315,12 @@ DRIVER_GREEN = (
     "scd2_dimension_evolution",
     "scd2_hash_projection",
     "schema_evolution_union",
+    "seasonal_residual_anomalies",
     "semdedup_cluster_prune",
     "semi_additive_month_end_balance",
     "semi_join_recent_customers",
     "sequence_packing_map",
+    "session_window_batch",
     "sessionize_user_events",
     "shipping_priority_topk",
     "simhash_hamming_pairs",
@@ -294,10 +332,12 @@ DRIVER_GREEN = (
     "star_filtered_dim_subquery",
     "star_revenue_by_nation_month",
     "stats_moments_by_type",
+    "stochastic_oscillator_14d",
     "stratified_sample_rates",
     "stream_stream_attribution_join",
     "streaming_bronze_final_state",
     "streaming_dedup_final_state",
+    "streaming_session_final_state",
     "streaming_state_audit",
     "supplier_revenue_share_filter",
     "surrogate_keys_global",
@@ -307,20 +347,29 @@ DRIVER_GREEN = (
     "tfidf_top_terms",
     "time_grained_series",
     "time_range_rolling_avg",
+    "time_to_conversion_stats",
+    "token_burstiness_dispersion",
     "token_counts",
     "token_heavy_hitters",
+    "token_length_histogram",
+    "top_event_trigrams",
     "top_ngram_char_share",
     "top_supplier_by_revenue",
     "topk_parts_per_nation",
     "train_val_test_split",
+    "triangle_count_handoff_graph",
     "ts_shape_match_topk",
+    "ttr_lexical_diversity",
     "tumbling_window_agg",
     "twap_daily",
     "two_key_left_merge",
     "tz_localized_fact_keys",
     "union_all_series",
     "unpivot_priority_revenue",
+    "user_activity_gini",
     "user_event_profile",
+    "user_inactive_day_spans",
+    "value_range_window_sum",
     "vector_dim_profile",
     "vocab_oov_rate",
     "vwap_returnflag_month",
@@ -328,66 +377,22 @@ DRIVER_GREEN = (
     "winnow_fingerprints",
     "winsorized_value_stats",
     "yoy_revenue_growth",
+    "zipf_rank_frequency",
     "zscore_anomaly_days",
 )
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "deltalog_skipping_audit",
-    "deltalog_replace_where_audit",
-    "deltalog_dynamic_overwrite_audit",
-    "chi_square_type_dow",
-    "triangle_count_handoff_graph",
-    "seasonal_residual_anomalies",
-    "cumulative_distinct_users_by_type",
-    "longest_event_streak_per_user",
-    "time_to_conversion_stats",
-    "user_activity_gini",
-    "top_event_trigrams",
-    "ks_two_sample",
-    "mann_whitney_u",
-    "bpe_vocab_merges",
-    "quality_classifier_scores",
-    "bpe_tokenize_docs",
-    # --- round-6 additions (each sim + dtype-lint green pre-window):
-    # corpus distribution statistics (queries/textprep.py)
-    "zipf_rank_frequency",
-    "js_divergence_sources",
-    "token_length_histogram",
-    "flesch_reading_ease",
-    "ttr_lexical_diversity",
-    "token_burstiness_dispersion",
-    # ANSI window/aggregate surface (queries/windowlab.py)
-    "ntile_value_bands",
-    "first_last_nth_window",
-    "value_range_window_sum",
-    "session_window_batch",
-    "dau_wau_mau",
-    "inter_event_gap_quantiles",
-    "corr_covar_matrix",
-    "regr_diagnostics_full",
-    "boolean_aggregate_gates",
-    "approx_quantile_accuracy_gate",
-    # delta-protocol audits (queries/pipeline.py)
-    "deltalog_time_travel_audit",
-    "deltalog_restore_audit",
-    "deltalog_checkpoint_audit",
-    "deltalog_vacuum_audit",
-    # --- round-6 batch 2 (fills the window to exactly 50):
-    "stochastic_oscillator_14d",
-    "atr_14day",
-    "on_balance_volume",
-    "histogram_equi_depth_bands",
-    "pivot_dow_multi_agg",
-    "grouping_id_rollup_audit",
-    "user_inactive_day_spans",
-    "ngram_novelty_curve",
-    "embedding_centroid_separation",
-    "label_propagation_rounds",
-    "deltalog_schema_evolution_audit",
-    "deltalog_check_constraint_audit",
-    "deltalog_zorder_audit",
-    "streaming_session_final_state",
+    "stream_stream_outer_attribution",
+    "deltalog_log_cleanup_audit",
+    "deltalog_merge_evolution_audit",
+    "deltalog_column_defaults_audit",
+    "deltalog_fsck_audit",
+    "deltalog_multipart_checkpoint_audit",
+    "incremental_dedup_bloom",
+    "dedup_cluster_size_histogram",
+    "tokenizer_fertility_stats",
+    "weekday_hour_heatmap",
 )
 
 

@@ -171,9 +171,16 @@ def replay(table_path: str, until: int | None = None) -> Snapshot:
                     tv = int(txn.get("version", -1))
                     if tv >= snap.txns.get(app, -1):
                         snap.txns[app] = tv
+                        # A winning txn that omits lastUpdated must also
+                        # clear any stale stamp from an earlier action:
+                        # otherwise setTransactionRetentionDuration expiry
+                        # at checkpoint time would judge a freshly-advanced
+                        # transaction by the old timestamp and drop it.
                         lu = txn.get("lastUpdated")
                         if lu is not None:
                             snap.txn_updated[app] = int(lu)
+                        else:
+                            snap.txn_updated.pop(app, None)
             elif "domainMetadata" in action:
                 dm = action["domainMetadata"]
                 if dm.get("removed"):

@@ -1664,6 +1664,10 @@ class DeltaishTable:
             else:
                 actions.append(self._metadata_action(snap, df.schema))
         else:
+            # allowColumnDefaults applies to every write path that keeps
+            # the table schema, not just append (delta-spark fills
+            # CURRENT_DEFAULT on INSERT OVERWRITE too)
+            df = self._apply_column_defaults(df, snap)
             df = self._apply_generated(df, snap)
             df, hwm_updates = self._apply_identity(df, snap)
             evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
@@ -1706,6 +1710,7 @@ class DeltaishTable:
         snap = self._snapshot()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         is_match = F.coalesce(cond.cast("boolean"), F.lit(False))
+        df = self._apply_column_defaults(df, snap)
         df = self._apply_generated(df, snap)
         df, hwm_updates = self._apply_identity(df, snap)
         evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
@@ -1800,6 +1805,7 @@ class DeltaishTable:
                 "dynamic partition overwrite requires a partitioned "
                 "table; use overwrite() or overwrite_where()"
             )
+        df = self._apply_column_defaults(df, snap)
         df = self._apply_generated(df, snap)
         df, hwm_updates = self._apply_identity(df, snap)
         evolved = self._enforce_or_evolve(df, snap, merge_schema=False)
@@ -3322,8 +3328,20 @@ class DeltaishTable:
         dtypes = {f.name: f.dataType for f in schema.fields}
         evolved_md_action = None
         if schema_evolution:
+            # Spark/Delta resolve names case-insensitively by default
+            # (spark.sql.caseSensitive=false): a source column differing
+            # only in case is the SAME column, not a new field. Rename it
+            # to the target's casing instead of evolving the schema.
+            lower_to_target = {c.lower(): c for c in orig_cols}
+            for f in list(source.schema.fields):
+                tgt = lower_to_target.get(f.name.lower())
+                if tgt is not None and tgt != f.name:
+                    source = source.withColumnRenamed(f.name, tgt)
+            src_col_set = set(source.columns)
             extras = [
-                f for f in source.schema.fields if f.name not in orig_cols
+                f
+                for f in source.schema.fields
+                if f.name.lower() not in lower_to_target
             ]
             if extras and self._column_mapping(snap):
                 raise NotImplementedError(
@@ -3429,7 +3447,12 @@ class DeltaishTable:
         act = act.otherwise(
             F.when(t_exists, F.lit("__keep")).otherwise(F.lit("__drop"))
         )
-        j = j.withColumn("__act", act)
+        # pin the labeled join ONCE: the stats collect below and the
+        # rewrite/CDF scan re-evaluate j otherwise, and a merge
+        # condition over nondeterministic input (rand(), current
+        # timestamp, a re-read view) could desync the touched-file set
+        # from the rewritten rows — the same divergence delete() pins
+        j = j.withColumn("__act", act).localCheckpoint(eager=True)
 
         del_labels = [l for l, _, c in labeled if c["action"] == "delete"]
         upd_labels = [

@@ -4234,3 +4234,152 @@ def test_files_matching_predicate_fuzzed_soundness(spark, tmp_path):
         )
 
     check()
+
+
+def test_txn_stamp_cleared_by_newer_unstamped_action(spark, tmp_path):
+    """An external writer that advances its SetTransaction WITHOUT a
+    lastUpdated stamp must also clear any stale stamp left by an
+    earlier stamped action for the same appId — otherwise
+    setTransactionRetentionDuration expiry at checkpoint time would
+    judge the freshly-advanced transaction by the OLD timestamp and
+    drop it, breaking idempotent-writer dedup (the spec's rule: an
+    unstamped entry is retained forever)."""
+    import time as _time
+
+    df = _orders(spark, 10)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(2), txn_app_id="writerA", txn_version=3)
+    assert "writerA" in t._snapshot().txn_updated  # stamped by append
+
+    # external writer: newer version, NO lastUpdated
+    dlog.write_commit(
+        str(t.path),
+        t.version + 1,
+        [
+            {"txn": {"appId": "writerA", "version": 9}},
+            dlog.commit_info("TXN"),
+        ],
+    )
+    t = DeltaishTable(spark, str(t.path))
+    snap = t._snapshot()
+    assert snap.txns["writerA"] == 9
+    assert "writerA" not in snap.txn_updated  # stale stamp popped
+
+    # zero retention would expire any stamped entry; the unstamped
+    # winner must survive the checkpoint
+    t.set_table_properties(
+        {"delta.setTransactionRetentionDuration": "interval 0 hours"}
+    )
+    _time.sleep(0.01)
+    dlog.write_checkpoint(str(t.path))
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert DeltaishTable(spark, str(t.path)).last_txn_version(
+        "writerA"
+    ) == 9
+
+
+def test_merge_schema_evolution_case_insensitive(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION resolves source columns against the
+    target case-insensitively (spark.sql.caseSensitive=false): a source
+    column differing only in case is the SAME column — renamed to the
+    target's casing, never added as a duplicate schema field."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 10.0, "keep"), (2, 20.0, "keep")],
+            "k long, v double, w string",
+        ),
+    )
+    src = spark.createDataFrame(
+        [(2, 21.0, "B"), (3, 30.0, "C")],
+        "k long, V double, tag string",  # V differs only in case
+    )
+    t.merge_into(
+        src, ["k"],
+        when_matched=[{"action": "update_all"}],
+        when_not_matched=[{"action": "insert_all"}],
+        schema_evolution=True,
+    )
+    # no duplicate 'V' field; only the genuinely new 'tag' evolved
+    assert t.read().columns == ["k", "v", "w", "tag"]
+    rows = {r.k: r for r in t.read().collect()}
+    assert rows[2].v == 21.0 and rows[2].tag == "B"
+    assert rows[3].v == 30.0 and rows[3].w is None and rows[3].tag == "C"
+
+
+def test_column_defaults_apply_on_overwrite_paths(spark, tmp_path):
+    """allowColumnDefaults is a property of the TABLE, not of one write
+    path: overwrite, replaceWhere, and dynamic partition overwrite fill
+    omitted CURRENT_DEFAULT columns exactly like append does."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 10.0, "x")], "k long, v double, status string"
+        ),
+    )
+    t.set_column_default("status", "'pending'")
+
+    t.overwrite(spark.createDataFrame([(2, 20.0)], "k long, v double"))
+    assert {r.k: r.status for r in t.read().collect()} == {2: "pending"}
+
+    t.overwrite_where(
+        spark.createDataFrame([(2, 22.0)], "k long, v double"), "k = 2"
+    )
+    assert {r.k: (r.v, r.status) for r in t.read().collect()} == {
+        2: (22.0, "pending")
+    }
+
+    p = DeltaishTable.create(
+        spark,
+        str(tmp_path / "p"),
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x")], "k long, part string, s string"
+        ),
+        partition_by=("part",),
+    )
+    p.set_column_default("s", "'filled'")
+    p.overwrite_partitions(
+        spark.createDataFrame([(9, "a")], "k long, part string")
+    )
+    got = {r.k: r.s for r in p.read().collect()}
+    assert got == {9: "filled", 2: "x"}
+
+
+def test_merge_consistent_under_nondeterministic_condition(
+    spark, tmp_path
+):
+    """merge() pins the labeled join (localCheckpoint) before the
+    stats collect, so a nondeterministic clause condition — rand() —
+    is evaluated ONCE: the touched-file set, the rewritten rows, and
+    the CDF all describe the same evaluation. The invariant a
+    divergence would break: every target key survives exactly once
+    and the update count implied by the CDF matches the rewrite."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(500).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("v")
+        ),
+    )
+    t.enable_change_data_feed()
+    v0 = t.version
+    src = spark.range(500).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    )
+    t.merge_into(
+        src, ["k"],
+        when_matched=[
+            {"action": "update_all", "condition": F.rand(seed=None) < 0.5}
+        ],
+    )
+    rows = t.read().collect()
+    assert len(rows) == 500  # no key lost or duplicated
+    assert len({r.k for r in rows}) == 500
+    n_updated = sum(1 for r in rows if r.v == 1.0)
+    cdf = t.read_change_feed(v0, t.version).collect()
+    posts = [r for r in cdf if r["_change_type"] == "update_postimage"]
+    pres = [r for r in cdf if r["_change_type"] == "update_preimage"]
+    assert len(posts) == len(pres) == n_updated
+    assert all(r.v == 1.0 for r in posts)
