@@ -26,6 +26,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     pipeline,
     product,
     relational,
+    sketches,
     textprep,
     timeseries,
     training,
@@ -449,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(training.QUERIES)
     out.update(textprep.QUERIES)
     out.update(windowlab.QUERIES)
+    out.update(sketches.QUERIES)
     return _rotation_order(out)
 
 
@@ -473,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(training.ORACLES)
     out.update(textprep.ORACLES)
     out.update(windowlab.ORACLES)
+    out.update(sketches.ORACLES)
     # fixture-bound oracles, computed at call time so they always
     # derive their literals (deflate ratios / IRLS model coefficients)
     # from the sf dir the caller oracles against

@@ -45,6 +45,9 @@ HEADLINE = (
     "exact_substring_dup_coverage",
     "semdedup_cluster_prune",
     "quality_classifier_scores",
+    "audio_wav_features",
+    "image_bmp_features",
+    "compression_ratio_quality",
 )
 
 # Queries whose first run is dominated by Janino/whole-stage-codegen
@@ -60,6 +63,14 @@ JIT_HEAVY = (
     "ann_pq_topk",
     "bpe_vocab_merges",
     "quality_classifier_scores",
+    # Arrow-worker-startup-dominated trio (round-6 audit): their first
+    # run pays Python worker pool spin-up + Arrow IPC setup for the
+    # mapInPandas stages, not plan cost — same cold/warm treatment so
+    # a steal spike in one worker pool stops masquerading as a
+    # regression in the 2x gate.
+    "audio_wav_features",
+    "image_bmp_features",
+    "compression_ratio_quality",
 )
 JIT_WARM_SF_DIR = "/root/testdata/sf0.001"
 

@@ -458,6 +458,35 @@ def last_checkpoint_version(table_path: str) -> int | None:
         return None  # incomplete part set: fall back to full replay
 
 
+def _cp_cell(v):
+    """Checkpoint cell → action payload. Our writer stores each action
+    column as a JSON string; delta-spark checkpoints store typed STRUCT
+    columns (absent optional fields read back as None, maps read back
+    as key/value tuple lists through pyarrow) — accept both encodings
+    so a checkpoint written by a real Delta writer replays."""
+    if v is None or v == "":
+        return None
+    if isinstance(v, str):
+        return json.loads(v)
+    if isinstance(v, dict):
+        out = {}
+        for k, x in v.items():
+            if x is None:
+                continue
+            out[k] = _cp_cell(x) if isinstance(x, (dict, list)) else x
+        return out
+    if isinstance(v, list):
+        if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            return {
+                k: (_cp_cell(x) if isinstance(x, (dict, list)) else x)
+                for k, x in v
+            }
+        return [
+            _cp_cell(x) if isinstance(x, (dict, list)) else x for x in v
+        ]
+    return v
+
+
 def read_checkpoint(table_path: str, version: int) -> Snapshot:
     import pyarrow.parquet as pq
 
@@ -471,30 +500,32 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
     for path in paths:
         tbl = pq.read_table(path).to_pydict()
         for j in tbl["protocol"]:
-            if j:
-                snap.protocol = json.loads(j)
+            p = _cp_cell(j)
+            if p:
+                snap.protocol = p
         for j in tbl["metaData"]:
-            if j:
-                snap.metadata = json.loads(j)
+            m = _cp_cell(j)
+            if m:
+                snap.metadata = m
         for j in tbl["add"]:
-            if j:
-                add = json.loads(j)
+            add = _cp_cell(j)
+            if add:
                 snap.files[add["path"]] = add
         for j in tbl["remove"]:
-            if j:
-                rm = json.loads(j)
+            rm = _cp_cell(j)
+            if rm:
                 snap.tombstones[rm["path"]] = rm
         for j in tbl.get("txn", []):  # absent in pre-txn checkpoints
-            if j:
-                txn = json.loads(j)
+            txn = _cp_cell(j)
+            if txn:
                 snap.txns[txn["appId"]] = int(txn.get("version", -1))
                 if txn.get("lastUpdated") is not None:
                     snap.txn_updated[txn["appId"]] = int(
                         txn["lastUpdated"]
                     )
         for j in tbl.get("domainMetadata", []):  # absent pre-domains
-            if j:
-                dm = json.loads(j)
+            dm = _cp_cell(j)
+            if dm:
                 if not dm.get("removed"):
                     snap.domains[dm["domain"]] = dm.get(
                         "configuration", ""

@@ -43,24 +43,40 @@ def _json_safe(v):
     return v
 
 
-def file_footer_stats(path: str) -> dict:
-    """numRecords + per-column min/max straight from the parquet
-    footer — the same statistics Delta writers persist into ``add``
-    actions (and that the reference's latency notebook consumes)."""
+def file_footer_stats(path: str, indexed: set[str] | None = None) -> dict:
+    """numRecords + per-column min/max/nullCount straight from the
+    parquet footer — the same statistics Delta writers persist into
+    ``add`` actions (and that the reference's latency notebook
+    consumes). ``indexed`` restricts the per-column stats to the named
+    (physical) columns — the ``delta.dataSkippingNumIndexedCols``
+    contract that bounds stats width on wide tables; numRecords is
+    always recorded. nullCount for a column is emitted only when EVERY
+    row group reports it (a partial sum would under-count and make
+    null-aware skipping unsound)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     mins: dict = {}
     maxs: dict = {}
+    ncs: dict = {}
+    nc_bad: set = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested columns: top-level stats only
+                continue
+            if indexed is not None and name not in indexed:
+                continue
+            nc = st.null_count if st is not None else None
+            if nc is None:
+                nc_bad.add(name)
+                ncs.pop(name, None)
+            elif name not in nc_bad:
+                ncs[name] = ncs.get(name, 0) + int(nc)
+            if st is None or not st.has_min_max:
                 continue
             try:
                 mn, mx = st.min, st.max
@@ -78,6 +94,7 @@ def file_footer_stats(path: str) -> dict:
         "numRecords": md.num_rows,
         "minValues": {k: _json_safe(v) for k, v in mins.items()},
         "maxValues": {k: _json_safe(v) for k, v in maxs.items()},
+        "nullCount": dict(ncs),
     }
 
 
@@ -835,6 +852,7 @@ class DeltaishTable:
         if mapping is None and snap is None and dlog.list_versions(self.path):
             snap = dlog.replay(self.path)
         df, mapping = self._physicalize(df, snap, mapping)
+        indexed = self._stats_indexed_set(snap, df, mapping)
         prev_fid = None
         if mapping:
             partition_by = tuple(mapping.get(c, c) for c in partition_by)
@@ -872,6 +890,14 @@ class DeltaishTable:
                     )
                     pending.append((os.path.join(root, fn), rel_path, pv))
             for src, rel_path, pv in pending:
+                stats = file_footer_stats(src, indexed)
+                if stats["numRecords"] == 0:
+                    # Spark emits a parquet file per empty write
+                    # partition; committing it would add a useless
+                    # add action per write (log bloat at scale) and
+                    # an unprunable zero-row file. Delta writers
+                    # never commit empty data files.
+                    continue
                 dest = os.path.join(self.path, rel_path)
                 os.makedirs(os.path.dirname(dest), exist_ok=True)
                 os.rename(src, dest)
@@ -884,7 +910,7 @@ class DeltaishTable:
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": True,
                         "stats": json.dumps(
-                            file_footer_stats(dest), separators=(",", ":")
+                            stats, separators=(",", ":")
                         ),
                     }
                 )
@@ -1283,6 +1309,18 @@ class DeltaishTable:
                     "overwriting it would cause future column-id "
                     "collisions"
                 )
+            if k == "delta.dataSkippingNumIndexedCols":
+                v = props[k]
+                try:
+                    n = int(v)
+                except (TypeError, ValueError):
+                    n = -2
+                if n < -1:
+                    raise ValueError(
+                        f"delta.dataSkippingNumIndexedCols {v!r}: "
+                        "expected -1 (all columns) or a non-negative "
+                        "column count"
+                    )
         snap = self._snapshot()
         conf = dict(snap.metadata.get("configuration", {}) or {})
         for k, v in props.items():
@@ -2934,6 +2972,8 @@ class DeltaishTable:
             mxs = s.get("maxValues", {}) or {}
             ncs = s.get("nullCount", {}) or {}
             nrec = s.get("numRecords")
+            if nrec == 0:
+                continue  # zero rows match no row predicate
             pv = add.get("partitionValues", {}) or {}
             bounds: dict[str, tuple] = {}
             for c in logical_cols:
@@ -4143,12 +4183,52 @@ class DeltaishTable:
         actions.append(dlog.commit_info("OPTIMIZE"))
         return self._commit_next(actions, read_version=snap.version)
 
+    def _stats_indexed_set(
+        self,
+        snap: dlog.Snapshot | None,
+        df: DataFrame,
+        mapping: dict[str, str] | None,
+    ) -> set[str] | None:
+        """Physical column names eligible for per-column file stats
+        under ``delta.dataSkippingNumIndexedCols`` — the FIRST N
+        schema columns, Delta's rule that bounds stats width on wide
+        tables (default 32; -1 = every column). Returns None when no
+        truncation applies so the common narrow-table path costs
+        nothing. A predicate on a column past the indexed prefix
+        finds no min/max/nullCount in the add stats and the skipper
+        conservatively keeps the file — soundness needs no reader
+        change."""
+        conf = {}
+        if snap is not None:
+            conf = (snap.metadata or {}).get("configuration", {}) or {}
+        raw = conf.get("delta.dataSkippingNumIndexedCols")
+        n = 32 if raw is None else int(raw)
+        if n < 0:
+            return None
+        logical = (
+            [f.name for f in self._schema_for(snap).fields]
+            if snap is not None and snap.metadata
+            else list(df.columns)
+        )
+        if len(logical) <= n:
+            return None
+        m = mapping or {}
+        return {m.get(c, c) for c in logical[:n]}
+
     def _write_files_into(
         self, df: DataFrame, part_dir: str, partition_values: dict[str, str]
     ) -> list[dict]:
         """Write pre-partition-scoped data files directly under one
         partition directory (compaction/clustering path: the data no
         longer carries partition columns)."""
+        snap = (
+            dlog.replay(self.path)
+            if dlog.list_versions(self.path)
+            else None
+        )
+        indexed = self._stats_indexed_set(
+            snap, df, self._column_mapping(snap) if snap else None
+        )
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         moved: list[str] = []
         adds: list[dict] = []
@@ -4157,6 +4237,11 @@ class DeltaishTable:
             for fn in os.listdir(staging):
                 if not fn.endswith(".parquet"):
                     continue
+                stats = file_footer_stats(
+                    os.path.join(staging, fn), indexed
+                )
+                if stats["numRecords"] == 0:
+                    continue  # never commit an empty data file
                 new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
                 rel_path = f"{part_dir}/{new_name}" if part_dir else new_name
                 dest = os.path.join(self.path, rel_path)
@@ -4171,7 +4256,7 @@ class DeltaishTable:
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": False,
                         "stats": json.dumps(
-                            file_footer_stats(dest), separators=(",", ":")
+                            stats, separators=(",", ":")
                         ),
                     }
                 )

@@ -49,7 +49,10 @@ def _pinned_shuffle(spark, n: str = "4"):
     micro-batch; at this volume 32 stores are pure fixed cost. Sized
     up, this is the knob that matches state-partition count to
     executor count (same rationale as stream_stream_attribution_join,
-    now shared)."""
+    now shared). $SPARK_GRAFT_STREAM_PARTS overrides the pin — the
+    sweep knob tools/scaling_streams.py uses to show throughput vs
+    state-partition count."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", n)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
@@ -3446,6 +3449,103 @@ def deltalog_multipart_checkpoint_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_stats_columns_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                     FROM orders WHERE o_orderkey <= 2000),
+       extra AS (SELECT o_orderkey + 1000000 AS o_orderkey,
+                        o_totalprice + 1 AS o_totalprice, o_orderstatus
+                 FROM base WHERE o_orderkey <= 200),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS stats_truncated_to_prefix,
+              TRUE AS indexed_col_prunes,
+              TRUE AS unindexed_col_keeps_all
+       FROM fin""",
+)
+def deltalog_stats_columns_audit(spark, sf_dir):
+    """delta.dataSkippingNumIndexedCols end-to-end (delta/table.py
+    _stats_indexed_set + file_footer_stats): with the property set to
+    1, files written afterwards carry min/max/nullCount for ONLY the
+    first schema column (``stats_truncated_to_prefix`` — the knob that
+    bounds add-action width on 1000-column tables); a predicate on the
+    indexed column still prunes to exactly the matching files
+    (``indexed_col_prunes``), while a predicate on a column PAST the
+    indexed prefix conservatively keeps every truncated file
+    (``unindexed_col_keeps_all`` — skipping soundness needs no reader
+    change). Final state recomputed relationally. Scratch table
+    per-invocation, removed before return."""
+    import json as _json
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    extra = base.filter(F.col("o_orderkey") <= 200).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"sc-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, base)
+        t.set_table_properties({"delta.dataSkippingNumIndexedCols": "1"})
+        t.append(extra)
+        snap = t._snapshot()
+        stats = {
+            p: _json.loads(a["stats"]) for p, a in snap.files.items()
+        }
+        new_files = {
+            p
+            for p, s in stats.items()
+            if (s["minValues"].get("o_orderkey") or 0) >= 1000000
+        }
+        truncated = bool(new_files) and all(
+            set(stats[p]["minValues"]) == {"o_orderkey"}
+            and set(stats[p]["nullCount"]) == {"o_orderkey"}
+            for p in new_files
+        )
+        cand_idx = set(
+            t.files_matching_predicate("o_orderkey >= 1000000")
+        )
+        prunes = cand_idx == new_files and len(cand_idx) < len(
+            snap.files
+        )
+        cand_unidx = set(
+            t.files_matching_predicate("o_totalprice < -1")
+        )
+        keeps = new_files <= cand_unidx
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, truncated, prunes, keeps)],
+        "n_rows long, total_price double, "
+        "stats_truncated_to_prefix boolean, indexed_col_prunes boolean, "
+        "unindexed_col_keeps_all boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -3485,5 +3585,6 @@ for _name in (
     "deltalog_column_defaults_audit",
     "deltalog_fsck_audit",
     "deltalog_multipart_checkpoint_audit",
+    "deltalog_stats_columns_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])

@@ -1,0 +1,366 @@
+"""Mergeable-sketch quantile twins for the exact sort-heavy family.
+
+The registry's exact quantile/median/MAD queries
+(``exact_quantiles_by_type``, ``rolling_median_value``,
+``inter_event_gap_quantiles``, ``mad_by_type``) are correct but pay a
+per-key SORT; at 100 TB the scale path is a mergeable sketch. This
+module adds DDSketch-style twins: a relative-error-bounded quantile
+sketch whose state is a tiny (key, log-bucket) count table —
+map-side combinable, mergeable across partitions/days, and O(log
+range / log gamma) rows per key instead of O(rows).
+
+Why DDSketch (and not t-digest/KLL/GK): its bucket function is a PURE
+expression — ``ceil(ln(x) / ln(gamma))`` — so the sketch is exactly
+reproducible by any engine, row-order independent, and therefore
+ORACLE-CHECKABLE: DuckDB recomputes the identical sketch and the
+identical estimates, and the driver hash-compares them. t-digest and
+KLL depend on compaction order / randomness and cannot be pinned this
+way. The relative-error contract is the textbook one: with gamma =
+(1+a)/(1-a), every value in a bucket is within relative error ``a``
+of the bucket's geometric midpoint 2*gamma^i/(gamma+1).
+
+Each query also carries a live ACCURACY GATE (the oracle pins it
+TRUE): the sketch estimate must sit within alpha of the exact
+rank-quantile (the r-th smallest value at r = ceil(q*n), computed by
+the expensive sort the sketch replaces) — the standing proof the
+swap stays in tolerance, mirroring approx_quantile_accuracy_gate.
+
+Scale story (100 TB): one narrow scan → map-side partial counts of
+(key, bucket) → a shuffle whose width is the BUCKET table (hundreds
+of rows per key), then window arithmetic over that tiny table. The
+exact-rank verification side is test-scale-only scaffolding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# alpha = 0.01 -> gamma = (1+a)/(1-a) = 101/99, pinned as an explicit
+# DOUBLE literal: Spark SQL would parse 101.0/99.0 as DECIMAL division
+# (different rounding), DuckDB as double — the repr of the Python
+# double is the one constant both engines parse to the same bits
+_GAMMA = 101.0 / 99.0
+_GAMMA_SQL = repr(_GAMMA)
+_ALPHA = 0.01
+
+
+def _dd_bucket(col):
+    """DDSketch bucket index: ceil(log_gamma(x)) for x > 0."""
+    return F.ceil(F.log(col) / F.log(F.lit(_GAMMA))).cast("long")
+
+
+def _dd_estimate(bucket_col):
+    """Geometric midpoint of bucket i: 2*gamma^i / (gamma+1)."""
+    g = F.lit(_GAMMA)
+    return F.lit(2.0) * F.pow(g, bucket_col) / (g + F.lit(1.0))
+
+
+def _dd_quantiles(df, key_cols, value_col, qs):
+    """(key, q) -> DDSketch quantile estimate + the exact rank r and
+    rank-quantile x_r it must approximate. The sketch path is the
+    grouped bucket-count table; the exact path (row_number sort) is
+    the verification scaffold the sketch replaces at scale."""
+    pos = df.filter(F.col(value_col) > 0)
+    sk = (
+        pos.withColumn("__b", _dd_bucket(F.col(value_col)))
+        .groupBy(*key_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*key_cols)
+    sk = sk.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    picks = None
+    for tag, qq in qs:
+        r = F.ceil(F.lit(qq) * F.col("__n")).cast("long")
+        p = (
+            sk.filter(F.col("__cum") >= r)
+            .groupBy(*key_cols)
+            .agg(
+                F.min("__b").alias("__pb"),
+                F.first(r).alias("__r"),
+            )
+            .select(
+                *key_cols,
+                F.lit(tag).alias("__q"),
+                _dd_estimate(F.col("__pb")).alias("__est"),
+                F.col("__r"),
+            )
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    # exact rank-quantile x_r (the sorted path the sketch replaces)
+    wr = Window.partitionBy(*key_cols).orderBy(value_col)
+    ranked = pos.select(
+        *key_cols,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wr).alias("__rn"),
+    )
+    j = (
+        picks.join(ranked, on=list(key_cols), how="inner")
+        if key_cols
+        else picks.crossJoin(ranked)
+    )
+    return (
+        j.filter(F.col("__rn") == F.col("__r"))
+        .select(
+            *key_cols,
+            "__q",
+            "__est",
+            F.col("__v").alias("__exact_rank_value"),
+        )
+    )
+
+
+@q(
+    "ddsketch_quantiles_gate",
+    f"""WITH pos AS (SELECT event_type AS k, value AS v FROM events
+                     WHERE value > 0),
+  b AS (SELECT k, CAST(CEIL(LN(v)/LN({_GAMMA_SQL})) AS BIGINT) AS bkt
+        FROM pos),
+  s AS (SELECT k, bkt, COUNT(*) AS c FROM b GROUP BY k, bkt),
+  cum AS (SELECT k, bkt, c,
+                 SUM(c) OVER (PARTITION BY k ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING) AS cumc,
+                 SUM(c) OVER (PARTITION BY k) AS n
+          FROM s),
+  pick AS (SELECT k,
+                  MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END) AS b50,
+                  MIN(CASE WHEN cumc >= CEIL(0.99 * n) THEN bkt END) AS b99,
+                  ANY_VALUE(n) AS n
+           FROM cum GROUP BY k)
+  SELECT k AS event_type,
+         CAST(n AS BIGINT) AS n_values,
+         ROUND(2.0 * POW({_GAMMA_SQL}, b50) / ({_GAMMA_SQL} + 1.0), 6)
+           AS dd_p50,
+         ROUND(2.0 * POW({_GAMMA_SQL}, b99) / ({_GAMMA_SQL} + 1.0), 6)
+           AS dd_p99,
+         TRUE AS p50_within_alpha,
+         TRUE AS p99_within_alpha
+  FROM pick""",
+)
+def ddsketch_quantiles_gate(spark, sf_dir):
+    """DDSketch p50/p99 per event type: the mergeable
+    relative-error-bounded twin of ``exact_quantiles_by_type``. The
+    sketch state is a (event_type, log-bucket) count table — map-side
+    combined, mergeable across partitions and days, hundreds of rows
+    per key regardless of input size — replacing the per-key sort of
+    the exact path. The gates assert the DDSketch contract live:
+    |estimate - x_r| <= alpha * x_r against the exact rank-quantile
+    x_r (r = ceil(q*n)), oracle-pinned TRUE. The ESTIMATES themselves
+    are oracle-recomputed bit-for-bit (the bucket function is a pure
+    expression — the reason DDSketch is the pinnable choice over
+    t-digest/KLL, whose compaction order no second engine can
+    replay)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    got = _dd_quantiles(
+        ev, ["event_type"], "value", [("p50", 0.5), ("p99", 0.99)]
+    )
+    n = (
+        ev.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
+    )
+    wide = got.groupBy("event_type").pivot(
+        "__q", ["p50", "p99"]
+    ).agg(
+        F.first("__est").alias("est"),
+        F.first("__exact_rank_value").alias("xr"),
+    )
+    tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
+    return n.join(wide, "event_type").select(
+        "event_type",
+        "n_values",
+        F.round("p50_est", 6).alias("dd_p50"),
+        F.round("p99_est", 6).alias("dd_p99"),
+        (
+            F.abs(F.col("p50_est") - F.col("p50_xr"))
+            <= tol * F.col("p50_xr")
+        ).alias("p50_within_alpha"),
+        (
+            F.abs(F.col("p99_est") - F.col("p99_xr"))
+            <= tol * F.col("p99_xr")
+        ).alias("p99_within_alpha"),
+    )
+
+
+@q(
+    "inter_event_gap_sketch_quantiles",
+    f"""WITH g AS (
+    SELECT EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS v
+    FROM events),
+  pos AS (SELECT v FROM g WHERE v > 0),
+  b AS (SELECT CAST(CEIL(LN(v)/LN({_GAMMA_SQL})) AS BIGINT) AS bkt
+        FROM pos),
+  s AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt),
+  cum AS (SELECT bkt, c,
+                 SUM(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING)
+                   AS cumc,
+                 SUM(c) OVER () AS n
+          FROM s),
+  pick AS (SELECT
+             MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END) AS b50,
+             MIN(CASE WHEN cumc >= CEIL(0.95 * n) THEN bkt END) AS b95,
+             MIN(CASE WHEN cumc >= CEIL(0.99 * n) THEN bkt END) AS b99,
+             ANY_VALUE(n) AS n
+           FROM cum)
+  SELECT CAST(n AS BIGINT) AS n_gaps,
+         ROUND(2.0 * POW({_GAMMA_SQL}, b50) / ({_GAMMA_SQL} + 1.0), 6)
+           AS dd_p50_sec,
+         ROUND(2.0 * POW({_GAMMA_SQL}, b95) / ({_GAMMA_SQL} + 1.0), 6)
+           AS dd_p95_sec,
+         ROUND(2.0 * POW({_GAMMA_SQL}, b99) / ({_GAMMA_SQL} + 1.0), 6)
+           AS dd_p99_sec,
+         TRUE AS p50_within_alpha,
+         TRUE AS p95_within_alpha,
+         TRUE AS p99_within_alpha
+  FROM pick""",
+)
+def inter_event_gap_sketch_quantiles(spark, sf_dir):
+    """Global inter-event-gap quantiles via DDSketch: the mergeable
+    twin of ``inter_event_gap_quantiles``. Gap derivation keeps the
+    per-user LAG window (state bounded per user); the GLOBAL quantile
+    then needs no global sort — per-partition bucket counts merge
+    into one tiny bucket table. Gates pin the alpha contract against
+    the exact rank-quantiles; estimates oracle-recomputed exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(wu)
+        ).alias("gap")
+    ).filter(F.col("gap") > 0)
+    got = _dd_quantiles(
+        gaps, [], "gap", [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+    )
+    n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    wide = got.groupBy().pivot("__q", ["p50", "p95", "p99"]).agg(
+        F.first("__est").alias("est"),
+        F.first("__exact_rank_value").alias("xr"),
+    )
+    tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
+
+    def gate(tag):
+        return (
+            F.abs(F.col(f"{tag}_est") - F.col(f"{tag}_xr"))
+            <= tol * F.col(f"{tag}_xr")
+        ).alias(f"{tag}_within_alpha")
+
+    return n.crossJoin(wide).select(
+        "n_gaps",
+        F.round("p50_est", 6).alias("dd_p50_sec"),
+        F.round("p95_est", 6).alias("dd_p95_sec"),
+        F.round("p99_est", 6).alias("dd_p99_sec"),
+        gate("p50"),
+        gate("p95"),
+        gate("p99"),
+    )
+
+
+@q(
+    "mad_ddsketch_by_type",
+    f"""WITH pos AS (SELECT event_type AS k, value AS v FROM events
+                     WHERE value > 0),
+  b AS (SELECT k, CAST(CEIL(LN(v)/LN({_GAMMA_SQL})) AS BIGINT) AS bkt
+        FROM pos),
+  s AS (SELECT k, bkt, COUNT(*) AS c FROM b GROUP BY k, bkt),
+  cum AS (SELECT k, bkt, c,
+                 SUM(c) OVER (PARTITION BY k ORDER BY bkt
+                              ROWS UNBOUNDED PRECEDING) AS cumc,
+                 SUM(c) OVER (PARTITION BY k) AS n
+          FROM s),
+  med AS (SELECT k,
+                 2.0 * POW({_GAMMA_SQL},
+                   MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END))
+                   / ({_GAMMA_SQL} + 1.0) AS m
+          FROM cum GROUP BY k),
+  dev AS (SELECT pos.k AS k, ABS(pos.v - med.m) AS v
+          FROM pos JOIN med ON pos.k = med.k
+          WHERE ABS(pos.v - med.m) > 0),
+  b2 AS (SELECT k, CAST(CEIL(LN(v)/LN({_GAMMA_SQL})) AS BIGINT) AS bkt
+         FROM dev),
+  s2 AS (SELECT k, bkt, COUNT(*) AS c FROM b2 GROUP BY k, bkt),
+  cum2 AS (SELECT k, bkt, c,
+                  SUM(c) OVER (PARTITION BY k ORDER BY bkt
+                               ROWS UNBOUNDED PRECEDING) AS cumc,
+                  SUM(c) OVER (PARTITION BY k) AS n
+           FROM s2),
+  mad AS (SELECT k,
+                 2.0 * POW({_GAMMA_SQL},
+                   MIN(CASE WHEN cumc >= CEIL(0.5 * n) THEN bkt END))
+                   / ({_GAMMA_SQL} + 1.0) AS md
+          FROM cum2 GROUP BY k)
+  SELECT med.k AS event_type,
+         ROUND(med.m, 6) AS median_est,
+         ROUND(mad.md, 6) AS mad_est,
+         TRUE AS mad_within_alpha
+  FROM med JOIN mad ON med.k = mad.k""",
+)
+def mad_ddsketch_by_type(spark, sf_dir):
+    """Two-pass sketch MAD per event type: the mergeable twin of
+    ``mad_by_type``. Pass 1 sketches the median; pass 2 sketches the
+    absolute deviations AROUND THE SKETCH CENTER — keeping the center
+    fixed is what preserves the alpha contract for the second pass
+    (deviations around a different center have no bound). Both passes
+    are (key, bucket) count tables; no sort anywhere on the scale
+    path. The gate pins pass-2's contract against the exact
+    rank-median of the same deviations; both estimates
+    oracle-recomputed exactly."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value") > 0)
+    )
+    med = (
+        _dd_quantiles(ev, ["event_type"], "value", [("p50", 0.5)])
+        .select("event_type", F.col("__est").alias("median_est"))
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("value") - F.col("median_est")).alias("dev"),
+        )
+        .filter(F.col("dev") > 0)
+    )
+    mad = _dd_quantiles(dev, ["event_type"], "dev", [("p50", 0.5)])
+    tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.round("median_est", 6).alias("median_est"),
+            F.round("__est", 6).alias("mad_est"),
+            (
+                F.abs(F.col("__est") - F.col("__exact_rank_value"))
+                <= tol * F.col("__exact_rank_value")
+            ).alias("mad_within_alpha"),
+        )
+    )

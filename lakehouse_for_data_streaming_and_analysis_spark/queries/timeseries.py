@@ -1685,3 +1685,314 @@ def on_balance_volume(spark, sf_dir):
         .cast("long")
         .alias("obv"),
     )
+
+
+# double literals pinned via Python repr so Spark and DuckDB parse the
+# identical bits (Spark SQL would fold e.g. 1.0/0.25 as DECIMAL math)
+_PI = "3.141592653589793"
+_LN2 = "0.6931471805599453"
+_SQRT252 = "15.874507866387544"
+
+
+@q(
+    "theil_sen_daily_trend",
+    """WITH daily AS (
+         SELECT event_type,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       slopes AS (
+         SELECT a.event_type,
+                (b.v - a.v) / (b.t - a.t) AS s
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.t < b.t),
+       ranked AS (
+         SELECT event_type, s,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY s) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM slopes)
+       SELECT event_type,
+              CAST(MAX(n) AS BIGINT) AS n_pairs,
+              ROUND(AVG(s), 8) AS theil_sen_slope
+       FROM ranked
+       WHERE rn IN (CAST((n + 1) / 2 AS BIGINT),
+                    CAST((n + 2) / 2 AS BIGINT))
+       GROUP BY event_type""",
+)
+def theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    slopes of the daily mean — the estimator that shrugs off the
+    outlier days an OLS slope chases. Daily means are rounded at the
+    stage boundary (bit-identical pair inputs on both engines); the
+    median is the deterministic two-middle-ranks average, not an
+    engine-specific quantile. Scale shape: the O(days²) pair join is
+    over the DAILY aggregate (~hundreds of rows per key), never the
+    raw ticks — at 100 TB the cost stays the first groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("t")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "s"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy("s")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+    )
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.round(F.avg("s"), 8).alias("theil_sen_slope"),
+    )
+
+
+@q(
+    "dft_top_periods",
+    f"""WITH daily AS (
+         SELECT event_type,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+                CAST(COUNT(*) AS DOUBLE) AS c
+         FROM events GROUP BY 1, 2),
+       centered AS (
+         SELECT event_type,
+                t - MIN(t) OVER (PARTITION BY event_type) AS t,
+                ROUND(c - AVG(c) OVER (PARTITION BY event_type), 6) AS c
+         FROM daily),
+       grid AS (SELECT UNNEST(range(2, 31)) AS p),
+       terms AS (
+         SELECT d.event_type, g.p,
+                SUM(d.c * COS(2 * {_PI} * d.t / g.p)) AS re,
+                SUM(d.c * SIN(2 * {_PI} * d.t / g.p)) AS im
+         FROM centered d CROSS JOIN grid g
+         GROUP BY d.event_type, g.p),
+       pw AS (
+         SELECT event_type, p,
+                ROUND(LN(re * re + im * im + 1e-12), 6) AS log_power
+         FROM terms),
+       top AS (
+         SELECT event_type, p, log_power,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY log_power DESC, p) AS rk
+         FROM pw)
+       SELECT event_type, CAST(rk AS INT) AS rank,
+              CAST(p AS BIGINT) AS period_days, log_power
+       FROM top WHERE rk <= 3""",
+)
+def dft_top_periods(spark, sf_dir):
+    """Dominant seasonality detection via a direct DFT probe: the
+    mean-centered daily count series per type, projected onto 29
+    candidate periods (2..30 days) — log-power per period, top-3
+    ranked (rounded before ranking; ties break on the shorter
+    period). A Goertzel-style two-accumulator sum per (key, period):
+    one daily aggregate then a 29x fan-out of a ~hundreds-row table —
+    no FFT library, no driver loop, constant state per key at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    wk = Window.partitionBy("event_type")
+    centered = daily.select(
+        "event_type",
+        (F.col("t") - F.min("t").over(wk)).alias("t"),
+        F.round(F.col("c") - F.avg("c").over(wk), 6).alias("c"),
+    )
+    grid = spark.range(2, 31).select(F.col("id").alias("p"))
+    pi2 = F.lit(2.0) * F.lit(float(_PI))
+    terms = (
+        centered.crossJoin(F.broadcast(grid))
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("c") * F.cos(pi2 * F.col("t") / F.col("p"))).alias(
+                "re"
+            ),
+            F.sum(F.col("c") * F.sin(pi2 * F.col("t") / F.col("p"))).alias(
+                "im"
+            ),
+        )
+    )
+    pw = terms.select(
+        "event_type",
+        "p",
+        F.round(
+            F.log(
+                F.col("re") * F.col("re")
+                + F.col("im") * F.col("im")
+                + F.lit(1e-12)
+            ),
+            6,
+        ).alias("log_power"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.desc("log_power"), "p"
+    )
+    return (
+        pw.select(
+            "event_type",
+            F.row_number().over(wrk).alias("rank"),
+            F.col("p").alias("period_days"),
+            "log_power",
+        )
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            F.col("rank").cast("int").alias("rank"),
+            "period_days",
+            "log_power",
+        )
+    )
+
+
+@q(
+    "parkinson_garman_klass_vol",
+    f"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(ARG_MIN(value, PRINTF('%020d|%020d',
+                                            EPOCH_US(ts), event_id)), 6)
+                  AS o,
+                ROUND(MAX(value), 6) AS h,
+                ROUND(MIN(value), 6) AS l,
+                ROUND(ARG_MAX(value, PRINTF('%020d|%020d',
+                                            EPOCH_US(ts), event_id)), 6)
+                  AS c
+         FROM events GROUP BY 1, 2),
+       ok AS (SELECT * FROM daily
+              WHERE l > 0 AND o > 0 AND h >= l),
+       terms AS (
+         SELECT event_type, STRFTIME(d, '%Y-%m') AS month,
+                LN(h / l) * LN(h / l) AS hl2,
+                LN(c / o) * LN(c / o) AS co2
+         FROM ok)
+       SELECT event_type, month,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(SQRT(AVG(hl2) / (4 * {_LN2})), 6) AS parkinson_vol,
+              ROUND(SQRT(AVG(0.5 * hl2 - (2 * {_LN2} - 1) * co2)), 6)
+                AS garman_klass_vol
+       FROM terms GROUP BY 1, 2""",
+)
+def parkinson_garman_klass_vol(spark, sf_dir):
+    """Range-based daily volatility estimators, monthly per series:
+    Parkinson (high/low range) and Garman-Klass (range + open/close) —
+    the OHLC estimators that extract ~5x more information per day than
+    close-to-close returns. OHLC come from one grouped pass (min_by /
+    max_by on the (ts, event_id) total order for open/close), rounded
+    at the stage boundary; the estimator arithmetic is then identical
+    IEEE on both engines. Per-key state: 4 doubles per day — a
+    streaming-foldable shape."""
+    ev = load_table(spark, sf_dir, "events")
+    # padded string key: identical lexicographic == numeric order on
+    # both engines (DuckDB arg_min/arg_max lack struct ordering keys)
+    key = F.format_string(
+        "%020d|%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.round(F.min_by("value", key), 6).alias("o"),
+        F.round(F.max("value"), 6).alias("h"),
+        F.round(F.min("value"), 6).alias("l"),
+        F.round(F.max_by("value", key), 6).alias("c"),
+    )
+    ok = daily.filter(
+        (F.col("l") > 0) & (F.col("o") > 0) & (F.col("h") >= F.col("l"))
+    )
+    ln2 = F.lit(float(_LN2))
+    hl2 = F.log(F.col("h") / F.col("l")) * F.log(F.col("h") / F.col("l"))
+    co2 = F.log(F.col("c") / F.col("o")) * F.log(F.col("c") / F.col("o"))
+    terms = ok.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM").alias("month"),
+        hl2.alias("hl2"),
+        co2.alias("co2"),
+    )
+    return terms.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sqrt(F.avg("hl2") / (F.lit(4.0) * ln2)), 6).alias(
+            "parkinson_vol"
+        ),
+        F.round(
+            F.sqrt(
+                F.avg(
+                    F.lit(0.5) * F.col("hl2")
+                    - (F.lit(2.0) * ln2 - F.lit(1.0)) * F.col("co2")
+                )
+            ),
+            6,
+        ).alias("garman_klass_vol"),
+    )
+
+
+@q(
+    "sharpe_sortino_by_type",
+    f"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       rets AS (
+         SELECT event_type,
+                ROUND(v / LAG(v) OVER (PARTITION BY event_type
+                                       ORDER BY d) - 1, 8) AS r
+         FROM daily),
+       ok AS (SELECT event_type, r FROM rets WHERE r IS NOT NULL)
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(AVG(r), 8) AS mean_daily_ret,
+              ROUND(STDDEV_SAMP(r), 8) AS vol_daily,
+              ROUND(AVG(r) / STDDEV_SAMP(r) * {_SQRT252}, 6)
+                AS sharpe_annual,
+              ROUND(AVG(r) / SQRT(SUM(CASE WHEN r < 0 THEN r * r
+                                            ELSE 0 END)
+                                  / (COUNT(*) - 1)) * {_SQRT252}, 6)
+                AS sortino_annual
+       FROM ok GROUP BY event_type""",
+)
+def sharpe_sortino_by_type(spark, sf_dir):
+    """Annualized Sharpe and Sortino ratios per series from daily
+    simple returns of the rounded daily mean (rf = 0). Sortino's
+    denominator is the DOWNSIDE semi-deviation (negative returns only,
+    same n-1 normalization) — the risk measure that doesn't punish
+    upside. Daily means and returns round at stage boundaries; the
+    ratio arithmetic is then identical IEEE both engines. One grouped
+    pass over the daily table; constant per-key state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    wl = Window.partitionBy("event_type").orderBy("d")
+    rets = daily.select(
+        "event_type",
+        F.round(F.col("v") / F.lag("v").over(wl) - 1, 8).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    sq252 = F.lit(float(_SQRT252))
+    downside = F.sqrt(
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)
+        )
+        / (F.count(F.lit(1)) - 1)
+    )
+    return rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg("r"), 8).alias("mean_daily_ret"),
+        F.round(F.stddev_samp("r"), 8).alias("vol_daily"),
+        F.round(F.avg("r") / F.stddev_samp("r") * sq252, 6).alias(
+            "sharpe_annual"
+        ),
+        F.round(F.avg("r") / downside * sq252, 6).alias("sortino_annual"),
+    )

@@ -894,8 +894,12 @@ def test_restore_conflicts_with_concurrent_append(spark, tmp_path):
         snap = orig(version)
         if version is None and not getattr(racing, "_fired", False):
             racing._fired = True
+            # must append actual ROWS: a zero-row append commits no
+            # add actions and correctly does NOT conflict with RESTORE
             DeltaishTable(spark, t.path).append(
-                src.filter(F.col("o_orderkey") > 1000)
+                src.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 10_000_000
+                )
             )
         return snap
 
@@ -2913,7 +2917,7 @@ def test_set_table_properties_guards_engine_bookkeeping(spark, tmp_path):
 
 def _ext_log(root, actions_by_version):
     log_dir = root / "_delta_log"
-    log_dir.mkdir()
+    log_dir.mkdir(exist_ok=True)
     for v, actions in actions_by_version.items():
         with open(log_dir / f"{v:020d}.json", "w") as f:
             for a in actions:
@@ -4383,3 +4387,390 @@ def test_merge_consistent_under_nondeterministic_condition(
     pres = [r for r in cdf if r["_change_type"] == "update_preimage"]
     assert len(posts) == len(pres) == n_updated
     assert all(r.v == 1.0 for r in posts)
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols bounds stats width: files
+    written after the property is set carry min/max/nullCount for only
+    the FIRST N schema columns; a predicate on a column past the
+    indexed prefix conservatively keeps every such file while indexed
+    columns still prune; -1 restores full stats; invalid values
+    refuse."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(1, 100, "a"), (2, 200, "b")], "k long, v long, s string"
+        ),
+    )
+    # default (32 > width): every column indexed, nullCount present
+    s0 = json.loads(next(iter(t._snapshot().files.values()))["stats"])
+    assert set(s0["minValues"]) == {"k", "v", "s"}
+    assert s0["nullCount"] == {"k": 0, "v": 0, "s": 0}
+
+    t.set_table_properties({"delta.dataSkippingNumIndexedCols": "1"})
+    t.append(
+        spark.createDataFrame([(10, 1000, "z")], "k long, v long, s string")
+    )
+    snap = t._snapshot()
+    new = [
+        a for a in snap.files.values()
+        if json.loads(a["stats"])["minValues"].get("k") == 10
+    ]
+    assert len(new) == 1
+    s1 = json.loads(new[0]["stats"])
+    assert set(s1["minValues"]) == {"k"}  # only the first schema column
+    assert set(s1["nullCount"]) == {"k"}
+    assert s1["numRecords"] == 1  # numRecords always recorded
+
+    # indexed column still prunes; un-indexed column keeps the
+    # truncated file (conservative) while full-stats files may prune
+    assert len(t.files_matching_predicate("k = 10")) == 1
+    v_files = t.files_matching_predicate("v = 100")
+    assert new[0]["path"] in [p for p in v_files] or len(v_files) >= 1
+    # the truncated file is ALWAYS a candidate for the un-indexed col
+    assert new[0]["path"] in t.files_matching_predicate("v = 99999")
+    # correctness end-to-end: reads still see every row
+    assert t.read().count() == 3
+
+    t.set_table_properties({"delta.dataSkippingNumIndexedCols": "-1"})
+    t.append(
+        spark.createDataFrame([(20, 2000, "y")], "k long, v long, s string")
+    )
+    s2 = [
+        json.loads(a["stats"])
+        for a in t._snapshot().files.values()
+        if json.loads(a["stats"])["minValues"].get("k") == 20
+    ][0]
+    assert set(s2["minValues"]) == {"k", "v", "s"}
+
+    with pytest.raises(ValueError, match="dataSkippingNumIndexedCols"):
+        t.set_table_properties(
+            {"delta.dataSkippingNumIndexedCols": "lots"}
+        )
+
+
+def test_null_count_stats_enable_null_aware_pruning(spark, tmp_path):
+    """Our own writes now persist nullCount from the parquet footers:
+    IS NULL prunes files with zero nulls, IS NOT NULL prunes all-null
+    files, and NOT(col <=> v) can prune a constant no-null file."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, "x")], "k long, s string"),
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, None), (3, None)], "k long, s string"
+        )
+    )
+    files = {
+        p: json.loads(a["stats"])
+        for p, a in t._snapshot().files.items()
+    }
+    no_null = [p for p, s in files.items() if s["nullCount"]["s"] == 0]
+    all_null = [
+        p for p, s in files.items()
+        if s["nullCount"]["s"] == s["numRecords"]
+    ]
+    assert no_null and all_null
+    assert set(t.files_matching_predicate("s IS NULL")) == set(all_null)
+    assert set(t.files_matching_predicate("s IS NOT NULL")) == set(
+        no_null
+    )
+    # constant single-value, zero-null file: NOT(k <=> 1) prunes it
+    assert no_null[0] not in t.files_matching_predicate("NOT (k <=> 1)")
+
+
+def test_default_feeds_generated_column_on_all_write_paths(spark, tmp_path):
+    """Interplay: a generated column may read a DEFAULT-filled column.
+    Defaults fill BEFORE generation expressions evaluate, on append
+    and on the overwrite paths alike; a column carrying a generation
+    expression refuses SET DEFAULT outright (Delta's rule — the two
+    features are mutually exclusive per column)."""
+    t = DeltaishTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame([(1, 5, 10)], "k long, v long, dbl long"),
+        generated_columns={"dbl": "v * 2"},
+    )
+    t.set_column_default("v", "7")
+    # append omitting BOTH: default fills v=7, generation computes dbl=14
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    assert {r.k: (r.v, r.dbl) for r in t.read().collect()}[2] == (7, 14)
+    # overwrite path: same fill order
+    t.overwrite(spark.createDataFrame([(3,)], "k long"))
+    assert {r.k: (r.v, r.dbl) for r in t.read().collect()} == {3: (7, 14)}
+    # generated column itself refuses a default
+    with pytest.raises(ValueError, match="generat"):
+        t.set_column_default("dbl", "1")
+
+
+def _ext_struct_checkpoint(root, version, rows, parts=None):
+    """Hand-write a delta-spark-STYLE checkpoint: typed STRUCT columns
+    (not our JSON-string encoding), maps for partitionValues/
+    configuration — the shape a real Delta writer produces. ``rows``
+    is a list of single-action dicts; ``parts=N`` splits them into the
+    classic multi-part file set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+
+    def table_for(chunk):
+        cols = {"protocol": [], "metaData": [], "add": [], "remove": [],
+                "txn": []}
+        for r in chunk:
+            for k in cols:
+                cols[k].append(r.get(k))
+        return pa.table(
+            {
+                "protocol": pa.array(cols["protocol"], type=proto_t),
+                "metaData": pa.array(cols["metaData"], type=meta_t),
+                "add": pa.array(cols["add"], type=add_t),
+                "remove": pa.array(cols["remove"], type=remove_t),
+                "txn": pa.array(cols["txn"], type=txn_t),
+            }
+        )
+
+    log_dir = root / "_delta_log"
+    log_dir.mkdir(exist_ok=True)
+    if parts is None:
+        pq.write_table(
+            table_for(rows), str(log_dir / f"{version:020d}.checkpoint.parquet")
+        )
+        np = None
+    else:
+        per = (len(rows) + parts - 1) // parts
+        for i in range(parts):
+            chunk = rows[i * per: (i + 1) * per]
+            pq.write_table(
+                table_for(chunk),
+                str(
+                    log_dir
+                    / f"{version:020d}.checkpoint.{i + 1:010d}.{parts:010d}.parquet"
+                ),
+            )
+        np = parts
+    payload = {"version": version, "size": len(rows)}
+    if np:
+        payload["parts"] = np
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump(payload, f)
+
+
+_EXT_SCHEMA_KV = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def test_reads_external_multipart_struct_checkpoint(spark, tmp_path):
+    """Reverse direction for classic multi-part checkpoints: a
+    2-part checkpoint handwritten with delta-spark's TYPED STRUCT
+    columns (maps for partitionValues, null cells for absent actions)
+    whose pre-checkpoint JSON commits were retention-cleaned must read
+    back the exact live set and accept further writes; deleting one
+    part (torn upload) must REFUSE the read rather than serve partial
+    state."""
+    root = tmp_path / "ext_mp"
+    root.mkdir()
+    sa = _ext_parquet(root, "a.parquet", {"id": [0, 1, 2], "v": list("abc")})
+    sb = _ext_parquet(root, "b.parquet", {"id": [3, 4], "v": list("de")})
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2,
+                         "readerFeatures": None, "writerFeatures": None}
+        },
+        {
+            "metaData": {
+                "id": "ext-mp", "schemaString": _EXT_SCHEMA_KV,
+                "partitionColumns": [], "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "a.parquet", "partitionValues": {}, "size": sa,
+                "modificationTime": 1, "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": 3, "minValues": {"id": 0},
+                     "maxValues": {"id": 2}, "nullCount": {"id": 0}}
+                ),
+            }
+        },
+        {
+            "add": {
+                "path": "b.parquet", "partitionValues": {}, "size": sb,
+                "modificationTime": 1, "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": 2, "minValues": {"id": 3},
+                     "maxValues": {"id": 4}, "nullCount": {"id": 0}}
+                ),
+            }
+        },
+        {"txn": {"appId": "extWriter", "version": 5, "lastUpdated": None}},
+    ]
+    _ext_struct_checkpoint(root, 1, rows, parts=2)
+    # retention already removed JSONs 0..1: the parts are the ONLY carrier
+    t = load_table.__self__ if False else None  # noqa: F841
+    tbl = DeltaishTable(spark, str(root))
+    got = {r.id: r.v for r in tbl.read().collect()}
+    assert got == {0: "a", 1: "b", 2: "c", 3: "d", 4: "e"}
+    # struct-encoded txn replays (unstamped: retained forever)
+    assert tbl.last_txn_version("extWriter") == 5
+    # stats replay: id >= 3 prunes to b.parquet only
+    assert tbl.files_matching_predicate("id >= 3") == ["b.parquet"]
+    # our writer continues the log from the checkpoint version
+    v = tbl.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert v == 2 and tbl.read().count() == 6
+
+    # torn upload: part 1 of 2 missing -> refuse, never partial state
+    parts = sorted(
+        p for p in os.listdir(root / "_delta_log")
+        if ".checkpoint.00" in p
+    )
+    os.remove(str(root / "_delta_log" / parts[0]))
+    with pytest.raises(
+        ValueError, match="truncated|incomplete|cannot reconstruct"
+    ):
+        DeltaishTable(spark, str(root)).read()
+
+
+def test_reads_external_retention_cleaned_log(spark, tmp_path):
+    """Reverse direction for log cleanup: JSON commits below a foreign
+    struct-encoded checkpoint are gone — the table must still read
+    (checkpoint + JSON tail); a gap INSIDE the surviving range must
+    refuse rather than replay around the missing commit."""
+    root = tmp_path / "ext_rc"
+    root.mkdir()
+    sa = _ext_parquet(root, "a.parquet", {"id": [0, 1], "v": list("ab")})
+    sb = _ext_parquet(root, "b.parquet", {"id": [2], "v": ["c"]})
+    sc = _ext_parquet(root, "c.parquet", {"id": [3], "v": ["d"]})
+    _ext_struct_checkpoint(
+        root,
+        1,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2,
+                          "readerFeatures": None, "writerFeatures": None}},
+            {"metaData": {"id": "ext-rc", "schemaString": _EXT_SCHEMA_KV,
+                          "partitionColumns": [], "configuration": {}}},
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": sa, "modificationTime": 1,
+                     "dataChange": True, "stats": None}},
+        ],
+    )
+    # surviving JSON tail: v2 adds b, v3 adds c (v0, v1 cleaned away)
+    _ext_log(
+        root,
+        {
+            2: [{"add": {"path": "b.parquet", "partitionValues": {},
+                         "size": sb, "modificationTime": 1,
+                         "dataChange": True}},
+                {"commitInfo": {"operation": "WRITE"}}],
+            3: [{"add": {"path": "c.parquet", "partitionValues": {},
+                         "size": sc, "modificationTime": 1,
+                         "dataChange": True}},
+                {"commitInfo": {"operation": "WRITE"}}],
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    assert {r.id for r in t.read().collect()} == {0, 1, 2, 3}
+    # time travel BELOW the checkpoint: those commits are gone -> refuse
+    with pytest.raises(ValueError, match="cleanup|truncated"):
+        t.read(version=0)
+    # a gap inside the surviving range: v2 missing but v3 present
+    os.remove(str(root / "_delta_log" / f"{2:020d}.json"))
+    with pytest.raises(ValueError, match="missing|truncated"):
+        DeltaishTable(spark, str(root)).read()
+
+
+def test_reads_external_column_defaults_metadata(spark, tmp_path):
+    """Reverse direction for allowColumnDefaults: a foreign log
+    declaring writer v7 with the feature and a CURRENT_DEFAULT in the
+    field metadata. Existing rows read unchanged (defaults are
+    write-time); OUR append omitting the column must honor the
+    foreign default expression."""
+    root = tmp_path / "ext_cd"
+    root.mkdir()
+    size = _ext_parquet(root, "a.parquet", {"id": [1, 2]})
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "status", "type": "string", "nullable": True,
+                 "metadata": {"CURRENT_DEFAULT": "'pending'"}},
+            ],
+        }
+    )
+    _ext_log(
+        root,
+        {
+            0: [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                              "writerFeatures": ["allowColumnDefaults"]}},
+                {"metaData": {"id": "ext-cd",
+                              "format": {"provider": "parquet",
+                                         "options": {}},
+                              "schemaString": schema_string,
+                              "partitionColumns": [],
+                              "configuration": {}}},
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": size, "modificationTime": 1,
+                         "dataChange": True}},
+            ]
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    # pre-default rows: the file lacks the column entirely -> NULL
+    assert {r.id: r.status for r in t.read().collect()} == {
+        1: None, 2: None
+    }
+    # our append omitting the column honors the FOREIGN default
+    t.append(spark.createDataFrame([(3,)], "id long"))
+    assert {r.id: r.status for r in t.read().collect()}[3] == "pending"
