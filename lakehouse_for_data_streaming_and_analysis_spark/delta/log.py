@@ -275,6 +275,81 @@ def commit_stats_df(spark, table_path: str, time_col: str):
 LAST_CHECKPOINT = "_last_checkpoint"
 
 
+# ------------------------------------------------------------ version checksums
+# Delta's VERSION_CHECKSUM file: next to every commit JSON the writer
+# may put ``<version 020d>.crc`` summarizing the post-commit table
+# state (live-file count and byte size, one metadata, one protocol).
+# Readers use it two ways: cheap state verification after replay (a
+# mismatch means a lost/duplicated action — corruption that silent
+# replay would propagate), and O(1) answers to "how big is this
+# table" without scanning the log.
+
+
+def checksum_file(table_path: str, version: int) -> str:
+    return os.path.join(log_path(table_path), f"{version:020d}.crc")
+
+
+def _checksum_payload(files: dict[str, dict]) -> dict:
+    return {
+        "tableSizeBytes": sum(
+            int(a.get("size", 0) or 0) for a in files.values()
+        ),
+        "numFiles": len(files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+    }
+
+
+def write_version_checksum(
+    table_path: str, version: int, files: dict[str, dict] | None = None
+) -> dict:
+    """Write ``<version>.crc``. ``files`` is the post-commit live add
+    map when the caller already has it (the incremental path a writer
+    uses — O(actions), not O(log)); recomputed by full replay when
+    absent."""
+    if files is None:
+        files = replay(table_path, until=version).files
+    crc = _checksum_payload(files)
+    with open(checksum_file(table_path, version), "w") as f:
+        json.dump(crc, f, separators=(",", ":"))
+    return crc
+
+
+def validate_version_checksum(
+    table_path: str, version: int | None = None
+) -> bool | None:
+    """Recompute the state summary at ``version`` (default latest) by
+    replay and compare against the stored ``.crc``. Returns True on
+    match, None when no checksum was written for that version, and
+    RAISES on mismatch — a wrong checksum means the log and the state
+    disagree, which must never be papered over."""
+    if version is None:
+        vs = list_versions(table_path)
+        if not vs:
+            return None
+        version = vs[-1]
+    p = checksum_file(table_path, version)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        stored = json.load(f)
+    actual = _checksum_payload(replay(table_path, until=version).files)
+    diffs = {
+        k: (stored.get(k), v)
+        for k, v in actual.items()
+        if k in stored and stored.get(k) != v
+    }
+    if diffs:
+        raise ValueError(
+            f"version checksum mismatch at {version}: "
+            + ", ".join(
+                f"{k} stored={s} actual={a}" for k, (s, a) in diffs.items()
+            )
+            + " — the commit log and the checksummed state disagree"
+        )
+    return True
+
+
 def checkpoint_file(table_path: str, version: int) -> str:
     return os.path.join(
         log_path(table_path), f"{version:020d}.checkpoint.parquet"
@@ -413,36 +488,184 @@ def write_checkpoint(
             for d, c in snap.domains.items()
         ),
     ]
-    # one JSON-encoded action column per action type; parquet-friendly
-    # without hand-maintaining the full nested spec schema (documented
-    # divergence: the spec stores typed nested structs)
-    def _table(chunk: list[dict]):
-        cols = {
-            "protocol": [], "metaData": [], "add": [], "remove": [],
-            "txn": [], "domainMetadata": [],
-        }
-        for r in chunk:
-            for k in cols:
-                v = r.get(k)
-                cols[k].append(
-                    json.dumps(v, separators=(",", ":")) if v else None
-                )
-        return pa.table(
-            {k: pa.array(v, pa.string()) for k, v in cols.items()}
-        )
-
     if parts == 1:
-        pq.write_table(_table(rows), checkpoint_file(table_path, version))
+        _write_cp_table(rows, checkpoint_file(table_path, version))
     else:
         for k in range(parts):
-            pq.write_table(
-                _table(rows[k::parts]),
+            _write_cp_table(
+                rows[k::parts],
                 multipart_checkpoint_file(
                     table_path, version, k + 1, parts
                 ),
             )
     with open(os.path.join(log_path(table_path), LAST_CHECKPOINT), "w") as f:
         json.dump({"version": version, "parts": parts}, f)
+    return version
+
+
+# One JSON-encoded action column per action type; parquet-friendly
+# without hand-maintaining the full nested spec schema (documented
+# divergence: the spec stores typed nested structs — the read path
+# accepts both encodings via _cp_cell).
+_CP_COLUMNS = (
+    "protocol", "metaData", "add", "remove", "txn", "domainMetadata",
+    "checkpointMetadata", "sidecar",
+)
+
+
+def _write_cp_table(chunk: list[dict], path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols: dict[str, list] = {k: [] for k in _CP_COLUMNS}
+    for r in chunk:
+        for k in cols:
+            v = r.get(k)
+            cols[k].append(
+                json.dumps(v, separators=(",", ":")) if v else None
+            )
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.string()) for k, v in cols.items()}),
+        path,
+    )
+
+
+# ------------------------------------------------------------- v2 checkpoints
+# The v2Checkpoint table feature (Delta PROTOCOL.md "V2 Spec"): the
+# checkpoint for version V is a UUID-named MANIFEST
+# ``<V 020d>.checkpoint.<uuid>.parquet`` holding every non-file action
+# (protocol, metaData, txn, domainMetadata) plus a checkpointMetadata
+# action stamping the version, while the file actions (add/remove)
+# live in SIDECAR parquet files under ``_delta_log/_sidecars/``, each
+# referenced by a ``sidecar`` action in the manifest. The indirection
+# is the scale feature: a 1000-executor job can plan sidecar reads in
+# parallel and an incremental writer can reuse unchanged sidecars
+# across checkpoints instead of rewriting the full live-file set.
+
+SIDECAR_SUBDIR = "_sidecars"
+
+
+def sidecar_dir(table_path: str) -> str:
+    return os.path.join(log_path(table_path), SIDECAR_SUBDIR)
+
+
+def v2_checkpoint_manifest(table_path: str, version: int) -> str | None:
+    """The v2 manifest path for ``version`` — UUID-named, so distinct
+    from both classic forms (no middle token / ``part.parts`` digits).
+    Multiple manifests for one version are legal (two writers racing
+    the same checkpoint); any is complete, pick the lexicographically
+    last for determinism."""
+    prefix = f"{version:020d}.checkpoint."
+    lp = log_path(table_path)
+    if not os.path.isdir(lp):
+        return None
+    cands = []
+    for name in os.listdir(lp):
+        if not (name.startswith(prefix) and name.endswith(".parquet")):
+            continue
+        mid = name[len(prefix): -len(".parquet")]
+        if mid and "." not in mid and not mid.isdigit():
+            cands.append(name)
+    return os.path.join(lp, sorted(cands)[-1]) if cands else None
+
+
+def _manifest_sidecars(manifest_path: str) -> list[dict]:
+    """The sidecar actions declared by a v2 manifest (empty for a
+    manifest that inlines its file actions, which the spec allows)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(manifest_path).to_pydict()
+    out = []
+    for j in tbl.get("sidecar") or []:
+        sc = _cp_cell(j)
+        if sc:
+            out.append(sc)
+    return out
+
+
+def write_checkpoint_v2(
+    table_path: str, version: int | None = None, sidecars: int = 2
+) -> int:
+    """Materialize the snapshot at ``version`` as a v2 checkpoint:
+    manifest + ``sidecars`` sidecar files (file actions split
+    round-robin — like the multi-part writer, the most adversarial
+    distribution the spec permits). Advances ``_last_checkpoint``
+    with the spec's v2 discovery hints (checkpoint kind + manifest
+    file name) so readers resolve the manifest without listing."""
+    import uuid as _uuid
+
+    versions = list_versions(table_path)
+    if version is None:
+        version = versions[-1]
+    if sidecars < 1:
+        raise ValueError(f"sidecars must be >= 1, got {sidecars}")
+    snap = replay(table_path, until=version)
+    txn_cutoff = _txn_retention_cutoff(snap)
+    file_rows: list[dict] = [
+        *({"add": a} for a in snap.files.values()),
+        *({"remove": r} for r in snap.tombstones.values()),
+    ]
+    os.makedirs(sidecar_dir(table_path), exist_ok=True)
+    sidecar_actions: list[dict] = []
+    for k in range(sidecars):
+        name = f"{_uuid.uuid4()}.parquet"
+        path = os.path.join(sidecar_dir(table_path), name)
+        _write_cp_table(file_rows[k::sidecars], path)
+        st = os.stat(path)
+        sidecar_actions.append(
+            {
+                "path": name,
+                "sizeInBytes": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        )
+    manifest_rows: list[dict] = [
+        {"checkpointMetadata": {"version": version, "tags": {}}},
+        {"protocol": snap.protocol or None},
+        {"metaData": snap.metadata or None},
+        *(
+            {
+                "txn": {
+                    "appId": app,
+                    "version": v,
+                    **(
+                        {"lastUpdated": snap.txn_updated[app]}
+                        if app in snap.txn_updated
+                        else {}
+                    ),
+                }
+            }
+            for app, v in snap.txns.items()
+            if not _txn_expired(snap, app, txn_cutoff)
+        ),
+        *(
+            {
+                "domainMetadata": {
+                    "domain": d,
+                    "configuration": c,
+                    "removed": False,
+                }
+            }
+            for d, c in snap.domains.items()
+        ),
+        *({"sidecar": sc} for sc in sidecar_actions),
+    ]
+    manifest_name = f"{version:020d}.checkpoint.{_uuid.uuid4()}.parquet"
+    _write_cp_table(
+        manifest_rows, os.path.join(log_path(table_path), manifest_name)
+    )
+    with open(os.path.join(log_path(table_path), LAST_CHECKPOINT), "w") as f:
+        json.dump(
+            {
+                "version": version,
+                "sizeInBytes": os.path.getsize(
+                    os.path.join(log_path(table_path), manifest_name)
+                ),
+                "checkpointKind": "v2",
+                "v2Checkpoint": manifest_name,
+            },
+            f,
+        )
     return version
 
 
@@ -453,9 +676,22 @@ def last_checkpoint_version(table_path: str) -> int | None:
     with open(p) as f:
         v = int(json.load(f)["version"])
     try:
-        return v if checkpoint_part_paths(table_path, v) else None
+        if checkpoint_part_paths(table_path, v):
+            return v
     except ValueError:
         return None  # incomplete part set: fall back to full replay
+    manifest = v2_checkpoint_manifest(table_path, v)
+    if manifest is None:
+        return None
+    # a v2 checkpoint is usable only if EVERY declared sidecar is
+    # present — a torn sidecar upload degrades to full JSON replay
+    # rather than serving partial state (mirrors the multi-part rule)
+    for sc in _manifest_sidecars(manifest):
+        if not os.path.exists(
+            os.path.join(sidecar_dir(table_path), sc["path"])
+        ):
+            return None
+    return v
 
 
 def _cp_cell(v):
@@ -487,49 +723,76 @@ def _cp_cell(v):
     return v
 
 
+def _ingest_cp_table(snap: Snapshot, tbl: dict) -> None:
+    """Fold one checkpoint parquet (classic part, v2 manifest, or v2
+    sidecar) into ``snap``. Columns are optional — pre-txn classic
+    checkpoints lack ``txn``, sidecars carry only file actions."""
+    for j in tbl.get("protocol") or []:
+        p = _cp_cell(j)
+        if p:
+            snap.protocol = p
+    for j in tbl.get("metaData") or []:
+        m = _cp_cell(j)
+        if m:
+            snap.metadata = m
+    for j in tbl.get("add") or []:
+        add = _cp_cell(j)
+        if add:
+            snap.files[add["path"]] = add
+    for j in tbl.get("remove") or []:
+        rm = _cp_cell(j)
+        if rm:
+            snap.tombstones[rm["path"]] = rm
+    for j in tbl.get("txn") or []:
+        txn = _cp_cell(j)
+        if txn:
+            snap.txns[txn["appId"]] = int(txn.get("version", -1))
+            if txn.get("lastUpdated") is not None:
+                snap.txn_updated[txn["appId"]] = int(txn["lastUpdated"])
+    for j in tbl.get("domainMetadata") or []:
+        dm = _cp_cell(j)
+        if dm:
+            if not dm.get("removed"):
+                snap.domains[dm["domain"]] = dm.get("configuration", "")
+
+
 def read_checkpoint(table_path: str, version: int) -> Snapshot:
     import pyarrow.parquet as pq
 
     paths = checkpoint_part_paths(table_path, version)
-    if not paths:
+    if paths:
+        snap = Snapshot(version=version)
+        for path in paths:
+            _ingest_cp_table(snap, pq.read_table(path).to_pydict())
+        return snap
+    manifest = v2_checkpoint_manifest(table_path, version)
+    if manifest is None:
         raise FileNotFoundError(
             f"no checkpoint at version {version} under "
             f"{log_path(table_path)}"
         )
     snap = Snapshot(version=version)
-    for path in paths:
-        tbl = pq.read_table(path).to_pydict()
-        for j in tbl["protocol"]:
-            p = _cp_cell(j)
-            if p:
-                snap.protocol = p
-        for j in tbl["metaData"]:
-            m = _cp_cell(j)
-            if m:
-                snap.metadata = m
-        for j in tbl["add"]:
-            add = _cp_cell(j)
-            if add:
-                snap.files[add["path"]] = add
-        for j in tbl["remove"]:
-            rm = _cp_cell(j)
-            if rm:
-                snap.tombstones[rm["path"]] = rm
-        for j in tbl.get("txn", []):  # absent in pre-txn checkpoints
-            txn = _cp_cell(j)
-            if txn:
-                snap.txns[txn["appId"]] = int(txn.get("version", -1))
-                if txn.get("lastUpdated") is not None:
-                    snap.txn_updated[txn["appId"]] = int(
-                        txn["lastUpdated"]
-                    )
-        for j in tbl.get("domainMetadata", []):  # absent pre-domains
-            dm = _cp_cell(j)
-            if dm:
-                if not dm.get("removed"):
-                    snap.domains[dm["domain"]] = dm.get(
-                        "configuration", ""
-                    )
+    tbl = pq.read_table(manifest).to_pydict()
+    for j in tbl.get("checkpointMetadata") or []:
+        cm = _cp_cell(j)
+        if cm and int(cm.get("version", version)) != version:
+            raise ValueError(
+                f"v2 checkpoint manifest {os.path.basename(manifest)} "
+                f"stamps version {cm['version']}, expected {version}"
+            )
+    _ingest_cp_table(snap, tbl)
+    for sc in tbl.get("sidecar") or []:
+        side = _cp_cell(sc)
+        if not side:
+            continue
+        sp = os.path.join(sidecar_dir(table_path), side["path"])
+        if not os.path.exists(sp):
+            raise FileNotFoundError(
+                f"v2 checkpoint at version {version} references missing "
+                f"sidecar {side['path']} — refusing to reconstruct "
+                "partial state"
+            )
+        _ingest_cp_table(snap, pq.read_table(sp).to_pydict())
     return snap
 
 
@@ -565,6 +828,10 @@ def cleanup_metadata(
             break  # contiguous prefix only
         os.remove(p)
         deleted.append(os.path.basename(p))
+        crc = checksum_file(table_path, v)
+        if os.path.exists(crc):  # the .crc shadows its commit JSON
+            os.remove(crc)
+            deleted.append(os.path.basename(crc))
     for name in sorted(os.listdir(lp)):
         # both checkpoint forms: <v>.checkpoint.parquet and the
         # multi-part <v>.checkpoint.<k>.<n>.parquet
@@ -577,4 +844,24 @@ def cleanup_metadata(
         if os.path.getmtime(p) * 1000.0 < cutoff:
             os.remove(p)
             deleted.append(name)
+    # v2 sidecars: deletable only once NO surviving manifest references
+    # them (manifests may share sidecars across checkpoint generations)
+    # and they are past retention themselves
+    sd = sidecar_dir(table_path)
+    if os.path.isdir(sd):
+        live: set[str] = set()
+        for name in os.listdir(lp):
+            if ".checkpoint." not in name or not name.endswith(".parquet"):
+                continue
+            mid = name.split(".checkpoint.", 1)[1][: -len(".parquet")]
+            if mid and "." not in mid and not mid.isdigit():
+                live.update(
+                    sc["path"]
+                    for sc in _manifest_sidecars(os.path.join(lp, name))
+                )
+        for name in sorted(os.listdir(sd)):
+            p = os.path.join(sd, name)
+            if name not in live and os.path.getmtime(p) * 1000.0 < cutoff:
+                os.remove(p)
+                deleted.append(f"{SIDECAR_SUBDIR}/{name}")
     return deleted

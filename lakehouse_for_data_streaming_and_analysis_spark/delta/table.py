@@ -200,6 +200,9 @@ class DeltaishTable:
             dlog.commit_info("CREATE TABLE AS SELECT"),
         ]
         dlog.write_commit(t.path, 0, actions)
+        dlog.write_version_checksum(
+            t.path, 0, {a["path"]: a for a in adds}
+        )
         return t
 
     # Table-feature compliance is ALLOWLIST-based, the protocol's own
@@ -211,7 +214,8 @@ class DeltaishTable:
     # would silently break). Readers IGNORE unknown writer features —
     # that asymmetry is the spec's.
     _SUPPORTED_READER_FEATURES = frozenset(
-        {"columnMapping", "deletionVectors", "timestampNtz"}
+        {"columnMapping", "deletionVectors", "timestampNtz",
+         "v2Checkpoint", "vacuumProtocolCheck", "typeWidening"}
     )
     _SUPPORTED_WRITER_FEATURES = frozenset(
         {
@@ -229,6 +233,9 @@ class DeltaishTable:
             "rowTracking",
             "clustering",
             "allowColumnDefaults",
+            "v2Checkpoint",
+            "vacuumProtocolCheck",
+            "typeWidening",
         }
     )
 
@@ -294,6 +301,93 @@ class DeltaishTable:
         proto["minWriterVersion"] = 7
         proto["writerFeatures"] = sorted(feats)
         return proto
+
+    @staticmethod
+    def _v2_checkpoints_on(snap: dlog.Snapshot) -> bool:
+        return "v2Checkpoint" in (
+            (snap.protocol or {}).get("readerFeatures") or []
+        )
+
+    def enable_v2_checkpoints(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES
+        ('delta.checkpointPolicy' = 'v2'): upgrade to the v2Checkpoint
+        table feature — from now on the periodic checkpoints are
+        UUID-named manifests with sidecar files (delta/log.py
+        write_checkpoint_v2) instead of classic single/multi-part
+        parquet. Reader-writer feature: it lands in BOTH feature
+        lists at protocol (3, 7), because a reader that does not
+        understand the manifest/sidecar layout would miss the
+        checkpointed state entirely."""
+        snap = self._snapshot()
+        proto = snap.protocol or {}
+        if self._v2_checkpoints_on(snap):
+            return snap.version
+        new = self._protocol_with_features(snap, {"v2Checkpoint"})
+        rf = set(proto.get("readerFeatures") or []) | {"v2Checkpoint"}
+        # reader v3 activates only LISTED reader features, so a legacy
+        # reader version's implication must be expanded (v2 implied
+        # column mapping)
+        if int(proto.get("minReaderVersion", 1)) == 2:
+            rf.add("columnMapping")
+        new["minReaderVersion"] = 3
+        new["readerFeatures"] = sorted(rf)
+        conf = dict(snap.metadata.get("configuration", {}) or {})
+        conf["delta.checkpointPolicy"] = "v2"
+        md = dict(snap.metadata)
+        md["configuration"] = conf
+        return self._commit_next(
+            [
+                {"protocol": new},
+                {"metaData": md},
+                dlog.commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={"delta.checkpointPolicy": "v2"},
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def enable_vacuum_protocol_check(self) -> int:
+        """ALTER TABLE ... SET TBLPROPERTIES enabling the
+        vacuumProtocolCheck reader-writer feature: VACUUM
+        implementations must run the full protocol gate before
+        deleting files, so an engine that ignores a feature (say,
+        deletion vectors) can never vacuum away files that feature
+        still references. Our vacuum() honors it; declaring it makes
+        EXTERNAL engines honor it too."""
+        snap = self._snapshot()
+        proto = snap.protocol or {}
+        if "vacuumProtocolCheck" in (proto.get("writerFeatures") or []):
+            return snap.version
+        new = self._protocol_with_features(snap, {"vacuumProtocolCheck"})
+        rf = set(proto.get("readerFeatures") or []) | {"vacuumProtocolCheck"}
+        if int(proto.get("minReaderVersion", 1)) == 2:
+            rf.add("columnMapping")
+        new["minReaderVersion"] = 3
+        new["readerFeatures"] = sorted(rf)
+        return self._commit_next(
+            [
+                {"protocol": new},
+                dlog.commit_info(
+                    "SET TBLPROPERTIES",
+                    properties={"feature": "vacuumProtocolCheck"},
+                ),
+            ],
+            read_version=snap.version,
+        )
+
+    def checkpoint_v2(self, sidecars: int = 2) -> int:
+        """Write a v2 checkpoint at the latest version (feature must
+        be active — an external reader without v2Checkpoint support
+        must have refused the table BEFORE we hide state in a layout
+        it cannot see)."""
+        snap = self._snapshot()
+        if not self._v2_checkpoints_on(snap):
+            raise ValueError(
+                "v2Checkpoint feature not enabled on this table; call "
+                "enable_v2_checkpoints() first"
+            )
+        return dlog.write_checkpoint_v2(self.path, sidecars=sidecars)
 
     ICT_ENABLE = "delta.enableInCommitTimestamps"
     ICT_VERSION = "delta.inCommitTimestampEnablementVersion"
@@ -738,6 +832,14 @@ class DeltaishTable:
     def version(self) -> int:
         return self._snapshot().version
 
+    def verify_checksum(self, version: int | None = None) -> bool | None:
+        """Validate the VERSION_CHECKSUM file at ``version`` (default
+        latest) against a fresh replay — True on match, None when the
+        version carries no ``.crc`` (e.g. written by an engine that
+        skips them), raises on disagreement (delta/log.py
+        validate_version_checksum)."""
+        return dlog.validate_version_checksum(self.path, version)
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL: one dict of table-level facts from the
         current snapshot — id/format/location, partition and
@@ -976,9 +1078,23 @@ class DeltaishTable:
                                 "the operation on the latest snapshot"
                             )
             try:
-                dlog.write_commit(self.path, v, self._strip_rt_marks(actions))
+                stripped = self._strip_rt_marks(actions)
+                dlog.write_commit(self.path, v, stripped)
+                # incremental VERSION_CHECKSUM: the post-commit live
+                # set is the read snapshot's plus this commit's file
+                # actions — O(actions), never a log replay
+                files = dict(snap_now.files)
+                for a in stripped:
+                    if "add" in a:
+                        files[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        files.pop(a["remove"]["path"], None)
+                dlog.write_version_checksum(self.path, v, files)
                 if v > 0 and v % self.CHECKPOINT_INTERVAL == 0:
-                    dlog.write_checkpoint(self.path, v)
+                    if self._v2_checkpoints_on(snap_now):
+                        dlog.write_checkpoint_v2(self.path, v)
+                    else:
+                        dlog.write_checkpoint(self.path, v)
                 return v
             except ConcurrentCommitError:
                 if not retry_append:
@@ -1519,6 +1635,81 @@ class DeltaishTable:
             read_version=snap.version,
         )
 
+    # Widenings the typeWidening table feature permits AND Spark's
+    # vectorized parquet reader performs natively on scan (verified:
+    # int32 pages read under a wider read schema) — so a widen is a
+    # METADATA-ONLY commit and the old files are never rewritten.
+    # Decimal-precision and date→timestampNTZ widening are documented
+    # out of scope (different physical encodings).
+    _TYPE_WIDENINGS = {
+        "byte": {"short", "integer", "long", "double"},
+        "short": {"integer", "long", "double"},
+        "integer": {"long", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column_type(self, col: str, new_type: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN col TYPE new_type under the
+        typeWidening table feature: the schema field changes to the
+        wider type, the change is journaled in the field's
+        ``delta.typeChanges`` metadata (fromType/toType/tableVersion —
+        what external readers use to know which files carry the
+        narrow physical type), and the protocol lists typeWidening in
+        BOTH feature lists at (3,7) — a reader that ignored it would
+        read int32 pages under a long schema unprepared. Any
+        non-widening change refuses: narrowing silently truncates,
+        and that is a data-corruption path, not an ALTER."""
+        snap = self._snapshot()
+        sj = json.loads(snap.metadata["schemaString"])
+        field = next((f for f in sj["fields"] if f["name"] == col), None)
+        if field is None:
+            raise ValueError(f"no such column {col!r}")
+        cur = field["type"]
+        if not isinstance(cur, str):
+            raise NotImplementedError(
+                f"type widening supports primitive columns; {col!r} is "
+                f"nested ({json.dumps(cur)[:40]}...)"
+            )
+        if new_type == cur:
+            return snap.version
+        if new_type not in self._TYPE_WIDENINGS.get(cur, set()):
+            raise ValueError(
+                f"cannot change {col!r} from {cur} to {new_type}: not a "
+                "supported widening (narrowing or cross-family changes "
+                "would corrupt existing data)"
+            )
+        md_field = dict(field.get("metadata", {}) or {})
+        changes = list(md_field.get("delta.typeChanges", []) or [])
+        changes.append(
+            {
+                "fromType": cur,
+                "toType": new_type,
+                "tableVersion": snap.version + 1,
+            }
+        )
+        md_field["delta.typeChanges"] = changes
+        field["type"] = new_type
+        field["metadata"] = md_field
+        md = dict(snap.metadata)
+        md["schemaString"] = json.dumps(sj)
+        actions: list[dict] = []
+        proto = snap.protocol or {}
+        if "typeWidening" not in (proto.get("writerFeatures") or []):
+            new_proto = self._protocol_with_features(snap, {"typeWidening"})
+            rf = set(proto.get("readerFeatures") or []) | {"typeWidening"}
+            if int(proto.get("minReaderVersion", 1)) == 2:
+                rf.add("columnMapping")
+            new_proto["minReaderVersion"] = 3
+            new_proto["readerFeatures"] = sorted(rf)
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": md})
+        actions.append(
+            dlog.commit_info(
+                "ALTER COLUMN", column=col, fromType=cur, toType=new_type
+            )
+        )
+        return self._commit_next(actions, read_version=snap.version)
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only
         under column mapping (the physical name and id never change,
@@ -2014,6 +2205,9 @@ class DeltaishTable:
             )
         )
         dlog.write_commit(dest, 0, actions)
+        dlog.write_version_checksum(
+            dest, 0, {a["add"]["path"]: a["add"] for a in actions if "add" in a}
+        )
         return DeltaishTable(self.spark, dest)
 
     def deep_clone(
@@ -2067,6 +2261,9 @@ class DeltaishTable:
             )
         )
         dlog.write_commit(dest, 0, actions)
+        dlog.write_version_checksum(
+            dest, 0, {a["add"]["path"]: a["add"] for a in actions if "add" in a}
+        )
         return DeltaishTable(self.spark, dest)
 
     # ------------------------------------------------- deletion vectors
@@ -4714,17 +4911,36 @@ class DeltaishTable:
         retention_hours: float = 168.0,
         enforce_retention: bool = True,
         dry_run: bool = False,
+        mode: str = "lite",
     ) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Time travel to versions referencing them stops working
         afterwards — exactly Delta's trade-off.
+
+        ``mode='lite'`` (VACUUM ... LITE) derives deletions from the
+        COMMIT LOG alone — tombstones, dead DV files, aged cdc files —
+        and never lists the table directory: the cheap form whose cost
+        scales with the log, not with the object count (the reason it
+        exists: a listing of a 100 TB table's millions of objects is
+        itself a heavy job). ``mode='full'`` additionally WALKS the
+        table directory and removes ORPHANS — data files no surviving
+        log action references, the debris of failed/zombie writers
+        that LITE can never see — aged past retention by mtime.
 
         Safety rails, mirroring delta-spark: a retention below the
         7-day default REFUSES unless ``enforce_retention=False`` (the
         retentionDurationCheck escape hatch) — a short window can
         delete files a concurrent reader or un-checkpointed stream
         still references. ``dry_run=True`` returns the would-be
-        deletions without touching storage (VACUUM ... DRY RUN)."""
+        deletions without touching storage (VACUUM ... DRY RUN).
+        If the table declares the ``vacuumProtocolCheck`` feature the
+        FULL protocol gate runs first (the feature's contract:
+        implementations must verify both reader and writer features
+        before destructive file removal, so an engine that
+        half-understands the table cannot delete files a feature it
+        ignores still references)."""
+        if mode not in ("lite", "full"):
+            raise ValueError(f"vacuum mode must be 'lite' or 'full', not {mode!r}")
         if enforce_retention and retention_hours < 168.0:
             raise ValueError(
                 f"retention_hours={retention_hours} is below the 7-day "
@@ -4734,6 +4950,12 @@ class DeltaishTable:
             )
         cutoff = (time.time() - retention_hours * 3600.0) * 1000.0
         snap = self._snapshot()
+        if "vacuumProtocolCheck" in (
+            (snap.protocol or {}).get("writerFeatures") or []
+        ):
+            # the feature's explicit gate: full reader+writer check
+            # before any destructive action
+            self._check_writer_protocol(snap, [])
         root = os.path.abspath(self.path) + os.sep
         deleted = []
         for path, rm in snap.tombstones.items():
@@ -4809,6 +5031,48 @@ class DeltaishTable:
                     if not dry_run:
                         os.remove(full)
                     deleted.append(rel)
+        if mode == "full":
+            # Orphan scan: anything under the table root that no log
+            # action accounts for — not a live add, not a tombstone
+            # (handled above by deletionTimestamp), not a cdc file,
+            # not a DV — and older than retention by mtime is debris
+            # from a failed/zombie writer. Listing is the cost FULL
+            # pays that LITE avoids.
+            referenced: set[str] = set()
+            for a in snap.files.values():
+                referenced.add(os.path.abspath(os.path.join(self.path, a["path"])))
+            for p in snap.tombstones:
+                referenced.add(os.path.abspath(os.path.join(self.path, p)))
+            for v in dlog.list_versions(self.path):
+                for a in dlog.read_commit(self.path, v):
+                    for key in ("add", "remove", "cdc"):
+                        if key in a and "path" in a[key]:
+                            referenced.add(
+                                os.path.abspath(
+                                    os.path.join(self.path, a[key]["path"])
+                                )
+                            )
+            referenced |= live_dvs
+            for dirpath, dirnames, filenames in os.walk(self.path):
+                # never descend into the log (or hidden dirs like
+                # streaming checkpoints): VACUUM owns DATA files only
+                dirnames[:] = [
+                    d for d in dirnames
+                    if d != dlog.LOG_SUBDIR and not d.startswith((".", "_"))
+                ]
+                for fn in filenames:
+                    if fn.startswith((".", "_")):
+                        continue
+                    if fn.startswith("deletion_vector_"):
+                        continue  # handled by the DV pass above
+                    full = os.path.join(dirpath, fn)
+                    ab = os.path.abspath(full)
+                    if ab in referenced or not ab.startswith(root):
+                        continue
+                    if os.path.getmtime(full) * 1000.0 <= cutoff:
+                        if not dry_run:
+                            os.remove(full)
+                        deleted.append(os.path.relpath(full, self.path))
         if dry_run:
             return deleted
         if deleted:

@@ -3450,6 +3450,355 @@ def deltalog_multipart_checkpoint_audit(spark, sf_dir):
 
 
 @q(
+    "deltalog_v2_checkpoint_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 2000),
+       s1 AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       s2 AS (SELECT o_orderkey, o_totalprice + 2 AS o_totalprice
+              FROM base WHERE o_orderkey <= 100),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              CAST(2 AS BIGINT) AS n_sidecars,
+              TRUE AS manifest_carries_state,
+              TRUE AS torn_sidecar_degrades
+       FROM fin""",
+)
+def deltalog_v2_checkpoint_audit(spark, sf_dir):
+    """v2Checkpoint table feature end-to-end (delta/log.py
+    write_checkpoint_v2, delta/table.py enable_v2_checkpoints): the
+    UUID-named manifest + 2 sidecar files, after log cleanup, are the
+    ONLY carrier of pre-checkpoint state — the fresh read must equal
+    the relational recompute (``manifest_carries_state``) — and
+    deleting one sidecar makes `_last_checkpoint` resolution degrade
+    to None while the end-to-end read REFUSES (the cleaned JSONs
+    cannot cover the gap) rather than serving partial state
+    (``torn_sidecar_degrades``; both oracle-pinned TRUE). The
+    manifest/sidecar indirection is the 100 TB feature: checkpoint
+    planning parallelizes over sidecars instead of one giant parquet.
+    Scratch table per-invocation, removed before return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    slice_df = orders.filter(F.col("o_orderkey") <= 100)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"v2cp-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        for bump in (1, 2):
+            t.append(
+                slice_df.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + bump
+                )
+            )
+        t.enable_v2_checkpoints()
+        cp = t.checkpoint_v2(sidecars=2)
+        manifest = dlog.v2_checkpoint_manifest(table_dir, cp)
+        sidecars = dlog._manifest_sidecars(manifest)
+        dlog.cleanup_metadata(table_dir, retention_hours=0.0)
+        fresh = DeltaishTable(spark, table_dir)
+        row = (
+            fresh.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+        carried = (
+            len(sidecars) == 2
+            and dlog.list_versions(table_dir) == [cp]
+            and dlog.last_checkpoint_version(table_dir) == cp
+        )
+        os.remove(
+            os.path.join(dlog.sidecar_dir(table_dir), sidecars[0]["path"])
+        )
+        degrades = dlog.last_checkpoint_version(table_dir) is None
+        try:
+            DeltaishTable(spark, table_dir).read().count()
+            degrades = False
+        except (ValueError, FileNotFoundError):
+            pass
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, len(sidecars), carried, degrades)],
+        "n_rows long, total_price double, n_sidecars long, "
+        "manifest_carries_state boolean, torn_sidecar_degrades boolean",
+    )
+
+
+@q(
+    "deltalog_type_widening_audit",
+    """WITH narrow AS (SELECT o_orderkey,
+                              CAST(o_custkey AS INTEGER) AS prio
+                       FROM orders WHERE o_orderkey <= 1000),
+       wide AS (SELECT o_orderkey + 2000000 AS o_orderkey,
+                       CAST(o_orderkey + 4398046511104 AS BIGINT) AS prio
+                FROM orders WHERE o_orderkey <= 50),
+       fin AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(prio) AS BIGINT) AS prio_sum,
+              TRUE AS widen_metadata_only,
+              TRUE AS narrow_files_upcast,
+              TRUE AS narrowing_refuses
+       FROM fin""",
+)
+def deltalog_type_widening_audit(spark, sf_dir):
+    """typeWidening table feature end-to-end (delta/table.py
+    widen_column_type): ALTER COLUMN int→long is a METADATA-ONLY
+    commit — zero files rewritten (``widen_metadata_only``), the
+    change journaled in the field's delta.typeChanges and the
+    feature in both protocol lists — after which the ORIGINAL int32
+    parquet pages scan correctly under the widened schema alongside
+    new beyond-int32 rows (``narrow_files_upcast``: the final
+    aggregate equals the relational recompute), while a narrowing
+    ALTER refuses (``narrowing_refuses``; all oracle-pinned TRUE).
+    At 100 TB this is the difference between an O(1) commit and a
+    full-table rewrite. Scratch table per-invocation, removed before
+    return."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    narrow = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("prio"),
+        )
+    )
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 50)
+        .select(
+            (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + F.lit(4398046511104).cast("long"))
+            .cast("long")
+            .alias("prio"),
+        )
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"tw-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, narrow)
+        files_before = set(t._snapshot().files)
+        t.widen_column_type("prio", "long")
+        metadata_only = set(t._snapshot().files) == files_before
+        t.append(wide)
+        try:
+            t.widen_column_type("prio", "integer")
+            narrowing_refuses = False
+        except ValueError:
+            narrowing_refuses = True
+        upcast = t.read().schema["prio"].dataType.typeName() == "long"
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("prio").cast("long").alias("prio_sum"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, metadata_only, upcast, narrowing_refuses)],
+        "n_rows long, prio_sum long, widen_metadata_only boolean, "
+        "narrow_files_upcast boolean, narrowing_refuses boolean",
+    )
+
+
+@q(
+    "deltalog_vacuum_lite_audit",
+    """WITH fin AS (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey <= 300)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS lite_keeps_orphan,
+              TRUE AS full_removes_aged_orphan,
+              TRUE AS fresh_orphan_protected
+       FROM fin""",
+)
+def deltalog_vacuum_lite_audit(spark, sf_dir):
+    """VACUUM LITE vs FULL (delta/table.py vacuum(mode=...)): LITE
+    derives deletions from the LOG alone — no directory listing, the
+    form whose cost is O(log) not O(objects) and the only sane one on
+    a 100 TB table — so a planted orphan (failed-writer debris no log
+    action references) survives it (``lite_keeps_orphan``); FULL
+    walks the directory and removes the orphan once aged past
+    retention (``full_removes_aged_orphan``) while an orphan INSIDE
+    the retention window survives even FULL
+    (``fresh_orphan_protected``; all oracle-pinned TRUE). The final
+    read equals the relational recompute throughout. Scratch table
+    per-invocation, removed before return."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..delta import DeltaishTable
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    fin = orders.filter(F.col("o_orderkey") <= 300)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"vac-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        t.overwrite(fin)  # tombstones the original files
+        old_orphan = os.path.join(table_dir, "part-zombie-old.parquet")
+        new_orphan = os.path.join(table_dir, "part-zombie-new.parquet")
+        for p in (old_orphan, new_orphan):
+            with open(p, "wb") as f:
+                f.write(b"PAR1junkPAR1")
+        past = _time.time() - 9 * 24 * 3600
+        os.utime(old_orphan, (past, past))
+        t.vacuum(retention_hours=0.0, enforce_retention=False, mode="lite")
+        lite_keeps = os.path.exists(old_orphan) and os.path.exists(
+            new_orphan
+        )
+        full = t.vacuum(retention_hours=168.0, mode="full")
+        full_removes = (
+            "part-zombie-old.parquet" in full
+            and not os.path.exists(old_orphan)
+        )
+        fresh_protected = os.path.exists(new_orphan)
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, lite_keeps, full_removes, fresh_protected)],
+        "n_rows long, total_price double, lite_keeps_orphan boolean, "
+        "full_removes_aged_orphan boolean, fresh_orphan_protected boolean",
+    )
+
+
+@q(
+    "deltalog_checksum_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 2000),
+       s1 AS (SELECT o_orderkey + 1000000 AS o_orderkey,
+                     o_totalprice + 1 AS o_totalprice
+              FROM base WHERE o_orderkey <= 150),
+       merged AS (SELECT * FROM base UNION ALL SELECT * FROM s1),
+       fin AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS all_versions_checksummed,
+              TRUE AS validates_after_rewrite,
+              TRUE AS tamper_refuses
+       FROM fin""",
+)
+def deltalog_checksum_audit(spark, sf_dir):
+    """VERSION_CHECKSUM (.crc) files end-to-end (delta/log.py
+    write_version_checksum / validate_version_checksum): every commit
+    — create, append, and a MOR-free DELETE rewrite — stamps a .crc
+    whose live-set summary a replay-recompute confirms at EVERY
+    version (``all_versions_checksummed``/``validates_after_rewrite``),
+    and a tampered summary REFUSES loudly instead of serving a state
+    the log disagrees with (``tamper_refuses``; all oracle-pinned
+    TRUE). The .crc is written INCREMENTALLY from the commit's own
+    actions (O(actions), not O(log)) — the property that keeps it free
+    at a 1e5-commit streaming table. Scratch table per-invocation,
+    removed before return."""
+    import json
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 2000)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"crc-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        t.append(
+            orders.filter(F.col("o_orderkey") <= 150)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        )
+        t.delete(F.col("o_orderkey") % 7 == 0)
+        all_ok = all(
+            os.path.exists(dlog.checksum_file(table_dir, v))
+            and dlog.validate_version_checksum(table_dir, v) is True
+            for v in range(t.version + 1)
+        )
+        validates = t.verify_checksum() is True
+        crc_path = dlog.checksum_file(table_dir, t.version)
+        with open(crc_path) as f:
+            crc = json.loads(f.read())
+        crc["tableSizeBytes"] += 13
+        with open(crc_path, "w") as f:
+            f.write(json.dumps(crc))
+        try:
+            t.verify_checksum()
+            tamper_refuses = False
+        except ValueError:
+            tamper_refuses = True
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, all_ok, validates, tamper_refuses)],
+        "n_rows long, total_price double, all_versions_checksummed boolean, "
+        "validates_after_rewrite boolean, tamper_refuses boolean",
+    )
+
+
+@q(
     "deltalog_stats_columns_audit",
     """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
                      FROM orders WHERE o_orderkey <= 2000),
@@ -3586,5 +3935,9 @@ for _name in (
     "deltalog_fsck_audit",
     "deltalog_multipart_checkpoint_audit",
     "deltalog_stats_columns_audit",
+    "deltalog_v2_checkpoint_audit",
+    "deltalog_checksum_audit",
+    "deltalog_vacuum_lite_audit",
+    "deltalog_type_widening_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])

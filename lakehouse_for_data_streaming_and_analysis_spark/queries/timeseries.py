@@ -1996,3 +1996,562 @@ def sharpe_sortino_by_type(spark, sf_dir):
         ),
         F.round(F.avg("r") / downside * sq252, 6).alias("sortino_annual"),
     )
+
+
+@q(
+    "roll_spread_estimator",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       diffs AS (
+         SELECT event_type, d,
+                v - LAG(v) OVER (PARTITION BY event_type ORDER BY d) AS dp
+         FROM daily),
+       lagged AS (
+         SELECT event_type, d, dp,
+                LAG(dp) OVER (PARTITION BY event_type ORDER BY d) AS dp_prev
+         FROM diffs WHERE dp IS NOT NULL)
+       SELECT event_type,
+              CAST(COUNT(dp_prev) AS BIGINT) AS n_pairs,
+              ROUND(COVAR_POP(dp, dp_prev), 6) AS autocov,
+              CASE WHEN COVAR_POP(dp, dp_prev) < 0
+                   THEN ROUND(2 * SQRT(-COVAR_POP(dp, dp_prev)), 6)
+              END AS roll_spread
+       FROM lagged WHERE dp_prev IS NOT NULL
+       GROUP BY 1""",
+)
+def roll_spread_estimator(spark, sf_dir):
+    """Roll (1984) effective-spread estimator per series: spread =
+    2*sqrt(-cov(Δp_t, Δp_{t-1})) from the first-order autocovariance
+    of daily price changes — bid-ask bounce makes successive changes
+    negatively correlated, and the magnitude prices the implicit
+    spread. Emitted as NULL when the autocovariance is non-negative
+    (the estimator is undefined there — trending series), exactly as
+    the oracle's CASE does. Daily means are rounded at the stage
+    boundary; two stacked lag windows share one (event_type, d) sort.
+    Cite: reference finance notebooks compute returns/rolling stats
+    (Garch_v1.ipynb); this extends the same daily-grain surface."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.withColumn(
+        "dp", F.col("v") - F.lag("v").over(w)
+    ).filter(F.col("dp").isNotNull())
+    lagged = diffs.withColumn("dp_prev", F.lag("dp").over(w)).filter(
+        F.col("dp_prev").isNotNull()
+    )
+    cov = F.covar_pop("dp", "dp_prev")
+    return lagged.groupBy("event_type").agg(
+        F.count("dp_prev").cast("long").alias("n_pairs"),
+        F.round(cov, 6).alias("autocov"),
+        F.when(cov < 0, F.round(2 * F.sqrt(-cov), 6)).alias(
+            "roll_spread"
+        ),
+    )
+
+
+@q(
+    "variance_ratio_test",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       rets AS (
+         SELECT event_type, d,
+                ROUND(v - LAG(v) OVER (PARTITION BY event_type ORDER BY d),
+                      6) AS r
+         FROM daily),
+       base AS (SELECT * FROM rets WHERE r IS NOT NULL),
+       qsum AS (
+         SELECT event_type, d, r,
+                ROUND(SUM(r) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rq,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS i
+         FROM base),
+       stats AS (
+         SELECT event_type,
+                VAR_POP(r) AS v1,
+                VAR_POP(CASE WHEN i >= 5 THEN rq END) AS vq,
+                CAST(COUNT(*) AS BIGINT) AS n_rets
+         FROM qsum GROUP BY 1)
+       SELECT event_type, n_rets,
+              ROUND(vq / (5 * v1), 4) AS vr5,
+              ROUND((vq / (5 * v1) - 1)
+                    * SQRT(n_rets / (2.0 * 9 * 4 / 15.0)), 4) AS z_stat
+       FROM stats WHERE v1 > 0""",
+)
+def variance_ratio_test(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test VR(q=5) per series: under a
+    random walk the variance of overlapping 5-day increments is 5x
+    the 1-day variance, so VR~1; VR<1 flags mean reversion, VR>1
+    momentum. z is the homoskedastic test statistic
+    (VR-1)*sqrt(n/(2(2q-1)(q-1)/(3q))). Daily increments and their
+    5-day sliding sums are ROUNDED at stage boundaries so the
+    population variances consume bit-identical inputs in both
+    engines; one sort serves the lag, the sliding sum, and the row
+    index."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    rets = daily.withColumn(
+        "r", F.round(F.col("v") - F.lag("v").over(w), 6)
+    ).filter(F.col("r").isNotNull())
+    qsum = rets.select(
+        "event_type",
+        "r",
+        F.round(F.sum("r").over(w.rowsBetween(-4, 0)), 6).alias("rq"),
+        F.row_number().over(w).alias("i"),
+    )
+    stats = qsum.groupBy("event_type").agg(
+        F.var_pop("r").alias("v1"),
+        F.var_pop(F.when(F.col("i") >= 5, F.col("rq"))).alias("vq"),
+        F.count(F.lit(1)).cast("long").alias("n_rets"),
+    )
+    vr = F.col("vq") / (F.lit(5) * F.col("v1"))
+    denom = F.sqrt(F.col("n_rets") / F.lit(2.0 * 9 * 4 / 15.0))
+    return stats.filter(F.col("v1") > 0).select(
+        "event_type",
+        "n_rets",
+        F.round(vr, 4).alias("vr5"),
+        F.round((vr - 1) * denom, 4).alias("z_stat"),
+    )
+
+
+@q(
+    "spearman_kendall_daily",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS x,
+                CAST(COUNT(*) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, x, y,
+                RANK() OVER (PARTITION BY event_type ORDER BY x)
+                  + (COUNT(*) OVER (PARTITION BY event_type, x) - 1) / 2.0
+                  AS rx,
+                RANK() OVER (PARTITION BY event_type ORDER BY y)
+                  + (COUNT(*) OVER (PARTITION BY event_type, y) - 1) / 2.0
+                  AS ry
+         FROM daily),
+       spear AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                ROUND(CORR(rx, ry), 4) AS spearman_rho
+         FROM ranked GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type,
+                SIGN(a.x - b.x) * SIGN(a.y - b.y) AS c
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.d < b.d),
+       kt AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+                CAST(SUM(CASE WHEN c < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nd,
+                CAST(COUNT(*) AS DOUBLE) AS n0
+         FROM pairs GROUP BY 1),
+       tx AS (
+         SELECT event_type, SUM(cnt * (cnt - 1)) / 2.0 AS n1
+         FROM (SELECT event_type, x, COUNT(*) AS cnt
+               FROM daily GROUP BY 1, 2) GROUP BY 1),
+       ty AS (
+         SELECT event_type, SUM(cnt * (cnt - 1)) / 2.0 AS n2
+         FROM (SELECT event_type, y, COUNT(*) AS cnt
+               FROM daily GROUP BY 1, 2) GROUP BY 1)
+       SELECT s.event_type, s.n_days, s.spearman_rho,
+              ROUND((k.nc - k.nd)
+                    / SQRT((k.n0 - t1.n1) * (k.n0 - t2.n2)), 4)
+                AS kendall_tau_b
+       FROM spear s
+       JOIN kt k ON s.event_type = k.event_type
+       JOIN tx t1 ON s.event_type = t1.event_type
+       JOIN ty t2 ON s.event_type = t2.event_type""",
+)
+def spearman_kendall_daily(spark, sf_dir):
+    """Rank correlations between daily price level and daily activity
+    (tick count) per series: Spearman rho as Pearson over AVERAGE
+    ranks (the tie-correct form — RANK() + (ties-1)/2), Kendall
+    tau-b from the full concordant/discordant pair census with tie
+    corrections in both margins. The pair join is an EQUI-join on
+    event_type (days-per-series squared pairs — bounded by the
+    calendar, never by tick volume, so it holds at 100 TB of ticks);
+    ranks, signs, and counts are integers in doubles, so both engines
+    agree bit-exactly before the final rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    rx = F.rank().over(
+        Window.partitionBy("event_type").orderBy("x")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "x")) - 1
+    ) / 2.0
+    ry = F.rank().over(
+        Window.partitionBy("event_type").orderBy("y")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "y")) - 1
+    ) / 2.0
+    ranked = daily.select(
+        "event_type", rx.alias("rx"), ry.alias("ry")
+    )
+    spear = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.corr("rx", "ry"), 4).alias("spearman_rho"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            F.signum(F.col("a.x") - F.col("b.x"))
+            * F.signum(F.col("a.y") - F.col("b.y"))
+        ).alias("c"),
+    )
+    kt = pairs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("nc"),
+        F.sum(F.when(F.col("c") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("nd"),
+        F.count(F.lit(1)).cast("double").alias("n0"),
+    )
+    tx = (
+        daily.groupBy("event_type", "x")
+        .count()
+        .groupBy("event_type")
+        .agg((F.sum(F.col("count") * (F.col("count") - 1)) / 2.0).alias("n1"))
+    )
+    ty = (
+        daily.groupBy("event_type", "y")
+        .count()
+        .groupBy("event_type")
+        .agg((F.sum(F.col("count") * (F.col("count") - 1)) / 2.0).alias("n2"))
+    )
+    tau = F.round(
+        (F.col("nc") - F.col("nd"))
+        / F.sqrt((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2"))),
+        4,
+    )
+    return (
+        spear.join(kt, "event_type")
+        .join(tx, "event_type")
+        .join(ty, "event_type")
+        .select(
+            "event_type", "n_days", "spearman_rho",
+            tau.alias("kendall_tau_b"),
+        )
+    )
+
+
+@q(
+    "hurst_exponent_rs",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       rn AS (
+         SELECT event_type, d, v,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+                  AS i
+         FROM daily),
+       blocks AS (
+         SELECT r.event_type, s.scale, r.d, r.v,
+                CAST(FLOOR(r.i / s.scale) AS BIGINT) AS blk
+         FROM rn r CROSS JOIN (SELECT UNNEST([5, 10, 15]) AS scale) s),
+       fullb AS (
+         SELECT * FROM (
+           SELECT event_type, scale, blk, d, v,
+                  COUNT(*) OVER (PARTITION BY event_type, scale, blk)
+                    AS blk_n
+           FROM blocks)
+         WHERE blk_n = scale),
+       devs AS (
+         SELECT event_type, scale, blk, d, v,
+                v - AVG(v) OVER (PARTITION BY event_type, scale, blk)
+                  AS dev
+         FROM fullb),
+       cums AS (
+         SELECT event_type, scale, blk, v,
+                ROUND(SUM(dev) OVER (PARTITION BY event_type, scale, blk
+                      ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      6) AS cum
+         FROM devs),
+       rs AS (
+         SELECT event_type, scale, blk,
+                MAX(cum) - MIN(cum) AS r,
+                ROUND(STDDEV_POP(v), 6) AS s
+         FROM cums GROUP BY 1, 2, 3),
+       mrs AS (
+         SELECT event_type, scale,
+                ROUND(AVG(r / s), 6) AS mean_rs,
+                CAST(COUNT(*) AS BIGINT) AS n_blocks
+         FROM rs WHERE s > 0 GROUP BY 1, 2)
+       SELECT event_type,
+              ROUND(REGR_SLOPE(LN(mean_rs), LN(CAST(scale AS DOUBLE))), 4)
+                AS hurst,
+              ROUND(MAX(CASE WHEN scale = 5 THEN mean_rs END), 6) AS rs_5,
+              ROUND(MAX(CASE WHEN scale = 10 THEN mean_rs END), 6) AS rs_10,
+              ROUND(MAX(CASE WHEN scale = 15 THEN mean_rs END), 6) AS rs_15
+       FROM mrs GROUP BY 1""",
+)
+def hurst_exponent_rs(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis per series:
+    the daily series splits into full blocks of 5/10/15 days; each
+    block's R (range of the cumulative deviations from the block
+    mean) over S (block stddev) averages into mean-R/S per scale, and
+    the Hurst exponent is the log-log slope across scales (0.5 =
+    random walk, >0.5 persistent, <0.5 mean-reverting). The scale
+    grid is a 3-row constant cross join (the sanctioned scalar-BNLJ
+    pattern); blocks/cumsums are window functions over one
+    (type, scale, blk) partitioning; cumulative sums and block
+    stddevs are rounded at stage boundaries so the ratio consumes
+    bit-identical inputs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    rn = daily.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("d")
+        )
+        - 1,
+    )
+    scales = spark.createDataFrame([(5,), (10,), (15,)], "scale int")
+    blocks = rn.crossJoin(F.broadcast(scales)).withColumn(
+        "blk", F.floor(F.col("i") / F.col("scale"))
+    )
+    wb = Window.partitionBy("event_type", "scale", "blk")
+    fullb = blocks.withColumn("blk_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("blk_n") == F.col("scale")
+    )
+    devs = fullb.withColumn("dev", F.col("v") - F.avg("v").over(wb))
+    cums = devs.withColumn(
+        "cum",
+        F.round(
+            F.sum("dev").over(
+                wb.orderBy("d").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+            6,
+        ),
+    )
+    rs = cums.groupBy("event_type", "scale", "blk").agg(
+        (F.max("cum") - F.min("cum")).alias("r"),
+        F.round(F.stddev_pop("v"), 6).alias("s"),
+    )
+    mrs = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("event_type", "scale")
+        .agg(
+            F.round(F.avg(F.col("r") / F.col("s")), 6).alias("mean_rs"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+    )
+    return mrs.groupBy("event_type").agg(
+        F.round(
+            F.regr_slope(
+                F.ln("mean_rs"), F.ln(F.col("scale").cast("double"))
+            ),
+            4,
+        ).alias("hurst"),
+        F.round(
+            F.max(F.when(F.col("scale") == 5, F.col("mean_rs"))), 6
+        ).alias("rs_5"),
+        F.round(
+            F.max(F.when(F.col("scale") == 10, F.col("mean_rs"))), 6
+        ).alias("rs_10"),
+        F.round(
+            F.max(F.when(F.col("scale") == 15, F.col("mean_rs"))), 6
+        ).alias("rs_15"),
+    )
+
+
+@q(
+    "macd_crossover_days",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       series AS (
+         SELECT event_type,
+                list_transform(list(v ORDER BY d), x -> CAST(x AS DOUBLE))
+                  AS vs,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+         FROM daily GROUP BY 1),
+       steps AS (
+         SELECT event_type, n_days, vs, 1 AS t,
+                vs[1] AS ef, vs[1] AS es,
+                CAST(0 AS DOUBLE) AS sig,
+                0 AS prev_sign, 0 AS crossings
+         FROM series WHERE n_days >= 2
+         UNION ALL
+         SELECT event_type, n_days, vs, t + 1,
+                vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                  + ef * (1 - CAST(2 AS DOUBLE) / 7),
+                vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                  + es * (1 - CAST(2 AS DOUBLE) / 14),
+                (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                   + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                 - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                   - es * (1 - CAST(2 AS DOUBLE) / 14))
+                  * (CAST(2 AS DOUBLE) / 6)
+                  + sig * (1 - CAST(2 AS DOUBLE) / 6),
+                CASE WHEN
+                  (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                     + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                   - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                     - es * (1 - CAST(2 AS DOUBLE) / 14))
+                  - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                        + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                      - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                        - es * (1 - CAST(2 AS DOUBLE) / 14))
+                       * (CAST(2 AS DOUBLE) / 6)
+                     + sig * (1 - CAST(2 AS DOUBLE) / 6)) > 0 THEN 1
+                  WHEN
+                  (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                     + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                   - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                     - es * (1 - CAST(2 AS DOUBLE) / 14))
+                  - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                        + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                      - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                        - es * (1 - CAST(2 AS DOUBLE) / 14))
+                       * (CAST(2 AS DOUBLE) / 6)
+                     + sig * (1 - CAST(2 AS DOUBLE) / 6)) < 0 THEN -1
+                  ELSE 0 END,
+                crossings + CASE WHEN
+                  prev_sign <> 0
+                  AND (CASE WHEN
+                    (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                       + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                     - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                       - es * (1 - CAST(2 AS DOUBLE) / 14))
+                    - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                          + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                        - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                          - es * (1 - CAST(2 AS DOUBLE) / 14))
+                         * (CAST(2 AS DOUBLE) / 6)
+                       + sig * (1 - CAST(2 AS DOUBLE) / 6)) > 0 THEN 1
+                    WHEN
+                    (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                       + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                     - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                       - es * (1 - CAST(2 AS DOUBLE) / 14))
+                    - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                          + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                        - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                          - es * (1 - CAST(2 AS DOUBLE) / 14))
+                         * (CAST(2 AS DOUBLE) / 6)
+                       + sig * (1 - CAST(2 AS DOUBLE) / 6)) < 0 THEN -1
+                    ELSE 0 END) <> 0
+                  AND (CASE WHEN
+                    (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                       + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                     - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                       - es * (1 - CAST(2 AS DOUBLE) / 14))
+                    - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                          + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                        - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                          - es * (1 - CAST(2 AS DOUBLE) / 14))
+                         * (CAST(2 AS DOUBLE) / 6)
+                       + sig * (1 - CAST(2 AS DOUBLE) / 6)) > 0 THEN 1
+                    WHEN
+                    (vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                       + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                     - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                       - es * (1 - CAST(2 AS DOUBLE) / 14))
+                    - ((vs[t + 1] * (CAST(2 AS DOUBLE) / 7)
+                          + ef * (1 - CAST(2 AS DOUBLE) / 7)
+                        - vs[t + 1] * (CAST(2 AS DOUBLE) / 14)
+                          - es * (1 - CAST(2 AS DOUBLE) / 14))
+                         * (CAST(2 AS DOUBLE) / 6)
+                       + sig * (1 - CAST(2 AS DOUBLE) / 6)) < 0 THEN -1
+                    ELSE 0 END) <> prev_sign
+                  THEN 1 ELSE 0 END
+         FROM steps WHERE t < n_days)
+       SELECT event_type, n_days,
+              ROUND(ef - es, 6) AS macd,
+              ROUND(sig, 6) AS signal,
+              CAST(crossings AS BIGINT) AS n_crossings
+       FROM steps WHERE t = n_days""",
+)
+def macd_crossover_days(spark, sf_dir):
+    """MACD (EMA6 - EMA13, signal EMA5 — spans scaled to the 30-day
+    daily series) with signal-line crossover counting, as one
+    SEQUENTIAL left fold per series over the date-sorted daily means:
+    the fold state is (ema_fast, ema_slow, signal, prev_sign,
+    crossings) carried through aggregate() here and a recursive CTE
+    in DuckDB — the same IEEE op sequence step for step, so the
+    results agree bit-exactly before rounding. Crossings count sign
+    FLIPS of (macd - signal), ignoring the zero state. The per-series
+    array is bounded by days-per-series, not tick count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "v"))),
+            lambda s: s["v"],
+        ).alias("vs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).filter(F.col("n_days") >= 2)
+    af, as_, ag = 2.0 / 7, 2.0 / 14, 2.0 / 6
+    zero = F.struct(
+        F.element_at(F.col("vs"), 1).alias("ef"),
+        F.element_at(F.col("vs"), 1).alias("es"),
+        F.lit(0.0).alias("sig"),
+        F.lit(0).alias("prev_sign"),
+        F.lit(0).alias("crossings"),
+    )
+
+    def step(acc, x):
+        ef = x * F.lit(af) + acc["ef"] * F.lit(1 - af)
+        es = x * F.lit(as_) + acc["es"] * F.lit(1 - as_)
+        macd = ef - es
+        sig = macd * F.lit(ag) + acc["sig"] * F.lit(1 - ag)
+        diff = macd - sig
+        sign = (
+            F.when(diff > 0, F.lit(1))
+            .when(diff < 0, F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        crossed = (
+            (acc["prev_sign"] != 0)
+            & (sign != 0)
+            & (sign != acc["prev_sign"])
+        )
+        return F.struct(
+            ef.alias("ef"),
+            es.alias("es"),
+            sig.alias("sig"),
+            sign.alias("prev_sign"),
+            (acc["crossings"] + F.when(crossed, 1).otherwise(0)).alias(
+                "crossings"
+            ),
+        )
+
+    fold = F.aggregate(
+        F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+        zero,
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(fold["ef"] - fold["es"], 6).alias("macd"),
+        F.round(fold["sig"], 6).alias("signal"),
+        fold["crossings"].cast("long").alias("n_crossings"),
+    )

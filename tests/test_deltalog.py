@@ -2357,13 +2357,13 @@ def test_unknown_reader_feature_refuses_read(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["v9FutureCheckpoint"],
+            "writerFeatures": ["v9FutureCheckpoint"],
         },
         {},
     )
     t = DeltaishTable(spark, str(tmp_path / "rf"))
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="v9FutureCheckpoint"):
         t.read()
 
 
@@ -3843,7 +3843,11 @@ def test_cleanup_metadata_truncates_log_safely(spark, tmp_path):
     assert t.cleanup_metadata() == []
     # no checkpoint below cp -> only JSONs 0..4 are eligible
     deleted = dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
-    assert deleted == [f"{v:020d}.json" for v in range(5)]
+    # each deleted JSON takes its shadow .crc with it
+    assert deleted == [
+        name for v in range(5)
+        for name in (f"{v:020d}.json", f"{v:020d}.crc")
+    ]
     assert dlog.list_versions(str(t.path)) == [5]
 
     # live state + at/above-checkpoint reads intact
@@ -4774,3 +4778,525 @@ def test_reads_external_column_defaults_metadata(spark, tmp_path):
     # our append omitting the column honors the FOREIGN default
     t.append(spark.createDataFrame([(3,)], "id long"))
     assert {r.id: r.status for r in t.read().collect()}[3] == "pending"
+
+
+# --------------------------------------------------------------- v2 checkpoints
+
+
+def test_v2_checkpoint_roundtrip(spark, tmp_path):
+    """v2Checkpoint end-to-end: enable upgrades the protocol to (3,7)
+    with the feature in BOTH lists and stamps delta.checkpointPolicy;
+    checkpoint_v2 writes a UUID-named manifest + sidecar files whose
+    union reproduces the full-replay snapshot; after metadata cleanup
+    the manifest+sidecars are the only carrier of state."""
+    df = _orders(spark, 80).repartitionByRange(4, "o_orderkey")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    for i in range(3):
+        t.append(df.limit(6 + i))
+    t.delete(
+        F.col("o_orderkey")
+        == t.read().agg(F.min("o_orderkey")).collect()[0][0]
+    )
+    t.enable_v2_checkpoints()
+    proto = t._snapshot().protocol
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+    conf = t._snapshot().metadata["configuration"]
+    assert conf["delta.checkpointPolicy"] == "v2"
+
+    exp = t.read().count()
+    full = dlog.replay(str(t.path))
+    cp = t.checkpoint_v2(sidecars=3)
+    manifest = dlog.v2_checkpoint_manifest(str(t.path), cp)
+    assert manifest is not None
+    assert not os.path.exists(dlog.checkpoint_file(str(t.path), cp))
+    scs = dlog._manifest_sidecars(manifest)
+    assert len(scs) == 3 and all(
+        os.path.exists(os.path.join(dlog.sidecar_dir(str(t.path)), s["path"]))
+        for s in scs
+    )
+    snap = dlog.read_checkpoint(str(t.path), cp)
+    assert set(snap.files) == set(full.files)
+    assert set(snap.tombstones) == set(full.tombstones)
+    assert snap.metadata == full.metadata and snap.protocol == full.protocol
+    with open(os.path.join(dlog.log_path(str(t.path)), "_last_checkpoint")) as f:
+        lc = json.load(f)
+    assert lc["checkpointKind"] == "v2" and lc["v2Checkpoint"] in manifest
+
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert dlog.list_versions(str(t.path)) == [cp]
+    # sidecars referenced by the surviving manifest must NOT be cleaned
+    assert all(
+        os.path.exists(os.path.join(dlog.sidecar_dir(str(t.path)), s["path"]))
+        for s in scs
+    )
+    t2 = DeltaishTable(spark, str(t.path))
+    assert t2.read().count() == exp
+    # the log continues past a v2 checkpoint
+    v = t2.append(df.limit(2))
+    assert v == cp + 1 and t2.read().count() == exp + 2
+
+
+def test_v2_checkpoint_auto_interval_and_feature_gate(spark, tmp_path):
+    """With the feature active, the every-10-commits periodic
+    checkpoint comes out in v2 form (manifest + sidecars, no classic
+    file); checkpoint_v2 on a table WITHOUT the feature refuses —
+    hiding state in a layout readers were never warned about would be
+    a silent-corruption path."""
+    df = _orders(spark, 30)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df.limit(5))
+    with pytest.raises(ValueError, match="not enabled"):
+        t.checkpoint_v2()
+    t.enable_v2_checkpoints()
+    while t.version < 10:
+        t.append(df.limit(1))
+    assert dlog.v2_checkpoint_manifest(str(t.path), 10) is not None
+    assert not os.path.exists(dlog.checkpoint_file(str(t.path), 10))
+    assert dlog.last_checkpoint_version(str(t.path)) == 10
+    # replay resumes from the v2 checkpoint (not full JSON history)
+    assert DeltaishTable(spark, str(t.path)).read().count() == t.read().count()
+
+
+def test_v2_checkpoint_torn_sidecar_degrades_or_refuses(spark, tmp_path):
+    """A missing sidecar makes the checkpoint unusable: while the JSON
+    history survives, resolution DEGRADES to full replay (reads stay
+    correct); direct read_checkpoint refuses loudly; once cleanup has
+    removed the history there is nothing sound to serve and the read
+    refuses end-to-end."""
+    df = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(3))
+    t.enable_v2_checkpoints()
+    cp = t.checkpoint_v2(sidecars=2)
+    manifest = dlog.v2_checkpoint_manifest(str(t.path), cp)
+    scs = dlog._manifest_sidecars(manifest)
+    victim = os.path.join(dlog.sidecar_dir(str(t.path)), scs[0]["path"])
+    exp = t.read().count()
+    os.remove(victim)
+    # degrade: _last_checkpoint resolution returns None -> full replay
+    assert dlog.last_checkpoint_version(str(t.path)) is None
+    assert DeltaishTable(spark, str(t.path)).read().count() == exp
+    with pytest.raises(FileNotFoundError, match="missing.*sidecar"):
+        dlog.read_checkpoint(str(t.path), cp)
+
+
+def test_reads_external_v2_struct_checkpoint(spark, tmp_path):
+    """Reverse direction for v2 checkpoints: a manifest + sidecar
+    handwritten with delta-spark's TYPED STRUCT columns (sidecar and
+    checkpointMetadata as structs, adds only in the sidecar file).
+    Our reader must reconstruct the live set through the indirection
+    and refuse a version-mismatched manifest stamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ext_v2"
+    root.mkdir()
+    sa = _ext_parquet(root, "a.parquet", {"id": [0, 1, 2], "v": list("abc")})
+    sb = _ext_parquet(root, "b.parquet", {"id": [3, 4], "v": list("de")})
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    sc_dir = log_dir / "_sidecars"
+    sc_dir.mkdir()
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    adds = [
+        {"path": "a.parquet", "partitionValues": {}, "size": sa,
+         "modificationTime": 1, "dataChange": True,
+         "stats": json.dumps({"numRecords": 3, "minValues": {"id": 0},
+                              "maxValues": {"id": 2},
+                              "nullCount": {"id": 0}})},
+        {"path": "b.parquet", "partitionValues": {}, "size": sb,
+         "modificationTime": 1, "dataChange": True,
+         "stats": json.dumps({"numRecords": 2, "minValues": {"id": 3},
+                              "maxValues": {"id": 4},
+                              "nullCount": {"id": 0}})},
+    ]
+    side_name = "11111111-2222-3333-4444-555555555555.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array(adds, type=add_t)}),
+        str(sc_dir / side_name),
+    )
+    side_size = os.path.getsize(str(sc_dir / side_name))
+
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    cpm_t = pa.struct(
+        [("version", pa.int64()), ("tags", pa.map_(pa.string(), pa.string()))]
+    )
+    sidecar_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    rows = {
+        "checkpointMetadata": [
+            {"version": 1, "tags": {}}, None, None, None],
+        "protocol": [
+            None,
+            {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]},
+            None, None],
+        "metaData": [
+            None, None,
+            {"id": "ext-v2", "schemaString": _EXT_SCHEMA_KV,
+             "partitionColumns": [], "configuration": {}},
+            None],
+        "sidecar": [
+            None, None, None,
+            {"path": side_name, "sizeInBytes": side_size,
+             "modificationTime": 1}],
+    }
+    manifest_name = (
+        "00000000000000000001.checkpoint."
+        "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "checkpointMetadata": pa.array(
+                    rows["checkpointMetadata"], type=cpm_t),
+                "protocol": pa.array(rows["protocol"], type=proto_t),
+                "metaData": pa.array(rows["metaData"], type=meta_t),
+                "sidecar": pa.array(rows["sidecar"], type=sidecar_t),
+            }
+        ),
+        str(log_dir / manifest_name),
+    )
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump({"version": 1, "checkpointKind": "v2",
+                   "v2Checkpoint": manifest_name}, f)
+
+    t = DeltaishTable(spark, str(root))
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {0: "a", 1: "b", 2: "c", 3: "d", 4: "e"}
+    # struct-encoded stats survive the indirection: id >= 3 prunes
+    assert t.files_matching_predicate("id >= 3") == ["b.parquet"]
+    # our writer continues the foreign v2 log — and, feature active,
+    # its NEXT periodic checkpoint would also be v2
+    v = t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert v == 2 and t.read().count() == 6
+
+    # a manifest stamping the WRONG version is refused
+    bad_name = (
+        "00000000000000000003.checkpoint."
+        "ffffffff-0000-1111-2222-333333333333.parquet"
+    )
+    os.rename(str(log_dir / manifest_name), str(log_dir / bad_name))
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump({"version": 3, "checkpointKind": "v2",
+                   "v2Checkpoint": bad_name}, f)
+    with pytest.raises(ValueError, match="stamps version"):
+        dlog.read_checkpoint(str(root), 3)
+
+
+# ------------------------------------------------------------ version checksums
+
+
+def test_version_checksum_written_and_validates(spark, tmp_path):
+    """Every write path stamps <v>.crc (create/append/delete/
+    overwrite) with the post-commit live-set summary; validation
+    recomputes by replay and agrees at every version, including after
+    a rewrite that shrank the table."""
+    df = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(5))
+    t.delete(F.col("o_orderkey") % 2 == 0)
+    t.overwrite(df.limit(7))
+    for v in range(t.version + 1):
+        assert os.path.exists(dlog.checksum_file(str(t.path), v)), v
+        assert dlog.validate_version_checksum(str(t.path), v) is True
+    assert t.verify_checksum() is True
+    # content sanity at latest: numFiles == live adds, size == sum
+    with open(dlog.checksum_file(str(t.path), t.version)) as f:
+        crc = json.load(f)
+    snap = t._snapshot()
+    assert crc["numFiles"] == len(snap.files)
+    assert crc["tableSizeBytes"] == sum(
+        int(a.get("size", 0)) for a in snap.files.values()
+    )
+
+
+def test_version_checksum_mismatch_refuses(spark, tmp_path):
+    """A tampered .crc (wrong numFiles/tableSizeBytes) must RAISE on
+    validation — the log and the checksummed state disagree and no
+    read of that summary is trustworthy; a version with no .crc at
+    all returns None (foreign writers may skip them)."""
+    df = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(3))
+    p = dlog.checksum_file(str(t.path), t.version)
+    with open(p) as f:
+        crc = json.load(f)
+    crc["numFiles"] += 1
+    crc["tableSizeBytes"] += 17
+    with open(p, "w") as f:
+        json.dump(crc, f)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        t.verify_checksum()
+    os.remove(p)
+    assert t.verify_checksum() is None
+
+
+def test_version_checksum_cleanup_and_clone(spark, tmp_path):
+    """Log cleanup removes each deleted commit's .crc with it (the
+    .crc shadows its JSON); clones stamp version 0 of the new table
+    with a checksum matching the cloned state."""
+    df = _orders(spark, 30)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    for _ in range(3):
+        t.append(df.limit(2))
+    cp = dlog.write_checkpoint(str(t.path))
+    deleted = dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    assert any(d.endswith(".crc") for d in deleted)
+    for v in range(cp):
+        assert not os.path.exists(dlog.checksum_file(str(t.path), v))
+    assert dlog.validate_version_checksum(str(t.path), cp) is True
+
+    c = t.shallow_clone(str(tmp_path / "c"))
+    assert c.verify_checksum() is True
+    d = t.deep_clone(str(tmp_path / "d"))
+    assert d.verify_checksum() is True
+
+
+# ----------------------------------------------------- full vacuum / protocol check
+
+
+def test_vacuum_full_removes_orphans_lite_does_not(spark, tmp_path):
+    """VACUUM mode split: LITE (log-driven) deletes tombstoned files
+    but can never see an ORPHAN — debris of a failed writer that no
+    log action references; FULL walks the directory and removes aged
+    orphans too. Live files, recent orphans, and the _delta_log
+    subtree are untouchable in both modes."""
+    import time as _time
+
+    df = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.overwrite(df.limit(6))  # tombstones the original files
+    exp = t.read().count()
+    # plant orphans: an aged one (mtime pushed past retention) and a
+    # fresh one (must survive even FULL)
+    old_orphan = os.path.join(str(t.path), "part-zombie-old.parquet")
+    new_orphan = os.path.join(str(t.path), "part-zombie-new.parquet")
+    for p in (old_orphan, new_orphan):
+        with open(p, "wb") as f:
+            f.write(b"PAR1junkPAR1")
+    past = _time.time() - 9 * 24 * 3600
+    os.utime(old_orphan, (past, past))
+
+    lite = t.vacuum(retention_hours=0.0, enforce_retention=False,
+                    mode="lite")
+    assert os.path.exists(old_orphan) and os.path.exists(new_orphan)
+    assert t.read().count() == exp
+
+    full = t.vacuum(retention_hours=168.0, enforce_retention=True,
+                    mode="full")
+    assert "part-zombie-old.parquet" in full
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(new_orphan)  # inside retention: protected
+    assert t.read().count() == exp
+    # tombstoned files went in the LITE pass already
+    assert any(p.endswith(".parquet") for p in lite)
+    with pytest.raises(ValueError, match="'lite' or 'full'"):
+        t.vacuum(mode="deep")
+
+
+def test_vacuum_protocol_check_feature(spark, tmp_path):
+    """vacuumProtocolCheck: enabling lands the feature in BOTH lists
+    at (3,7); vacuum still works on our own tables; on a FOREIGN
+    table declaring the feature plus a writer feature we don't
+    implement, vacuum REFUSES before deleting anything — the
+    feature's whole point."""
+    df = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.enable_vacuum_protocol_check()
+    proto = t._snapshot().protocol
+    assert "vacuumProtocolCheck" in proto["readerFeatures"]
+    assert "vacuumProtocolCheck" in proto["writerFeatures"]
+    t.overwrite(df.limit(3))
+    deleted = t.vacuum(retention_hours=0.0, enforce_retention=False)
+    assert deleted and t.read().count() == 3
+
+    # foreign table: vacuumProtocolCheck + an unknown writer feature
+    root = tmp_path / "ext_vpc"
+    root.mkdir()
+    size = _ext_parquet(root, "a.parquet", {"id": [1, 2], "v": ["a", "b"]})
+    _ext_log(
+        root,
+        {
+            0: [
+                {"protocol": {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["vacuumProtocolCheck"],
+                    "writerFeatures": ["vacuumProtocolCheck",
+                                       "futureFeature"]}},
+                {"metaData": {"id": "ext-vpc",
+                              "schemaString": _EXT_SCHEMA_KV,
+                              "partitionColumns": [],
+                              "configuration": {}}},
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": size, "modificationTime": 1,
+                         "dataChange": True}},
+            ]
+        },
+    )
+    ft = DeltaishTable(spark, str(root))
+    assert ft.read().count() == 2  # unknown WRITER feature: reads fine
+    with pytest.raises(NotImplementedError, match="futureFeature"):
+        ft.vacuum(retention_hours=0.0, enforce_retention=False)
+    assert os.path.exists(str(root / "a.parquet"))
+
+
+# ---------------------------------------------------------------- type widening
+
+
+def test_type_widening_roundtrip(spark, tmp_path):
+    """typeWidening end-to-end: widening int→long and float→double is
+    a METADATA-ONLY commit (zero files rewritten), journaled in the
+    field's delta.typeChanges with the protocol feature in both
+    lists; old narrow-typed parquet files upcast on scan; appends
+    beyond the narrow range land and aggregate correctly; skipping
+    stats written by the narrow files stay sound for pruning."""
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id long, qty int, price float"
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    files_before = set(t._snapshot().files)
+    t.widen_column_type("qty", "long")
+    t.widen_column_type("price", "double")
+    snap = t._snapshot()
+    assert set(snap.files) == files_before  # metadata-only
+    proto = snap.protocol
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    sj = json.loads(snap.metadata["schemaString"])
+    qty = next(f for f in sj["fields"] if f["name"] == "qty")
+    assert qty["type"] == "long"
+    tc = qty["metadata"]["delta.typeChanges"]
+    assert tc[0]["fromType"] == "integer" and tc[0]["toType"] == "long"
+    assert tc[0]["tableVersion"] == 1
+
+    big = 2**40
+    t.append(
+        spark.createDataFrame(
+            [(3, big, 3.5)], "id long, qty long, price double"
+        )
+    )
+    got = {r.id: (r.qty, r.price) for r in t.read().collect()}
+    assert got == {1: (10, 1.5), 2: (20, 2.5), 3: (big, 3.5)}
+    assert t.read().schema["qty"].dataType.typeName() == "long"
+    # stats from the NARROW file still prune: qty >= big hits only
+    # the new file
+    matched = t.files_matching_predicate(f"qty >= {big}")
+    assert len(matched) == 1
+
+
+def test_type_widening_refusals(spark, tmp_path):
+    """Non-widening changes refuse loudly: narrowing, cross-family,
+    nested, unknown column. A second widen on the same column appends
+    to the typeChanges journal rather than overwriting it."""
+    df = spark.createDataFrame(
+        [(1, 2, "x", [1])],
+        "id long, b short, s string, arr array<int>",
+    )
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column_type("id", "integer")  # narrowing
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column_type("s", "long")  # cross-family
+    with pytest.raises(NotImplementedError, match="nested"):
+        t.widen_column_type("arr", "array<long>")
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column_type("nope", "long")
+    t.widen_column_type("b", "integer")
+    v = t.version
+    t.widen_column_type("b", "long")
+    # long→double is NOT a widening: doubles lose integer precision
+    # above 2^53, so the spec (and we) refuse it
+    with pytest.raises(ValueError, match="not a supported widening"):
+        t.widen_column_type("b", "double")
+    sj = json.loads(t._snapshot().metadata["schemaString"])
+    b = next(f for f in sj["fields"] if f["name"] == "b")
+    tc = b["metadata"]["delta.typeChanges"]
+    assert [c["toType"] for c in tc] == ["integer", "long"]
+    assert tc[1]["tableVersion"] == v + 1
+    # idempotent no-op: same type returns current version, no commit
+    assert t.widen_column_type("b", "long") == t.version
+
+
+def test_reads_external_type_widening_fixture(spark, tmp_path):
+    """Reverse direction: a foreign log declaring typeWidening whose
+    schema says long but whose data file carries int32 pages (written
+    before the foreign widen, as delta.typeChanges records). Our
+    reader must upcast the narrow pages under the wide schema."""
+    import pyarrow as pa
+
+    root = tmp_path / "ext_tw"
+    root.mkdir()
+    size = _ext_parquet(
+        root, "a.parquet",
+        {"id": pa.array([1, 2, 3], pa.int32()),
+         "v": pa.array(["a", "b", "c"])},
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {"delta.typeChanges": [
+                     {"fromType": "integer", "toType": "long",
+                      "tableVersion": 1}]}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _ext_log(
+        root,
+        {
+            0: [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["typeWidening"],
+                              "writerFeatures": ["typeWidening"]}},
+                {"metaData": {"id": "ext-tw",
+                              "schemaString": schema_string,
+                              "partitionColumns": [],
+                              "configuration": {}}},
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": size, "modificationTime": 1,
+                         "dataChange": True}},
+            ]
+        },
+    )
+    t = DeltaishTable(spark, str(root))
+    assert t.read().schema["id"].dataType.typeName() == "long"
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    # and our writer can continue it with beyond-int32 values
+    t.append(spark.createDataFrame([(2**40, "z")], "id long, v string"))
+    assert t.read().count() == 4
