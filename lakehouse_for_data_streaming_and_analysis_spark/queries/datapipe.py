@@ -1790,3 +1790,90 @@ def ann_recall_audit(spark, sf_dir):
 
 
 ORACLES["ann_recall_audit"] = _ann_recall_oracle()
+
+
+@q(
+    "minhash_band_sensitivity",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh
+               FROM tok),
+       sh AS (SELECT * FROM sh0 WHERE sh <> ''),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       jac AS (
+         SELECT ROUND(n_inter
+                / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE), 4) AS j
+         FROM inter
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE)
+               >= 0.05),
+       banded AS (
+         SELECT CAST(LEAST(FLOOR(j * 10), 9) AS INT) AS j_band,
+                COUNT(*) AS n_pairs, ROUND(AVG(j), 4) AS mean_j
+         FROM jac GROUP BY 1),
+       configs AS (
+         SELECT UNNEST([8, 4, 2]) AS b, UNNEST([2, 4, 8]) AS r)
+       SELECT c.b AS n_bands, c.r AS rows_per_band,
+              ROUND(POW(1.0 / c.b, 1.0 / c.r), 4) AS s_threshold,
+              bd.j_band, CAST(bd.n_pairs AS BIGINT) AS n_pairs,
+              bd.mean_j,
+              ROUND(1 - POW(1 - POW(bd.mean_j, c.r), c.b), 4)
+                AS capture_prob
+       FROM banded bd CROSS JOIN configs c""",
+)
+def minhash_band_sensitivity(spark, sf_dir):
+    """LSH band-configuration planning over the OBSERVED similarity
+    distribution: the exact 3-gram Jaccard of every candidate pair
+    (same inverted-index join as ngram_jaccard_pairs, threshold
+    0.05, over the injected-near-dup corpus), bucketed into Jaccard
+    decile bands, crossed with three 16-hash band layouts (b x r =
+    8x2 / 4x4 / 2x8). Per (config, band): the s-curve capture
+    probability 1-(1-s^r)^b at the band's mean similarity and the
+    config's threshold (1/b)^(1/r) — the table a pipeline owner reads
+    to pick the layout whose knee sits at their dedup threshold
+    (more bands = recall at low s, more rows = precision). The config
+    grid is a 3-row constant cross join (sanctioned scalar-BNLJ);
+    the pair census is the equi-join, never all-pairs."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.05
+    )
+    banded = (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("int")
+            .alias("j_band"),
+            "jaccard",
+        )
+        .groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_j"),
+        )
+    )
+    configs = spark.createDataFrame(
+        [(8, 2), (4, 4), (2, 8)], "b int, r int"
+    )
+    return banded.crossJoin(F.broadcast(configs)).select(
+        F.col("b").alias("n_bands"),
+        F.col("r").alias("rows_per_band"),
+        F.round(
+            F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 4
+        ).alias("s_threshold"),
+        "j_band",
+        "n_pairs",
+        "mean_j",
+        F.round(
+            1
+            - F.pow(
+                1 - F.pow(F.col("mean_j"), F.col("r")), F.col("b")
+            ),
+            4,
+        ).alias("capture_prob"),
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -889,4 +889,174 @@ def gopher_repetition_filters(spark, sf_dir):
         F.round(
             F.avg(F.col("top_cnt").cast("double") / F.col("n_tok")), 4
         ).alias("avg_top_share"),
+    )
+
+
+@q(
+    "token_entropy_rate",
+    f"""WITH tok AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+       uni AS (SELECT source, unnest(toks) AS w FROM tok),
+       bg AS (SELECT source, unnest({_BIGRAMS_SQL}) AS bg FROM tok),
+       u1 AS (SELECT source, w, COUNT(*) AS c FROM uni GROUP BY 1, 2),
+       u1t AS (SELECT source, SUM(c) AS n FROM u1 GROUP BY 1),
+       h1 AS (SELECT u1.source,
+                     -SUM((c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE))) AS h1,
+                     CAST(MAX(n) AS BIGINT) AS n_tokens
+              FROM u1 JOIN u1t ON u1.source = u1t.source GROUP BY 1),
+       b1 AS (SELECT source, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       b1t AS (SELECT source, SUM(c) AS n FROM b1 GROUP BY 1),
+       h2 AS (SELECT b1.source,
+                     -SUM((c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE))) AS h2
+              FROM b1 JOIN b1t ON b1.source = b1t.source GROUP BY 1)
+       SELECT h1.source, h1.n_tokens,
+              ROUND(h1.h1, 4) AS unigram_entropy,
+              ROUND(h2.h2, 4) AS bigram_entropy,
+              ROUND(h2.h2 - h1.h1, 4) AS entropy_rate,
+              ROUND(EXP(h2.h2 - h1.h1), 4) AS perplexity_rate
+       FROM h1 JOIN h2 ON h1.source = h2.source""",
+)
+def token_entropy_rate(spark, sf_dir):
+    """Conditional token entropy per source: H(w2|w1) = H(bigram) -
+    H(unigram) — the information a token carries GIVEN its
+    predecessor, i.e. the corpus's intrinsic entropy RATE (and
+    exp(rate) its unigram-conditional perplexity). Sources whose rate
+    collapses toward 0 are templated/boilerplate-heavy; a rising rate
+    between crawl snapshots flags noise injection. One tokenization
+    feeds both the unigram and bigram streams; each entropy is a
+    map-side-combined count onto vocabulary-sized keys — the classic
+    100 TB shape. Both engines compute -sum(p ln p) over identical
+    exact count ratios, rounded at emission."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = docs.select("source", textfns.tokens("text").alias("toks"))
+    uni = tok.select("source", F.explode("toks").alias("w"))
+    bg = tok.select(
+        "source", F.explode(textfns.shingles(F.col("toks"), 2)).alias("bg")
+    )
+
+    def entropy(df, key):
+        c = df.groupBy("source", key).agg(F.count(F.lit(1)).alias("c"))
+        t = c.groupBy("source").agg(F.sum("c").alias("n"))
+        p = F.col("c") / F.col("n").cast("double")
+        return (
+            c.join(t, "source")
+            .groupBy("source")
+            .agg(
+                (-F.sum(p * F.log(p))).alias("h"),
+                F.max("n").cast("long").alias("n_tokens"),
+            )
+        )
+    h1 = entropy(uni, "w").withColumnRenamed("h", "h1")
+    h2 = entropy(bg, "bg").select(
+        "source", F.col("h").alias("h2")
+    )
+    return (
+        h1.join(h2, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round("h1", 4).alias("unigram_entropy"),
+            F.round("h2", 4).alias("bigram_entropy"),
+            F.round(F.col("h2") - F.col("h1"), 4).alias("entropy_rate"),
+            F.round(F.exp(F.col("h2") - F.col("h1")), 4).alias(
+                "perplexity_rate"
+            ),
+        )
+    )
+
+
+@q(
+    "perplexity_bucket_curriculum",
+    f"""WITH bg AS (
+         SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg
+         FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)),
+       bgc AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY 1),
+       w1c AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+               FROM bg GROUP BY 1),
+       scored AS (
+         SELECT doc_id,
+                COUNT(*) AS n_bigrams,
+                ROUND(AVG(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))),
+                      4) AS s
+         FROM bg
+         JOIN bgc USING (bg)
+         JOIN w1c ON split_part(bg, ' ', 1) = w1c.w1
+         GROUP BY doc_id),
+       bucketed AS (
+         SELECT doc_id, n_bigrams, s,
+                NTILE(10) OVER (ORDER BY s, doc_id) AS decile
+         FROM scored),
+       agg AS (
+         SELECT decile,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                ROUND(AVG(s), 4) AS mean_surprisal,
+                CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+         FROM bucketed GROUP BY 1),
+       wts AS (
+         SELECT decile, n_docs, mean_surprisal, n_bigrams,
+                EXP(-mean_surprisal / 2.0) AS raw_w
+         FROM agg)
+       SELECT CAST(decile AS INT) AS decile, n_docs, mean_surprisal,
+              n_bigrams,
+              ROUND(n_bigrams / CAST(SUM(n_bigrams) OVER () AS DOUBLE),
+                    6) AS token_share,
+              ROUND(raw_w / SUM(raw_w) OVER (), 6) AS sample_weight
+       FROM wts""",
+)
+def perplexity_bucket_curriculum(spark, sf_dir):
+    """Curriculum/mixture planning by perplexity bucket: every doc's
+    bigram-LM mean surprisal (the same self-trained MLE as
+    bigram_lm_surprisal) deciled with a deterministic (s, doc_id)
+    tiebreak, then per decile the doc count, mean surprisal, token
+    share, and a temperature-weighted sampling weight
+    w ∝ exp(-s̄/T), T=2 — the knob that downsamples the noisy tail
+    without dropping it (softer than a hard perplexity filter).
+    Per-decile weights normalize over the 10-row aggregate, so the
+    second pass is window arithmetic over a constant-size table."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    bg = tokd.select(
+        "doc_id", F.explode(textfns.shingles(F.col("__toks"), 2)).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    w1c = bg.groupBy(F.substring_index("bg", " ", 1).alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    scored = (
+        bg.join(bgc, "bg")
+        .join(w1c, F.substring_index(F.col("bg"), " ", 1) == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(F.col("c1").cast("double"))
+                    - F.log(F.col("c2").cast("double"))
+                ),
+                4,
+            ).alias("s"),
+        )
+    )
+    bucketed = scored.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("s", "doc_id"))
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("s"), 4).alias("mean_surprisal"),
+        F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+    )
+    w_all = Window.partitionBy()
+    raw_w = F.exp(-F.col("mean_surprisal") / 2.0)
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "mean_surprisal",
+        "n_bigrams",
+        F.round(
+            F.col("n_bigrams")
+            / F.sum("n_bigrams").over(w_all).cast("double"),
+            6,
+        ).alias("token_share"),
+        F.round(raw_w / F.sum(raw_w).over(w_all), 6).alias("sample_weight"),
     )

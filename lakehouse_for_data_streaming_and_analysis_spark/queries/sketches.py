@@ -364,3 +364,274 @@ def mad_ddsketch_by_type(spark, sf_dir):
             ).alias("mad_within_alpha"),
         )
     )
+
+
+# Count-Min parameters: d=3 md5-derived hash rows, w=1024 buckets.
+# Like the DDSketch family above, the hashes are PURE expressions
+# (md5 of "row:key"), so the sketch is row-order independent and both
+# engines build the identical cell table — the property that makes a
+# probabilistic structure oracle-checkable.
+_CM_D = 3
+_CM_W = 1024
+
+
+@q(
+    "countmin_heavy_hitters_gate",
+    f"""WITH cells AS (
+         SELECT r.i,
+                ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                                    || CAST(user_id AS VARCHAR)), 1, 6))::INT
+                  % {_CM_W} AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) r
+         GROUP BY 1, 2),
+       total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+       exact AS (
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         FROM events GROUP BY 1
+         ORDER BY exact_cnt DESC, user_id LIMIT 10),
+       probes AS (
+         SELECT e.user_id, e.exact_cnt, r.i,
+                ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':'
+                                    || CAST(e.user_id AS VARCHAR)), 1, 6))::INT
+                  % {_CM_W} AS bucket
+         FROM exact e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) r),
+       est AS (
+         SELECT p.user_id, p.exact_cnt,
+                MIN(c.c) AS cm_est
+         FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+         GROUP BY 1, 2)
+       SELECT e.user_id, e.exact_cnt, e.cm_est,
+              CAST(e.cm_est - e.exact_cnt AS BIGINT) AS overcount,
+              e.cm_est >= e.exact_cnt AS never_undercounts,
+              CAST(e.cm_est - e.exact_cnt AS DOUBLE)
+                <= 3.0 * t.n / {_CM_W} AS within_error_bound
+       FROM est e CROSS JOIN total t""",
+)
+def countmin_heavy_hitters_gate(spark, sf_dir):
+    """Count-Min sketch heavy-hitter estimation with a live accuracy
+    gate: a d=3 x w=1024 cell table (md5-derived row hashes) built in
+    ONE map-side-combinable groupBy; each exact-top-10 user's
+    estimate is the MIN over its d cells. The structural guarantee —
+    CM never undercounts — and the error contract — overcount within
+    3N/w of truth — are both emitted as booleans the oracle pins TRUE
+    (DuckDB rebuilds the identical sketch). 100 TB story: the shuffle
+    is the 3x1024 CELL TABLE regardless of row count (vs the exact
+    twin token_heavy_hitters' full key exchange); sketches from
+    disjoint partitions/days MERGE by cell-wise addition."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+
+    def bucket(i_col, key_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            i_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("int"),
+            F.lit(_CM_W),
+        )
+
+    cells = (
+        ev.select("user_id", rows)
+        .select("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(10)
+    )
+    probes = exact.select("user_id", "exact_cnt", rows).select(
+        "user_id",
+        "exact_cnt",
+        "i",
+        bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cm_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        (
+            (F.col("cm_est") - F.col("exact_cnt")).cast("double")
+            <= 3.0 * F.col("n") / _CM_W
+        ).alias("within_error_bound"),
+    )
+
+
+# HLL parameters shared with datapipe.sketch_cardinalities — the
+# daily-merge query below must build the IDENTICAL registers so the
+# merged estimate is comparable to the one-shot estimate.
+from .datapipe import _HLL_M, _HLL_NUMER  # noqa: E402
+
+
+@q(
+    "hll_daily_union_users",
+    f"""WITH h AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT
+                  AS bucket,
+                ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 13), '0')
+                  AS sig
+         FROM events),
+       r AS (SELECT event_type, d, bucket,
+                    CASE WHEN length(sig) = 0 THEN 53
+                         ELSE 4 * (13 - length(sig))
+                              + CASE WHEN substr(sig, 1, 1) = '1' THEN 3
+                                     WHEN substr(sig, 1, 1) IN ('2', '3')
+                                       THEN 2
+                                     WHEN substr(sig, 1, 1)
+                                       IN ('4', '5', '6', '7') THEN 1
+                                     ELSE 0 END + 1 END AS rank
+             FROM h),
+       daily AS (
+         SELECT event_type, d, bucket, MAX(rank) AS m_j
+         FROM r GROUP BY 1, 2, 3),
+       merged AS (
+         SELECT event_type, bucket, MAX(m_j) AS m_j
+         FROM daily GROUP BY 1, 2),
+       direct AS (
+         SELECT event_type, bucket, MAX(rank) AS m_j
+         FROM r GROUP BY 1, 2),
+       est_m AS (
+         SELECT event_type, CAST(COUNT(*) AS INT) AS n_hit,
+                SUM((1::BIGINT << (53 - m_j))) AS s_hit
+         FROM merged GROUP BY 1),
+       est_d AS (
+         SELECT event_type, CAST(COUNT(*) AS INT) AS n_hit,
+                SUM((1::BIGINT << (53 - m_j))) AS s_hit
+         FROM direct GROUP BY 1),
+       ex AS (
+         SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM events GROUP BY 1),
+       days AS (
+         SELECT event_type,
+                CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+         FROM events GROUP BY 1),
+       f AS (
+         SELECT m.event_type,
+                ROUND(CAST({_HLL_NUMER!r} AS DOUBLE)
+                      / CAST(m.s_hit
+                             + CAST({_HLL_M} - m.n_hit AS BIGINT) * {2**53}
+                             AS DOUBLE), 2) AS merged_est,
+                ROUND(CAST({_HLL_NUMER!r} AS DOUBLE)
+                      / CAST(dd.s_hit
+                             + CAST({_HLL_M} - dd.n_hit AS BIGINT) * {2**53}
+                             AS DOUBLE), 2) AS direct_est
+         FROM est_m m JOIN est_d dd ON m.event_type = dd.event_type)
+       SELECT f.event_type, days.n_days, ex.exact_users,
+              f.merged_est,
+              f.merged_est = f.direct_est AS merge_lossless,
+              ABS(f.merged_est - ex.exact_users)
+                / CAST(ex.exact_users AS DOUBLE) <= 0.15
+                AS within_rel_error
+       FROM f
+       JOIN ex ON f.event_type = ex.event_type
+       JOIN days ON f.event_type = days.event_type""",
+)
+def hll_daily_union_users(spark, sf_dir):
+    """The MERGEABILITY axis of the HLL path (the property 100 TB
+    pipelines actually buy): per-(event_type, DAY) register tables
+    built independently — the shape a daily ingest job would persist —
+    then UNION-merged by register-wise MAX across days. The merged
+    estimate must equal the one-shot whole-month estimate EXACTLY
+    (``merge_lossless``, oracle-pinned TRUE — sketch-of-union =
+    union-of-sketches is what makes incremental maintenance sound),
+    and sit within 15% of the exact distinct count
+    (``within_rel_error``, pinned TRUE — m=256 gives ~6.5% standard
+    error). Register algebra identical to sketch_cardinalities, so
+    DuckDB reproduces every bit."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    sig = F.expr(
+        "trim(LEADING '0' FROM substring(md5(cast(user_id as string)), 3, 13))"
+    )
+    d1 = F.substring(sig, 1, 1)
+    rank = F.when(F.length(sig) == 0, F.lit(53)).otherwise(
+        4 * (13 - F.length(sig))
+        + F.when(d1 == "1", 3)
+        .when(d1.isin("2", "3"), 2)
+        .when(d1.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + 1
+    )
+    r = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        rank.alias("rank"),
+    )
+    daily = r.groupBy("event_type", "d", "bucket").agg(
+        F.max("rank").alias("m_j")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    direct = r.groupBy("event_type", "bucket").agg(
+        F.max("rank").alias("m_j")
+    )
+
+    def estimate(regs):
+        agg = regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit"),
+            F.sum(
+                F.expr("shiftleft(cast(1 as bigint), 53 - m_j)")
+            ).alias("s_hit"),
+        )
+        denom = (
+            F.col("s_hit")
+            + (F.lit(_HLL_M) - F.col("n_hit")).cast("long") * F.lit(2**53)
+        ).cast("double")
+        return agg.select(
+            "event_type",
+            F.round(F.lit(_HLL_NUMER) / denom, 2).alias("est"),
+        )
+
+    est_m = estimate(merged).withColumnRenamed("est", "merged_est")
+    est_d = estimate(direct).withColumnRenamed("est", "direct_est")
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    days = ev.groupBy("event_type").agg(
+        F.count_distinct(F.to_date("ts")).cast("long").alias("n_days")
+    )
+    return (
+        est_m.join(est_d, "event_type")
+        .join(ex, "event_type")
+        .join(days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            "merged_est",
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merge_lossless"
+            ),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_users"))
+                / F.col("exact_users").cast("double")
+                <= 0.15
+            ).alias("within_rel_error"),
+        )
+    )

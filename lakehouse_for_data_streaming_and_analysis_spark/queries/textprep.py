@@ -560,3 +560,59 @@ def tokenizer_fertility_stats(spark, sf_dir):
         F.round(F.avg(ratio), 6).alias("avg_doc_fertility"),
         F.round(F.max(ratio), 6).alias("max_doc_fertility"),
     )
+
+
+@q(
+    "normalized_exact_dedup",
+    """WITH norm AS (
+         SELECT doc_id, source,
+                md5(text) AS raw_h,
+                md5(regexp_replace(regexp_replace(lower(trim(text)),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_h
+         FROM documents)
+       SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(COUNT(DISTINCT raw_h) AS BIGINT) AS raw_clusters,
+              CAST(COUNT(DISTINCT norm_h) AS BIGINT) AS norm_clusters,
+              CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h)
+                   AS BIGINT) AS dupes_revealed_by_norm,
+              CAST(COUNT(*) - COUNT(DISTINCT norm_h) AS BIGINT)
+                AS removable_docs
+       FROM norm GROUP BY source""",
+)
+def normalized_exact_dedup(spark, sf_dir):
+    """Normalization-aware exact-dedup census per source: cluster
+    counts under the RAW text hash vs under a canonical form
+    (lowercase, punctuation stripped, whitespace collapsed) — the gap
+    is the duplicate mass that raw exact-dedup MISSES and
+    normalization reveals (trivially re-encoded copies: casing,
+    smart-quote, spacing variants — the first escalation on the
+    real-pipeline dedup ladder, before MinHash pays for shingles).
+    One scan, two hash aggregates on the same pass; at 100 TB both
+    are hash-groupBys on digest keys, never text comparisons.
+    Cite: reference has no dedup surface; this extends the brief's
+    training-pipeline mandate alongside exact_dedup_groups."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    norm_h = F.md5(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    n = docs.select(
+        "source", F.md5("text").alias("raw_h"), norm_h.alias("norm_h")
+    )
+    return n.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("raw_h").cast("long").alias("raw_clusters"),
+        F.count_distinct("norm_h").cast("long").alias("norm_clusters"),
+        (F.count_distinct("raw_h") - F.count_distinct("norm_h"))
+        .cast("long")
+        .alias("dupes_revealed_by_norm"),
+        (F.count(F.lit(1)) - F.count_distinct("norm_h"))
+        .cast("long")
+        .alias("removable_docs"),
+    )
