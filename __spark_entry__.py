@@ -77,20 +77,31 @@ ROWS_ONLY: tuple[str, ...] = ()
 # red rows re-enter the r7 window head automatically via
 # rotate_window's failed-first rule.
 #
-# ROUND-7 STAGING: seven round-6 late additions sit just past the
-# window (positions 51+ via _rotation_order's middle group) and are
-# the natural r7 window head after `tools/rotate_window.py
-# CORRECTNESS_r06.json --apply`:
-#   deltalog_log_cleanup_audit (logRetentionDuration metadata
-#   cleanup), deltalog_merge_evolution_audit (MERGE WITH SCHEMA
-#   EVOLUTION), deltalog_column_defaults_audit (allowColumnDefaults),
-#   deltalog_fsck_audit (FSCK REPAIR), deltalog_multipart_checkpoint_
-#   audit (classic parts=N checkpoints), stream_stream_outer_
-#   attribution (left-outer stream-stream interval join with
-#   watermark-flush sentinels), incremental_dedup_bloom
-#   (bloom-prefiltered snapshot-vs-history dedup), plus
-#   dedup_cluster_size_histogram, tokenizer_fertility_stats, and
-#   weekday_hour_heatmap — each sim + dtype-lint green at add time.
+# ROUND-7 WINDOW (WINDOW_PRIORITY below = the 10 r6-staged names,
+# rotated in by `tools/rotate_window.py CORRECTNESS_r06.json
+# --apply`; all 10 judge-verified green in the r6 VERDICT). The
+# middle group fills the remaining 40 window slots with this round's
+# never-checked additions, in registry order:
+#   8 pre-round additions (deltalog_stats_columns_audit, the DDSketch
+#   quantile trio, Theil-Sen / DFT / Parkinson-GK / Sharpe-Sortino),
+#   4 protocol audits (deltalog_v2_checkpoint_audit — manifest +
+#   sidecar checkpoints; deltalog_checksum_audit — VERSION_CHECKSUM
+#   .crc files; deltalog_vacuum_lite_audit — log-driven LITE vs
+#   listing FULL vacuum; deltalog_type_widening_audit — metadata-only
+#   int→long widening),
+#   5 time-series (roll_spread_estimator, variance_ratio_test,
+#   spearman_kendall_daily, hurst_exponent_rs, macd_crossover_days),
+#   2 mergeable sketches (countmin_heavy_hitters_gate,
+#   hll_daily_union_users),
+#   4 corpus-curation (token_entropy_rate,
+#   perplexity_bucket_curriculum, normalized_exact_dedup,
+#   minhash_band_sensitivity),
+#   1 streaming (stream_stream_full_outer_attribution — both-sides
+#   dangling flush under the two-sentinel replay),
+#   2 OLAP (percentile_disc_cont_audit, orderkey_gaps_islands),
+#   1 graph (adamic_adar_link_prediction).
+# Every one sim + dtype-lint green at add time (tools/driver_sim.py,
+# tools/lint_oracle_dtypes.py).
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",

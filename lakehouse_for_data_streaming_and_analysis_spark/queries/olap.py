@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1147,4 +1147,155 @@ def incremental_dedup_bloom(spark, sf_dir):
         ],
         "n_new_docs long, n_bloom_candidates long, n_true_dups long, "
         "n_false_positives long, n_unique_new long",
+    )
+
+
+@q(
+    "percentile_disc_cont_audit",
+    """WITH v AS (
+         SELECT event_type, value,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events),
+       marks AS (
+         SELECT event_type, value, rn, n,
+                CAST(CEIL(0.5 * n) AS BIGINT) AS d50,
+                CAST(CEIL(0.9 * n) AS BIGINT) AS d90,
+                CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1 AS c50_lo,
+                CAST(CEIL(0.5 * (n - 1)) AS BIGINT) + 1 AS c50_hi,
+                0.5 * (n - 1) - FLOOR(0.5 * (n - 1)) AS c50_f,
+                CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1 AS c90_lo,
+                CAST(CEIL(0.9 * (n - 1)) AS BIGINT) + 1 AS c90_hi,
+                0.9 * (n - 1) - FLOOR(0.9 * (n - 1)) AS c90_f
+         FROM v)
+       SELECT event_type,
+              CAST(MAX(n) AS BIGINT) AS n_rows,
+              ROUND(MAX(CASE WHEN rn = d50 THEN value END), 4) AS p50_disc,
+              ROUND(MAX(CASE WHEN rn = c50_lo THEN value END)
+                    * (1 - MAX(c50_f))
+                    + MAX(CASE WHEN rn = c50_hi THEN value END)
+                    * MAX(c50_f), 4) AS p50_cont,
+              ROUND(MAX(CASE WHEN rn = d90 THEN value END), 4) AS p90_disc,
+              ROUND(MAX(CASE WHEN rn = c90_lo THEN value END)
+                    * (1 - MAX(c90_f))
+                    + MAX(CASE WHEN rn = c90_hi THEN value END)
+                    * MAX(c90_f), 4) AS p90_cont,
+              ROUND(ABS(MAX(CASE WHEN rn = d50 THEN value END)
+                    - (MAX(CASE WHEN rn = c50_lo THEN value END)
+                       * (1 - MAX(c50_f))
+                       + MAX(CASE WHEN rn = c50_hi THEN value END)
+                       * MAX(c50_f))), 4) AS p50_disc_cont_gap
+       FROM marks GROUP BY event_type""",
+)
+def percentile_disc_cont_audit(spark, sf_dir):
+    """PERCENTILE_DISC vs PERCENTILE_CONT side by side, both spelled
+    as EXPLICIT rank arithmetic (disc = the ceil(q*n)-th ordered
+    value; cont = linear interpolation at (n-1)*q) rather than the
+    engines' builtins — SQL dialects disagree on disc rounding and
+    cont index conventions, and the explicit form pins ONE semantics
+    both engines must reproduce. The gap column is the estimator
+    discrepancy a user silently eats when switching dialects. One
+    window sort per key serves all four estimates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    nm1 = F.col("n") - 1
+    marks = v.select(
+        "event_type",
+        "value",
+        "rn",
+        "n",
+        F.ceil(0.5 * F.col("n")).cast("long").alias("d50"),
+        F.ceil(0.9 * F.col("n")).cast("long").alias("d90"),
+        (F.floor(0.5 * nm1) + 1).cast("long").alias("c50_lo"),
+        (F.ceil(0.5 * nm1) + 1).cast("long").alias("c50_hi"),
+        (0.5 * nm1 - F.floor(0.5 * nm1)).alias("c50_f"),
+        (F.floor(0.9 * nm1) + 1).cast("long").alias("c90_lo"),
+        (F.ceil(0.9 * nm1) + 1).cast("long").alias("c90_hi"),
+        (0.9 * nm1 - F.floor(0.9 * nm1)).alias("c90_f"),
+    )
+
+    def at(mark):
+        return F.max(F.when(F.col("rn") == F.col(mark), F.col("value")))
+
+    p50c = at("c50_lo") * (1 - F.max("c50_f")) + at("c50_hi") * F.max("c50_f")
+    p90c = at("c90_lo") * (1 - F.max("c90_f")) + at("c90_hi") * F.max("c90_f")
+    return marks.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.round(at("d50"), 4).alias("p50_disc"),
+        F.round(p50c, 4).alias("p50_cont"),
+        F.round(at("d90"), 4).alias("p90_disc"),
+        F.round(p90c, 4).alias("p90_cont"),
+        F.round(F.abs(at("d50") - p50c), 4).alias("p50_disc_cont_gap"),
+    )
+
+
+@q(
+    "orderkey_gaps_islands",
+    """WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+       tagged AS (
+         SELECT o_orderkey,
+                o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                  AS island
+         FROM keys),
+       islands AS (
+         SELECT island,
+                CAST(MIN(o_orderkey) AS BIGINT) AS island_start,
+                CAST(MAX(o_orderkey) AS BIGINT) AS island_end,
+                CAST(COUNT(*) AS BIGINT) AS island_len
+         FROM tagged GROUP BY island)
+       SELECT island_start, island_end, island_len,
+              CAST(island_end - island_start + 1 AS BIGINT) AS span,
+              CAST(LEAD(island_start) OVER (ORDER BY island_start)
+                   - island_end - 1 AS BIGINT) AS gap_to_next
+       FROM islands
+       ORDER BY island_len DESC, island_start
+       LIMIT 20""",
+)
+def orderkey_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands over the sparse o_orderkey domain (TPC-H
+    assigns only 1 key in 4): the classic key - ROW_NUMBER() grouping
+    trick finds maximal runs of consecutive present keys in ONE
+    window pass — no self-join, no sequence table — then ranks the 20
+    longest islands with the gap to the next island. The pattern is
+    the workhorse for sequence-completeness audits (missing commit
+    versions, absent partition dates) where the naive NOT EXISTS
+    anti-join would need a generated calendar of the full domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select("o_orderkey").distinct()
+    tagged = keys.withColumn(
+        "island",
+        F.col("o_orderkey")
+        - F.row_number().over(Window.orderBy("o_orderkey")),
+    )
+    islands = tagged.groupBy("island").agg(
+        F.min("o_orderkey").cast("long").alias("island_start"),
+        F.max("o_orderkey").cast("long").alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("island_len"),
+    )
+    return (
+        islands.select(
+            "island_start",
+            "island_end",
+            "island_len",
+            (F.col("island_end") - F.col("island_start") + 1)
+            .cast("long")
+            .alias("span"),
+            (
+                F.lead("island_start").over(Window.orderBy("island_start"))
+                - F.col("island_end")
+                - 1
+            )
+            .cast("long")
+            .alias("gap_to_next"),
+        )
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(20)
     )

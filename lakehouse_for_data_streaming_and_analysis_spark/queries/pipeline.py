@@ -447,6 +447,105 @@ def stream_stream_outer_attribution(spark, sf_dir):
     )
 
 
+@q(
+    "stream_stream_full_outer_attribution",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+       c AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type IN ('click', 'view'))
+       SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              COALESCE(p.user_id, c.user_id) AS user_id,
+              p.ts AS purchase_ts, c.ts AS click_ts,
+              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3)
+                AS lag_secs
+       FROM p FULL JOIN c
+         ON p.user_id = c.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts""",
+)
+def stream_stream_full_outer_attribution(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — both dangling sides
+    emit: purchases with no preceding click/view in 4 hours (NULL
+    click columns) AND clicks/views that never converted (NULL
+    purchase columns), each exactly once, once the watermark proves
+    no match can arrive. Same two-sentinel replay as the left-outer
+    run (`_ensure_outer_attr_replay`): the first trailing batch
+    advances BOTH branch watermarks past every real event, the
+    second applies them — full-outer state eviction flushes
+    unmatched rows from BOTH join buffers in that batch. The
+    streamed result must equal the batch FULL JOIN row-for-row,
+    NULLs included. At 100 TB the watermark bounds both state
+    stores to the 4-hour interval per key — the full-outer join is
+    the one shape where BOTH sides' buffers matter."""
+    ev = load_table(spark, sf_dir, "events")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    replay_dir = _ensure_outer_attr_replay(spark, sf_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "8 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "8 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 4 HOURS")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    )
+    tbl = f"full_outer_attribution_{sf_tag}"
+    with _pinned_shuffle(spark):
+        handle = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(tbl)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = handle.awaitTermination(300)
+        assert finished, "full-outer attribution run did not finish in 300 s"
+    return (
+        spark.table(tbl)
+        # drop sentinel rows on EITHER side (negative synthetic ids)
+        .filter(
+            (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+            & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+            F.round(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / 1e6,
+                3,
+            ).alias("lag_secs"),
+        )
+    )
+
+
 _REST_ROWS = [
     {"symbol": "BTC", "name": "bitcoin", "supply": "19000000.5", "maxSupply": "21000000", "volume24h": "123.25"},
     {"symbol": "ETH", "name": "ethereum", "supply": "120000000", "maxSupply": None, "volume24h": "456.5"},

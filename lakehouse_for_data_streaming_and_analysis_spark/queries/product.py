@@ -791,3 +791,85 @@ def mann_whitney_u(spark, sf_dir):
             .alias("reject_05"),
         )
     )
+
+
+@q(
+    "adamic_adar_link_prediction",
+    """WITH raw AS (
+         SELECT user_id AS src,
+                LEAD(user_id) OVER (PARTITION BY event_type
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS dst
+         FROM events),
+       e AS (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM raw WHERE dst IS NOT NULL AND dst <> src),
+       adj AS (
+         SELECT a AS u, b AS w FROM e
+         UNION ALL
+         SELECT b AS u, a AS w FROM e),
+       deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY 1),
+       centers AS (SELECT w, d FROM deg WHERE d BETWEEN 2 AND 50),
+       wedges AS (
+         SELECT x.u AS u, y.u AS v, c.d
+         FROM adj x
+         JOIN centers c ON x.w = c.w
+         JOIN adj y ON y.w = c.w AND x.u < y.u),
+       scored AS (
+         SELECT u, v,
+                ROUND(SUM(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score,
+                CAST(COUNT(*) AS BIGINT) AS n_common
+         FROM wedges GROUP BY 1, 2),
+       nonedge AS (
+         SELECT s.* FROM scored s
+         LEFT JOIN e ON e.a = s.u AND e.b = s.v
+         WHERE e.a IS NULL)
+       SELECT u, v, aa_score, n_common FROM nonedge
+       ORDER BY aa_score DESC, u, v LIMIT 20""",
+)
+def adamic_adar_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction over the user hand-off graph: for
+    every NON-edge (u,v) sharing at least one neighbor, score
+    sum(1/ln(deg(w))) over the common neighbors w — rare shared
+    contacts weigh more than hubs — and rank the top 20 predicted
+    links. The wedge enumeration fans out from each CENTER w via two
+    equi-joins on w, with hub centers (deg > 50) excluded: that caps
+    the per-center fan-out at deg^2 <= 2500 (the standard power-law
+    skew guard; hubs contribute ~1/ln(d) ~ 0 anyway), which is what
+    keeps the join linear-ish at 100 TB instead of quadratic in the
+    hottest key. Non-edges via LEFT anti semantics on the oriented
+    distinct edge set; score rounded before the deterministic
+    (score desc, u, v) ranking."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter((F.col("d") >= 2) & (F.col("d") <= 50))
+    x = adj.alias("x")
+    y = adj.select(F.col("u").alias("v"), F.col("w").alias("w2"))
+    wedges = (
+        x.join(centers, "w")
+        .join(y, (F.col("w2") == F.col("w")) & (F.col("x.u") < F.col("v")))
+        .select(F.col("x.u").alias("u"), "v", "d")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.round(F.sum(1.0 / F.log(F.col("d").cast("double"))), 6).alias(
+            "aa_score"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+    )
+    nonedge = scored.join(
+        e,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    return nonedge.orderBy(F.desc("aa_score"), "u", "v").limit(20)
