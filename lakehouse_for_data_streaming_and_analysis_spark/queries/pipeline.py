@@ -3157,7 +3157,15 @@ def deltalog_log_cleanup_audit(spark, sf_dir):
         t.append(
             slice_df.withColumn("o_totalprice", F.col("o_totalprice") + 4)
         )
-        removed = dlog.cleanup_metadata(table_dir, retention_hours=0.0)
+        # count the removed COMMIT JSONs (the pinned contract: exactly
+        # the 3 below-checkpoint commits); since r7 each deleted JSON
+        # also takes its shadow .crc VERSION_CHECKSUM with it, which
+        # the .json filter keeps out of the pinned count
+        removed = [
+            f
+            for f in dlog.cleanup_metadata(table_dir, retention_hours=0.0)
+            if f.endswith(".json")
+        ]
         contiguous = dlog.list_versions(table_dir) == [cp, cp + 1]
         try:
             t.read(cp - 1).count()

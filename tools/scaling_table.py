@@ -47,6 +47,9 @@ SCALES = (
 
 
 def main() -> None:
+    global QUERIES
+    if len(sys.argv) > 1:  # subset override: scaling_table.py q1 q2 ...
+        QUERIES = tuple(sys.argv[1:])
     spark = get_spark("scaling_table")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
