@@ -5300,3 +5300,48 @@ def test_reads_external_type_widening_fixture(spark, tmp_path):
     # and our writer can continue it with beyond-int32 values
     t.append(spark.createDataFrame([(2**40, "z")], "id long, v string"))
     assert t.read().count() == 4
+
+
+def test_reads_external_checksum_fieldset(spark, tmp_path):
+    """Reverse direction for VERSION_CHECKSUM: delta-spark .crc files
+    carry MORE fields than we write (txnId, protocol/metaData echoes,
+    histogram opt). Validation must judge the fields it can recompute
+    and IGNORE the extras — and still refuse when a recomputable
+    field disagrees."""
+    root = tmp_path / "ext_crc"
+    root.mkdir()
+    size = _ext_parquet(root, "a.parquet", {"id": [1, 2, 3], "v": list("abc")})
+    _ext_log(
+        root,
+        {
+            0: [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": "ext-crc",
+                              "schemaString": _EXT_SCHEMA_KV,
+                              "partitionColumns": [],
+                              "configuration": {}}},
+                {"add": {"path": "a.parquet", "partitionValues": {},
+                         "size": size, "modificationTime": 1,
+                         "dataChange": True}},
+            ]
+        },
+    )
+    crc = {
+        "txnId": "deadbeef-0000-1111-2222-333333333333",
+        "tableSizeBytes": size,
+        "numFiles": 1,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": 0,
+        "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+        "histogramOpt": {"sortedBinBoundaries": [0], "fileCounts": [1]},
+    }
+    with open(root / "_delta_log" / f"{0:020d}.crc", "w") as f:
+        json.dump(crc, f)
+    t = DeltaishTable(spark, str(root))
+    assert t.verify_checksum(0) is True
+    crc["tableSizeBytes"] = size + 1
+    with open(root / "_delta_log" / f"{0:020d}.crc", "w") as f:
+        json.dump(crc, f)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        t.verify_checksum(0)

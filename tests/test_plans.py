@@ -669,3 +669,34 @@ def test_doc_chunking_map_only(spark):
     assert "Exchange hashpartitioning" not in p, p
     assert "Exchange rangepartitioning" not in p, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_adamic_adar_wedges_are_equi_joins(spark):
+    """Adamic-Adar: the wedge enumeration must be equi-joins on the
+    center node (with the hub cap bounding fan-out) and the non-edge
+    filter a LEFT ANTI — never a cartesian over candidate pairs."""
+    df = entrymod.queries()["adamic_adar_link_prediction"](spark, SF_DIR)
+    p = _physical(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p, p
+
+
+def test_kendall_pair_join_is_equi_on_type(spark):
+    """Kendall tau's pair census: the self-join must key on
+    event_type (days^2 pairs per series — calendar-bounded), with the
+    d1 < d2 ordering as a post-join filter, not a nested loop over
+    the cross product of all days of all series."""
+    df = entrymod.queries()["spearman_kendall_daily"](spark, SF_DIR)
+    p = _physical(df)
+    assert "CartesianProduct" not in p
+
+
+def test_countmin_cells_broadcast_to_probes(spark):
+    """Count-Min probe: the 3x1024 cell table must be the BROADCAST
+    side of the probe join — the sketch is constant-size by design
+    and must never force a shuffle of the probe stream."""
+    df = entrymod.queries()["countmin_heavy_hitters_gate"](spark, SF_DIR)
+    p = _physical(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p
