@@ -1877,3 +1877,196 @@ def minhash_band_sensitivity(spark, sf_dir):
             4,
         ).alias("capture_prob"),
     )
+
+
+@q(
+    "embedding_pca_power_iteration",
+    """WITH RECURSIVE elems AS (
+         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+             FROM elems),
+       mu AS (SELECT i, ROUND(AVG(x), 8) AS m FROM elems GROUP BY 1),
+       m2 AS (SELECT a.i AS i, b.i AS j, ROUND(AVG(a.x * b.x), 8) AS v
+              FROM elems a JOIN elems b ON a.vec_id = b.vec_id
+              GROUP BY 1, 2),
+       cov AS (SELECT m2.i, m2.j,
+                      ROUND(m2.v - ma.m * mb.m, 8) AS c
+               FROM m2 JOIN mu ma ON m2.i = ma.i
+                       JOIN mu mb ON m2.j = mb.i),
+       rows_ AS (SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY 1),
+       cm AS (SELECT list(r ORDER BY i) AS m FROM rows_),
+       it AS (
+         SELECT 0 AS t, m,
+                list_transform(range(1, 65),
+                               k -> CAST(0.125 AS DOUBLE)) AS v
+         FROM cm
+         UNION ALL
+         SELECT t + 1, m,
+                list_transform(
+                  list_transform(m, r -> ROUND(list_reduce(
+                    list_transform(range(1, 65), k -> r[k] * v[k]),
+                    (a, b) -> a + b), 8)),
+                  w -> ROUND(w / ROUND(SQRT(list_reduce(
+                    list_transform(
+                      list_transform(m, r2 -> ROUND(list_reduce(
+                        list_transform(range(1, 65), k -> r2[k] * v[k]),
+                        (a, b) -> a + b), 8)),
+                      y -> y * y),
+                    (a, b) -> a + b)), 8), 8))
+         FROM it WHERE t < 8),
+       fin AS (SELECT m, v FROM it WHERE t = 8),
+       lam AS (
+         SELECT m, v,
+                ROUND(list_reduce(
+                  list_transform(range(1, 65),
+                    i -> v[i] * ROUND(list_reduce(
+                      list_transform(range(1, 65), k -> m[i][k] * v[k]),
+                      (a, b) -> a + b), 8)),
+                  (a, b) -> a + b), 6) AS eigenvalue,
+                ROUND(list_reduce(
+                  list_transform(range(1, 65), k -> m[k][k]),
+                  (a, b) -> a + b), 6) AS trace
+         FROM fin)
+       SELECT n.n AS n_vectors, CAST(64 AS INT) AS dim,
+              eigenvalue, trace,
+              ROUND(eigenvalue / trace, 6) AS explained_share,
+              ROUND(v[1], 6) AS v1, ROUND(v[2], 6) AS v2,
+              ROUND(v[3], 6) AS v3, ROUND(v[4], 6) AS v4
+       FROM lam CROSS JOIN n""",
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding cloud by POWER
+    ITERATION — the decorrelation/variance-structure probe a curation
+    pipeline runs before whitening or energy-based filtering. The
+    covariance matrix is computed DISTRIBUTED (element self-join on
+    vec_id → (i, j) partial products, a 64x fan-out the combiner
+    absorbs; the shuffled payload is the 64x64 moment table, never
+    the corpus), then 8 matvec+normalize steps run as PURE COLUMN
+    EXPRESSIONS over the one-row matrix — no driver collect at all.
+    Determinism: covariance entries, every matvec component, and the
+    norm are rounded at each step, and every dot product is the SAME
+    left-fold sequence in both engines (aggregate() here, list_reduce
+    in DuckDB) — an unordered SUM would diverge in the last bits and
+    compound through the iteration. Init = uniform 1/8 vector (64
+    dims), fixed: no randomness, no sign ambiguity. Output: leading
+    eigenvalue, trace, explained-variance share, first 4 eigenvector
+    components. At 100 TB: one corpus scan + d^2 shuffle; the
+    iteration cost is independent of row count."""
+    emb = load_table(spark, sf_dir, "embeddings", fanout=True)
+    elems = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    n = elems.agg(
+        F.count_distinct("vec_id").cast("long").alias("n")
+    )
+    mu = elems.groupBy("i").agg(F.round(F.avg("x"), 8).alias("m"))
+    a = elems.alias("a")
+    b = elems.select(
+        F.col("vec_id").alias("bv"),
+        F.col("i").alias("j"),
+        F.col("x").alias("y"),
+    )
+    m2 = (
+        a.join(b, F.col("a.vec_id") == F.col("bv"))
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.col("x") * F.col("y")), 8).alias("v"))
+    )
+    cov = (
+        m2.join(mu.select(F.col("i"), F.col("m").alias("ma")), "i")
+        .join(
+            mu.select(F.col("i").alias("j"), F.col("m").alias("mb")), "j"
+        )
+        .select(
+            "i", "j", F.round(F.col("v") - F.col("ma") * F.col("mb"), 8).alias("c")
+        )
+    )
+    rows_ = cov.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))),
+            lambda s: s["c"],
+        ).alias("r")
+    )
+    cm = rows_.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "r"))),
+            lambda s: s["r"],
+        ).alias("m")
+    )
+
+    def fold_sum(products):
+        # identical left-fold sequence to DuckDB's list_reduce
+        return F.aggregate(
+            F.slice(products, 2, F.greatest(F.size(products) - 1, F.lit(0))),
+            F.element_at(products, 1),
+            lambda acc, x: acc + x,
+        )
+
+    def matvec(m, v):
+        return F.transform(
+            m, lambda r: F.round(fold_sum(F.zip_with(r, v, lambda p, q: p * q)), 8)
+        )
+
+    df = cm.withColumn(
+        "v",
+        F.transform(F.sequence(F.lit(1), F.lit(64)), lambda k: F.lit(0.125)),
+    )
+    for _ in range(8):
+        df = df.withColumn("w", matvec(F.col("m"), F.col("v")))
+        df = df.withColumn(
+            "nrm",
+            F.round(
+                F.sqrt(
+                    fold_sum(F.transform(F.col("w"), lambda y: y * y))
+                ),
+                8,
+            ),
+        )
+        df = df.withColumn(
+            "v", F.transform(F.col("w"), lambda y: F.round(y / F.col("nrm"), 8))
+        ).drop("w", "nrm")
+    eig = F.round(
+        fold_sum(
+            F.zip_with(
+                F.col("v"),
+                matvec(F.col("m"), F.col("v")),
+                lambda p, q: p * q,
+            )
+        ),
+        6,
+    )
+    trace = F.round(
+        fold_sum(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda k: F.element_at(F.element_at(F.col("m"), k), k),
+            )
+        ),
+        6,
+    )
+    out = df.select(
+        eig.alias("eigenvalue"),
+        trace.alias("trace"),
+        F.round(eig / trace, 6).alias("explained_share"),
+        F.round(F.element_at("v", 1), 6).alias("v1"),
+        F.round(F.element_at("v", 2), 6).alias("v2"),
+        F.round(F.element_at("v", 3), 6).alias("v3"),
+        F.round(F.element_at("v", 4), 6).alias("v4"),
+    )
+    return out.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_vectors"),
+        F.lit(64).cast("int").alias("dim"),
+        "eigenvalue",
+        "trace",
+        "explained_share",
+        "v1",
+        "v2",
+        "v3",
+        "v4",
+    )
