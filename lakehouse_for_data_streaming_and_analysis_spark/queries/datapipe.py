@@ -2070,3 +2070,132 @@ def embedding_pca_power_iteration(spark, sf_dir):
         "v3",
         "v4",
     )
+
+
+@q(
+    "packing_efficiency_audit",
+    f"""WITH t AS (
+         SELECT doc_id, doc_id % 8 AS shard,
+                LEAST(CAST(len({_TOKS_SQL}) AS BIGINT), 512) AS n_tok
+         FROM documents
+         WHERE len({_TOKS_SQL}) > 0),
+       shards AS (
+         SELECT shard,
+                list_prepend(CAST(0 AS BIGINT),
+                             list(n_tok ORDER BY doc_id)) AS arrival,
+                list_prepend(CAST(0 AS BIGINT),
+                             list(n_tok ORDER BY n_tok DESC, doc_id))
+                  AS bysize,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS total_tok
+         FROM t GROUP BY 1),
+       packed AS (
+         SELECT shard, n_docs, total_tok,
+                list_reduce(arrival, (acc, x) -> CASE
+                  WHEN x <= acc % 1024 THEN acc - x
+                  ELSE (acc // 1024 + 1) * 1024 + 512 - x END) // 1024
+                  AS bins_arrival,
+                list_reduce(bysize, (acc, x) -> CASE
+                  WHEN x <= acc % 1024 THEN acc - x
+                  ELSE (acc // 1024 + 1) * 1024 + 512 - x END) // 1024
+                  AS bins_sorted
+         FROM shards)
+       SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+              CAST(SUM(total_tok) AS BIGINT) AS total_tokens,
+              CAST(SUM(CAST(CEIL(total_tok / 512.0) AS BIGINT)) AS BIGINT)
+                AS lower_bound_bins,
+              CAST(SUM(bins_arrival) AS BIGINT) AS bins_arrival,
+              CAST(SUM(bins_sorted) AS BIGINT) AS bins_sorted,
+              ROUND(SUM(total_tok)
+                    / CAST(SUM(bins_arrival) * 512 AS DOUBLE), 4)
+                AS fill_arrival,
+              ROUND(SUM(total_tok)
+                    / CAST(SUM(bins_sorted) * 512 AS DOUBLE), 4)
+                AS fill_sorted
+       FROM packed""",
+)
+def packing_efficiency_audit(spark, sf_dir):
+    """Sequence-packing economics: how many 512-token training bins
+    the corpus needs under NEXT-FIT packing in arrival order vs
+    length-sorted order, against the ceil(tokens/512) lower bound —
+    the padding-waste number that decides whether a pipeline pays for
+    the sort before packing. Docs hash into 8 shards (the realistic
+    distributed packer: each shard packs independently, so the fold
+    is per-shard-bounded, not corpus-sequential); the greedy fold
+    runs over the shard's length array with the state ENCODED AS ONE
+    INTEGER (bins*1024 + remaining, capacity 512 < 1024) so both
+    engines fold identical integer arithmetic — no struct-state
+    lambda portability risk, no floats at all until the final fill
+    ratios. Lengths cap at 512 (a doc longer than the bin is
+    truncated into it)."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    t = (
+        docs.select(
+            "doc_id", F.size(textfns.tokens("text")).alias("nt")
+        )
+        .filter(F.col("nt") > 0)
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("shard"),
+            F.least(F.col("nt").cast("long"), F.lit(512)).alias("n_tok"),
+        )
+    )
+    shards = t.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_tok"))),
+            lambda s: s["n_tok"],
+        ).alias("arrival"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_tok")).alias("neg"),
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("n_tok").alias("n_tok"),
+                    )
+                )
+            ),
+            lambda s: s["n_tok"],
+        ).alias("bysize"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+    )
+
+    def pack(arr):
+        return (
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, x: F.when(x <= acc % 1024, acc - x).otherwise(
+                    (F.floor(acc / 1024) + 1) * 1024 + 512 - x
+                ),
+            )
+            / 1024
+        )
+
+    packed = shards.select(
+        "shard",
+        "n_docs",
+        "total_tok",
+        F.floor(pack(F.col("arrival"))).alias("bins_arrival"),
+        F.floor(pack(F.col("bysize"))).alias("bins_sorted"),
+    )
+    return packed.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tok").cast("long").alias("total_tokens"),
+        F.sum(F.ceil(F.col("total_tok") / 512.0))
+        .cast("long")
+        .alias("lower_bound_bins"),
+        F.sum("bins_arrival").cast("long").alias("bins_arrival"),
+        F.sum("bins_sorted").cast("long").alias("bins_sorted"),
+        F.round(
+            F.sum("total_tok")
+            / (F.sum("bins_arrival") * 512).cast("double"),
+            4,
+        ).alias("fill_arrival"),
+        F.round(
+            F.sum("total_tok")
+            / (F.sum("bins_sorted") * 512).cast("double"),
+            4,
+        ).alias("fill_sorted"),
+    )
