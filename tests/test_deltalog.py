@@ -5345,3 +5345,74 @@ def test_reads_external_checksum_fieldset(spark, tmp_path):
         json.dump(crc, f)
     with pytest.raises(ValueError, match="checksum mismatch"):
         t.verify_checksum(0)
+
+
+# ------------------------------------------------- r7 feature interplay
+
+
+def test_type_widening_under_column_mapping(spark, tmp_path):
+    """Widening a MAPPED column: the physical name must not change
+    (files stay addressable), the logical schema widens, and a
+    subsequent metadata-only RENAME keeps both the widened type and
+    the typeChanges journal."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.enable_column_mapping()
+    t.widen_column_type("qty", "long")
+    sj = json.loads(t._snapshot().metadata["schemaString"])
+    qty = next(f for f in sj["fields"] if f["name"] == "qty")
+    assert qty["type"] == "long"
+    assert qty["metadata"]["delta.columnMapping.physicalName"] == "qty"
+    t.rename_column("qty", "quantity")
+    t.append(spark.createDataFrame([(3, 2**40)], "id long, quantity long"))
+    got = {r.id: r.quantity for r in t.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40}
+    sj = json.loads(t._snapshot().metadata["schemaString"])
+    q2 = next(f for f in sj["fields"] if f["name"] == "quantity")
+    assert q2["type"] == "long"
+    assert q2["metadata"]["delta.typeChanges"][0]["fromType"] == "integer"
+
+
+def test_v2_checkpoint_carries_domains_and_txns(spark, tmp_path):
+    """A v2 checkpoint must carry domainMetadata (row tracking's
+    high-water mark lives there) and SetTransaction watermarks
+    through log cleanup — losing either would re-issue row ids or
+    replay an exactly-once batch."""
+    df = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.enable_row_tracking()
+    dlog.write_commit(
+        str(t.path),
+        t.version + 1,
+        [{"txn": {"appId": "writerA", "version": 7}},
+         dlog.commit_info("txn")],
+    )
+    t.enable_v2_checkpoints()
+    hwm_before = t._rt_hwm(t._snapshot())
+    cp = t.checkpoint_v2(sidecars=2)
+    dlog.cleanup_metadata(str(t.path), retention_hours=0.0)
+    fresh = DeltaishTable(spark, str(t.path))
+    snap = fresh._snapshot()
+    assert fresh.last_txn_version("writerA") == 7
+    assert fresh._rt_hwm(snap) == hwm_before
+    assert "delta.rowTracking" in snap.domains
+    # and appends continue allocating NEW row ids above the hwm
+    v = fresh.append(df.limit(2))
+    assert fresh._rt_hwm(fresh._snapshot()) >= hwm_before + 2
+
+
+def test_checksum_through_restore_and_optimize(spark, tmp_path):
+    """RESTORE and OPTIMIZE commits stamp checksums like any other
+    commit, and each version's stored .crc matches its replayed
+    state — including the post-RESTORE version whose live set equals
+    an older snapshot."""
+    df = _orders(spark, 30)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(4))
+    n_v1 = t.read().count()
+    t.delete(F.col("o_orderkey") % 2 == 0)
+    t.restore(1)
+    assert t.read().count() == n_v1
+    t.optimize()
+    for v in range(t.version + 1):
+        assert dlog.validate_version_checksum(str(t.path), v) is True
