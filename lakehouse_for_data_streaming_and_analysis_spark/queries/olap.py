@@ -1299,3 +1299,232 @@ def orderkey_gaps_islands(spark, sf_dir):
         .orderBy(F.desc("island_len"), "island_start")
         .limit(20)
     )
+
+
+@q(
+    "benford_digit_audit",
+    """WITH d AS (
+         SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+         FROM orders WHERE o_totalprice >= 1),
+       c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+             FROM d GROUP BY 1),
+       t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+       SELECT c.digit, c.n,
+              ROUND(c.n / CAST(t.total AS DOUBLE), 6) AS observed_p,
+              ROUND(LOG10(1.0 + 1.0 / c.digit), 6) AS benford_p,
+              ROUND(ABS(c.n / CAST(t.total AS DOUBLE)
+                        - LOG10(1.0 + 1.0 / c.digit)), 6) AS abs_dev,
+              ROUND(t.total
+                    * POW(c.n / CAST(t.total AS DOUBLE)
+                          - LOG10(1.0 + 1.0 / c.digit), 2)
+                    / LOG10(1.0 + 1.0 / c.digit), 4) AS chi2_term
+       FROM c CROSS JOIN t""",
+)
+def benford_digit_audit(spark, sf_dir):
+    """Benford's-law conformity of the order-amount leading digit —
+    the classic fabricated-data / unit-mixing screen a warehouse runs
+    over monetary columns: observed first-digit shares vs
+    log10(1 + 1/d), absolute deviations (their mean is the standard
+    MAD conformity statistic), and per-digit chi-square terms. The
+    digit extraction goes through DECIMAL(18,2) text rendering so
+    both engines read the identical leading character (raw double
+    formatting diverges). One groupBy onto 9 keys + a broadcast of
+    the 1-row total: map-side combine does all the work at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    obs = F.col("n") / F.col("total").cast("double")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(ben, 6).alias("benford_p"),
+        F.round(F.abs(obs - ben), 6).alias("abs_dev"),
+        F.round(
+            F.col("total") * F.pow(obs - ben, 2) / ben, 4
+        ).alias("chi2_term"),
+    )
+
+
+@q(
+    "markov_steady_state_events",
+    """WITH RECURSIVE seq AS (
+         SELECT user_id, event_type AS f,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS t
+         FROM events),
+       trans AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM seq WHERE t IS NOT NULL GROUP BY 1, 2),
+       types AS (SELECT DISTINCT event_type AS ty FROM events),
+       idx AS (SELECT ty, CAST(ROW_NUMBER() OVER (ORDER BY ty) AS INT) AS i
+               FROM types),
+       grid AS (SELECT a.ty AS f, a.i AS fi, b.ty AS t, b.i AS ti
+                FROM idx a CROSS JOIN idx b),
+       cells AS (
+         SELECT g.fi, g.ti,
+                COALESCE(tr.n, 0) AS n,
+                SUM(COALESCE(tr.n, 0)) OVER (PARTITION BY g.fi) AS row_n
+         FROM grid g LEFT JOIN trans tr ON tr.f = g.f AND tr.t = g.t),
+       p AS (SELECT fi, ti,
+                    ROUND(n / CAST(row_n AS DOUBLE), 8) AS p
+             FROM cells),
+       cols AS (SELECT ti, list(p ORDER BY fi) AS col FROM p GROUP BY 1),
+       mt AS (SELECT list(col ORDER BY ti) AS m FROM cols),
+       k AS (SELECT CAST(COUNT(*) AS INT) AS k FROM types),
+       it AS (
+         SELECT 0 AS s, m, k.k,
+                list_transform(range(1, k.k + 1),
+                               j -> ROUND(1.0 / k.k, 8)) AS v
+         FROM mt CROSS JOIN k
+         UNION ALL
+         SELECT s + 1, m, k,
+                list_transform(
+                  list_transform(m, col -> ROUND(list_reduce(
+                    list_transform(range(1, k + 1), i -> v[i] * col[i]),
+                    (a, b) -> a + b), 8)),
+                  w -> ROUND(w / list_reduce(
+                    list_transform(m, col2 -> ROUND(list_reduce(
+                      list_transform(range(1, k + 1), i -> v[i] * col2[i]),
+                      (a, b) -> a + b), 8)),
+                    (a, b) -> a + b), 8))
+         FROM it WHERE s < 12),
+       pi_ AS (SELECT v FROM it WHERE s = 12),
+       emp AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM events)
+                                      AS DOUBLE), 6) AS empirical_share
+         FROM events GROUP BY 1)
+       SELECT e.event_type, e.n_events, e.empirical_share,
+              ROUND(p.v[i.i], 6) AS steady_state_p,
+              ROUND(p.v[i.i] - e.empirical_share, 6) AS drift
+       FROM emp e JOIN idx i ON e.event_type = i.ty
+       CROSS JOIN pi_ p""",
+)
+def markov_steady_state_events(spark, sf_dir):
+    """Steady-state distribution of the per-user event-type Markov
+    chain: the row-normalized transition matrix (consecutive events
+    per user, calendar-ordered) powered 12 steps from the uniform
+    vector, L1-renormalized each step — compared against the
+    empirical type shares, whose gap ('drift') says whether the
+    session dynamics are stationary or the observed mix is
+    arrival-biased. Same engine-portable iteration discipline as
+    embedding_pca_power_iteration: the k x k matrix collapses to one
+    row of lists, every dot product is the identical left fold, every
+    step rounds. The transition census is one window + one groupBy;
+    the iteration cost is independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    trans = seq.groupBy("f", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    idx = (
+        ev.select(F.col("event_type").alias("ty"))
+        .distinct()
+        .withColumn(
+            "i", F.row_number().over(Window.orderBy("ty")).cast("int")
+        )
+    )
+    a = idx.select(F.col("ty").alias("f"), F.col("i").alias("fi"))
+    b = idx.select(F.col("ty").alias("t"), F.col("i").alias("ti"))
+    grid = a.crossJoin(F.broadcast(b))
+    cells = grid.join(trans, ["f", "t"], "left").select(
+        "fi",
+        "ti",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    wrow = Window.partitionBy("fi")
+    p = cells.select(
+        "fi",
+        "ti",
+        F.round(
+            F.col("n") / F.sum("n").over(wrow).cast("double"), 8
+        ).alias("p"),
+    )
+    cols = p.groupBy("ti").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("fi", "p"))),
+            lambda s: s["p"],
+        ).alias("col")
+    )
+    mt = cols.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ti", "col"))),
+            lambda s: s["col"],
+        ).alias("m")
+    )
+    k = idx.agg(F.count(F.lit(1)).cast("int").alias("k"))
+
+    def fold_sum(products):
+        return F.aggregate(
+            F.slice(products, 2, F.greatest(F.size(products) - 1, F.lit(0))),
+            F.element_at(products, 1),
+            lambda acc, x: acc + x,
+        )
+
+    df = mt.crossJoin(F.broadcast(k)).withColumn(
+        "v",
+        F.transform(
+            F.sequence(F.lit(1), F.col("k")),
+            lambda j: F.round(F.lit(1.0) / F.col("k"), 8),
+        ),
+    )
+    for _ in range(12):
+        df = df.withColumn(
+            "w",
+            F.transform(
+                F.col("m"),
+                lambda col: F.round(
+                    fold_sum(F.zip_with(F.col("v"), col, lambda x, y: x * y)),
+                    8,
+                ),
+            ),
+        )
+        df = df.withColumn("s1", fold_sum(F.col("w")))
+        df = df.withColumn(
+            "v",
+            F.transform(F.col("w"), lambda y: F.round(y / F.col("s1"), 8)),
+        ).drop("w", "s1")
+    pi_ = df.select("v")
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    emp = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias(
+                "empirical_share"
+            ),
+        )
+    )
+    return (
+        emp.join(idx, emp["event_type"] == idx["ty"])
+        .crossJoin(F.broadcast(pi_))
+        .select(
+            "event_type",
+            "n_events",
+            "empirical_share",
+            F.round(F.element_at("v", F.col("i")), 6).alias(
+                "steady_state_p"
+            ),
+            F.round(
+                F.element_at("v", F.col("i")) - F.col("empirical_share"), 6
+            ).alias("drift"),
+        )
+    )
