@@ -552,35 +552,53 @@ def sidecar_dir(table_path: str) -> str:
 def v2_checkpoint_manifest(table_path: str, version: int) -> str | None:
     """The v2 manifest path for ``version`` — UUID-named, so distinct
     from both classic forms (no middle token / ``part.parts`` digits).
-    Multiple manifests for one version are legal (two writers racing
-    the same checkpoint); any is complete, pick the lexicographically
-    last for determinism."""
+    The spec allows PARQUET or JSON manifests (``.checkpoint.<uuid>.
+    {parquet|json}``); we write parquet and read both. Multiple
+    manifests for one version are legal (two writers racing the same
+    checkpoint); any is complete, pick the lexicographically last for
+    determinism (parquet preferred on a tie of stems)."""
     prefix = f"{version:020d}.checkpoint."
     lp = log_path(table_path)
     if not os.path.isdir(lp):
         return None
     cands = []
     for name in os.listdir(lp):
-        if not (name.startswith(prefix) and name.endswith(".parquet")):
+        if not name.startswith(prefix):
             continue
-        mid = name[len(prefix): -len(".parquet")]
-        if mid and "." not in mid and not mid.isdigit():
-            cands.append(name)
+        for ext in (".parquet", ".json"):
+            if name.endswith(ext):
+                mid = name[len(prefix): -len(ext)]
+                if mid and "." not in mid and not mid.isdigit():
+                    cands.append(name)
     return os.path.join(lp, sorted(cands)[-1]) if cands else None
+
+
+def _manifest_actions(manifest_path: str) -> list[dict]:
+    """Actions of a v2 manifest in row form, both encodings: a JSON
+    manifest is the commit format (one action object per line); a
+    parquet manifest is columnar with one column per action type."""
+    if manifest_path.endswith(".json"):
+        with open(manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(manifest_path).to_pydict()
+    rows: list[dict] = []
+    for col, cells in tbl.items():
+        for j in cells:
+            v = _cp_cell(j)
+            if v:
+                rows.append({col: v})
+    return rows
 
 
 def _manifest_sidecars(manifest_path: str) -> list[dict]:
     """The sidecar actions declared by a v2 manifest (empty for a
     manifest that inlines its file actions, which the spec allows)."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(manifest_path).to_pydict()
-    out = []
-    for j in tbl.get("sidecar") or []:
-        sc = _cp_cell(j)
-        if sc:
-            out.append(sc)
-    return out
+    return [
+        a["sidecar"] for a in _manifest_actions(manifest_path)
+        if a.get("sidecar")
+    ]
 
 
 def write_checkpoint_v2(
@@ -772,17 +790,25 @@ def read_checkpoint(table_path: str, version: int) -> Snapshot:
             f"{log_path(table_path)}"
         )
     snap = Snapshot(version=version)
-    tbl = pq.read_table(manifest).to_pydict()
-    for j in tbl.get("checkpointMetadata") or []:
-        cm = _cp_cell(j)
+    rows = _manifest_actions(manifest)
+    for a in rows:
+        cm = a.get("checkpointMetadata")
         if cm and int(cm.get("version", version)) != version:
             raise ValueError(
                 f"v2 checkpoint manifest {os.path.basename(manifest)} "
                 f"stamps version {cm['version']}, expected {version}"
             )
-    _ingest_cp_table(snap, tbl)
-    for sc in tbl.get("sidecar") or []:
-        side = _cp_cell(sc)
+    # row form → one-column table form the shared ingester understands
+    _ingest_cp_table(
+        snap,
+        {
+            k: [a[k] for a in rows if a.get(k)]
+            for k in ("protocol", "metaData", "add", "remove",
+                      "txn", "domainMetadata")
+        },
+    )
+    for a in rows:
+        side = a.get("sidecar")
         if not side:
             continue
         sp = os.path.join(sidecar_dir(table_path), side["path"])
@@ -833,9 +859,13 @@ def cleanup_metadata(
             os.remove(crc)
             deleted.append(os.path.basename(crc))
     for name in sorted(os.listdir(lp)):
-        # both checkpoint forms: <v>.checkpoint.parquet and the
-        # multi-part <v>.checkpoint.<k>.<n>.parquet
-        if ".checkpoint." not in name or not name.endswith(".parquet"):
+        # every checkpoint form: <v>.checkpoint.parquet, the
+        # multi-part <v>.checkpoint.<k>.<n>.parquet, and v2
+        # manifests <v>.checkpoint.<uuid>.{parquet|json} (plain
+        # commit JSONs never contain ".checkpoint.")
+        if ".checkpoint." not in name or not name.endswith(
+            (".parquet", ".json")
+        ):
             continue
         stem = name.split(".checkpoint.", 1)[0]
         if not stem.isdigit() or int(stem) >= cp:
@@ -851,14 +881,19 @@ def cleanup_metadata(
     if os.path.isdir(sd):
         live: set[str] = set()
         for name in os.listdir(lp):
-            if ".checkpoint." not in name or not name.endswith(".parquet"):
+            if ".checkpoint." not in name:
                 continue
-            mid = name.split(".checkpoint.", 1)[1][: -len(".parquet")]
-            if mid and "." not in mid and not mid.isdigit():
-                live.update(
-                    sc["path"]
-                    for sc in _manifest_sidecars(os.path.join(lp, name))
-                )
+            for ext in (".parquet", ".json"):
+                if not name.endswith(ext):
+                    continue
+                mid = name.split(".checkpoint.", 1)[1][: -len(ext)]
+                if mid and "." not in mid and not mid.isdigit():
+                    live.update(
+                        sc["path"]
+                        for sc in _manifest_sidecars(
+                            os.path.join(lp, name)
+                        )
+                    )
         for name in sorted(os.listdir(sd)):
             p = os.path.join(sd, name)
             if name not in live and os.path.getmtime(p) * 1000.0 < cutoff:

@@ -5416,3 +5416,70 @@ def test_checksum_through_restore_and_optimize(spark, tmp_path):
     t.optimize()
     for v in range(t.version + 1):
         assert dlog.validate_version_checksum(str(t.path), v) is True
+
+
+def test_reads_external_v2_json_manifest(spark, tmp_path):
+    """The spec's OTHER v2 manifest encoding: a JSON manifest
+    (``<v>.checkpoint.<uuid>.json``, one action per line — the commit
+    format) referencing a parquet sidecar. Our reader must resolve
+    and replay it exactly like the parquet manifest form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ext_v2j"
+    root.mkdir()
+    sa = _ext_parquet(root, "a.parquet", {"id": [0, 1], "v": list("ab")})
+    sb = _ext_parquet(root, "b.parquet", {"id": [2], "v": ["c"]})
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    sc_dir = log_dir / "_sidecars"
+    sc_dir.mkdir()
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    adds = [
+        {"path": "a.parquet", "partitionValues": {}, "size": sa,
+         "modificationTime": 1, "dataChange": True, "stats": None},
+        {"path": "b.parquet", "partitionValues": {}, "size": sb,
+         "modificationTime": 1, "dataChange": True, "stats": None},
+    ]
+    side = "99999999-8888-7777-6666-555555555555.parquet"
+    pq.write_table(
+        pa.table({"add": pa.array(adds, type=add_t)}), str(sc_dir / side)
+    )
+    manifest = (
+        "00000000000000000002.checkpoint."
+        "12121212-3434-5656-7878-909090909090.json"
+    )
+    with open(log_dir / manifest, "w") as f:
+        for a in (
+            {"checkpointMetadata": {"version": 2, "tags": {}}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "ext-v2j", "schemaString": _EXT_SCHEMA_KV,
+                          "partitionColumns": [], "configuration": {}}},
+            {"txn": {"appId": "extW", "version": 3}},
+            {"sidecar": {"path": side,
+                         "sizeInBytes": os.path.getsize(str(sc_dir / side)),
+                         "modificationTime": 1}},
+        ):
+            f.write(json.dumps(a) + "\n")
+    with open(log_dir / "_last_checkpoint", "w") as f:
+        json.dump({"version": 2, "checkpointKind": "v2",
+                   "v2Checkpoint": manifest}, f)
+
+    assert dlog.last_checkpoint_version(str(root)) == 2
+    t = DeltaishTable(spark, str(root))
+    assert {r.id: r.v for r in t.read().collect()} == {0: "a", 1: "b", 2: "c"}
+    assert t.last_txn_version("extW") == 3
+    # our writer continues at version 3
+    v = t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    assert v == 3 and t.read().count() == 4
