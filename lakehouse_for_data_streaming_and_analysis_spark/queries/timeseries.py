@@ -2555,3 +2555,248 @@ def macd_crossover_days(spark, sf_dir):
         F.round(fold["sig"], 6).alias("signal"),
         fold["crossings"].cast("long").alias("n_crossings"),
     )
+
+
+@q(
+    "newey_west_tstat",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       rets AS (
+         SELECT event_type, d,
+                ROUND(v - LAG(v) OVER (PARTITION BY event_type ORDER BY d),
+                      6) AS r
+         FROM daily),
+       base AS (SELECT * FROM rets WHERE r IS NOT NULL),
+       mu AS (SELECT event_type, ROUND(AVG(r), 8) AS m,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1),
+       c AS (SELECT b.event_type, b.d, b.r - mu.m AS c, mu.m, mu.n
+             FROM base b JOIN mu ON b.event_type = mu.event_type),
+       lagged AS (
+         SELECT event_type, m, n, c,
+                LAG(c, 1) OVER w AS c1, LAG(c, 2) OVER w AS c2,
+                LAG(c, 3) OVER w AS c3, LAG(c, 4) OVER w AS c4,
+                LAG(c, 5) OVER w AS c5
+         FROM c WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+       gam AS (
+         SELECT event_type, MAX(m) AS m, MAX(n) AS n,
+                ROUND(SUM(c * c) / MAX(n), 8) AS g0,
+                ROUND(SUM(c * c1) / MAX(n), 8) AS g1,
+                ROUND(SUM(c * c2) / MAX(n), 8) AS g2,
+                ROUND(SUM(c * c3) / MAX(n), 8) AS g3,
+                ROUND(SUM(c * c4) / MAX(n), 8) AS g4,
+                ROUND(SUM(c * c5) / MAX(n), 8) AS g5
+         FROM lagged GROUP BY 1)
+       SELECT event_type, n AS n_rets, ROUND(m, 6) AS mean_ret,
+              ROUND(SQRT((g0 + 2 * ((1 - 1/6.0) * g1 + (1 - 2/6.0) * g2
+                          + (1 - 3/6.0) * g3 + (1 - 4/6.0) * g4
+                          + (1 - 5/6.0) * g5)) / n), 6) AS nw_se,
+              ROUND(m / SQRT((g0 + 2 * ((1 - 1/6.0) * g1
+                          + (1 - 2/6.0) * g2 + (1 - 3/6.0) * g3
+                          + (1 - 4/6.0) * g4 + (1 - 5/6.0) * g5)) / n),
+                    4) AS t_stat
+       FROM gam WHERE g0 > 0""",
+)
+def newey_west_tstat(spark, sf_dir):
+    """HAC-robust mean test: is the daily change's mean zero once
+    serial correlation is priced in? Newey-West long-run variance
+    with Bartlett weights at L=5 (gamma_0 + 2*sum (1-l/6) gamma_l),
+    t = mean / sqrt(S/n) — the plain t-test's SE is wrong under
+    autocorrelated increments, and NW is the standard repair. The
+    autocovariances are five stacked LAGs over ONE per-key sort;
+    means and every gamma are rounded at stage boundaries so both
+    engines feed the same doubles into the closed form."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    base = daily.withColumn(
+        "r", F.round(F.col("v") - F.lag("v").over(w), 6)
+    ).filter(F.col("r").isNotNull())
+    mu = base.groupBy("event_type").agg(
+        F.round(F.avg("r"), 8).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c = base.join(mu, "event_type").select(
+        "event_type", "d", (F.col("r") - F.col("m")).alias("c"), "m", "n"
+    )
+    lagged = c.select(
+        "event_type",
+        "m",
+        "n",
+        "c",
+        *[F.lag("c", i).over(w).alias(f"c{i}") for i in range(1, 6)],
+    )
+    gam = lagged.groupBy("event_type").agg(
+        F.max("m").alias("m"),
+        F.max("n").alias("n"),
+        F.round(F.sum(F.col("c") * F.col("c")) / F.max("n"), 8).alias("g0"),
+        *[
+            F.round(
+                F.sum(F.col("c") * F.col(f"c{i}")) / F.max("n"), 8
+            ).alias(f"g{i}")
+            for i in range(1, 6)
+        ],
+    )
+    s_lr = F.col("g0") + 2 * sum(
+        (1 - i / 6.0) * F.col(f"g{i}") for i in range(1, 6)
+    )
+    se = F.sqrt(s_lr / F.col("n"))
+    return gam.filter(F.col("g0") > 0).select(
+        "event_type",
+        F.col("n").alias("n_rets"),
+        F.round("m", 6).alias("mean_ret"),
+        F.round(se, 6).alias("nw_se"),
+        F.round(F.col("m") / se, 4).alias("t_stat"),
+    )
+
+
+@q(
+    "runs_test_randomness",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(AVG(value), 6) AS v
+         FROM events GROUP BY 1, 2),
+       rets AS (
+         SELECT event_type, d,
+                SIGN(ROUND(v - LAG(v) OVER (PARTITION BY event_type
+                                            ORDER BY d), 6)) AS s
+         FROM daily),
+       base AS (SELECT * FROM rets WHERE s IS NOT NULL AND s <> 0),
+       flagged AS (
+         SELECT event_type, s,
+                CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY d)
+                          IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+         FROM base),
+       agg AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  AS n1,
+                CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  AS n2,
+                CAST(SUM(new_run) AS BIGINT) AS runs
+         FROM flagged GROUP BY 1)
+       SELECT event_type,
+              CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down,
+              runs,
+              ROUND(1 + 2 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+              ROUND((runs - (1 + 2 * n1 * n2 / (n1 + n2)))
+                    / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))),
+                    4) AS z_stat
+       FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1""",
+)
+def runs_test_randomness(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily up/down sequence: too
+    FEW runs = trending, too MANY = mean-reverting, z against the
+    exact run-count moments under exchangeability. Counts are
+    integers end to end (the one place FP can't wobble), so the only
+    rounding is on the final statistics. One sort serves the return
+    lag and the run-boundary lag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    base = daily.select(
+        "event_type",
+        "d",
+        F.signum(
+            F.round(F.col("v") - F.lag("v").over(w), 6)
+        ).alias("s"),
+    ).filter(F.col("s").isNotNull() & (F.col("s") != 0))
+    flagged = base.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("s").over(w).eqNullSafe(F.col("s")), 1
+        ).otherwise(0),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+        F.sum("new_run").cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    e_runs = 1 + 2 * n1 * n2 / (n1 + n2)
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.filter(
+        (n1 > 0) & (n2 > 0) & (n1 + n2 > 1)
+    ).select(
+        "event_type",
+        n1.cast("long").alias("n_up"),
+        n2.cast("long").alias("n_down"),
+        "runs",
+        F.round(e_runs, 4).alias("expected_runs"),
+        F.round((F.col("runs") - e_runs) / F.sqrt(var), 4).alias("z_stat"),
+    )
+
+
+@q(
+    "dow_seasonality_strength",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                ROUND(SUM(value), 4) AS v
+         FROM events GROUP BY 1, 2, 3),
+       centered AS (
+         SELECT event_type, d, v,
+                v - AVG(v) OVER (PARTITION BY event_type, dow) AS resid
+         FROM daily),
+       agg AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_days,
+                ROUND(VAR_POP(v), 6) AS var_total,
+                ROUND(VAR_POP(resid), 6) AS var_resid
+         FROM centered GROUP BY 1)
+       SELECT event_type, n_days, var_total, var_resid,
+              ROUND(GREATEST(0, 1 - var_resid / var_total), 4)
+                AS seasonality_strength
+       FROM agg WHERE var_total > 0""",
+)
+def dow_seasonality_strength(spark, sf_dir):
+    """Day-of-week seasonality strength per series — the STL-style
+    variance-explained statistic max(0, 1 - Var(deseasonalized)/
+    Var(total)) with the weekday means as the seasonal component: ~0
+    means the weekly cycle carries no signal, →1 means the weekday
+    alone predicts the day's volume. The dow key only GROUPS (never
+    emitted), so each engine's weekday numbering convention is
+    irrelevant — same-weekday days land in the same group either
+    way. One window over (type, dow) + one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    centered = daily.withColumn(
+        "resid",
+        F.col("v")
+        - F.avg("v").over(Window.partitionBy("event_type", "dow")),
+    )
+    agg = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.var_pop("v"), 6).alias("var_total"),
+        F.round(F.var_pop("resid"), 6).alias("var_resid"),
+    )
+    return agg.filter(F.col("var_total") > 0).select(
+        "event_type",
+        "n_days",
+        "var_total",
+        "var_resid",
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.col("var_resid") / F.col("var_total")
+            ),
+            4,
+        ).alias("seasonality_strength"),
+    )
