@@ -873,3 +873,216 @@ def adamic_adar_link_prediction(spark, sf_dir):
         "left_anti",
     )
     return nonedge.orderBy(F.desc("aa_score"), "u", "v").limit(20)
+
+
+@q(
+    "kaplan_meier_conversion",
+    """WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+       first_view AS (
+         SELECT user_id, MIN(ts) AS t0 FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       first_buy AS (
+         SELECT f.user_id, MIN(e.ts) AS tp
+         FROM first_view f JOIN events e
+           ON e.user_id = f.user_id AND e.event_type = 'purchase'
+          AND e.ts > f.t0
+         GROUP BY 1),
+       spells AS (
+         SELECT f.user_id,
+                CAST(FLOOR((epoch_us(COALESCE(b.tp, horizon.h))
+                            - epoch_us(f.t0)) / 3600e6) AS BIGINT)
+                  AS dur_h,
+                CASE WHEN b.tp IS NULL THEN 0 ELSE 1 END AS ev
+         FROM first_view f
+         LEFT JOIN first_buy b ON f.user_id = b.user_id
+         CROSS JOIN horizon),
+       times AS (
+         SELECT dur_h AS t, CAST(SUM(ev) AS BIGINT) AS d
+         FROM spells GROUP BY 1 HAVING SUM(ev) > 0),
+       risk AS (
+         SELECT t.t, t.d,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM spells s
+                 WHERE s.dur_h >= t.t) AS n_risk
+         FROM times t),
+       km AS (
+         SELECT t, d, n_risk,
+                ROUND(EXP(SUM(LN(1.0 - d / CAST(n_risk AS DOUBLE)))
+                      OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)), 6) AS s_t
+         FROM risk WHERE d < n_risk)
+       SELECT CAST(t AS BIGINT) AS hours_since_first_view,
+              n_risk, d AS n_converted, s_t AS survival
+       FROM km ORDER BY t LIMIT 20""",
+)
+def kaplan_meier_conversion(spark, sf_dir):
+    """Kaplan-Meier view→purchase conversion curve WITH right
+    censoring — the estimator time_to_conversion_stats cannot give:
+    users who never purchase are not dropped (that biases conversion
+    fast) but CENSORED at the observation horizon, contributing to
+    the at-risk set until their last observed hour. S(t) accumulates
+    as exp(running sum of ln(1 - d/n)) over the ordered event hours —
+    a prefix sum of logs of exact integer ratios, the
+    cross-engine-stable form of the product-limit. The at-risk counts
+    are a threshold self-aggregation over the hour-grain spell table
+    (hours x users pairs, calendar-bounded). First 20 event hours
+    emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts")
+    )
+    first_buy = (
+        first_view.join(
+            buys,
+            (F.col("bu") == F.col("user_id"))
+            & (F.col("bts") > F.col("t0")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("bts").alias("tp"))
+    )
+    spells = (
+        first_view.join(first_buy, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("tp", "h"))
+                    - F.unix_micros("t0")
+                )
+                / 3600e6
+            )
+            .cast("long")
+            .alias("dur_h"),
+            F.when(F.col("tp").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    times = (
+        spells.groupBy(F.col("dur_h").alias("t"))
+        .agg(F.sum("ev").cast("long").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    risk = times.join(
+        spells.select("dur_h"),
+        F.col("dur_h") >= F.col("t"),
+    ).groupBy("t", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_risk")
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.filter(F.col("d") < F.col("n_risk")).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d") / F.col("n_risk").cast("double"))
+                ).over(w)
+            ),
+            6,
+        ).alias("s_t"),
+    )
+    return (
+        km.select(
+            F.col("t").cast("long").alias("hours_since_first_view"),
+            "n_risk",
+            F.col("d").alias("n_converted"),
+            F.col("s_t").alias("survival"),
+        )
+        .orderBy("hours_since_first_view")
+        .limit(20)
+    )
+
+
+@q(
+    "ab_proportion_ztest",
+    """WITH cohort AS (
+         SELECT user_id, user_id % 2 AS arm,
+                MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                         THEN 1 ELSE 0 END) AS converted
+         FROM events GROUP BY 1, 2),
+       agg AS (
+         SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  AS n0,
+                CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                     AS DOUBLE) AS c0,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  AS n1,
+                CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                     AS DOUBLE) AS c1
+         FROM cohort)
+       SELECT CAST(n0 AS BIGINT) AS n_control,
+              CAST(c0 AS BIGINT) AS conv_control,
+              CAST(n1 AS BIGINT) AS n_treatment,
+              CAST(c1 AS BIGINT) AS conv_treatment,
+              ROUND(c0 / n0, 6) AS p_control,
+              ROUND(c1 / n1, 6) AS p_treatment,
+              CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                ROUND((c1 / n1 - c0 / n0)
+                      / SQRT(((c0 + c1) / (n0 + n1))
+                             * (1 - (c0 + c1) / (n0 + n1))
+                             * (1 / n0 + 1 / n1)), 4)
+              END AS z_stat
+       FROM agg WHERE n0 > 0 AND n1 > 0""",
+)
+def ab_proportion_ztest(spark, sf_dir):
+    """Two-proportion pooled z-test between the even/odd user-id
+    arms' HIGH-VALUE purchase conversion (a purchase with value >=
+    200 — the plain any-purchase flag saturates to 100% on this
+    fixture, where the pooled variance and the test degenerate; the
+    degenerate all-or-nothing case emits NULL z on both engines).
+    Conversion flags and arm counts are exact integers; the
+    pooled-variance z is one closed form over a 4-number aggregate,
+    so the whole test is a map-side-combined groupBy plus arithmetic
+    — nothing about it changes at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= 200),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    agg = cohort.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+    )
+    n0, c0, n1, c1 = (F.col(x) for x in ("n0", "c0", "n1", "c1"))
+    pp = (c0 + c1) / (n0 + n1)
+    return agg.filter((n0 > 0) & (n1 > 0)).select(
+        n0.cast("long").alias("n_control"),
+        c0.cast("long").alias("conv_control"),
+        n1.cast("long").alias("n_treatment"),
+        c1.cast("long").alias("conv_treatment"),
+        F.round(c0 / n0, 6).alias("p_control"),
+        F.round(c1 / n1, 6).alias("p_treatment"),
+        F.when(
+            (c0 + c1 > 0) & (c0 + c1 < n0 + n1),
+            F.round(
+                (c1 / n1 - c0 / n0)
+                / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1)),
+                4,
+            ),
+        ).alias("z_stat"),
+    )
