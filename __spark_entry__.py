@@ -99,9 +99,18 @@ ROWS_ONLY: tuple[str, ...] = ()
 #   1 streaming (stream_stream_full_outer_attribution — both-sides
 #   dangling flush under the two-sentinel replay),
 #   2 OLAP (percentile_disc_cont_audit, orderkey_gaps_islands),
-#   1 graph (adamic_adar_link_prediction).
+#   1 graph (adamic_adar_link_prediction),
+#   and the round-7 late block: embedding_pca_power_iteration
+#   (distributed covariance + fold-stable 8-step power method),
+#   packing_efficiency_audit (next-fit bins vs lower bound,
+#   integer-encoded fold state), benford_digit_audit,
+#   markov_steady_state_events, newey_west_tstat,
+#   runs_test_randomness, dow_seasonality_strength,
+#   kaplan_meier_conversion (right-censored product-limit),
+#   ab_proportion_ztest.
 # Every one sim + dtype-lint green at add time (tools/driver_sim.py,
-# tools/lint_oracle_dtypes.py).
+# tools/lint_oracle_dtypes.py); the full registry re-simmed 329/329
+# mid-round and every later addition at both sf0.01 and sf0.001.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",
