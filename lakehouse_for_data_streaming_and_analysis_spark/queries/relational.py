@@ -1130,3 +1130,199 @@ def order_lifecycle_snapshot(spark, sf_dir):
         "n_lines",
         "n_returned",
     )
+
+
+@q(
+    "skyline_customers_2d",
+    """WITH per_cust AS (
+         SELECT c_custkey, c_nationkey,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                     AS DOUBLE) AS spend,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *,
+                MAX(n_orders) OVER (
+                  PARTITION BY c_nationkey
+                  ORDER BY spend DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS best_prev_orders
+         FROM per_cust)
+       SELECT c_nationkey, c_custkey, spend, n_orders
+       FROM ranked
+       WHERE best_prev_orders IS NULL OR n_orders > best_prev_orders
+       ORDER BY c_nationkey, spend DESC, c_custkey""",
+)
+def skyline_customers_2d(spark, sf_dir):
+    """SKYLINE (Pareto-optimal set) of customers per nation over
+    (total spend, order count): a customer survives iff no other
+    customer in the nation beats it on BOTH axes. The classic
+    operator relational engines lack — and the naive NOT EXISTS
+    formulation is a quadratic nested loop. The 2D trick makes it ONE
+    WINDOW: sort by spend descending, keep a row iff its order count
+    exceeds the running max of everything richer (ties on spend
+    resolved by the same key order on both engines). Linear after
+    the sort, no self-join at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("spend"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("spend"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_cust.withColumn(
+        "best_prev_orders", F.max("n_orders").over(w)
+    )
+    return (
+        ranked.filter(
+            F.col("best_prev_orders").isNull()
+            | (F.col("n_orders") > F.col("best_prev_orders"))
+        )
+        .select("c_nationkey", "c_custkey", "spend", "n_orders")
+        .orderBy("c_nationkey", F.desc("spend"), "c_custkey")
+    )
+
+
+@q(
+    "abc_pareto_classification",
+    """WITH rev AS (
+         SELECT p_brand,
+                CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+                           2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1),
+       cum AS (
+         SELECT p_brand, revenue,
+                SUM(revenue) OVER (ORDER BY revenue DESC, p_brand)
+                  / SUM(revenue) OVER () AS cum_share
+         FROM rev)
+       SELECT p_brand, revenue,
+              ROUND(cum_share, 6) AS cum_revenue_share,
+              CASE WHEN cum_share <= 0.8 THEN 'A'
+                   WHEN cum_share <= 0.95 THEN 'B'
+                   ELSE 'C' END AS abc_class
+       FROM cum ORDER BY revenue DESC, p_brand""",
+)
+def abc_pareto_classification(spark, sf_dir):
+    """ABC / Pareto classification of brands by revenue: rank by
+    revenue, classify by CUMULATIVE share (A carries the first 80%,
+    B to 95%, C the tail) — the inventory-management workhorse.
+    Revenue goes through DECIMAL (exact, order-insensitive); the
+    cumulative share divides two window sums over the same
+    deterministic (revenue desc, brand) order, so the class
+    boundary is identical in both engines. One join + one groupBy +
+    one window over the brand-sized aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = rev.withColumn(
+        "cum_share",
+        F.sum("revenue").over(w) / F.sum("revenue").over(wall),
+    )
+    return cum.select(
+        "p_brand",
+        "revenue",
+        F.round("cum_share", 6).alias("cum_revenue_share"),
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy(F.desc("revenue"), "p_brand")
+
+
+@q(
+    "lorenz_curve_deciles",
+    """WITH spend AS (
+         SELECT o_custkey,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                     AS DOUBLE) AS s
+         FROM orders GROUP BY 1),
+       deciled AS (
+         SELECT s, NTILE(10) OVER (ORDER BY s, o_custkey) AS decile
+         FROM spend),
+       agg AS (
+         SELECT decile,
+                CAST(COUNT(*) AS BIGINT) AS n_customers,
+                CAST(ROUND(SUM(CAST(s AS DECIMAL(18,2))), 2) AS DOUBLE)
+                  AS decile_spend
+         FROM deciled GROUP BY 1)
+       SELECT CAST(decile AS INT) AS decile, n_customers, decile_spend,
+              ROUND(SUM(decile_spend) OVER (ORDER BY decile)
+                    / SUM(decile_spend) OVER (), 6)
+                AS cum_spend_share,
+              ROUND(SUM(n_customers) OVER (ORDER BY decile)
+                    / CAST(SUM(n_customers) OVER () AS DOUBLE), 6)
+                AS cum_pop_share
+       FROM agg ORDER BY decile""",
+)
+def lorenz_curve_deciles(spark, sf_dir):
+    """Lorenz curve of customer spend by population decile — the
+    curve behind the Gini the registry already computes
+    (user_activity_gini): cumulative spend share vs cumulative
+    population share at each decile, the table a revenue-concentration
+    dashboard plots. Deciles by deterministic (spend, custkey) NTILE;
+    per-decile sums through DECIMAL; the two cumulative shares are
+    window sums over the 10-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("s")
+    )
+    deciled = spend.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("s", "o_custkey"))
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum(F.col("s").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("decile_spend"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        "decile_spend",
+        F.round(
+            F.sum("decile_spend").over(wc)
+            / F.sum("decile_spend").over(wall),
+            6,
+        ).alias("cum_spend_share"),
+        F.round(
+            F.sum("n_customers").over(wc)
+            / F.sum("n_customers").over(wall).cast("double"),
+            6,
+        ).alias("cum_pop_share"),
+    ).orderBy("decile")
