@@ -88,3 +88,75 @@ def test_walk_forward_errors_bounded_by_range(values):
         return
     fc, _, _ = timeseries.ar_fit_forecast(y, p=1, horizon=1)
     assert np.isfinite(fc[0])
+
+
+# ---------------------------------------------------------------- delta log
+# The VERSION_CHECKSUM writer computes its summary INCREMENTALLY from
+# each commit's own actions (delta/table.py _commit_next); the
+# validator recomputes by FULL REPLAY (delta/log.py
+# validate_version_checksum). Those two paths must agree for ANY
+# action sequence — including re-adds of a live path with a new size,
+# removes, and replay that resumes from a mid-history checkpoint.
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "readd", "remove"]),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=11),
+)
+def test_incremental_checksum_equals_replay(tmp_path_factory, ops, cp_at):
+    import json as _json
+
+    from lakehouse_for_data_streaming_and_analysis_spark.delta import log as dlog
+
+    root = str(tmp_path_factory.mktemp("crcfuzz"))
+    dlog.write_commit(
+        root,
+        0,
+        [
+            {"metaData": {"id": "fuzz", "schemaString": _json.dumps(
+                {"type": "struct", "fields": []}), "partitionColumns": [],
+                "configuration": {}}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        ],
+    )
+    files: dict[str, dict] = {}
+    dlog.write_version_checksum(root, 0, files)
+    v = 0
+    for kind, idx, size in ops:
+        path = f"p{idx}.parquet"
+        if kind == "remove" and not files:
+            continue
+        if kind == "remove":
+            path = sorted(files)[idx % len(files)]
+            actions = [{"remove": {"path": path, "dataChange": True,
+                                   "deletionTimestamp": 1}}]
+        else:
+            if kind == "readd" and files:
+                path = sorted(files)[idx % len(files)]
+            actions = [{"add": {"path": path, "partitionValues": {},
+                                "size": size, "modificationTime": 1,
+                                "dataChange": True}}]
+        v += 1
+        dlog.write_commit(root, v, actions)
+        # the writer's incremental fold (mirrors _commit_next)
+        for a in actions:
+            if "add" in a:
+                files[a["add"]["path"]] = a["add"]
+            else:
+                files.pop(a["remove"]["path"], None)
+        dlog.write_version_checksum(root, v, dict(files))
+        if v == cp_at:
+            dlog.write_checkpoint(root, v)
+    # full-replay validation agrees at EVERY version, whether replay
+    # runs from scratch or resumes from the mid-history checkpoint
+    for vv in range(v + 1):
+        assert dlog.validate_version_checksum(root, vv) is True
