@@ -2199,3 +2199,97 @@ def packing_efficiency_audit(spark, sf_dir):
             4,
         ).alias("fill_sorted"),
     )
+
+
+@q(
+    "neardup_recall_audit",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh0 AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh
+               FROM tok),
+       sh AS (SELECT * FROM sh0 WHERE sh <> ''),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        COUNT(*) AS n_inter
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       truth AS (
+         SELECT doc_a, doc_b
+         FROM inter
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE)
+               >= 0.5),
+       shf AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+               FROM sh),
+       seeds AS (SELECT unnest(range(0, {_MINHASH_K})) AS seed),
+       sigs AS (SELECT doc_id, seed,
+                       MIN(((62675 * (seed + 1) + 1) * h
+                            + (12345 + 7919 * seed))
+                           % {dedup.MINHASH_PRIME}) AS mh
+                FROM shf, seeds GROUP BY 1, 2),
+       bands AS (SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+                        string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)
+                          AS band_key
+                 FROM sigs GROUP BY 1, 2),
+       cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+       hits AS (SELECT c.doc_a FROM cands c
+                JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM cands)
+                AS n_candidates,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+              ROUND((SELECT COUNT(*) FROM hits)
+                    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
+                AS recall,
+              ROUND((SELECT COUNT(*) FROM hits)
+                    / CAST((SELECT COUNT(*) FROM cands) AS DOUBLE), 4)
+                AS precision""",
+)
+def neardup_recall_audit(spark, sf_dir):
+    """End-to-end quality audit of the MinHash+LSH dedup path: the
+    LSH candidate set (16 hashes, 8 bands x 2 rows — the production
+    pipeline's non-quadratic stage) scored against the EXACT 3-gram
+    Jaccard >= 0.5 ground truth from the inverted-index join, emitting
+    recall (what fraction of true near-dups the bands surfaced) and
+    precision (how much of the candidate budget was real). The dedup
+    twin of ann_recall_audit: it composes two independently-oracled
+    pipelines, so a silent regression in the minhash seeds, banding,
+    or shingling shows up as a recall drop the driver hash-checks.
+    Both sides are equi-joins; the ground-truth side is
+    test-scale-only scaffolding (production trusts the s-curve +
+    verify-join)."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    )
+    bands = dedup.lsh_band_keys(sigs, "doc_id", rows_per_band=2)
+    cands = dedup.lsh_candidate_pairs(bands, "doc_id").select(
+        "doc_a", "doc_b"
+    ).distinct()
+    hits = cands.join(truth, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("n_truth").cast("double"), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") / F.col("n_candidates").cast("double"), 4
+            ).alias("precision"),
+        )
+    )

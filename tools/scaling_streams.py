@@ -41,6 +41,7 @@ STREAM_QUERIES = (
     "streaming_session_final_state",
     "stream_stream_attribution_join",
     "stream_stream_outer_attribution",
+    "stream_stream_full_outer_attribution",
 )
 
 SCALES = (
