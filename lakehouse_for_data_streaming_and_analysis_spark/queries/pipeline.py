@@ -3652,6 +3652,205 @@ def deltalog_v2_checkpoint_audit(spark, sf_dir):
 
 
 @q(
+    "deltalog_occ_conflict_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 500),
+       s1 AS (SELECT o_orderkey + 1000000 AS o_orderkey, o_totalprice
+              FROM base WHERE o_orderkey <= 40),
+       s2 AS (SELECT o_orderkey + 2000000 AS o_orderkey, o_totalprice
+              FROM base WHERE o_orderkey <= 40),
+       fin AS (SELECT * FROM base UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS append_retries_past_append,
+              TRUE AS rewrite_refuses_stale_read,
+              TRUE AS metadata_change_blocks_append
+       FROM fin""",
+)
+def deltalog_occ_conflict_audit(spark, sf_dir):
+    """Optimistic-concurrency semantics end-to-end (delta/table.py
+    _commit_next — previously pytest-only, now driver-visible): a
+    writer whose version was TAKEN by a concurrent append must
+    blind-retry and land both appends
+    (``append_retries_past_append``); a REWRITE computed against a
+    stale snapshot must refuse with ConcurrentCommitError instead of
+    silently dropping the concurrent rows
+    (``rewrite_refuses_stale_read`` — Delta's
+    ConcurrentAppendException split); and an append validated against
+    pre-ALTER metadata must refuse past a concurrent ADD CONSTRAINT
+    (``metadata_change_blocks_append`` — MetadataChangedException),
+    because its rows were never checked against the new invariant.
+    All three pinned TRUE; the final table equals the relational
+    recompute. Scratch table per-invocation."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+    from ..delta.log import ConcurrentCommitError
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 500)
+    )
+    s = orders.filter(F.col("o_orderkey") <= 40)
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"occ-{uuid.uuid4().hex}"
+    )
+    try:
+        n_base = orders.count()
+        n_s = s.count()
+        t = DeltaishTable.create(spark, table_dir, orders)
+        # (1) append vs concurrent append: steal t's next version
+        v = t.version
+        dlog.write_commit(
+            table_dir,
+            v + 1,
+            [dlog.commit_info("CONCURRENT NOOP", source="rival")],
+        )
+        t.append(
+            s.withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+        )
+        append_ok = (
+            t.version == v + 2 and t.read().count() == n_base + n_s
+        )
+
+        # (2) rewrite vs stale read snapshot: hand _commit_next a
+        # read_version older than a data commit
+        stale = t.version
+        t.append(
+            s.withColumn("o_orderkey", F.col("o_orderkey") + 2000000)
+        )
+        try:
+            t._commit_next(
+                [dlog.commit_info("FAKE REWRITE")],
+                read_version=stale,
+            )
+            rewrite_refuses = False
+        except ConcurrentCommitError:
+            rewrite_refuses = True
+
+        # (3) append blocked by concurrent metadata change
+        stale2 = t.version
+        t.add_check_constraint("price_pos", "o_totalprice > 0")
+        try:
+            t._commit_next(
+                [dlog.commit_info("LATE APPEND")],
+                retry_append=True,
+                read_version=stale2,
+            )
+            md_blocks = False
+        except ConcurrentCommitError:
+            md_blocks = True
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, append_ok, rewrite_refuses, md_blocks)],
+        "n_rows long, total_price double, append_retries_past_append "
+        "boolean, rewrite_refuses_stale_read boolean, "
+        "metadata_change_blocks_append boolean",
+    )
+
+
+@q(
+    "deltalog_compaction_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 400),
+       fin AS (SELECT * FROM base)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS file_count_reduced,
+              TRUE AS compaction_not_data_change,
+              TRUE AS time_travel_preserved
+       FROM fin""",
+)
+def deltalog_compaction_audit(spark, sf_dir):
+    """OPTIMIZE bin-packing end-to-end: eight 50-row appends leave a
+    fragmented table; OPTIMIZE must shrink the live-file count
+    (``file_count_reduced``), commit its rewrite with
+    dataChange=false on every action (``compaction_not_data_change`` —
+    the flag that lets a downstream stream skip the rewrite instead
+    of reprocessing it), and leave every PRE-compaction version
+    readable (``time_travel_preserved``). The small-file problem is
+    THE steady-state failure of streaming lakehouses (the reference
+    compacts on a schedule, AutomateTable.py) — this pins the repair.
+    Scratch table per-invocation."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 400)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"opt-{uuid.uuid4().hex}"
+    )
+    try:
+        t = None
+        for i in range(0, 8):
+            chunk = orders.filter(
+                F.col("o_orderkey") % 8 == i
+            ).coalesce(1)
+            if t is None:
+                t = DeltaishTable.create(spark, table_dir, chunk)
+            else:
+                t.append(chunk)
+        pre_files = len(t._snapshot().files)
+        pre_version = t.version
+        pre_count = t.read().count()
+        t.optimize()
+        post_files = len(t._snapshot().files)
+        reduced = post_files < pre_files and pre_files >= 8
+        actions = dlog.read_commit(table_dir, t.version)
+        ndc = all(
+            not a[k].get("dataChange", True)
+            for a in actions
+            for k in ("add", "remove")
+            if k in a
+        )
+        tt = t.read(pre_version).count() == pre_count
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, reduced, ndc, tt)],
+        "n_rows long, total_price double, file_count_reduced boolean, "
+        "compaction_not_data_change boolean, time_travel_preserved boolean",
+    )
+
+
+@q(
     "deltalog_type_widening_audit",
     """WITH narrow AS (SELECT o_orderkey,
                               CAST(o_custkey AS INTEGER) AS prio
@@ -4046,5 +4245,7 @@ for _name in (
     "deltalog_checksum_audit",
     "deltalog_vacuum_lite_audit",
     "deltalog_type_widening_audit",
+    "deltalog_occ_conflict_audit",
+    "deltalog_compaction_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])

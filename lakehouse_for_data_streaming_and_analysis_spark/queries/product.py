@@ -1086,3 +1086,76 @@ def ab_proportion_ztest(spark, sf_dir):
             ),
         ).alias("z_stat"),
     )
+
+
+@q(
+    "degree_powerlaw_fit",
+    """WITH raw AS (
+         SELECT user_id AS src,
+                LEAD(user_id) OVER (PARTITION BY event_type
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS dst
+         FROM events),
+       e AS (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM raw WHERE dst IS NOT NULL AND dst <> src),
+       adj AS (
+         SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e),
+       deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj
+               GROUP BY 1),
+       hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                FROM deg GROUP BY 1),
+       ranked AS (
+         SELECT d, n_nodes,
+                SUM(n_nodes) OVER (ORDER BY d DESC) AS n_geq
+         FROM hist)
+       SELECT CAST(d AS BIGINT) AS degree, n_nodes,
+              CAST(n_geq AS BIGINT) AS n_nodes_geq,
+              ROUND(REGR_SLOPE(LN(CAST(n_geq AS DOUBLE)),
+                               LN(CAST(d AS DOUBLE))) OVER (), 4)
+                AS ccdf_loglog_slope
+       FROM ranked ORDER BY degree""",
+)
+def degree_powerlaw_fit(spark, sf_dir):
+    """Degree distribution of the user hand-off graph with a
+    power-law probe: the complementary CDF (nodes with degree >= d)
+    against d on log-log axes, and its regression slope (a straight
+    CCDF with slope -(alpha-1) is the scale-free signature; a steep
+    convex drop means the graph is skew-safe for the equi-join
+    algorithms upstream — the same question the Adamic-Adar hub cap
+    answers by fiat). The CCDF is one descending cumulative window
+    over the degree histogram; the slope is a window aggregate over
+    the same tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("src"), F.lead("user_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    wd = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.withColumn("n_geq", F.sum("n_nodes").over(wd))
+    wall = Window.partitionBy()
+    return ranked.select(
+        F.col("d").alias("degree"),
+        "n_nodes",
+        F.col("n_geq").cast("long").alias("n_nodes_geq"),
+        F.round(
+            F.regr_slope(
+                F.ln(F.col("n_geq").cast("double")),
+                F.ln(F.col("d").cast("double")),
+            ).over(wall),
+            4,
+        ).alias("ccdf_loglog_slope"),
+    ).orderBy("degree")

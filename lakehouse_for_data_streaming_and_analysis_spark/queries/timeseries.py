@@ -2800,3 +2800,78 @@ def dow_seasonality_strength(spark, sf_dir):
             4,
         ).alias("seasonality_strength"),
     )
+
+
+@q(
+    "cross_correlation_lead_lag",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS d,
+                ROUND(SUM(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END) * 1.0, 4) AS x,
+                ROUND(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) * 1.0, 4) AS y
+         FROM events GROUP BY 1),
+       lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+       shifted AS (
+         SELECT l.lag, a.d, a.x, b.y
+         FROM daily a
+         CROSS JOIN lags l
+         JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)),
+       ccf AS (
+         SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                ROUND(CORR(x, y), 4) AS r
+         FROM shifted GROUP BY 1)
+       SELECT lag AS lag_days, n_pairs, r AS cross_corr,
+              ROUND(MAX(ABS(r)) OVER () , 4) = ROUND(ABS(r), 4)
+                AS is_peak
+       FROM ccf ORDER BY lag""",
+)
+def cross_correlation_lead_lag(spark, sf_dir):
+    """Cross-correlation function between daily traffic (clicks +
+    views) and daily purchases at lags -3..+3 days — the lead-lag
+    probe behind 'does engagement predict conversion, and by how many
+    days?'. Each lag is an equi-join of the daily table against its
+    date-shifted self (calendar-bounded rows x a 7-row constant lag
+    grid), CORR per lag, and the peak flagged. Counts are exact
+    integers into the correlation; rounding only at emission."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type").isin("click", "view"), 1
+                ).otherwise(0)
+            ).cast("double"),
+            4,
+        ).alias("x"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double"),
+            4,
+        ).alias("y"),
+    )
+    lags = spark.createDataFrame(
+        [(-3,), (-2,), (-1,), (0,), (1,), (2,), (3,)], "lag int"
+    )
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("d2"), "y")
+    shifted = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "x", "y")
+    )
+    ccf = shifted.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("x", "y"), 4).alias("r"),
+    )
+    w = Window.partitionBy()
+    return ccf.select(
+        F.col("lag").alias("lag_days"),
+        "n_pairs",
+        F.col("r").alias("cross_corr"),
+        (
+            F.round(F.max(F.abs("r")).over(w), 4)
+            == F.round(F.abs("r"), 4)
+        ).alias("is_peak"),
+    ).orderBy("lag_days")
