@@ -109,8 +109,18 @@ ROWS_ONLY: tuple[str, ...] = ()
 #   kaplan_meier_conversion (right-censored product-limit),
 #   ab_proportion_ztest.
 # Every one sim + dtype-lint green at add time (tools/driver_sim.py,
-# tools/lint_oracle_dtypes.py); the full registry re-simmed 329/329
-# mid-round and every later addition at both sf0.01 and sf0.001.
+# tools/lint_oracle_dtypes.py); the full registry re-simmed 329/329,
+# 334/334, and 338/338 across the round and every later addition at
+# both sf0.01 and sf0.001.
+#
+# ROUND-8 STAGING: four sim-green names sit just past the 50-slot
+# window (positions 51-54 via _rotation_order's middle group) and are
+# the natural r8 window head after `tools/rotate_window.py
+# CORRECTNESS_r07.json --apply`: inter_event_gap_sketch_quantiles,
+# mad_ddsketch_by_type (DDSketch twins), countmin_heavy_hitters_gate,
+# hll_daily_union_users (the mergeable-sketch pair) — plus whichever
+# of the 50 window names the driver did not reach, re-entering via
+# rotate_window's failed-first rule.
 DRIVER_GREEN = (
     "acf_by_lag",
     "adf_stationarity",
