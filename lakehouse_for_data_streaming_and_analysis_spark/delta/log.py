@@ -334,6 +334,14 @@ def validate_version_checksum(
     with open(p) as f:
         stored = json.load(f)
     actual = _checksum_payload(replay(table_path, until=version).files)
+    # A .crc written by another engine with different key names — or an
+    # empty/corrupted-to-{} file — would otherwise compare zero fields
+    # and "pass" the very corruption check this exists for. The two
+    # protocol-core keys must be present and comparable; anything less
+    # is "no recognizable checksum", reported as None, not True.
+    required = ("numFiles", "tableSizeBytes")
+    if not all(k in stored for k in required):
+        return None
     diffs = {
         k: (stored.get(k), v)
         for k, v in actual.items()

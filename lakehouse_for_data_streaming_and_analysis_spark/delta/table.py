@@ -1034,6 +1034,7 @@ class DeltaishTable:
         actions: list[dict],
         retry_append: bool = False,
         read_version: int | None = None,
+        version_stamp=None,
     ) -> int:
         """Optimistic concurrency: try latest+1; blind-retry only for
         appends (they commute with any concurrent commit), surface the
@@ -1059,6 +1060,15 @@ class DeltaishTable:
             actions = self._apply_ict(snap_now, actions)
             v = snap_now.version + 1
             actions = self._assign_row_ids(snap_now, actions, v)
+            if version_stamp is not None:
+                # Re-stamp version-dependent action fields with the
+                # version this attempt will actually land at — a benign
+                # intervening commit (commitInfo/txn-only, which the
+                # conflict scan permits) can push v past
+                # read_version + 1, and e.g. delta.typeChanges
+                # tableVersion stamped from the stale snapshot would
+                # point external readers at the wrong file boundary.
+                actions = version_stamp(actions, v)
             if read_version is not None:
                 for cv in range(read_version + 1, v):
                     for action in dlog.read_commit(self.path, cv):
@@ -1067,6 +1077,22 @@ class DeltaishTable:
                                 f"commit {cv} changed table metadata "
                                 f"after read snapshot {read_version} "
                                 "(MetadataChangedException); re-validate "
+                                "against the latest snapshot"
+                            )
+                        if "protocol" in action:
+                            # Two concurrent protocol-upgrading commits
+                            # (e.g. enable_v2_checkpoints vs
+                            # enable_vacuum_protocol_check) each compute
+                            # their feature list from a stale snapshot;
+                            # letting the second land would clobber the
+                            # first's features. Delta fails these with
+                            # ProtocolChangedException — and the check
+                            # applies to appends too (their writer-
+                            # protocol validation used the old protocol).
+                            raise ConcurrentCommitError(
+                                f"commit {cv} changed the table protocol "
+                                f"after read snapshot {read_version} "
+                                "(ProtocolChangedException); recompute "
                                 "against the latest snapshot"
                             )
                         if not retry_append and (
@@ -1708,7 +1734,30 @@ class DeltaishTable:
                 "ALTER COLUMN", column=col, fromType=cur, toType=new_type
             )
         )
-        return self._commit_next(actions, read_version=snap.version)
+
+        def _stamp(acts: list[dict], v: int) -> list[dict]:
+            # tableVersion must be the version the ALTER actually
+            # commits at, not read-snapshot+1: it is the boundary
+            # readers use to decide which files still carry the narrow
+            # physical type.
+            for a in acts:
+                if "metaData" not in a:
+                    continue
+                sjv = json.loads(a["metaData"]["schemaString"])
+                for f in sjv["fields"]:
+                    if f["name"] != col:
+                        continue
+                    chs = (f.get("metadata") or {}).get(
+                        "delta.typeChanges"
+                    ) or []
+                    if chs:
+                        chs[-1]["tableVersion"] = v
+                a["metaData"]["schemaString"] = json.dumps(sjv)
+            return acts
+
+        return self._commit_next(
+            actions, read_version=snap.version, version_stamp=_stamp
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE ... RENAME COLUMN old TO new — metadata-only

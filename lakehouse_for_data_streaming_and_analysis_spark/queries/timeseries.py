@@ -895,8 +895,8 @@ def rolling_median_value(spark, sf_dir):
               COUNT(*) AS n,
               ROUND(AVG(value), 6) AS raw_mean,
               ROUND(AVG(wvalue), 6) AS winsorized_mean,
-              ROUND(stddev_samp(value), 6) AS raw_std,
-              ROUND(stddev_samp(wvalue), 6) AS winsorized_std
+              ROUND(stddev_samp(value), 4) AS raw_std,
+              ROUND(stddev_samp(wvalue), 4) AS winsorized_std
        FROM clipped GROUP BY 1""",
 )
 def winsorized_value_stats(spark, sf_dir):
@@ -922,8 +922,8 @@ def winsorized_value_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("raw_mean"),
         F.round(F.avg("wvalue"), 6).alias("winsorized_mean"),
-        F.round(F.stddev_samp("value"), 6).alias("raw_std"),
-        F.round(F.stddev_samp("wvalue"), 6).alias("winsorized_std"),
+        F.round(F.stddev_samp("value"), 4).alias("raw_std"),
+        F.round(F.stddev_samp("wvalue"), 4).alias("winsorized_std"),
     )
 
 
@@ -2289,7 +2289,7 @@ def spearman_kendall_daily(spark, sf_dir):
        rs AS (
          SELECT event_type, scale, blk,
                 MAX(cum) - MIN(cum) AS r,
-                ROUND(STDDEV_POP(v), 6) AS s
+                ROUND(STDDEV_POP(v), 4) AS s
          FROM cums GROUP BY 1, 2, 3),
        mrs AS (
          SELECT event_type, scale,
@@ -2349,7 +2349,7 @@ def hurst_exponent_rs(spark, sf_dir):
     )
     rs = cums.groupBy("event_type", "scale", "blk").agg(
         (F.max("cum") - F.min("cum")).alias("r"),
-        F.round(F.stddev_pop("v"), 6).alias("s"),
+        F.round(F.stddev_pop("v"), 4).alias("s"),
     )
     mrs = (
         rs.filter(F.col("s") > 0)
@@ -2746,7 +2746,7 @@ def runs_test_randomness(spark, sf_dir):
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
                 dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
-                ROUND(SUM(value), 4) AS v
+                CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS v
          FROM events GROUP BY 1, 2, 3),
        centered AS (
          SELECT event_type, d, v,
@@ -2755,8 +2755,8 @@ def runs_test_randomness(spark, sf_dir):
        agg AS (
          SELECT event_type,
                 CAST(COUNT(*) AS BIGINT) AS n_days,
-                ROUND(VAR_POP(v), 6) AS var_total,
-                ROUND(VAR_POP(resid), 6) AS var_resid
+                ROUND(VAR_POP(v), 2) AS var_total,
+                ROUND(VAR_POP(resid), 2) AS var_resid
          FROM centered GROUP BY 1)
        SELECT event_type, n_days, var_total, var_resid,
               ROUND(GREATEST(0, 1 - var_resid / var_total), 4)
@@ -2771,13 +2771,23 @@ def dow_seasonality_strength(spark, sf_dir):
     alone predicts the day's volume. The dow key only GROUPS (never
     emitted), so each engine's weekday numbering convention is
     irrelevant — same-weekday days land in the same group either
-    way. One window over (type, dow) + one aggregate."""
+    way. One window over (type, dow) + one aggregate. The daily sums
+    accumulate in DECIMAL(18,6) (exact, order-independent — the
+    o_totalprice audit pattern) and the 10^6-magnitude variances are
+    emitted at 2 dp, so no output column demands more significant
+    digits than float64 summation-order determinism guarantees
+    cross-engine (the r7 hash-red was ROUND(VAR_POP, 6) on a ~3e6
+    variance — 13 significant digits)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("d"),
         F.dayofweek("ts").alias("dow"),
-    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("v")
+    )
     centered = daily.withColumn(
         "resid",
         F.col("v")
@@ -2785,8 +2795,8 @@ def dow_seasonality_strength(spark, sf_dir):
     )
     agg = centered.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.round(F.var_pop("v"), 6).alias("var_total"),
-        F.round(F.var_pop("resid"), 6).alias("var_resid"),
+        F.round(F.var_pop("v"), 2).alias("var_total"),
+        F.round(F.var_pop("resid"), 2).alias("var_resid"),
     )
     return agg.filter(F.col("var_total") > 0).select(
         "event_type",

@@ -1062,7 +1062,11 @@ def test_append_conflicts_with_concurrent_constraint(
         return orig(self, df, partition_by, **kw)
 
     monkeypatch.setattr(DeltaishTable, "_write_files", hook)
-    with pytest.raises(ConcurrentCommitError, match="metadata"):
+    # the first ADD CONSTRAINT also upgrades the protocol
+    # (checkConstraints writer feature), and the protocol conflict
+    # check runs first — Delta's priority order — so either exception
+    # class is a correct refusal here
+    with pytest.raises(ConcurrentCommitError, match="metadata|protocol"):
         t.append(bad)
     # the constraint is live and the violating rows never landed
     assert t.check_constraints() == {"pos_price": "o_totalprice >= 0"}
@@ -5483,3 +5487,95 @@ def test_reads_external_v2_json_manifest(spark, tmp_path):
     # our writer continues at version 3
     v = t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
     assert v == 3 and t.read().count() == 4
+
+
+def test_commit_next_protocol_change_gate(spark, tmp_path):
+    """OCC conflict matrix, protocol axis (r7 ADVICE): a protocol
+    action landing between an operation's snapshot read and its
+    commit fails that commit with ProtocolChangedException semantics
+    — two concurrent feature-enables computed from the same stale
+    snapshot would otherwise silently clobber each other's feature
+    lists. Appends conflict too: their writer-protocol validation
+    ran against the old protocol."""
+    src = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    read_v = t.version
+    # a concurrent feature-enable lands after the read snapshot
+    DeltaishTable(spark, t.path).enable_vacuum_protocol_check()
+    with pytest.raises(ConcurrentCommitError, match="protocol"):
+        t._commit_next([dlog.commit_info("PROBE")], read_version=read_v)
+    # pure commitInfo commits still pass the gate (benign interleave)
+    head = t.version
+    v = t._commit_next([dlog.commit_info("PROBE")], read_version=head)
+    assert v == head + 1
+
+
+def test_concurrent_protocol_upgrades_conflict(spark, tmp_path, monkeypatch):
+    """The exact ADVICE scenario: enable_v2_checkpoints vs
+    enable_vacuum_protocol_check racing from one snapshot. The loser
+    must FAIL (not drop the winner's feature); a rerun on the fresh
+    snapshot then carries BOTH features."""
+    src = _orders(spark, 30)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), src)
+    orig = dlog.write_commit
+    fired = {"done": False}
+
+    def hook(path, v, actions, *a, **kw):
+        # sneak the other upgrade in just before ours would land
+        if not fired["done"] and any("protocol" in x for x in actions):
+            fired["done"] = True
+            DeltaishTable(spark, t.path).enable_vacuum_protocol_check()
+        return orig(path, v, actions, *a, **kw)
+
+    monkeypatch.setattr(dlog, "write_commit", hook)
+    with pytest.raises(ConcurrentCommitError, match="protocol"):
+        t.enable_v2_checkpoints()
+    monkeypatch.setattr(dlog, "write_commit", orig)
+    proto = t._snapshot().protocol
+    assert "vacuumProtocolCheck" in proto["writerFeatures"]  # winner intact
+    t.enable_v2_checkpoints()  # rerun on fresh snapshot
+    proto = t._snapshot().protocol
+    assert "vacuumProtocolCheck" in proto["writerFeatures"]
+    assert "v2Checkpoint" in proto["writerFeatures"]
+
+
+def test_type_widening_version_stamp_survives_interleave(spark, tmp_path):
+    """r7 ADVICE: delta.typeChanges tableVersion must be the version
+    the ALTER actually COMMITS at. A benign intervening
+    commitInfo-only commit (permitted by the conflict scan) pushes
+    the landing version past read_version + 1; external readers use
+    tableVersion to decide which files carry the narrow physical
+    type, so a stale stamp mislabels every file added in between."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int")
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    read_v = t.version
+    # benign interleave: a commitInfo-only commit bumps the log head
+    dlog.write_commit(t.path, read_v + 1, [dlog.commit_info("NOOP")])
+    v = t.widen_column_type("qty", "long")
+    assert v == read_v + 2  # landed past the stale slot
+    sj = json.loads(t._snapshot().metadata["schemaString"])
+    qty = next(f for f in sj["fields"] if f["name"] == "qty")
+    tc = qty["metadata"]["delta.typeChanges"]
+    assert tc[-1]["tableVersion"] == v  # actual version, not read_v+1
+
+
+def test_version_checksum_foreign_or_empty_crc_is_not_valid(spark, tmp_path):
+    """r7 ADVICE: a .crc with no recognizable keys (another engine's
+    naming, or corrupted-to-{}) must NOT pass validation by vacuous
+    comparison — require the protocol-core numFiles/tableSizeBytes
+    to be present and comparable, else report None (no usable
+    checksum), never True."""
+    df = _orders(spark, 20)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    p = dlog.checksum_file(str(t.path), t.version)
+    with open(p, "w") as f:
+        json.dump({}, f)  # corrupted-to-{}
+    assert dlog.validate_version_checksum(str(t.path), t.version) is None
+    with open(p, "w") as f:
+        json.dump({"fileCount": 1, "sizeBytes": 2}, f)  # foreign keys
+    assert dlog.validate_version_checksum(str(t.path), t.version) is None
+    # a wrong RECOGNIZED key still raises
+    with open(p, "w") as f:
+        json.dump({"numFiles": 999, "tableSizeBytes": 1}, f)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        dlog.validate_version_checksum(str(t.path), t.version)
