@@ -1,0 +1,504 @@
+#!/usr/bin/env python3
+"""An INDEPENDENT minimal Delta-protocol reader ("mini-kernel").
+
+Purpose (VERDICT r7 ask #3): the strongest in-sandbox evidence that the
+engine's transaction log is protocol-correct is a second implementation
+that shares NO code with ``lakehouse_for_data_streaming_and_analysis_spark.delta`` — written
+from the public Delta Lake PROTOCOL.md alone, the way delta-rs or
+Trino's delta connector would read the table — consuming this writer's
+logs end-to-end: version discovery, classic/multi-part/v2 checkpoints,
+JSON replay, column mapping, deletion vectors, type widening, partition
+values. ``tests/test_minikernel_interop.py`` drives it both directions.
+
+HARD RULES for this module:
+  * imports: stdlib + pyarrow ONLY — never the engine package
+    (test-enforced), so agreement is evidence, not tautology;
+  * refuse loudly on anything unrecognized (unknown reader feature,
+    bad cookie, checksum mismatch) — a silent best-effort reader
+    proves nothing.
+
+Scope: a READER only, and only of features the engine declares.
+Supported reader features: columnMapping, deletionVectors,
+timestampNtz, v2Checkpoint, typeWidening, vacuumProtocolCheck (no read
+behavior), variantType-free tables only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+    "v2Checkpoint",
+    "typeWidening",
+    "vacuumProtocolCheck",
+}
+MAX_READER_VERSION = 3
+
+_ACTION_KEYS = (
+    "protocol", "metaData", "add", "remove", "txn", "domainMetadata",
+    "checkpointMetadata", "sidecar", "commitInfo",
+)
+
+
+# ------------------------------------------------------------ log layout
+
+
+def _log_dir(table: str) -> str:
+    return os.path.join(table, "_delta_log")
+
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CLASSIC_CP_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_MULTI_CP_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+
+def commit_versions(table: str) -> list[int]:
+    out = []
+    for fn in os.listdir(_log_dir(table)):
+        m = _COMMIT_RE.match(fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_commit_json(table: str, version: int) -> list[dict]:
+    p = os.path.join(_log_dir(table), f"{version:020d}.json")
+    actions = []
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+    return actions
+
+
+# -------------------------------------------------------- checkpoints
+
+
+def _cell_to_action(v):
+    """A checkpoint cell: the spec stores typed nested structs; this
+    engine stores JSON strings (a documented divergence its own read
+    path also accepts). A robust external reader takes both."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return json.loads(v)
+    if isinstance(v, dict):
+        # drop struct-nulls so absent optional fields look absent
+        return {k: _cell_to_action(x) if isinstance(x, dict) else x
+                for k, x in v.items() if x is not None}
+    return v
+
+
+def _actions_from_cp_table(tbl: pa.Table) -> list[dict]:
+    out = []
+    cols = [c for c in tbl.column_names if c in _ACTION_KEYS]
+    pylist = tbl.select(cols).to_pylist()
+    for row in pylist:
+        for k in cols:
+            act = _cell_to_action(row.get(k))
+            if act:
+                out.append({k: act})
+    return out
+
+
+def _last_checkpoint(table: str) -> dict | None:
+    p = os.path.join(_log_dir(table), "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def checkpoint_actions(table: str) -> tuple[int, list[dict]] | None:
+    """(checkpoint version, actions) from the newest checkpoint
+    reachable via _last_checkpoint, covering all three spec layouts:
+    classic single-file, multi-part, and v2 manifest+sidecars."""
+    lc = _last_checkpoint(table)
+    if lc is None:
+        return None
+    v = int(lc["version"])
+    log = _log_dir(table)
+    if lc.get("checkpointKind") == "v2" or lc.get("v2Checkpoint"):
+        manifest = lc.get("v2Checkpoint")
+        if not manifest:  # discover by listing (spec allows hint-less)
+            pat = re.compile(
+                rf"^{v:020d}\.checkpoint\.[0-9a-f-]{{36}}\.(json|parquet)$"
+            )
+            names = sorted(n for n in os.listdir(log) if pat.match(n))
+            if not names:
+                raise ValueError(f"v2 checkpoint manifest missing at {v}")
+            manifest = names[-1]
+        mp = os.path.join(log, manifest)
+        if manifest.endswith(".json"):
+            acts = []
+            with open(mp) as f:
+                for line in f:
+                    if line.strip():
+                        acts.append(json.loads(line))
+        else:
+            acts = _actions_from_cp_table(pq.read_table(mp))
+        cpmd = next((a for a in acts if "checkpointMetadata" in a), None)
+        if cpmd is None or int(cpmd["checkpointMetadata"]["version"]) != v:
+            raise ValueError(
+                f"v2 manifest {manifest} lacks checkpointMetadata for {v}"
+            )
+        out = []
+        for a in acts:
+            if "sidecar" in a:
+                sp = os.path.join(log, "_sidecars", a["sidecar"]["path"])
+                out.extend(_actions_from_cp_table(pq.read_table(sp)))
+            elif "checkpointMetadata" not in a:
+                out.append(a)
+        return v, out
+    parts = int(lc.get("parts", 1) or 1)
+    if parts == 1:
+        single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+        return v, _actions_from_cp_table(pq.read_table(single))
+    out = []
+    for k in range(1, parts + 1):
+        p = os.path.join(
+            log, f"{v:020d}.checkpoint.{k:010d}.{parts:010d}.parquet"
+        )
+        out.extend(_actions_from_cp_table(pq.read_table(p)))
+    return v, out
+
+
+# ------------------------------------------------------------- replay
+
+
+@dataclass
+class State:
+    version: int = -1
+    metadata: dict = field(default_factory=dict)
+    protocol: dict = field(default_factory=dict)
+    adds: dict = field(default_factory=dict)  # path -> add action
+
+
+def load_state(table: str, version: int | None = None) -> State:
+    st = State()
+    start = 0
+    cp = checkpoint_actions(table)
+    if cp is not None and (version is None or cp[0] <= version):
+        cpv, actions = cp
+        for a in actions:
+            _apply(st, a)
+        st.version = cpv
+        start = cpv + 1
+    for v in commit_versions(table):
+        if v < start or (version is not None and v > version):
+            continue
+        if v > start and st.version < v - 1 and not (
+            st.version == -1 and start == 0
+        ):
+            raise ValueError(f"gap in delta log before {v}")
+        for a in read_commit_json(table, v):
+            _apply(st, a)
+        st.version = v
+    if st.version < 0:
+        raise ValueError(f"no readable state in {table}")
+    _check_protocol(st.protocol)
+    return st
+
+
+def _apply(st: State, action: dict) -> None:
+    if "metaData" in action and action["metaData"]:
+        st.metadata = action["metaData"]
+    elif "protocol" in action and action["protocol"]:
+        st.protocol = action["protocol"]
+    elif "add" in action and action["add"]:
+        st.adds[action["add"]["path"]] = action["add"]
+    elif "remove" in action and action["remove"]:
+        st.adds.pop(action["remove"]["path"], None)
+
+
+def _check_protocol(proto: dict) -> None:
+    mrv = int(proto.get("minReaderVersion", 1))
+    if mrv > MAX_READER_VERSION:
+        raise ValueError(f"unsupported minReaderVersion {mrv}")
+    if mrv >= 3:
+        feats = set(proto.get("readerFeatures") or [])
+        unknown = feats - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"unsupported reader features: {sorted(unknown)}"
+            )
+
+
+# ------------------------------------------------ schema / type mapping
+
+
+def _arrow_type(t) -> pa.DataType:
+    if isinstance(t, dict):
+        raise ValueError(f"nested type not supported by mini-kernel: {t}")
+    m = {
+        "byte": pa.int8(), "short": pa.int16(), "integer": pa.int32(),
+        "long": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(), "binary": pa.binary(),
+        "date": pa.date32(), "timestamp": pa.timestamp("us", "UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in m:
+        return m[t]
+    dm = re.match(r"^decimal\((\d+),\s*(-?\d+)\)$", t)
+    if dm:
+        return pa.decimal128(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"unknown delta type {t!r}")
+
+
+def _schema_fields(st: State) -> list[dict]:
+    return json.loads(st.metadata["schemaString"])["fields"]
+
+
+def _mapping_mode(st: State) -> str:
+    return (st.metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def _physical_name(f: dict, mode: str) -> str:
+    if mode in ("name", "id"):
+        md = f.get("metadata") or {}
+        pn = md.get("delta.columnMapping.physicalName")
+        if pn:
+            return pn
+    return f["name"]
+
+
+def _field_id(f: dict) -> int | None:
+    md = f.get("metadata") or {}
+    v = md.get("delta.columnMapping.id")
+    return int(v) if v is not None else None
+
+
+# --------------------------------------------------- deletion vectors
+
+_RFC1924 = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+)
+_RFC1924_INV = {c: i for i, c in enumerate(_RFC1924)}
+_RB_MAGIC = 1681511377
+
+
+def _b85d(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("dv base85 length not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        acc = 0
+        for ch in text[i:i + 5]:
+            acc = acc * 85 + _RFC1924_INV[ch]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _decode_roaring32(buf: bytes, at: int) -> tuple[list[int], int]:
+    """Portable 32-bit RoaringBitmap (spec format): returns (values,
+    next offset). Array, bitmap, and run containers."""
+    cookie32 = int.from_bytes(buf[at:at + 4], "little")
+    cookie = cookie32 & 0xFFFF
+    if cookie == 12346:  # no-run cookie
+        n = int.from_bytes(buf[at + 4:at + 8], "little")
+        runs = None
+        cur = at + 8
+    elif cookie == 12347:
+        n = (cookie32 >> 16) + 1
+        nb = (n + 7) // 8
+        runs = buf[at + 4:at + 4 + nb]
+        cur = at + 4 + nb
+    else:
+        raise ValueError(f"roaring cookie {cookie} unrecognized")
+    heads = []
+    for _ in range(n):
+        key = int.from_bytes(buf[cur:cur + 2], "little")
+        card = int.from_bytes(buf[cur + 2:cur + 4], "little") + 1
+        heads.append((key, card))
+        cur += 4
+    if runs is None or n >= 4:
+        cur += 4 * n  # offset table; trust framing, verify cardinality
+    vals: list[int] = []
+    for i, (key, card) in enumerate(heads):
+        hi = key << 16
+        in_run = runs is not None and (runs[i >> 3] >> (i & 7)) & 1
+        if in_run:
+            n_runs = int.from_bytes(buf[cur:cur + 2], "little")
+            cur += 2
+            got = 0
+            for _ in range(n_runs):
+                s = int.from_bytes(buf[cur:cur + 2], "little")
+                ln = int.from_bytes(buf[cur + 2:cur + 4], "little")
+                cur += 4
+                vals.extend(hi | x for x in range(s, s + ln + 1))
+                got += ln + 1
+        elif card > 4096:
+            words = buf[cur:cur + 8192]
+            cur += 8192
+            got = 0
+            for bi, b in enumerate(words):
+                while b:
+                    low = b & (-b)
+                    vals.append(hi | (bi << 3) | (low.bit_length() - 1))
+                    got += 1
+                    b ^= low
+        else:
+            got = card
+            for _ in range(card):
+                vals.append(hi | int.from_bytes(buf[cur:cur + 2], "little"))
+                cur += 2
+        if got != card:
+            raise ValueError("roaring container cardinality mismatch")
+    return vals, cur
+
+
+def _decode_rbm_array(data: bytes) -> list[int]:
+    if int.from_bytes(data[:4], "little") != _RB_MAGIC:
+        raise ValueError("dv magic mismatch")
+    n = int.from_bytes(data[4:12], "little", signed=True)
+    cur, out = 12, []
+    for _ in range(n):
+        high = int.from_bytes(data[cur:cur + 4], "little")
+        cur += 4
+        vals, cur = _decode_roaring32(data, cur)
+        out.extend((high << 32) | v for v in vals)
+    return sorted(out)
+
+
+def dv_deleted_rows(table: str, dv: dict) -> set[int]:
+    st = dv.get("storageType")
+    if st == "i":
+        data = _b85d(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+        return set(_decode_rbm_array(data))
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        import uuid as _uuid
+
+        u = _uuid.UUID(bytes=_b85d(enc[-20:]))
+        path = os.path.join(table, enc[:-20], f"deletion_vector_{u}.bin")
+    elif st == "p":
+        path = dv["pathOrInlineDv"]
+    else:
+        raise ValueError(f"dv storageType {st!r} unsupported")
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[0] != 1:
+        raise ValueError("dv file format version != 1")
+    off = int(dv["offset"])
+    size = int.from_bytes(blob[off:off + 4], "big")
+    if size != int(dv["sizeInBytes"]):
+        raise ValueError("dv dataSize != descriptor sizeInBytes")
+    data = blob[off + 4:off + 4 + size]
+    crc = int.from_bytes(blob[off + 4 + size:off + 8 + size], "big")
+    if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+        raise ValueError("dv crc32 mismatch")
+    return set(_decode_rbm_array(data))
+
+
+# ----------------------------------------------------------- data read
+
+
+def _partition_scalar(raw, typ: pa.DataType):
+    """partitionValues are strings (spec serialization); '' or None is
+    null."""
+    if raw is None or raw == "":
+        return None
+    if pa.types.is_integer(typ):
+        return int(raw)
+    if pa.types.is_floating(typ):
+        return float(raw)
+    if pa.types.is_boolean(typ):
+        return raw == "true"
+    return raw
+
+
+def read_table(table: str, version: int | None = None) -> pa.Table:
+    """Materialize the live rows at ``version`` as one arrow table in
+    LOGICAL column names and types — column mapping resolved, deletion
+    vectors applied, narrow physical types upcast (typeWidening),
+    partition columns rebuilt from partitionValues."""
+    st = load_state(table, version)
+    mode = _mapping_mode(st)
+    fields = _schema_fields(st)
+    logical = pa.schema(
+        [pa.field(f["name"], _arrow_type(f["type"]), True) for f in fields]
+    )
+    parts = st.metadata.get("partitionColumns") or []
+    chunks: list[pa.Table] = []
+    for add in st.adds.values():
+        fp = os.path.join(table, add["path"])
+        pf = pq.read_table(fp)
+        by_id = {}
+        if mode == "id":
+            for i, pfld in enumerate(pf.schema):
+                fid = pf.schema.field(i).metadata or {}
+                raw = fid.get(b"PARQUET:field_id")
+                if raw is not None:
+                    by_id[int(raw)] = pfld.name
+        cols, names = [], []
+        n_rows = pf.num_rows
+        for f in fields:
+            name = f["name"]
+            want = logical.field(name).type
+            if name in parts:
+                val = _partition_scalar(
+                    (add.get("partitionValues") or {}).get(name), want
+                )
+                cols.append(pa.array([val] * n_rows, type=want))
+                names.append(name)
+                continue
+            phys = None
+            if mode == "id":
+                fid = _field_id(f)
+                phys = by_id.get(fid) if fid is not None else None
+            if phys is None:
+                phys = _physical_name(f, mode)
+            if phys not in pf.column_names:
+                raise ValueError(
+                    f"physical column {phys!r} for {name!r} missing in "
+                    f"{add['path']}"
+                )
+            arr = pf.column(phys)
+            if arr.type != want:
+                arr = pc.cast(arr, want)  # typeWidening upcast
+            cols.append(arr)
+            names.append(name)
+        chunk = pa.table(dict(zip(names, cols)))
+        dv = add.get("deletionVector")
+        if dv:
+            dead = dv_deleted_rows(table, dv)
+            keep = [i for i in range(n_rows) if i not in dead]
+            chunk = chunk.take(pa.array(keep, type=pa.int64()))
+        chunks.append(chunk.cast(logical))
+    if not chunks:
+        return logical.empty_table()
+    return pa.concat_tables(chunks)
+
+
+def sorted_rows(tbl: pa.Table) -> list[tuple]:
+    """Order-insensitive canonical rows for cross-reader comparison."""
+    cols = sorted(tbl.column_names)
+    return sorted(
+        tuple(str(r[c]) for c in cols) for r in tbl.to_pylist()
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    t = read_table(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else None)
+    print(t.schema)
+    print(t.num_rows, "rows")
