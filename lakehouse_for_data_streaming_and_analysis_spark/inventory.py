@@ -26,6 +26,16 @@ def generate(out_path: str = "QUERIES.md") -> str:
         f"{len(qs)} queries, {len(oracles)} DuckDB-oracle-backed"
         f" ({len(qs) - len(oracles)} rows-only iterative ops).",
         "",
+        "Exact/approx unification: the quantile, distinct-count, and",
+        "heavy-hitter families below exist in both exact and sketch",
+        "form; `operators/sketches.py` exposes each as ONE operator",
+        "with an `exact=` switch, identical output schema in both",
+        "modes, mergeable sketch state (DDSketch buckets, HLL",
+        "registers, count-min cells), and published error bounds",
+        "gated per sketch against the exact twin in",
+        "`tests/test_sketch_unification.py` — the 100 TB path is a",
+        "one-line swap.",
+        "",
         "| query | module | check | summary |",
         "|---|---|---|---|",
     ]
