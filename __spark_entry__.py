@@ -15,6 +15,7 @@ from lakehouse_for_data_streaming_and_analysis_spark.catalog import load_tables
 from lakehouse_for_data_streaming_and_analysis_spark.plans import star
 from lakehouse_for_data_streaming_and_analysis_spark.queries import (
     advanced,
+    hypothesis,
     analytics,
     charts,
     curation,
@@ -511,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textprep.QUERIES)
     out.update(windowlab.QUERIES)
     out.update(sketches.QUERIES)
+    out.update(hypothesis.QUERIES)
     return _rotation_order(out)
 
 
@@ -536,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(textprep.ORACLES)
     out.update(windowlab.ORACLES)
     out.update(sketches.ORACLES)
+    out.update(hypothesis.ORACLES)
     # fixture-bound oracles, computed at call time so they always
     # derive their literals (deflate ratios / IRLS model coefficients)
     # from the sf dir the caller oracles against
