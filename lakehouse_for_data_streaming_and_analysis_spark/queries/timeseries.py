@@ -2885,3 +2885,566 @@ def cross_correlation_lead_lag(spark, sf_dir):
             == F.round(F.abs("r"), 4)
         ).alias("is_peak"),
     ).orderBy("lag_days")
+
+
+# ------------------------------------------------ round-8 finance block
+# Microstructure and risk statistics over the event stream's daily
+# grain — the measures a market-data lakehouse computes beside the
+# reference's GARCH/ARIMA notebooks (test5/test6.ipynb): illiquidity
+# (Amihud), price impact (Kyle's lambda), downside risk (semivariance,
+# ulcer index, Cornish-Fisher VaR), and two distribution-shape tests
+# (turning points, intraday-uniformity KS). Daily series are
+# DECIMAL-pinned at the stage boundary throughout (the round-8
+# convention after the dow_seasonality hash-red).
+
+_DAILY_PX_SQL = """
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+                      / COUNT(*), 6) AS p,
+                CAST(COUNT(*) AS BIGINT) AS vol
+         FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_px(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("p"),
+        F.count(F.lit(1)).cast("long").alias("vol"),
+    )
+
+
+@q(
+    "amihud_illiquidity",
+    f"""WITH daily AS ({_DAILY_PX_SQL}),
+       ret AS (
+         SELECT event_type, STRFTIME(d, '%Y-%m') AS month, vol,
+                p / LAG(p) OVER (PARTITION BY event_type ORDER BY d) - 1
+                  AS r
+         FROM daily)
+       SELECT event_type, month,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(1e6 * AVG(ABS(r) / vol), 4) AS amihud_x1e6
+       FROM ret WHERE r IS NOT NULL GROUP BY 1, 2""",
+)
+def amihud_illiquidity(spark, sf_dir):
+    """Amihud illiquidity ratio per (series, month): the monthly mean
+    of |daily return| / daily volume (×10⁶ for readable magnitude) —
+    price movement per unit of flow, THE standard illiquidity proxy.
+    Date-grain aggregate → lag window → month aggregate; per-key
+    state is one scalar per day."""
+    daily = _daily_px(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM").alias("month"),
+        "vol",
+        (F.col("p") / F.lag("p").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    return ret.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(1e6 * F.avg(F.abs("r") / F.col("vol")), 4).alias(
+            "amihud_x1e6"
+        ),
+    )
+
+
+@q(
+    "kyle_lambda_price_impact",
+    f"""WITH daily AS ({_DAILY_PX_SQL}),
+       ret AS (
+         SELECT event_type,
+                p - LAG(p) OVER (PARTITION BY event_type ORDER BY d)
+                  AS dp,
+                vol
+         FROM daily),
+       signed AS (
+         SELECT event_type, dp,
+                SIGN(dp) * vol AS sv
+         FROM ret WHERE dp IS NOT NULL)
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(1e6 * REGR_SLOPE(dp, sv), 4) AS kyle_lambda_x1e6,
+              ROUND(REGR_R2(dp, sv), 4) AS r2
+       FROM signed GROUP BY 1""",
+)
+def kyle_lambda_price_impact(spark, sf_dir):
+    """Kyle's lambda — price impact per unit of signed flow — as the
+    least-squares slope of daily price change on signed volume
+    (sign(Δp)·volume, the standard tick-rule proxy at daily grain).
+    REGR_SLOPE/REGR_R2 are identical closed forms on both engines
+    over exact (decimal-pinned Δp, integer volume) inputs."""
+    daily = _daily_px(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        (F.col("p") - F.lag("p").over(w)).alias("dp"),
+        "vol",
+    ).filter(F.col("dp").isNotNull())
+    signed = ret.select(
+        "event_type",
+        "dp",
+        (F.signum("dp") * F.col("vol")).alias("sv"),
+    )
+    return signed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(1e6 * F.regr_slope("dp", "sv"), 4).alias(
+            "kyle_lambda_x1e6"
+        ),
+        F.round(F.regr_r2("dp", "sv"), 4).alias("r2"),
+    )
+
+
+@q(
+    "realized_semivariance_updown",
+    f"""WITH daily AS ({_DAILY_PX_SQL}),
+       ret AS (
+         SELECT event_type, STRFTIME(d, '%Y-%m') AS month,
+                ROUND(p / LAG(p) OVER (PARTITION BY event_type ORDER BY d)
+                      - 1, 6) AS r
+         FROM daily)
+       SELECT event_type, month,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(SUM(CASE WHEN r > 0 THEN r * r ELSE 0 END), 6)
+                AS rs_up,
+              ROUND(SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END), 6)
+                AS rs_down,
+              ROUND(SUM(CASE WHEN r > 0 THEN r * r ELSE 0 END)
+                    - SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END), 6)
+                AS signed_jump_gap
+       FROM ret WHERE r IS NOT NULL GROUP BY 1, 2""",
+)
+def realized_semivariance_updown(spark, sf_dir):
+    """Realized semivariance per (series, month): the up-move and
+    down-move halves of realized variance (Barndorff-Nielsen's RS⁺/
+    RS⁻) and their gap — the asymmetry measure separating good from
+    bad volatility that plain realized_vol_monthly cannot see.
+    Returns are rounded at the stage boundary, so the semivariance
+    sums consume identical inputs on both engines."""
+    daily = _daily_px(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM").alias("month"),
+        F.round(F.col("p") / F.lag("p").over(w) - 1, 6).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    up = F.sum(F.when(F.col("r") > 0, F.col("r") * F.col("r")).otherwise(0.0))
+    dn = F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0))
+    return ret.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(up, 6).alias("rs_up"),
+        F.round(dn, 6).alias("rs_down"),
+        F.round(up - dn, 6).alias("signed_jump_gap"),
+    )
+
+
+@q(
+    "drawdown_duration_ulcer",
+    f"""WITH daily AS ({_DAILY_PX_SQL}),
+       peaked AS (
+         SELECT event_type, d, p,
+                MAX(p) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS peak
+         FROM daily),
+       flagged AS (
+         SELECT event_type, d,
+                100.0 * (peak - p) / peak AS dd_pct,
+                CASE WHEN p < peak THEN 1 ELSE 0 END AS uw,
+                CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                     AS BIGINT) AS rn
+         FROM peaked),
+       isl AS (
+         SELECT event_type, dd_pct, uw,
+                rn - CAST(SUM(uw) OVER (PARTITION BY event_type ORDER BY rn
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS grp
+         FROM flagged),
+       runs AS (
+         SELECT event_type, grp, COUNT(*) AS run_len
+         FROM isl WHERE uw = 1 GROUP BY 1, 2)
+       SELECT f.event_type,
+              CAST(MAX(r.longest) AS BIGINT) AS max_underwater_days,
+              ROUND(SQRT(AVG(f.dd_pct * f.dd_pct)), 4) AS ulcer_index,
+              ROUND(100.0 * SUM(f.uw) / COUNT(*), 4) AS pct_days_underwater
+       FROM isl f
+       LEFT JOIN (SELECT event_type, MAX(run_len) AS longest
+                  FROM runs GROUP BY 1) r
+         ON f.event_type = r.event_type
+       GROUP BY 1""",
+)
+def drawdown_duration_ulcer(spark, sf_dir):
+    """Drawdown persistence per series: the longest consecutive
+    underwater spell (days below the running peak, gaps-islands on
+    the flag), the ulcer index √(mean dd%²) — the drawdown-weighted
+    risk measure — and the underwater-day share.
+    max_drawdown_by_type measures DEPTH; this measures DURATION and
+    area. Running peak + one islands pass; per-key state is a
+    running max and a run counter (streaming-foldable)."""
+    daily = _daily_px(spark, sf_dir)
+    wpeak = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = daily.select(
+        "event_type",
+        "d",
+        "p",
+        F.max("p").over(wpeak).alias("peak"),
+    )
+    flagged = peaked.select(
+        "event_type",
+        "d",
+        (100.0 * (F.col("peak") - F.col("p")) / F.col("peak")).alias(
+            "dd_pct"
+        ),
+        F.when(F.col("p") < F.col("peak"), 1).otherwise(0).alias("uw"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("long")
+        .alias("rn"),
+    )
+    isl = flagged.select(
+        "event_type",
+        "dd_pct",
+        "uw",
+        (
+            F.col("rn")
+            - F.sum("uw")
+            .over(
+                Window.partitionBy("event_type")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+        ).alias("grp"),
+    )
+    runs = (
+        isl.filter(F.col("uw") == 1)
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("event_type")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    return (
+        isl.join(runs, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.max("longest").cast("long").alias("max_underwater_days"),
+            F.round(
+                F.sqrt(F.avg(F.col("dd_pct") * F.col("dd_pct"))), 4
+            ).alias("ulcer_index"),
+            F.round(100.0 * F.sum("uw") / F.count(F.lit(1)), 4).alias(
+                "pct_days_underwater"
+            ),
+        )
+    )
+
+
+@q(
+    "trend_seasonal_residual_split",
+    f"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2, 3),
+       ma AS (
+         SELECT event_type, d, dow, y,
+                CASE WHEN COUNT(*) OVER w7 = 7
+                     THEN ROUND(AVG(y) OVER w7, 6) END AS trend
+         FROM daily
+         WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       det AS (
+         SELECT event_type, dow, y - trend AS detr
+         FROM ma WHERE trend IS NOT NULL),
+       seas AS (
+         SELECT event_type, dow, detr,
+                AVG(detr) OVER (PARTITION BY event_type, dow) AS s
+         FROM det),
+       comp AS (
+         SELECT event_type, detr, s, detr - s AS resid
+         FROM seas)
+       SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              ROUND(VAR_POP(detr), 2) AS var_detrended,
+              ROUND(VAR_POP(resid), 2) AS var_residual,
+              ROUND(GREATEST(0, 1 - VAR_POP(resid)
+                                 / NULLIF(VAR_POP(detr), 0)), 4)
+                AS seasonal_strength,
+              ROUND(VAR_POP(s), 2) AS var_seasonal_component
+       FROM comp GROUP BY 1""",
+)
+def trend_seasonal_residual_split(spark, sf_dir):
+    """Classical additive decomposition per series: a centered 7-day
+    moving average estimates trend (full windows only), weekday means
+    of the detrended series estimate the seasonal component, and the
+    leftover is residual. Emits the variance split and the
+    trend-adjusted seasonal strength — the STL-style diagnostic that
+    dow_seasonality_strength approximates WITHOUT detrending. Daily
+    sums are decimal-pinned and the MA is rounded at the stage
+    boundary; variances of ~10⁶ magnitude emit at 2 dp (round-
+    precision lint budget)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "dow",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.round(F.avg("y").over(w7), 6)
+        ).alias("trend"),
+    )
+    det = ma.filter(F.col("trend").isNotNull()).select(
+        "event_type", "dow", (F.col("y") - F.col("trend")).alias("detr")
+    )
+    seas = det.select(
+        "event_type",
+        "detr",
+        F.avg("detr")
+        .over(Window.partitionBy("event_type", "dow"))
+        .alias("s"),
+    )
+    comp = seas.select(
+        "event_type", "detr", "s", (F.col("detr") - F.col("s")).alias("resid")
+    )
+    return comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.var_pop("detr"), 2).alias("var_detrended"),
+        F.round(F.var_pop("resid"), 2).alias("var_residual"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.var_pop("resid")
+                / F.nullif(F.var_pop("detr"), F.lit(0.0)),
+            ),
+            4,
+        ).alias("seasonal_strength"),
+        F.round(F.var_pop("s"), 2).alias("var_seasonal_component"),
+    )
+
+
+@q(
+    "turning_points_randomness",
+    f"""WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2),
+       tri AS (
+         SELECT event_type,
+                LAG(y) OVER w AS y0, y AS y1, LEAD(y) OVER w AS y2
+         FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+       tp AS (
+         SELECT event_type,
+                CAST(SUM(CASE WHEN (y1 > y0 AND y1 > y2)
+                                OR (y1 < y0 AND y1 < y2)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                CAST(COUNT(*) + 2 AS BIGINT) AS n
+         FROM tri WHERE y0 IS NOT NULL AND y2 IS NOT NULL
+         GROUP BY 1)
+       SELECT event_type, n, t,
+              ROUND(2.0 * (n - 2) / 3.0, 4) AS expected_t,
+              ROUND((t - 2.0 * (n - 2) / 3.0)
+                    / SQRT((16.0 * n - 29) / 90.0), 4) AS z_stat
+       FROM tp""",
+)
+def turning_points_randomness(spark, sf_dir):
+    """Turning-points test for randomness per series: count local
+    extrema T in the daily sequence (strict peak or trough among 3
+    consecutive days); under i.i.d. randomness E[T] = 2(n−2)/3 and
+    Var[T] = (16n−29)/90, so z = (T−E)/√Var flags trending or
+    oscillating structure. Complements runs_test_randomness (sign
+    runs) with a shape-based count. All counts are exact integers on
+    decimal-pinned daily sums; strict inequalities make ties count as
+    neither (documented)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tri = daily.select(
+        "event_type",
+        F.lag("y").over(w).alias("y0"),
+        F.col("y").alias("y1"),
+        F.lead("y").over(w).alias("y2"),
+    ).filter(F.col("y0").isNotNull() & F.col("y2").isNotNull())
+    is_tp = (
+        ((F.col("y1") > F.col("y0")) & (F.col("y1") > F.col("y2")))
+        | ((F.col("y1") < F.col("y0")) & (F.col("y1") < F.col("y2")))
+    ).cast("int")
+    tp = tri.groupBy("event_type").agg(
+        F.sum(is_tp).cast("long").alias("t"),
+        (F.count(F.lit(1)) + 2).cast("long").alias("n"),
+    )
+    e_t = 2.0 * (F.col("n") - 2) / 3.0
+    return tp.select(
+        "event_type",
+        "n",
+        "t",
+        F.round(e_t, 4).alias("expected_t"),
+        F.round(
+            (F.col("t") - e_t) / F.sqrt((16.0 * F.col("n") - 29) / 90.0), 4
+        ).alias("z_stat"),
+    )
+
+
+@q(
+    "ks_uniformity_intraday",
+    """WITH secs AS (
+         SELECT event_type,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400 AS s
+         FROM events),
+       per_s AS (
+         SELECT event_type, s, COUNT(*) AS c FROM secs GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, s, c,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cu,
+                SUM(c) OVER (PARTITION BY event_type) AS n
+         FROM per_s),
+       d AS (
+         SELECT event_type, MAX(n) AS n,
+                MAX(GREATEST(
+                  ABS(CAST(cu AS DOUBLE) / n - (s + 1) / 86400.0),
+                  ABS(CAST(cu - c AS DOUBLE) / n - s / 86400.0)))
+                  AS ks_d
+         FROM cum GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              ROUND(ks_d, 6) AS ks_d,
+              ROUND(ks_d * SQRT(n), 4) AS ks_stat_scaled,
+              CAST(CASE WHEN ks_d * SQRT(n) > 1.358 THEN 1 ELSE 0
+                   END AS INT) AS reject_uniform_05
+       FROM d""",
+)
+def ks_uniformity_intraday(spark, sf_dir):
+    """One-sample Kolmogorov-Smirnov test of intraday arrival
+    uniformity per series: D = sup|F̂(s) − s/86400| over the
+    second-of-day marginal, evaluated at both step edges of the
+    empirical CDF (the exact sup for a step-vs-continuous compare).
+    √n·D vs 1.358 is the 5 % decision. Complements ks_two_sample
+    (two-sample) with the one-sample-vs-theoretical form; all CDF
+    inputs are exact integers so both engines compute the identical
+    double."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") % 86400).alias("s"),
+    )
+    per_s = secs.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_s.select(
+        "event_type",
+        "s",
+        "c",
+        F.sum("c").over(wcum).alias("cu"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    d_hi = F.abs(
+        F.col("cu").cast("double") / F.col("n")
+        - (F.col("s") + 1) / 86400.0
+    )
+    d_lo = F.abs(
+        (F.col("cu") - F.col("c")).cast("double") / F.col("n")
+        - F.col("s") / 86400.0
+    )
+    d = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.greatest(d_hi, d_lo)).alias("ks_d"),
+    )
+    return d.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round(F.col("ks_d") * F.sqrt(F.col("n")), 4).alias(
+            "ks_stat_scaled"
+        ),
+        (F.col("ks_d") * F.sqrt(F.col("n")) > 1.358)
+        .cast("int")
+        .alias("reject_uniform_05"),
+    )
+
+
+@q(
+    "cornish_fisher_var",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(AVG(value), 4) AS mean_v,
+              ROUND(stddev_samp(value), 4) AS sd_v,
+              ROUND(1.6449 + (1.6449 * 1.6449 - 1)
+                      * (skewness(value) * (COUNT(value) - 2)
+                         / sqrt(COUNT(value) * (COUNT(value) - 1.0))) / 6.0
+                    + (POW(1.6449, 3) - 3 * 1.6449)
+                      * kurtosis_pop(value) / 24.0
+                    - (2 * POW(1.6449, 3) - 5 * 1.6449)
+                      * POW(skewness(value) * (COUNT(value) - 2)
+                            / sqrt(COUNT(value) * (COUNT(value) - 1.0)), 2)
+                      / 36.0, 4) AS z_cf_95,
+              ROUND(AVG(value) + stddev_samp(value)
+                    * (1.6449 + (1.6449 * 1.6449 - 1)
+                         * (skewness(value) * (COUNT(value) - 2)
+                            / sqrt(COUNT(value) * (COUNT(value) - 1.0))) / 6.0
+                       + (POW(1.6449, 3) - 3 * 1.6449)
+                         * kurtosis_pop(value) / 24.0
+                       - (2 * POW(1.6449, 3) - 5 * 1.6449)
+                         * POW(skewness(value) * (COUNT(value) - 2)
+                               / sqrt(COUNT(value) * (COUNT(value) - 1.0)), 2)
+                         / 36.0), 4) AS var_95_cf,
+              ROUND(AVG(value) + 1.6449 * stddev_samp(value), 4)
+                AS var_95_normal
+       FROM events GROUP BY 1""",
+)
+def cornish_fisher_var(spark, sf_dir):
+    """Cornish-Fisher modified Value-at-Risk per series: the 95 %
+    upper-tail quantile estimate μ + σ·z_cf where z_cf corrects the
+    normal z = 1.6449 for skewness and excess kurtosis (the
+    third-order CF expansion). Emitted beside the normal-assumption
+    VaR so the moment correction is visible — on this right-skewed
+    value distribution the gap is the whole point. Single-pass moment
+    aggregates; the skewness definitional bridge matches
+    stats_moments_by_type."""
+    ev = load_table(spark, sf_dir, "events")
+    z = 1.6449
+    g1 = F.skewness("value")
+    g2 = F.kurtosis("value")
+    zcf = (
+        F.lit(z)
+        + (z * z - 1) * g1 / 6.0
+        + (z**3 - 3 * z) * g2 / 24.0
+        - (2 * z**3 - 5 * z) * F.pow(g1, 2) / 36.0
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+        F.round(zcf, 4).alias("z_cf_95"),
+        F.round(F.avg("value") + F.stddev_samp("value") * zcf, 4).alias(
+            "var_95_cf"
+        ),
+        F.round(F.avg("value") + z * F.stddev_samp("value"), 4).alias(
+            "var_95_normal"
+        ),
+    )
