@@ -1528,3 +1528,354 @@ def markov_steady_state_events(spark, sf_dir):
             ).alias("drift"),
         )
     )
+
+
+# --------------------------------------------------- round-8 SQL surface
+# ANSI-surface depth a Trino/BI migrant expects beyond the reference's
+# own queries: null-aware NOT IN, LATERAL correlated derived tables,
+# bitmap-exact distinct (the mergeable EXACT middle ground between
+# COUNT(DISTINCT) and HLL), nearest-asof with tolerance, time-RANGE
+# frames, log2 histograms, and relational-division coverage ratios.
+
+
+@q(
+    "null_aware_not_in_audit",
+    """WITH probe AS (
+         SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                     ELSE o_custkey END AS k
+         FROM orders WHERE o_orderstatus = 'F'),
+       clean AS (SELECT o_custkey AS k FROM orders
+                 WHERE o_orderstatus = 'F')
+       SELECT
+         (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM probe))
+           AS n_not_in_with_nulls,
+         (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM clean))
+           AS n_not_in_clean,
+         (SELECT COUNT(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM clean WHERE clean.k = c.c_custkey))
+           AS n_not_exists,
+         (SELECT COUNT(*) FROM customer) AS n_customers""",
+)
+def null_aware_not_in_audit(spark, sf_dir):
+    """Null-aware NOT IN semantics audit — the SQL trap every BI
+    migration hits: a single NULL in the subquery makes
+    ``NOT IN`` three-valued (no row can prove it is not-equal to
+    NULL), so n_not_in_with_nulls MUST be 0 while the NULL-free NOT
+    IN and the NOT EXISTS rewrite agree on the true anti count.
+    Catalyst plans the NULL-risky branch as a null-aware anti join;
+    the audit pins that the engine implements the standard, not the
+    intuitive, semantics. All outputs are exact integers."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLES["null_aware_not_in_audit"])
+
+
+@q(
+    "lateral_top_orders_per_customer",
+    """WITH top_cust AS (
+         SELECT c_custkey, c_acctbal
+         FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5)
+       SELECT t.c_custkey,
+              ROUND(t.c_acctbal, 2) AS acctbal,
+              l.o_orderkey, ROUND(l.o_totalprice, 2) AS totalprice,
+              l.rk
+       FROM top_cust t,
+       LATERAL (
+         SELECT o_orderkey, o_totalprice,
+                CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                        o_orderkey) AS INT) AS rk
+         FROM orders
+         WHERE o_custkey = t.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 3) l""",
+)
+def lateral_top_orders_per_customer(spark, sf_dir):
+    """LATERAL correlated derived table — top-3 orders for each of
+    the top-5 customers, written as the per-row subquery a SQL user
+    reaches for (`FROM t, LATERAL (... WHERE o_custkey = t.key ...
+    LIMIT 3)`). Catalyst decorrelates this into the same
+    window-rank-filter plan the DataFrame idiom produces — the audit
+    is that the SURFACE exists and returns the deterministic
+    (tie-broken) rows. Spark executes the IDENTICAL SQL text the
+    oracle runs."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLES["lateral_top_orders_per_customer"])
+
+
+@q(
+    "bitmap_exact_distinct_gate",
+    """SELECT event_type,
+              COUNT(DISTINCT user_id) AS n_distinct_bitmap,
+              COUNT(DISTINCT user_id) AS n_distinct_exact,
+              CAST(1 AS INT) AS bitmap_matches_exact
+       FROM events GROUP BY 1""",
+)
+def bitmap_exact_distinct_gate(spark, sf_dir):
+    """EXACT mergeable distinct count via bitmap aggregation — the
+    middle ground the sketch family skips: Spark 3.5's
+    bitmap_construct_agg packs each 32k-id bucket into a fixed-size
+    bitmap, bitmap_or_agg MERGES buckets across slices (like HLL
+    registers, but lossless), and bitmap_count reads off the exact
+    cardinality. The gate computes the distinct count BOTH ways in
+    one plan and emits a match flag the oracle pins to 1 — at 100 TB
+    this is the exact-distinct path when ids are dense integers
+    (shuffle = #buckets × 4 KB, not the key universe). Ids shift +1
+    because bit positions are 1-based."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id") + 1
+    bm = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id + 1)").alias("bk")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id + 1))")
+        .alias("bm")
+    )
+    via_bitmap = bm.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_exact")
+    )
+    return via_bitmap.join(exact, "event_type").select(
+        "event_type",
+        "n_distinct_bitmap",
+        "n_distinct_exact",
+        (F.col("n_distinct_bitmap") == F.col("n_distinct_exact"))
+        .cast("int")
+        .alias("bitmap_matches_exact"),
+    )
+
+
+@q(
+    "asof_nearest_tolerance_stats",
+    """WITH p AS (
+         SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+         FROM events WHERE event_type = 'click'),
+       back AS (
+         SELECT p.event_id, MAX(c.t) AS bt
+         FROM p JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+         GROUP BY 1),
+       fwd AS (
+         SELECT p.event_id, MIN(c.t) AS ft
+         FROM p JOIN c ON c.user_id = p.user_id AND c.t > p.t
+         GROUP BY 1),
+       near AS (
+         SELECT p.event_id,
+                CASE
+                  WHEN b.bt IS NOT NULL AND (f.ft IS NULL
+                       OR p.t - b.bt <= f.ft - p.t) THEN p.t - b.bt
+                  WHEN f.ft IS NOT NULL THEN f.ft - p.t
+                END AS gap
+         FROM p LEFT JOIN back b ON p.event_id = b.event_id
+                LEFT JOIN fwd f ON p.event_id = f.event_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+              CAST(SUM(CASE WHEN gap IS NOT NULL AND gap <= 1800
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_within_30min,
+              CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_no_click_ever,
+              ROUND(AVG(CASE WHEN gap <= 1800 THEN gap END), 4)
+                AS avg_gap_secs_within
+       FROM near""",
+)
+def asof_nearest_tolerance_stats(spark, sf_dir):
+    """Nearest-direction as-of join with tolerance (pandas
+    merge_asof(direction='nearest', tolerance=30min) semantics):
+    each purchase matches its user's nearest click, backward or
+    forward, ties to backward; matches beyond 30 minutes don't
+    count. Extends asof_join_last_price (backward-only) with the
+    bidirectional form. Implemented as two per-user ordered windows
+    over the interleaved stream — never a purchase×click product:
+    the backward candidate is a running last-click carry, the
+    forward one the same under reversed order. Gap arithmetic is
+    exact integer seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("t"),
+    )
+    is_click = F.when(F.col("event_type") == "click", F.col("t"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    near = (
+        tagged.withColumn("bt", F.max(is_click).over(wb))
+        .withColumn("ft", F.min(is_click).over(wf))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(
+                F.col("bt").isNotNull()
+                & (
+                    F.col("ft").isNull()
+                    | (F.col("t") - F.col("bt") <= F.col("ft") - F.col("t"))
+                ),
+                F.col("t") - F.col("bt"),
+            )
+            .otherwise(F.col("ft") - F.col("t"))
+            .alias("gap"),
+        )
+    )
+    return near.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(
+            (F.col("gap").isNotNull() & (F.col("gap") <= 1800)).cast("int")
+        )
+        .cast("long")
+        .alias("n_within_30min"),
+        F.sum(F.col("gap").isNull().cast("int"))
+        .cast("long")
+        .alias("n_no_click_ever"),
+        F.round(
+            F.avg(F.when(F.col("gap") <= 1800, F.col("gap"))), 4
+        ).alias("avg_gap_secs_within"),
+    )
+
+
+@q(
+    "trailing_week_range_frame",
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS d,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  AS epoch_day,
+                CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+         FROM events GROUP BY 1, 2, 3)
+       SELECT event_type, d,
+              ROUND(SUM(y) OVER (PARTITION BY event_type ORDER BY epoch_day
+                                 RANGE BETWEEN 6 PRECEDING
+                                 AND CURRENT ROW), 4)
+                AS trailing_7d_sum,
+              CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch_day
+                                  RANGE BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS BIGINT)
+                AS days_present_in_window
+       FROM daily""",
+)
+def trailing_week_range_frame(spark, sf_dir):
+    """Time-based RANGE frame — trailing 7 CALENDAR days, not 7 ROWS:
+    on gappy daily series the rows-frame silently widens its time
+    span while the RANGE frame stays honest (days_present exposes the
+    gaps). Spark expresses it as rangeBetween over the epoch-day
+    ordering key — the portable spelling of RANGE BETWEEN INTERVAL
+    '7' DAY. Complements value_range_window_sum (value-based RANGE)
+    with the time axis."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        F.round(F.sum("y").over(w), 4).alias("trailing_7d_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias(
+            "days_present_in_window"
+        ),
+    )
+
+
+@q(
+    "orders_per_customer_log2_histogram",
+    """WITH per_cust AS (
+         SELECT o_custkey, COUNT(*) AS n_orders
+         FROM orders GROUP BY 1)
+       SELECT CAST(FLOOR(LOG2(n_orders)) AS INT) AS log2_bucket,
+              CAST(POW(2, FLOOR(LOG2(n_orders))) AS BIGINT) AS bucket_floor,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(MIN(n_orders) AS BIGINT) AS min_orders,
+              CAST(MAX(n_orders) AS BIGINT) AS max_orders
+       FROM per_cust GROUP BY 1, 2""",
+)
+def orders_per_customer_log2_histogram(spark, sf_dir):
+    """Power-of-two histogram of orders per customer — the
+    monitoring-system bucketing (log2 buckets keep resolution at the
+    head without exploding the tail; this is how latency/fan-out
+    distributions are tracked at scale). Two exact-integer
+    aggregates; bucket boundaries are integer powers so no float can
+    move a row across buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    bucket = F.floor(F.log2("n_orders")).cast("int")
+    return per_cust.groupBy(
+        bucket.alias("log2_bucket"),
+        F.pow(F.lit(2), F.floor(F.log2("n_orders")))
+        .cast("long")
+        .alias("bucket_floor"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("n_orders").cast("long").alias("min_orders"),
+        F.max("n_orders").cast("long").alias("max_orders"),
+    )
+
+
+@q(
+    "supplier_type_coverage_deciles",
+    """WITH n_types AS (SELECT COUNT(DISTINCT p_type) AS total FROM part),
+       cov AS (
+         SELECT l.l_suppkey,
+                COUNT(DISTINCT p.p_type) AS covered
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1),
+       ratio AS (
+         SELECT l_suppkey,
+                CAST(FLOOR(10.0 * covered / total) AS INT) AS decile
+         FROM cov CROSS JOIN n_types)
+       SELECT decile,
+              CAST(COUNT(*) AS BIGINT) AS n_suppliers
+       FROM ratio GROUP BY 1""",
+)
+def supplier_type_coverage_deciles(spark, sf_dir):
+    """Graded relational division: how much of the part-type universe
+    does each supplier's shipped assortment cover? The strict
+    division (loyal_customers_division) demands 100 % coverage; real
+    assortment analysis wants the coverage DISTRIBUTION — each
+    supplier's distinct-type count over the global type count,
+    bucketed into deciles. One distinct-aggregate per supplier plus a
+    1-row broadcast; integer decile boundaries via FLOOR(10·c/t)
+    (exact rational, no float boundary risk)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    n_types = part.agg(F.countDistinct("p_type").alias("total"))
+    cov = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("p_type").alias("covered"))
+    )
+    ratio = cov.crossJoin(F.broadcast(n_types)).select(
+        F.floor(10.0 * F.col("covered") / F.col("total"))
+        .cast("int")
+        .alias("decile")
+    )
+    return ratio.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers")
+    )
