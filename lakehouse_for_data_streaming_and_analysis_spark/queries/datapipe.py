@@ -2293,3 +2293,211 @@ def neardup_recall_audit(spark, sf_dir):
             ).alias("precision"),
         )
     )
+
+
+@q(
+    "shingle_containment_neardup",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh
+              FROM tok),
+       shc AS (SELECT doc_id, COUNT(*) AS n_sh
+               FROM sh WHERE sh <> '' GROUP BY 1),
+       cand AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                COUNT(*) AS n_shared
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         WHERE a.sh <> '' GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       scored AS (
+         SELECT c.doc_a, c.doc_b,
+                ROUND(CAST(c.n_shared AS DOUBLE)
+                      / (ca.n_sh + cb.n_sh - c.n_shared), 4) AS jaccard,
+                ROUND(CAST(c.n_shared AS DOUBLE)
+                      / LEAST(ca.n_sh, cb.n_sh), 4) AS containment
+         FROM cand c JOIN shc ca ON c.doc_a = ca.doc_id
+                     JOIN shc cb ON c.doc_b = cb.doc_id)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+              CAST(SUM(CASE WHEN containment >= 0.95 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contained_95,
+              CAST(SUM(CASE WHEN containment >= 0.95 AND jaccard < 0.85
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_asymmetric_dups,
+              ROUND(AVG(containment), 4) AS mean_containment,
+              ROUND(AVG(jaccard), 4) AS mean_jaccard
+       FROM scored""",
+)
+def shingle_containment_neardup(spark, sf_dir):
+    """CONTAINMENT-based near-dup detection — |A∩B|/min(|A|,|B|)
+    beside symmetric Jaccard: a document embedded inside a longer one
+    (quotes, prefix truncations, boilerplate wrappers) has
+    containment ≈ 1 while Jaccard sinks with the length gap, so a
+    Jaccard-threshold dedup silently keeps both. The injected
+    80 %-prefix corpus makes this measurable: n_asymmetric_dups
+    counts pairs a containment rule catches and a 0.85-Jaccard rule
+    misses. Candidates come from the shared-shingle inverted-index
+    equi-join (≥5 shared shingles — pigeonhole-bounded, never
+    all-pairs); set sizes join back from a distinct-shingle count."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
+    tokd = docs.select("doc_id", textfns.tokens("text").alias("__toks"))
+    sh = tokd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textfns.shingles(F.col("__toks"), 3))
+        ).alias("sh"),
+    ).filter(F.col("sh") != "")
+    shc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    scored = (
+        cand.join(
+            shc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            shc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("na", "nb"),
+                4,
+            ).alias("containment"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum((F.col("containment") >= 0.95).cast("int"))
+        .cast("long")
+        .alias("n_contained_95"),
+        F.sum(
+            ((F.col("containment") >= 0.95) & (F.col("jaccard") < 0.85))
+            .cast("int")
+        )
+        .cast("long")
+        .alias("n_asymmetric_dups"),
+        F.round(F.avg("containment"), 4).alias("mean_containment"),
+        F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+    )
+
+
+@q(
+    "lsh_candidate_cost_curve",
+    f"""WITH {_NEARDUP_CORPUS_SQL.strip()},
+       tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+       sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM tok),
+       shf AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+               FROM sh WHERE sh <> ''),
+       seeds AS (SELECT unnest(range(0, {_MINHASH_K})) AS seed),
+       sigs AS (SELECT doc_id, seed,
+                       MIN(((62675 * (seed + 1) + 1) * h + (12345 + 7919 * seed))
+                           % {2147483647}) AS mh
+                FROM shf, seeds GROUP BY 1, 2),
+       cfg AS (SELECT unnest([2, 4, 8]) AS r),
+       bands AS (
+         SELECT c.r, s.doc_id, CAST(floor(s.seed / c.r) AS INT) AS band,
+                string_agg(CAST(s.mh AS VARCHAR), '|' ORDER BY s.seed)
+                  AS band_key
+         FROM sigs s CROSS JOIN cfg c GROUP BY 1, 2, 3),
+       buckets AS (
+         SELECT r, band, band_key, COUNT(*) AS n_docs
+         FROM bands GROUP BY 1, 2, 3),
+       cost AS (
+         SELECT r,
+                CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_colliding_buckets,
+                CAST(SUM(n_docs * (n_docs - 1) / 2) AS BIGINT)
+                  AS n_candidate_probes
+         FROM buckets GROUP BY 1),
+       nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM sigs)
+       SELECT CAST({_MINHASH_K} / r AS INT) AS n_bands,
+              CAST(r AS INT) AS rows_per_band,
+              ROUND(POW(1.0 / ({_MINHASH_K} / r), 1.0 / r), 4)
+                AS s_threshold,
+              n_buckets, n_colliding_buckets, n_candidate_probes,
+              ROUND(CAST(n_candidate_probes AS DOUBLE) / nd.n_docs, 4)
+                AS probes_per_doc
+       FROM cost CROSS JOIN nd ORDER BY rows_per_band""",
+)
+def lsh_candidate_cost_curve(spark, sf_dir):
+    """The COST side of LSH band planning (minhash_band_sensitivity
+    measures the RECALL side): for each band layout (8×2 / 4×4 / 2×8
+    over the 16-hash signatures), the number of candidate probes the
+    bucket join would generate — Σ C(bucket_size, 2) computed from
+    bucket COUNTS, without materializing a single pair. probes/doc
+    is the number a pipeline owner multiplies by corpus size to
+    price a layout at 100 TB; more bands buy recall at exactly this
+    measured candidate-generation cost. Same signature algebra as
+    the production path (operators/dedup.py), so the curve prices
+    the real pipeline."""
+    docs = _neardup_corpus(load_table(spark, sf_dir, "documents", fanout=True))
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", k=_MINHASH_K, shingle_n=3
+    )
+    cfg = spark.createDataFrame([(2,), (4,), (8,)], "r int")
+    bands = (
+        sigs.crossJoin(F.broadcast(cfg))
+        .withColumn("band", F.floor(F.col("seed") / F.col("r")).cast("int"))
+        .groupBy("r", "doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    buckets = bands.groupBy("r", "band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cost = buckets.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("n_docs") > 1).cast("int"))
+        .cast("long")
+        .alias("n_colliding_buckets"),
+        F.sum(F.col("n_docs") * (F.col("n_docs") - 1) / 2)
+        .cast("long")
+        .alias("n_candidate_probes"),
+    )
+    nd = sigs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    return (
+        cost.crossJoin(F.broadcast(nd))
+        .select(
+            (F.lit(_MINHASH_K) / F.col("r")).cast("int").alias("n_bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+            F.round(
+                F.pow(
+                    1.0 / (F.lit(_MINHASH_K) / F.col("r")), 1.0 / F.col("r")
+                ),
+                4,
+            ).alias("s_threshold"),
+            "n_buckets",
+            "n_colliding_buckets",
+            "n_candidate_probes",
+            F.round(
+                F.col("n_candidate_probes").cast("double") / F.col("n_docs"),
+                4,
+            ).alias("probes_per_doc"),
+        )
+        .orderBy("rows_per_band")
+    )

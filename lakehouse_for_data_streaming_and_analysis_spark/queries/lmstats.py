@@ -1060,3 +1060,73 @@ def perplexity_bucket_curriculum(spark, sf_dir):
         ).alias("token_share"),
         F.round(raw_w / F.sum(raw_w).over(w_all), 6).alias("sample_weight"),
     )
+
+
+@q(
+    "roc_auc_doc_length",
+    """WITH scored AS (
+         SELECT n_chars AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       per_s AS (
+         SELECT s, SUM(y) AS k1, COUNT(*) - SUM(y) AS k0,
+                COUNT(*) AS c
+         FROM scored GROUP BY 1),
+       ranked AS (
+         SELECT k1, c,
+                COALESCE(SUM(c) OVER (ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior
+         FROM per_s),
+       tot AS (SELECT SUM(k1) AS n1, SUM(k0) AS n0 FROM per_s),
+       rsum AS (
+         SELECT SUM(k1 * (2 * (prior + 1) + c - 1)) AS r1_x2
+         FROM ranked)
+       SELECT CAST(n1 AS BIGINT) AS n_pos,
+              CAST(n0 AS BIGINT) AS n_neg,
+              ROUND((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+                    / (n1 * n0), 4) AS auc,
+              ROUND(2 * ((CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2)
+                         / (n1 * n0)) - 1, 4) AS gini
+       FROM rsum CROSS JOIN tot""",
+)
+def roc_auc_doc_length(spark, sf_dir):
+    """Exact ROC-AUC of a one-feature classifier (document length
+    predicting lang = 'en') via the rank-sum identity
+    AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) — the Mann-Whitney relation, so
+    the whole curve-integral reduces to ONE doubled-integer rank sum
+    with average-rank ties (no threshold sweep, no per-point
+    trapezoid). This is the classifier-eval primitive the quality-
+    classifier pipeline needs at 100 TB: a grouped count per distinct
+    score + one cumulative window, never a sort of raw rows. AUC≈0.5
+    here IS the finding (length alone does not identify English) —
+    the eval machinery is the deliverable."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    scored = docs.select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_s = scored.groupBy("s").agg(
+        F.sum("y").alias("k1"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("k0"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.select(
+        "k1", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("prior")
+    )
+    tot = per_s.agg(F.sum("k1").alias("n1"), F.sum("k0").alias("n0"))
+    rsum = ranked.agg(
+        F.sum(
+            F.col("k1") * (2 * (F.col("prior") + 1) + F.col("c") - 1)
+        ).alias("r1_x2")
+    )
+    auc = (
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    ) / (F.col("n1") * F.col("n0"))
+    return rsum.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(auc, 4).alias("auc"),
+        F.round(2 * auc - 1, 4).alias("gini"),
+    )

@@ -1159,3 +1159,172 @@ def degree_powerlaw_fit(spark, sf_dir):
             4,
         ).alias("ccdf_loglog_slope"),
     ).orderBy("degree")
+
+
+# ----------------------------------------------- round-8 graph metrics
+
+
+@q(
+    "degree_assortativity_handoff",
+    """WITH raw AS (
+         SELECT user_id AS src,
+                LEAD(user_id) OVER (PARTITION BY event_type
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS dst
+         FROM events),
+       e AS (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM raw WHERE dst IS NOT NULL AND dst <> src),
+       deg AS (
+         SELECT v, CAST(COUNT(*) AS DOUBLE) AS d
+         FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         GROUP BY 1),
+       ends AS (
+         SELECT da.d AS dx, db.d AS dy FROM e
+         JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+       sym AS (
+         SELECT dx, dy FROM ends UNION ALL SELECT dy, dx FROM ends)
+       SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+              ROUND((AVG(dx * dy) - AVG(dx) * AVG(dy))
+                    / NULLIF(STDDEV_POP(dx) * STDDEV_POP(dy), 0), 4)
+                AS assortativity,
+              ROUND(AVG(dx), 4) AS mean_end_degree
+       FROM sym""",
+)
+def degree_assortativity_handoff(spark, sf_dir):
+    """Degree assortativity of the user hand-off graph: the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list
+    (each undirected edge contributes both orientations — Newman's
+    definition; correlating one arbitrary orientation biases r).
+    Positive = hubs link hubs (social nets), negative = hub-and-spoke
+    (the degree_powerlaw_fit companion that says how the heavy tail
+    WIRES). Two broadcast-sized joins of the degree table onto the
+    edge list; exact-integer degrees into a closed-form CORR."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    ends = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "dx"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "dy"), "b")
+        .select("dx", "dy")
+    )
+    sym = ends.unionByName(ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    # explicit null-safe Pearson: ANSI-mode corr() raises
+    # DIVIDE_BY_ZERO on a zero-variance side (tiny graphs), where
+    # NULL is the honest answer — and the identical spelled-out
+    # formula keeps both engines on the same expression
+    r = (
+        F.avg(F.col("dx") * F.col("dy")) - F.avg("dx") * F.avg("dy")
+    ) / F.nullif(
+        F.stddev_pop("dx") * F.stddev_pop("dy"), F.lit(0.0)
+    )
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(r, 4).alias("assortativity"),
+        F.round(F.avg("dx"), 4).alias("mean_end_degree"),
+    )
+
+
+@q(
+    "rich_club_coefficient",
+    """WITH raw AS (
+         SELECT user_id AS src,
+                LEAD(user_id) OVER (PARTITION BY event_type
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS dst
+         FROM events),
+       e AS (
+         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         FROM raw WHERE dst IS NOT NULL AND dst <> src),
+       deg AS (
+         SELECT v, COUNT(*) AS d
+         FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+         GROUP BY 1),
+       ks AS (SELECT UNNEST([5, 10, 20]) AS k),
+       club AS (
+         SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_club
+         FROM deg CROSS JOIN ks k WHERE deg.d > k.k GROUP BY 1),
+       club_edges AS (
+         SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_club
+         FROM e JOIN deg da ON e.a = da.v
+                JOIN deg db ON e.b = db.v
+         CROSS JOIN ks k
+         WHERE da.d > k.k AND db.d > k.k
+         GROUP BY 1)
+       SELECT c.k, c.n_club,
+              COALESCE(ce.e_club, 0) AS e_club,
+              ROUND(2.0 * COALESCE(ce.e_club, 0)
+                    / NULLIF(c.n_club * (c.n_club - 1), 0), 6)
+                AS rich_club_phi
+       FROM club c LEFT JOIN club_edges ce ON c.k = ce.k""",
+)
+def rich_club_coefficient(spark, sf_dir):
+    """Rich-club coefficient φ(k) = 2·E_club/(n_club·(n_club−1)) for
+    degree thresholds k ∈ {5, 10, 20}: do the highest-degree users
+    form a densely interlinked core? Degrees join onto the edge list
+    (broadcast-sized), the threshold grid is a 3-row constant cross
+    join (sanctioned scalar-BNLJ), and φ is a ratio of exact
+    integers — closed form, no iteration, unlike the peel-based
+    k-core which is fixpoint-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_timestamp("ts"), "event_id"
+    )
+    raw = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    e = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    club = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_club"))
+    )
+    club_edges = (
+        e.join(
+            deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a"
+        )
+        .join(
+            deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b"
+        )
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_club"))
+    )
+    return club.join(club_edges, "k", "left").select(
+        "k",
+        "n_club",
+        F.coalesce("e_club", F.lit(0)).alias("e_club"),
+        F.round(
+            2.0
+            * F.coalesce("e_club", F.lit(0))
+            / F.nullif(
+                (F.col("n_club") * (F.col("n_club") - 1)).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rich_club_phi"),
+    )

@@ -345,3 +345,114 @@ def _bpe_tokenize_oracle() -> str | None:
               COUNT(*) AS n_words,
               CAST(SUM(n_sub) AS BIGINT) AS n_subwords
        FROM s JOIN v USING (word) GROUP BY 1"""
+
+
+# ------------------------------------------- round-8 training plumbing
+
+
+@q(
+    "hashing_collision_sweep",
+    """WITH toks AS (
+         SELECT DISTINCT unnest(string_split_regex(lower(trim(text)),
+                                '\\s+')) AS tok
+         FROM documents),
+       clean AS (SELECT tok FROM toks WHERE tok <> ''),
+       widths AS (SELECT unnest([256, 1024, 4096]) AS w),
+       bucketed AS (
+         SELECT w.w,
+                ('0x' || substr(md5(c.tok), 1, 8))::BIGINT % w.w AS b
+         FROM clean c CROSS JOIN widths w),
+       occ AS (SELECT w, b, COUNT(*) AS load FROM bucketed GROUP BY 1, 2),
+       vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM clean)
+       SELECT occ.w AS width,
+              v.n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS buckets_occupied,
+              ROUND(1.0 - COUNT(*) / CAST(v.n_tokens AS DOUBLE), 4)
+                AS collision_rate,
+              CAST(MAX(load) AS BIGINT) AS max_bucket_load,
+              ROUND(AVG(load), 4) AS mean_bucket_load
+       FROM occ CROSS JOIN vocab v GROUP BY 1, 2""",
+)
+def hashing_collision_sweep(spark, sf_dir):
+    """Feature-hashing width sweep: for 256/1024/4096-bucket hashed
+    bag-of-words spaces, the DISTINCT-token collision rate
+    (1 − occupied/vocab), the worst bucket load, and the mean load —
+    the table that prices hashed_bow_vectorize's width choice (too
+    narrow silently merges features; the sweep shows exactly how
+    much). One distinct-token pass crossed with a 3-row width grid;
+    loads are exact integers from the same md5 bucket function as
+    the production vectorizer."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = (
+        docs.select(F.explode(textfns.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    widths = spark.createDataFrame([(256,), (1024,), (4096,)], "w int")
+    bucketed = toks.crossJoin(F.broadcast(widths)).select(
+        "w",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % F.col("w")
+        ).alias("b"),
+    )
+    occ = bucketed.groupBy("w", "b").agg(F.count(F.lit(1)).alias("load"))
+    vocab = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        occ.crossJoin(F.broadcast(vocab))
+        .groupBy(F.col("w").alias("width"), "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buckets_occupied"),
+            F.round(
+                1.0
+                - F.count(F.lit(1)) / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("collision_rate"),
+            F.max("load").cast("long").alias("max_bucket_load"),
+            F.round(F.avg("load"), 4).alias("mean_bucket_load"),
+        )
+    )
+
+
+@q(
+    "class_balance_weights",
+    """WITH cls AS (
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1),
+       tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS INT) AS k
+               FROM cls)
+       SELECT c.lang, c.n,
+              ROUND(CAST(t.total AS DOUBLE) / (t.k * c.n), 4)
+                AS inv_freq_weight,
+              ROUND((1 - POW(0.999, c.n))
+                    / (1 - 0.999), 4) AS effective_n_beta999,
+              ROUND(CAST(c.n AS DOUBLE) / t.total, 4) AS share
+       FROM cls c CROSS JOIN tot t""",
+)
+def class_balance_weights(spark, sf_dir):
+    """Class-imbalance reweighting table for the language label:
+    inverse-frequency weights N/(k·n_c) (the loss-reweighting
+    default) and the effective-number-of-samples correction
+    (1−β^n)/(1−β) at β=0.999 (Cui et al.'s class-balanced loss —
+    down-weights the diminishing returns of very frequent classes).
+    One tiny aggregate + a 1-row broadcast; the weights feed a
+    training-mix sampler the same way temperature_mixture_weights
+    feeds source mixing."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    cls = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cls.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).cast("int").alias("k")
+    )
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.round(
+            F.col("total").cast("double") / (F.col("k") * F.col("n")), 4
+        ).alias("inv_freq_weight"),
+        F.round(
+            (1 - F.pow(F.lit(0.999), F.col("n"))) / (1 - 0.999), 4
+        ).alias("effective_n_beta999"),
+        F.round(F.col("n").cast("double") / F.col("total"), 4).alias(
+            "share"
+        ),
+    )
