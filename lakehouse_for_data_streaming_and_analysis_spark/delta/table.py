@@ -484,6 +484,71 @@ class DeltaishTable:
             )
         return int(n)
 
+    def set_domain_metadata(self, domain: str, configuration: str) -> int:
+        """Write (or overwrite — last-writer-wins on replay) a named
+        metadata domain: the spec's extension point for engine- or
+        user-scoped table state that must ride the log and survive
+        checkpoints (row tracking and liquid clustering keep their
+        state in exactly this mechanism). ``delta.``-prefixed domains
+        are reserved for protocol features and refused here. First
+        use upgrades the protocol with the domainMetadata writer
+        feature."""
+        if domain.startswith("delta."):
+            raise ValueError(
+                f"domain {domain!r} is reserved (delta.* domains belong "
+                "to protocol features; use their dedicated APIs)"
+            )
+        snap = self._snapshot()
+        actions: list[dict] = []
+        proto = snap.protocol or {}
+        if "domainMetadata" not in (proto.get("writerFeatures") or []):
+            actions.append(
+                {
+                    "protocol": self._protocol_with_features(
+                        snap, {"domainMetadata"}
+                    )
+                }
+            )
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": False,
+                }
+            }
+        )
+        actions.append(
+            dlog.commit_info("SET DOMAIN METADATA", domain=domain)
+        )
+        return self._commit_next(actions, read_version=snap.version)
+
+    def remove_domain_metadata(self, domain: str) -> int:
+        """Tombstone a metadata domain (the spec's removed=true form —
+        replay drops it; a checkpoint then forgets it entirely)."""
+        if domain.startswith("delta."):
+            raise ValueError(f"domain {domain!r} is reserved")
+        snap = self._snapshot()
+        if domain not in snap.domains:
+            raise ValueError(f"no such domain {domain!r}")
+        return self._commit_next(
+            [
+                {
+                    "domainMetadata": {
+                        "domain": domain,
+                        "configuration": "",
+                        "removed": True,
+                    }
+                },
+                dlog.commit_info("REMOVE DOMAIN METADATA", domain=domain),
+            ],
+            read_version=snap.version,
+        )
+
+    def domain_metadata(self, domain: str) -> str | None:
+        """The live configuration of a domain, or None."""
+        return self._snapshot().domains.get(domain)
+
     def enable_row_tracking(self) -> int:
         """ALTER TABLE ... SET TBLPROPERTIES
         ('delta.enableRowTracking' = 'true'): every row gets a STABLE

@@ -4201,6 +4201,320 @@ def deltalog_stats_columns_audit(spark, sf_dir):
     )
 
 
+@q(
+    "deltalog_domain_metadata_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 300),
+       fin AS (SELECT * FROM base UNION ALL
+               SELECT * FROM base WHERE o_orderkey < 10)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS last_writer_wins,
+              TRUE AS tombstone_removes,
+              TRUE AS survives_checkpoint_and_cleanup,
+              TRUE AS reserved_domains_refused
+       FROM fin""",
+)
+def deltalog_domain_metadata_audit(spark, sf_dir):
+    """domainMetadata actions end-to-end (spec: named metadata
+    domains; delta/table.py set/remove_domain_metadata): a domain
+    overwritten in a later commit must replay LAST-WRITER-WINS; a
+    removed=true tombstone must drop it; a surviving domain must ride
+    the parquet CHECKPOINT past log cleanup (the only artifact that
+    carries it once early commits are deleted); and delta.*-reserved
+    names must refuse (they belong to protocol features — row
+    tracking and liquid clustering store their state in exactly this
+    mechanism). Scratch table per-invocation; final table equals the
+    relational recompute."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 300)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"dm-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        t.set_domain_metadata("app.pipeline", '{"owner":"etl","v":1}')
+        t.set_domain_metadata("app.pipeline", '{"owner":"etl","v":2}')
+        t.set_domain_metadata("app.tmp", '{"scratch":true}')
+        lww = t.domain_metadata("app.pipeline") == '{"owner":"etl","v":2}'
+        t.remove_domain_metadata("app.tmp")
+        tombstoned = t.domain_metadata("app.tmp") is None
+        # checkpoint carries the domain; cleanup deletes the commits
+        dlog.write_checkpoint(table_dir)
+        t.append(orders.filter(F.col("o_orderkey") < 10))
+        t.cleanup_metadata(retention_hours=0)
+        t2 = DeltaishTable(spark, table_dir)
+        survives = (
+            t2.domain_metadata("app.pipeline") == '{"owner":"etl","v":2}'
+            and t2.domain_metadata("app.tmp") is None
+        )
+        try:
+            t2.set_domain_metadata("delta.rowTracking", "{}")
+            reserved_refused = False
+        except ValueError:
+            reserved_refused = True
+        row = (
+            t2.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, lww, tombstoned, survives, reserved_refused)],
+        "n_rows long, total_price double, last_writer_wins boolean, "
+        "tombstone_removes boolean, survives_checkpoint_and_cleanup "
+        "boolean, reserved_domains_refused boolean",
+    )
+
+
+@q(
+    "deltalog_protocol_conflict_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 300)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price,
+              TRUE AS loser_refused,
+              TRUE AS winner_features_intact,
+              TRUE AS rerun_carries_both,
+              TRUE AS append_blocked_past_protocol_change
+       FROM base""",
+)
+def deltalog_protocol_conflict_audit(spark, sf_dir):
+    """ProtocolChangedException semantics end-to-end (the round-8
+    OCC fix, delta/table.py _commit_next): two feature-enables racing
+    from one snapshot — the loser must REFUSE (``loser_refused``)
+    instead of clobbering the winner's feature list
+    (``winner_features_intact``); rerun on the fresh snapshot carries
+    BOTH features (``rerun_carries_both``); and an append whose
+    writer-protocol validation predates an intervening protocol
+    commit refuses too (``append_blocked_past_protocol_change``).
+    Scratch table per-invocation; table data never changes."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable
+    from ..delta import log as dlog
+    from ..delta.log import ConcurrentCommitError
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 300)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"pc-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        stale = DeltaishTable(spark, table_dir)
+        stale_v = stale.version  # force its snapshot read
+        # rival lands its upgrade first
+        t.enable_vacuum_protocol_check()
+        try:
+            # loser computed from the stale snapshot
+            stale._commit_next(
+                [
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": ["v2Checkpoint"],
+                            "writerFeatures": ["v2Checkpoint"],
+                        }
+                    },
+                    dlog.commit_info("RIVAL UPGRADE"),
+                ],
+                read_version=stale_v,
+            )
+            loser_refused = False
+        except ConcurrentCommitError:
+            loser_refused = True
+        proto = t._snapshot().protocol
+        winner_intact = "vacuumProtocolCheck" in (
+            proto.get("writerFeatures") or []
+        )
+        t.enable_v2_checkpoints()  # rerun on the fresh snapshot
+        proto = t._snapshot().protocol
+        both = {"vacuumProtocolCheck", "v2Checkpoint"} <= set(
+            proto.get("writerFeatures") or []
+        )
+        # append validated against the pre-upgrade protocol refuses
+        pre = t.version
+        t.enable_in_commit_timestamps()
+        try:
+            t._commit_next(
+                [dlog.commit_info("LATE APPEND")],
+                retry_append=True,
+                read_version=pre,
+            )
+            append_blocked = False
+        except ConcurrentCommitError:
+            append_blocked = True
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, loser_refused, winner_intact, both, append_blocked)],
+        "n_rows long, total_price double, loser_refused boolean, "
+        "winner_features_intact boolean, rerun_carries_both boolean, "
+        "append_blocked_past_protocol_change boolean",
+    )
+
+
+@q(
+    "deltalog_inline_dv_audit",
+    """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                     WHERE o_orderkey <= 300),
+       kept AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after_dv,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_price_after_dv,
+              TRUE AS inline_dv_applied,
+              TRUE AS purge_materializes,
+              TRUE AS corrupt_inline_refused
+       FROM kept""",
+)
+def deltalog_inline_dv_audit(spark, sf_dir):
+    """INLINE deletion vectors (storageType 'i' — the spec's
+    small-DV form real writers emit for tiny masks, base85 payload in
+    the descriptor itself, no sidecar file): a foreign-style commit
+    re-adds the table's files with handwritten inline DVs masking
+    every o_orderkey % 3 = 0 row; the scan must drop exactly those
+    rows (``inline_dv_applied``), purge() must materialize the DVs
+    into plain files with identical rows (``purge_materializes``),
+    and a corrupted inline payload (sizeInBytes > decoded length)
+    must refuse loudly (``corrupt_inline_refused``) — the
+    strict-decode-or-refuse contract. The writer's own MOR path emits
+    'u' files (deltalog_mor_delete_audit); this pins the read side of
+    the OTHER spec encoding end-to-end."""
+    import shutil
+    import uuid
+
+    from ..delta import DeltaishTable, roaring
+    from ..delta import log as dlog
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 300)
+    )
+    table_dir = os.path.join(
+        _replay_dir(sf_dir, "deltalog"), f"idv-{uuid.uuid4().hex}"
+    )
+    try:
+        t = DeltaishTable.create(spark, table_dir, orders)
+        snap = t._snapshot()
+        # handwrite inline DVs: per file, the positions of rows with
+        # o_orderkey % 3 == 0 in the file's own row order
+        actions = t._dv_protocol_actions(snap)
+        import pyarrow.parquet as pq
+
+        for rel, add in snap.files.items():
+            tbl = pq.read_table(os.path.join(table_dir, rel))
+            keys = tbl.column("o_orderkey").to_pylist()
+            dead = [i for i, k in enumerate(keys) if k % 3 == 0]
+            if not dead:
+                continue
+            data = roaring.serialize_rbm_array(dead)
+            new_add = dict(add)
+            new_add["deletionVector"] = {
+                "storageType": "i",
+                "pathOrInlineDv": roaring.b85_encode(
+                    data + b"\x00" * (-len(data) % 4)
+                ),
+                "offset": 0,
+                "sizeInBytes": len(data),
+                "cardinality": len(dead),
+            }
+            new_add["dataChange"] = True
+            actions.append({"remove": t._tombstone(rel)})
+            actions.append({"add": new_add})
+        actions.append(dlog.commit_info("FOREIGN INLINE DV DELETE"))
+        t._commit_next(actions, read_version=snap.version)
+
+        got = t.read()
+        expected = orders.filter(F.col("o_orderkey") % 3 != 0)
+        applied = (
+            got.count() == expected.count()
+            and got.filter(F.col("o_orderkey") % 3 == 0).count() == 0
+        )
+        before = sorted(r[0] for r in got.select("o_orderkey").collect())
+        t.purge()  # materialize DVs into rewritten files
+        snap2 = t._snapshot()
+        no_dvs = not any(
+            a.get("deletionVector") for a in snap2.files.values()
+        )
+        after = sorted(
+            r[0] for r in t.read().select("o_orderkey").collect()
+        )
+        purged_ok = no_dvs and before == after
+
+        # corrupt inline payload: sizeInBytes beyond decoded length
+        bad = dict(next(iter(snap2.files.values())))
+        bad["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": roaring.b85_encode(b"\x00" * 8),
+            "offset": 0,
+            "sizeInBytes": 99,
+            "cardinality": 1,
+        }
+        try:
+            t.dv_positions(bad["deletionVector"])
+            corrupt_refused = False
+        except ValueError:
+            corrupt_refused = True
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                )
+                .cast("double")
+                .alias("total_price"),
+            )
+            .collect()[0]
+        )
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [(*row, applied, purged_ok, corrupt_refused)],
+        "n_rows_after_dv long, total_price_after_dv double, "
+        "inline_dv_applied boolean, purge_materializes boolean, "
+        "corrupt_inline_refused boolean",
+    )
+
+
 def _with_pinned_shuffle(fn):
     def wrapped(spark, sf_dir):
         with _pinned_shuffle(spark):
@@ -4247,5 +4561,8 @@ for _name in (
     "deltalog_type_widening_audit",
     "deltalog_occ_conflict_audit",
     "deltalog_compaction_audit",
+    "deltalog_domain_metadata_audit",
+    "deltalog_protocol_conflict_audit",
+    "deltalog_inline_dv_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])

@@ -5579,3 +5579,25 @@ def test_version_checksum_foreign_or_empty_crc_is_not_valid(spark, tmp_path):
         json.dump({"numFiles": 999, "tableSizeBytes": 1}, f)
     with pytest.raises(ValueError, match="checksum mismatch"):
         dlog.validate_version_checksum(str(t.path), t.version)
+
+
+def test_domain_metadata_api_lifecycle(spark, tmp_path):
+    """Public domainMetadata surface (r8): set / overwrite (last
+    writer wins) / read / tombstone, protocol feature on first use,
+    checkpoint carriage past log cleanup, and delta.* reservation."""
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), _orders(spark, 10))
+    t.set_domain_metadata("app.x", "a")
+    assert "domainMetadata" in t._snapshot().protocol["writerFeatures"]
+    t.set_domain_metadata("app.x", "b")
+    t.set_domain_metadata("app.y", "c")
+    assert t.domain_metadata("app.x") == "b"
+    t.remove_domain_metadata("app.y")
+    assert t.domain_metadata("app.y") is None
+    with pytest.raises(ValueError, match="reserved"):
+        t.set_domain_metadata("delta.anything", "{}")
+    with pytest.raises(ValueError, match="no such domain"):
+        t.remove_domain_metadata("app.y")
+    dlog.write_checkpoint(str(t.path))
+    t.append(_orders(spark, 3))
+    t.cleanup_metadata(retention_hours=0)
+    assert DeltaishTable(spark, t.path).domain_metadata("app.x") == "b"
