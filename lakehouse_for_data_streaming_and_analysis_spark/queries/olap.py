@@ -1879,3 +1879,73 @@ def supplier_type_coverage_deciles(spark, sf_dir):
     return ratio.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers")
     )
+
+
+@q(
+    "sessionization_gap_sensitivity",
+    """WITH ev AS (
+         SELECT user_id,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+                event_id
+         FROM events),
+       gaps AS (SELECT UNNEST([900, 1800, 3600]) AS gap),
+       lagged AS (
+         SELECT user_id, t,
+                LAG(t) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS t0
+         FROM ev),
+       starts AS (
+         SELECT g.gap, l.user_id,
+                CASE WHEN l.t0 IS NULL OR l.t - l.t0 > g.gap
+                     THEN 1 ELSE 0 END AS is_start
+         FROM lagged l CROSS JOIN gaps g),
+       per_user AS (
+         SELECT gap, user_id, SUM(is_start) AS n_sessions,
+                COUNT(*) AS n_events
+         FROM starts GROUP BY 1, 2)
+       SELECT gap AS gap_seconds,
+              CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              ROUND(AVG(CAST(n_events AS DOUBLE) / n_sessions), 4)
+                AS mean_events_per_session,
+              CAST(MAX(n_sessions) AS BIGINT) AS max_sessions_per_user
+       FROM per_user GROUP BY 1""",
+)
+def sessionization_gap_sensitivity(spark, sf_dir):
+    """Session-definition sensitivity sweep: the same lag-gap
+    sessionizer at 15/30/60-minute inactivity thresholds, reporting
+    how the session census responds — the calibration table behind
+    every 'sessions' metric (sessionize_user_events pins ONE gap;
+    the sweep shows the metric's sensitivity to that choice, which
+    is what a data consumer needs before trusting it). One per-user
+    lag window computed ONCE, a 3-row constant cross join applying
+    all thresholds to the same lags — the window never re-runs per
+    config. Session counts are exact integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = ev.select("user_id", "t", F.lag("t").over(w).alias("t0"))
+    gaps = spark.createDataFrame([(900,), (1800,), (3600,)], "gap int")
+    starts = lagged.crossJoin(F.broadcast(gaps)).select(
+        "gap",
+        "user_id",
+        F.when(
+            F.col("t0").isNull() | (F.col("t") - F.col("t0") > F.col("gap")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    per_user = starts.groupBy("gap", "user_id").agg(
+        F.sum("is_start").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.groupBy(F.col("gap").alias("gap_seconds")).agg(
+        F.sum("n_sessions").cast("long").alias("total_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.avg(F.col("n_events").cast("double") / F.col("n_sessions")), 4
+        ).alias("mean_events_per_session"),
+        F.max("n_sessions").cast("long").alias("max_sessions_per_user"),
+    )

@@ -635,3 +635,71 @@ def hll_daily_union_users(spark, sf_dir):
             ).alias("within_rel_error"),
         )
     )
+
+
+@q(
+    "sketch_operator_swap_gate",
+    f"""WITH pos AS (SELECT event_type AS k, value AS v FROM events
+                     WHERE value > 0),
+  qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+  per_v AS (SELECT k, v, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+  cumv AS (SELECT k, v, SUM(c) OVER (PARTITION BY k ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                  SUM(c) OVER (PARTITION BY k) AS n
+           FROM per_v),
+  exact AS (SELECT k, qs.q,
+                   MIN(CASE WHEN cum >= CEIL(qs.q * n) THEN v END) AS ex
+            FROM cumv CROSS JOIN qs GROUP BY 1, 2),
+  b AS (SELECT k, CAST(CEIL(LN(v)/LN({_GAMMA_SQL})) AS BIGINT) AS bkt
+        FROM pos),
+  s AS (SELECT k, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+  cumb AS (SELECT k, bkt,
+                  SUM(c) OVER (PARTITION BY k ORDER BY bkt
+                               ROWS UNBOUNDED PRECEDING) AS cumc,
+                  SUM(c) OVER (PARTITION BY k) AS n
+           FROM s),
+  pick AS (SELECT k, qs.q,
+                  MIN(CASE WHEN cumc >= CEIL(qs.q * n) THEN bkt END) AS pb
+           FROM cumb CROSS JOIN qs GROUP BY 1, 2)
+  SELECT e.k AS event_type, e.q,
+         ROUND(e.ex, 6) AS exact_value,
+         ROUND(2.0 * POW({_GAMMA_SQL}, p.pb) / ({_GAMMA_SQL} + 1.0), 6)
+           AS sketch_value,
+         CAST(ABS(2.0 * POW({_GAMMA_SQL}, p.pb) / ({_GAMMA_SQL} + 1.0)
+                  - e.ex)
+              <= {_ALPHA!r} * (1 + 1e-9) * e.ex AS BOOLEAN)
+           AS within_alpha
+  FROM exact e JOIN pick p ON e.k = p.k AND e.q = p.q""",
+)
+def sketch_operator_swap_gate(spark, sf_dir):
+    """The one-line-swap contract of the UNIFIED sketch operator
+    (operators/sketches.py, VERDICT r7 ask #6) made driver-visible:
+    the SAME ``quantiles(df, keys, col, qs, exact=)`` call runs in
+    both modes, the two results join on their identical output
+    schema, and every estimate must sit within the DDSketch α of its
+    exact rank-quantile twin — the accuracy gate that makes swapping
+    exact→sketch at 100 TB a parameter change instead of a rewrite.
+    Both modes use rank (percentile_disc) semantics, the quantity
+    the sketch guarantee actually bounds."""
+    from ..operators import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = [0.5, 0.9, 0.99]
+    exact = sk.quantiles(ev, ["event_type"], "value", qs, exact=True)
+    approx = sk.quantiles(ev, ["event_type"], "value", qs, exact=False)
+    tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
+    return (
+        exact.withColumnRenamed("value", "ex")
+        .join(
+            approx.withColumnRenamed("value", "est"), ["event_type", "q"]
+        )
+        .select(
+            "event_type",
+            "q",
+            F.round("ex", 6).alias("exact_value"),
+            F.round("est", 6).alias("sketch_value"),
+            (F.abs(F.col("est") - F.col("ex")) <= tol * F.col("ex")).alias(
+                "within_alpha"
+            ),
+        )
+    )

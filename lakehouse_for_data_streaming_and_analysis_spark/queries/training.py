@@ -456,3 +456,65 @@ def class_balance_weights(spark, sf_dir):
             "share"
         ),
     )
+
+
+@q(
+    "stratified_kfold_assignment_audit",
+    """WITH folded AS (
+         SELECT lang,
+                ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                1, 6))::BIGINT % 5 AS fold
+         FROM documents),
+       cell AS (
+         SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n
+         FROM folded GROUP BY 1, 2),
+       per_lang AS (
+         SELECT lang, SUM(n) AS n_lang,
+                MAX(n) AS max_fold, MIN(n) AS min_fold
+         FROM cell GROUP BY 1)
+       SELECT lang,
+              CAST(n_lang AS BIGINT) AS n_docs,
+              CAST(max_fold AS BIGINT) AS largest_fold,
+              CAST(min_fold AS BIGINT) AS smallest_fold,
+              ROUND(CAST(max_fold - min_fold AS DOUBLE)
+                    / (CAST(n_lang AS DOUBLE) / 5), 4) AS imbalance_ratio
+       FROM per_lang""",
+)
+def stratified_kfold_assignment_audit(spark, sf_dir):
+    """Deterministic 5-fold assignment audit: folds come from a
+    salted md5 of the doc id (reproducible on any engine, any run —
+    no RNG, no shuffle-order dependence), and the audit reports the
+    per-language fold balance (largest/smallest fold and the
+    imbalance ratio against the ideal n/5). This is the split
+    machinery train_val_test_split uses, generalized to k folds with
+    the stratification BALANCE measured instead of assumed — at
+    100 TB the same hash assigns folds with zero coordination."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    folded = docs.select(
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+    )
+    cell = folded.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return cell.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.max("n").cast("long").alias("largest_fold"),
+        F.min("n").cast("long").alias("smallest_fold"),
+        F.round(
+            (F.max("n") - F.min("n")).cast("double")
+            / (F.sum("n").cast("double") / 5),
+            4,
+        ).alias("imbalance_ratio"),
+    )
