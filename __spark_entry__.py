@@ -101,11 +101,29 @@ ROWS_ONLY: tuple[str, ...] = ()
 #     winsorized_value_stats — 6 dp→4 dp stddev outputs after the
 #     tools/lint_round_precision.py pass; their old green rows are
 #     stale),
-# and the remaining ~43 slots carry round 8's additions, each sim +
-# dtype-lint + round-precision-lint green before staging. If all 50
-# come green the registry closes at full driver coverage for the
-# first time. Per the r7 process note, this round's additions are
-# BUDGETED to the free slots — nothing is staged past the window.
+# and 36 round-8 additions (positions 7-42, filling the window to 43
+# staged + 7 already-green names), each sim + dtype-lint +
+# round-precision-lint green before staging:
+#   8 hypothesis/robust statistics (queries/hypothesis.py — Jarque-
+#     Bera, Kruskal-Wallis, Brown-Forsythe, Cramér's V matrix,
+#     Grubbs, Durbin-Watson, Poisson-bootstrap CI, partial corr),
+#   8 market-microstructure/risk (timeseries.py — Amihud, Kyle's
+#     lambda, realized semivariance, drawdown duration + ulcer,
+#     trend/seasonal/residual split, turning points, intraday-KS,
+#     Cornish-Fisher VaR),
+#   7 ANSI surface (olap.py — null-aware NOT IN, LATERAL, bitmap
+#     exact distinct, nearest-asof with tolerance, time-RANGE frame,
+#     log2 histogram, coverage deciles),
+#   2 graph (product.py — degree assortativity, rich club),
+#   5 pipeline economics (containment near-dup, LSH cost curve,
+#     hashing collision sweep, class-balance weights, rank-sum AUC),
+#   3 transaction-log audits (domain metadata, protocol-conflict
+#     semantics, inline deletion vectors),
+#   3 misc (stratified k-fold audit, sessionization gap sweep, the
+#     unified-sketch swap gate).
+# If all 50 come green the registry (378 queries) closes at full
+# driver coverage. Per the r7 process note, additions are BUDGETED to
+# the window — nothing is staged past it.
 DRIVER_GREEN = (
     "ab_proportion_ztest",
     "abc_pareto_classification",

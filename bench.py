@@ -142,11 +142,17 @@ def main() -> None:
     # a record whose measured steal exceeds ~10% of timed wall is
     # noise-dominated, so retry up to $SPARK_GRAFT_BENCH_RETRIES times
     # and keep the attempt with the LOWEST steal fraction.
-    max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    # r8 (VERDICT r7 ask #7): the r7 driver record kept a 13%-steal
+    # attempt because both retries were worse — give the guard more
+    # attempts and a longer backoff by default so warm-vs-cold
+    # inversions stop reaching the committed record (clean sub-10%
+    # runs are attainable on this host; the extra attempts only
+    # trigger when the host is measurably noisy).
+    max_attempts = 1 + int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))
     # r6: a noisy host tends to STAY noisy for minutes — back-to-back
     # retries just resample the same interference. Sleep between
     # over-threshold attempts so transient neighbors pass.
-    backoff_s = float(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF", "60"))
+    backoff_s = float(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF", "90"))
     best = None
     for attempt in range(1, max_attempts + 1):
         timings, total, env = _timed_loop()
