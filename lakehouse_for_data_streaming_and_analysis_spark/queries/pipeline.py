@@ -91,6 +91,34 @@ def _ensure_bronze_replay(spark, sf_dir: str) -> str:
     return replay_dir
 
 
+def _pin_replay_mtimes(replay_dir: str, ts_col: str = "ts") -> None:
+    """FileStreamSource replays files in modification-time order with
+    path tie-breaks; files landed in one job (or milliseconds apart)
+    can tie, and the UUID part names then RANDOMIZE replay order —
+    silently breaking any replay whose exactness premise is ascending
+    event time (r8 post-mortem: a crash-injection control run lost 4
+    stream-stream matches to exactly this). Re-stamp mtimes in
+    min-event-time order with 2 s spacing so replay order IS event
+    order, deterministically."""
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(replay_dir, f)
+        for f in os.listdir(replay_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    keyed = sorted(
+        (
+            min(pq.read_table(f, columns=[ts_col]).column(ts_col).to_pylist()),
+            f,
+        )
+        for f in files
+    )
+    base = int(os.path.getmtime(keyed[0][1]))
+    for i, (_, f) in enumerate(keyed):
+        os.utime(f, (base + 2 * i, base + 2 * i))
+
+
 def _ensure_attr_replay(spark, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     replay_dir = _replay_dir(sf_dir, "attr")
@@ -100,6 +128,7 @@ def _ensure_attr_replay(spark, sf_dir: str) -> str:
         ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
         ).parquet(replay_dir)
+        _pin_replay_mtimes(replay_dir)
     return replay_dir
 
 
@@ -353,6 +382,7 @@ def _ensure_outer_attr_replay(spark, sf_dir: str) -> str:
                 sentinel.select(
                     [F.col(c).cast(dict(ev.dtypes)[c]) for c in ev.columns]
                 ).repartition(1).write.mode("append").parquet(replay_dir)
+        _pin_replay_mtimes(replay_dir)
     return replay_dir
 
 

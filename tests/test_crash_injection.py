@@ -49,6 +49,30 @@ def _run(stream_df, sink_body, ckpt, output_mode=None, expect_fail=False):
         assert q.awaitTermination(300)
 
 
+def _pin_replay_order(src: str, ts_col: str = "ts") -> None:
+    """FileStreamSource replays in modification-time order with
+    path-name tie-breaks; files written milliseconds apart (or in one
+    job) can tie, and the UUID part-file names then randomize the
+    replay order — which breaks the ascending-event-time premise the
+    watermark math relies on. Re-stamp mtimes in min-event-time order
+    with 2 s spacing so the replay order is the event-time order,
+    deterministically."""
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    keyed = sorted(
+        (min(pq.read_table(f, columns=[ts_col]).column(ts_col).to_pylist()), f)
+        for f in files
+    )
+    base = int(os.path.getmtime(keyed[0][1]))
+    for i, (_, f) in enumerate(keyed):
+        os.utime(f, (base + 2 * i, base + 2 * i))
+
+
 def _crashing_pre_marker(sink_dir, crash_batch):
     """Sink body that, at ``crash_batch``, lands the DATA then dies
     before the marker — state store already committed the batch's
@@ -120,6 +144,7 @@ def _outer_join_source_files(spark, tmp_path):
         )
     )
     sentinel.coalesce(1).write.mode("append").parquet(src)
+    _pin_replay_order(src)
     return src
 
 
@@ -233,6 +258,7 @@ def _session_source_files(spark, tmp_path):
             F.unix_timestamp(F.lit(base)) + F.lit(10 * 24 * 3600)
         ).alias("ts"),
     ).coalesce(1).write.mode("append").parquet(src)
+    _pin_replay_order(src)
     return src
 
 
