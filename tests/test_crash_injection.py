@@ -322,3 +322,99 @@ def test_session_window_survives_mid_batch_kill(spark, tmp_path):
     )
     # nothing dropped, nothing drifted
     assert _rows(got) == want_rows
+
+
+# ------------------------------------- custom stateful operator (P3)
+
+
+def _stateful_source(spark, tmp_path):
+    src = str(tmp_path / "stsrc")
+    if not os.path.exists(src):
+        (
+            spark.range(600)
+            .selectExpr(
+                "cast(id % 7 as string) as k",
+                "cast(id as double) as v",
+                "timestamp_seconds(1700000000 + id * 60) as ts",
+            )
+            .repartition(5)
+            .write.parquet(src)
+        )
+    return (
+        spark.readStream.schema("k string, v double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _final_per_key(spark, sink_dir):
+    """update-mode semantics: the live value per key is its row in the
+    LAST committed batch that contained the key."""
+    import re
+
+    batches = sorted(
+        int(m.group(1))
+        for m in (
+            re.match(r"_committed_(\d+)$", f) for f in os.listdir(sink_dir)
+        )
+        if m
+    )
+    out = {}
+    for b in batches:
+        for r in spark.read.parquet(
+            os.path.join(sink_dir, f"batch={b}")
+        ).collect():
+            out[r["key"]] = (r["n_rows"], r["total"])
+    return out
+
+
+def test_apply_in_pandas_with_state_survives_mid_batch_kill(spark, tmp_path):
+    """Crash injection for the CUSTOM stateful operator
+    (applyInPandasWithState running_stats): the state store committed
+    the batch's version, the sink marker did not. The redelivered
+    batch must fold from the ROLLED-BACK state — a replay folding
+    onto post-crash state would double-count every row of the batch
+    (n_rows/total inflated), and a dropped redelivery would
+    undercount. Final per-key running stats must equal BOTH the
+    uninterrupted control and the batch recompute."""
+    from lakehouse_for_data_streaming_and_analysis_spark.streaming import stateful
+
+    def stats_stream():
+        return stateful.running_stats(
+            _stateful_source(spark, tmp_path), "k", "v", "ts"
+        )
+
+    ctl_sink = str(tmp_path / "ctl_sink")
+    _run(
+        stats_stream(),
+        exactly_once.idempotent_foreach_batch(ctl_sink),
+        str(tmp_path / "ctl_ckpt"),
+        output_mode="update",
+    )
+    want = _final_per_key(spark, ctl_sink)
+    # ground truth: the batch recompute over the full input
+    truth = {
+        r["k"]: (r["n"], r["total"])
+        for r in spark.read.parquet(str(tmp_path / "stsrc"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 6).alias("total"),
+        )
+        .collect()
+    }
+    assert want == truth  # control itself is exactly-once
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    body, state = _crashing_pre_marker(sink, crash_batch=2)
+    _run(stats_stream(), body, ckpt, output_mode="update", expect_fail=True)
+    assert state["crashed"]
+    _run(
+        stats_stream(),
+        exactly_once.idempotent_foreach_batch(sink),
+        ckpt,
+        output_mode="update",
+    )
+    got = _final_per_key(spark, sink)
+    assert got == want  # no double-fold, no dropped redelivery
