@@ -314,11 +314,13 @@ def heavy_hitters(
     ``exact=True``: groupBy count + top-k — already map-side-combined,
     but the reduced table is O(distinct keys). ``exact=False``: a
     d×w count-min table estimates any candidate's frequency without
-    holding per-key state; ``candidates`` defaults to the distinct
-    keys of a ~10 % deterministic hash-sample (every true heavy
-    hitter appears in any constant-fraction sample w.h.p. — the
-    documented recall trade; pass an explicit candidate frame to
-    remove it)."""
+    holding per-key state; ``candidates`` defaults to the union of
+    each input partition's local top-4k keys (the Misra-Gries-style
+    pre-pass: any key with global frequency above n/(k+1) is a local
+    heavy hitter in at least one partition w.h.p., so the true top-k
+    survive the prune while the candidate set stays O(partitions·k)
+    instead of O(distinct keys)). Pass an explicit candidate frame to
+    replace the heuristic."""
     if exact:
         return (
             df.groupBy(key_col)
@@ -327,18 +329,15 @@ def heavy_hitters(
             .limit(k)
         )
     if candidates is None:
+        local = df.groupBy(
+            F.spark_partition_id().alias("__p"), F.col(key_col)
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("__p").orderBy(
+            F.desc("__c"), F.col(key_col)
+        )
         candidates = (
-            df.filter(
-                F.pmod(
-                    F.conv(
-                        F.substring(F.md5(F.col(key_col).cast("string")), 7, 4),
-                        16,
-                        10,
-                    ).cast("int"),
-                    F.lit(10),
-                )
-                == 0
-            )
+            local.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 4 * k)
             .select(key_col)
             .distinct()
         )
