@@ -374,7 +374,7 @@ def cramers_v_matrix(spark, sf_dir):
         F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
         F.max("n").alias("n"),
         F.countDistinct("a").alias("r"),
-        F.countDistinct("c" if False else "b").alias("c"),
+        F.countDistinct("b").alias("c"),
     )
     return chi.select(
         "dims",

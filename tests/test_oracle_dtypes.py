@@ -27,18 +27,10 @@ def test_all_oracle_round_precision_within_float64_budget():
     across engines). Executes every oracle at the test fixture and
     fails any float output column whose magnitude x 10^decimals
     exceeds the float64 cross-engine reproducibility budget."""
-    import os
-
     from tools.lint_round_precision import lint
 
-    prev = os.environ.get("SPARK_GRAFT_SIM_SF_DIR")
-    # the lint defaults to sf0.01; run it at the suite's fixture so
-    # this gate stays cheap, and rely on the round-close sf0.01 run
-    # for the full-magnitude check
-    try:
-        hazards, _unrounded, errors = lint()
-    finally:
-        if prev is not None:
-            os.environ["SPARK_GRAFT_SIM_SF_DIR"] = prev
+    # the lint reads SPARK_GRAFT_SIM_SF_DIR (default sf0.01) — the
+    # same fixture grain the driver hashes at
+    hazards, _unrounded, errors = lint()
     assert not errors, errors
     assert not hazards, hazards
