@@ -331,3 +331,26 @@ def test_both_readers_consume_spec_style_struct_checkpoint(spark, tmp_path):
     # mini-kernel still reads the combined log
     t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
     assert mk.sorted_rows(mk.read_table(str(root))) == _spark_rows(t.read())
+
+
+def test_minikernel_validates_version_checksums(spark, tmp_path):
+    """The writer's VERSION_CHECKSUM (.crc) artifacts validate under
+    the INDEPENDENT reader's own replay at every version — including
+    after deletes and rewrites — and a tampered crc is refused by
+    both implementations."""
+    df = _orders(spark, 40)
+    t = DeltaishTable.create(spark, str(tmp_path / "t"), df)
+    t.append(df.limit(6))
+    t.delete(F.col("o_orderkey") % 2 == 0)
+    t.overwrite(df.limit(9))
+    for v in range(t.version + 1):
+        assert mk.validate_crc(str(t.path), v) is True, v
+        assert dlog.validate_version_checksum(str(t.path), v) is True, v
+    p = dlog.checksum_file(str(t.path), t.version)
+    crc = json.load(open(p))
+    crc["numFiles"] += 1
+    json.dump(crc, open(p, "w"))
+    with pytest.raises(ValueError, match="mismatch"):
+        mk.validate_crc(str(t.path))
+    with pytest.raises(ValueError, match="mismatch"):
+        dlog.validate_version_checksum(str(t.path))

@@ -488,6 +488,41 @@ def read_table(table: str, version: int | None = None) -> pa.Table:
     return pa.concat_tables(chunks)
 
 
+def validate_crc(table: str, version: int | None = None) -> bool | None:
+    """Independent VERSION_CHECKSUM validation: replay the log with
+    THIS reader's state machine and compare the live-set summary
+    against the writer's ``<version>.crc``. Returns None when no crc
+    (or none with the protocol-core keys) exists, True on agreement,
+    and raises on disagreement — the same contract as the engine's
+    own validator, derived from none of its code."""
+    st = load_state(table, version)
+    p = os.path.join(_log_dir(table), f"{st.version:020d}.crc")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        stored = json.load(f)
+    if not all(k in stored for k in ("numFiles", "tableSizeBytes")):
+        return None
+    actual = {
+        "numFiles": len(st.adds),
+        "tableSizeBytes": sum(
+            int(a.get("size", 0) or 0) for a in st.adds.values()
+        ),
+    }
+    diffs = {
+        k: (stored[k], actual[k])
+        for k in actual
+        if stored[k] != actual[k]
+    }
+    if diffs:
+        raise ValueError(
+            f"crc mismatch at {st.version}: " + ", ".join(
+                f"{k} stored={s} actual={a}" for k, (s, a) in diffs.items()
+            )
+        )
+    return True
+
+
 def sorted_rows(tbl: pa.Table) -> list[tuple]:
     """Order-insensitive canonical rows for cross-reader comparison."""
     cols = sorted(tbl.column_names)
