@@ -57,21 +57,16 @@ def q(name: str, oracle: str | None = None):
 # alpha = 0.01 -> gamma = (1+a)/(1-a) = 101/99, pinned as an explicit
 # DOUBLE literal: Spark SQL would parse 101.0/99.0 as DECIMAL division
 # (different rounding), DuckDB as double — the repr of the Python
-# double is the one constant both engines parse to the same bits
-_GAMMA = 101.0 / 99.0
+# double is the one constant both engines parse to the same bits.
+# Since r8 the bucket algebra itself lives in operators/sketches.py
+# (the unified exact/approx operator API); these queries consume the
+# SAME expressions so the driver rows pin the operator's math.
+from ..operators.sketches import ALPHA as _ALPHA  # noqa: E402
+from ..operators.sketches import GAMMA as _GAMMA  # noqa: E402
+from ..operators.sketches import dd_bucket as _dd_bucket  # noqa: E402
+from ..operators.sketches import dd_estimate as _dd_estimate  # noqa: E402
+
 _GAMMA_SQL = repr(_GAMMA)
-_ALPHA = 0.01
-
-
-def _dd_bucket(col):
-    """DDSketch bucket index: ceil(log_gamma(x)) for x > 0."""
-    return F.ceil(F.log(col) / F.log(F.lit(_GAMMA))).cast("long")
-
-
-def _dd_estimate(bucket_col):
-    """Geometric midpoint of bucket i: 2*gamma^i / (gamma+1)."""
-    g = F.lit(_GAMMA)
-    return F.lit(2.0) * F.pow(g, bucket_col) / (g + F.lit(1.0))
 
 
 def _dd_quantiles(df, key_cols, value_col, qs):
