@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 
 def series_window(order_col: str, partition_cols: Sequence[str] = ()) -> WindowSpec:
+    # bounded-grain: finance callers pass daily/bar series (rows =
+    # distinct days/bars after aggregation, not ticks)
     w = Window.orderBy(order_col)
     if partition_cols:
         w = Window.partitionBy(*partition_cols).orderBy(order_col)

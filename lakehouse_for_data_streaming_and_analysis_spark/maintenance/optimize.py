@@ -103,6 +103,8 @@ def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> Column:
     treats every column uniformly."""
     from pyspark.sql import Window
 
+    # bounded-grain: ranks the rows of ONE maintenance batch (the files
+    # selected for a single OPTIMIZE/Z-ORDER pass), not the table
     return (F.ntile(2**bits).over(Window.orderBy(col)) - 1).cast("long")
 
 

@@ -39,6 +39,8 @@ def surrogate_keys(
     """Dense consecutive IDs by global order (reference semantics,
     populate_dim.py:91-94,150). Single-partition window — use only for
     dim-sized inputs; tests pin determinism via unique order keys."""
+    # bounded-grain: caller contract is dim-sized input (SCD dims, few k
+    # rows); unbounded inputs use surrogate_keys_distributed below
     w = Window.orderBy(*order_by)
     return df.withColumn(key_col, (F.row_number().over(w) + offset).cast("long"))
 

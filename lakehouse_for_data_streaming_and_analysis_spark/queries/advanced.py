@@ -388,6 +388,7 @@ def running_distinct_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
     newby = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    # bounded-grain: day grain after groupBy (rows = distinct days)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return newby.select(
         "d",
@@ -747,12 +748,16 @@ def customer_rfm_segments(spark, sf_dir):
     scored = per_cust.select(
         "o_custkey",
         F.ntile(4)
+        # bounded-grain: customer grain after groupBy; RFM quartiles
+        # need global ranks — 100 TB path is approx-quantile cut points
         .over(Window.orderBy(F.asc("last_order"), F.asc("o_custkey")))
         .alias("r_score"),
         F.ntile(4)
+        # bounded-grain: customer grain (same as r_score above)
         .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
         .alias("f_score"),
         F.ntile(4)
+        # bounded-grain: customer grain (same as r_score above)
         .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
         .alias("m_score"),
     )

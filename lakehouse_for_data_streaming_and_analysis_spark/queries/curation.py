@@ -437,6 +437,8 @@ def corpus_shuffle_shards(spark, sf_dir):
     same corpus + salt ⇒ identical batch order, unlike randomSplit."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuf")))
+    # bounded-grain: deliberately global (reproducible shuffle order);
+    # 100 TB path = surrogate_keys_distributed per the docstring above
     w = Window.orderBy(h, F.col("doc_id"))
     return (
         docs.select("doc_id", F.row_number().over(w).alias("pos"))
@@ -481,6 +483,8 @@ def sequence_packing_map(spark, sf_dir):
         F.size(textfns.tokens("text")).cast("int").alias("n_tok"),
         h.alias("h"),
     )
+    # bounded-grain: global packing cumsum by design; 100 TB path =
+    # per-shard packing after surrogate_keys_distributed sharding
     w = Window.orderBy("h", "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -777,6 +781,8 @@ def weighted_sample_topk(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round(F.log(u) / F.col("n_chars"), 10).alias("es_key"),
     )
+    # bounded-grain: global weighted top-k rank; 100 TB path = threshold
+    # on es_key via approx quantile, then rank only the boundary slice
     w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
     return (
         keyed.withColumn("rn", F.row_number().over(w))

@@ -141,6 +141,8 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
         F.count(F.lit(1)).alias("k")
     )
     pooled = per_val.groupBy("value").agg(F.sum("k").alias("c"))
+    # bounded-grain: distinct-value grain after groupBy (pre-binned at
+    # 100 TB per the docstring), not event rows
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     ranked = pooled.select(
         "value", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("prior")

@@ -1039,6 +1039,8 @@ def perplexity_bucket_curriculum(spark, sf_dir):
         )
     )
     bucketed = scored.withColumn(
+        # bounded-grain: doc-grain global deciles; 100 TB path = cut
+        # points from approxQuantile then a broadcast range join
         "decile", F.ntile(10).over(Window.orderBy("s", "doc_id"))
     )
     agg = bucketed.groupBy("decile").agg(
@@ -1111,6 +1113,8 @@ def roc_auc_doc_length(spark, sf_dir):
         (F.count(F.lit(1)) - F.sum("y")).alias("k0"),
         F.count(F.lit(1)).alias("c"),
     )
+    # bounded-grain: distinct-score grain after groupBy (scores are
+    # rounded features, not corpus rows)
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     ranked = per_s.select(
         "k1", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("prior")

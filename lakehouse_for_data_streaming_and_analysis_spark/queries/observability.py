@@ -102,6 +102,8 @@ def commit_cadence_gaps(spark, sf_dir):
     """X11 (cadence): wall-clock gap between consecutive commits
     (code.ipynb cell 8's time_gap average)."""
     log = _commit_log(spark, sf_dir)
+    # bounded-grain: commit-log grain (one row per table version;
+    # retention-bounded, ~thousands)
     w = Window.orderBy("version")
     gaps = log.select(
         "version",

@@ -1273,6 +1273,8 @@ def orderkey_gaps_islands(spark, sf_dir):
     tagged = keys.withColumn(
         "island",
         F.col("o_orderkey")
+        # bounded-grain: gaps/islands is an inherently global sequence;
+        # 100 TB path = per-range islands then a boundary-merge pass
         - F.row_number().over(Window.orderBy("o_orderkey")),
     )
     islands = tagged.groupBy("island").agg(
@@ -1289,6 +1291,8 @@ def orderkey_gaps_islands(spark, sf_dir):
             .cast("long")
             .alias("span"),
             (
+                # bounded-grain: island grain (post-aggregation; islands
+                # ≪ keys)
                 F.lead("island_start").over(Window.orderBy("island_start"))
                 - F.col("island_end")
                 - 1
@@ -1436,6 +1440,7 @@ def markov_steady_state_events(spark, sf_dir):
         ev.select(F.col("event_type").alias("ty"))
         .distinct()
         .withColumn(
+            # bounded-grain: distinct event_type grain (enum-sized dim)
             "i", F.row_number().over(Window.orderBy("ty")).cast("int")
         )
     )

@@ -531,6 +531,8 @@ def user_activity_gini(spark, sf_dir):
     ranked = counts.select(
         "n",
         F.row_number()
+        # bounded-grain: user grain after groupBy; Gini needs a global
+        # rank — 100 TB path = Lorenz from binned activity histogram
         .over(Window.orderBy(F.asc("n"), F.asc("user_id")))
         .alias("i"),
     )
@@ -645,6 +647,7 @@ def ks_two_sample(spark, sf_dir):
     tot = per_val.agg(
         F.sum("k1").alias("n1"), F.sum("k2").alias("n2")
     )
+    # bounded-grain: distinct-value grain after groupBy
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -745,6 +748,7 @@ def mann_whitney_u(spark, sf_dir):
             F.when(F.col("event_type") == "view", 1).otherwise(0)
         ).alias("k2"),
     ).withColumn("c", F.col("k1") + F.col("k2"))
+    # bounded-grain: distinct-value grain after groupBy
     w = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -973,6 +977,7 @@ def kaplan_meier_conversion(spark, sf_dir):
     ).groupBy("t", "d").agg(
         F.count(F.lit(1)).cast("long").alias("n_risk")
     )
+    # bounded-grain: threshold-grid grain (few dozen t values)
     w = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1142,6 +1147,7 @@ def degree_powerlaw_fit(spark, sf_dir):
     hist = deg.groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+    # bounded-grain: distinct-degree grain (degree histogram rows)
     wd = Window.orderBy(F.desc("d")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

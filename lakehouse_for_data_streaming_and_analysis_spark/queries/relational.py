@@ -449,6 +449,7 @@ def rolling_stats(spark, sf_dir):
     daily = o.groupBy(
         F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    # bounded-grain: day grain after groupBy (rows = distinct days)
     w = Window.orderBy("day")
     out = daily.select(
         "day",
@@ -484,6 +485,7 @@ def lag_returns(spark, sf_dir):
     daily = o.groupBy(
         F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
     ).agg(F.max("o_totalprice").alias("close"))
+    # bounded-grain: day grain after groupBy (rows = distinct days)
     w = Window.orderBy("day")
     return daily.select(
         "day",
@@ -1240,6 +1242,7 @@ def abc_pareto_classification(spark, sf_dir):
             .alias("revenue")
         )
     )
+    # bounded-grain: brand grain after groupBy (enum-sized dim)
     w = Window.orderBy(F.desc("revenue"), "p_brand").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1299,6 +1302,8 @@ def lorenz_curve_deciles(spark, sf_dir):
         .alias("s")
     )
     deciled = spend.withColumn(
+        # bounded-grain: customer grain after groupBy; global deciles —
+        # 100 TB path = approxQuantile cut points + broadcast range join
         "decile", F.ntile(10).over(Window.orderBy("s", "o_custkey"))
     )
     agg = deciled.groupBy("decile").agg(
@@ -1307,6 +1312,7 @@ def lorenz_curve_deciles(spark, sf_dir):
         .cast("double")
         .alias("decile_spend"),
     )
+    # bounded-grain: decile grain (10 rows)
     wc = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

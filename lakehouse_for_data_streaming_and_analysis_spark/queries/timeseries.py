@@ -978,6 +978,7 @@ def open_order_backlog(spark, sf_dir):
             F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
         )
     )
+    # bounded-grain: day grain after groupBy (rows = distinct days)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return deltas.select(
         "d",

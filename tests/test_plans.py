@@ -700,3 +700,19 @@ def test_countmin_cells_broadcast_to_probes(spark):
     p = _physical(df)
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_global_windows_declare_bounded_grain():
+    """Fleet gate (VERDICT r8 ask #8): every unpartitioned
+    Window.orderBy in the package must declare what bounds its single
+    partition via a '# bounded-grain:' tag at the call site — the
+    justification the per-round reviews kept re-earning in prose is
+    now structural. New global windows without a declared grain (or a
+    pointer to their documented 100 TB path) fail here."""
+    from tools.lint_global_windows import lint
+
+    problems = lint()
+    assert not problems, (
+        "untagged global Window.orderBy sites (declare the bounding "
+        f"grain or partition the window): {problems}"
+    )
