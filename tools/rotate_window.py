@@ -7,6 +7,16 @@ newly green names into DRIVER_GREEN, and proposes the next
 WINDOW_PRIORITY: hash-fail names first (they need re-verification after
 fixes), then never-checked oracle-backed queries in registry order.
 
+Since round 9 the window is also STALENESS-AWARE (VERDICT r8 ask #1):
+with the registry closed (every query green at least once), a green
+row's evidentiary value decays as the code under it churns. When the
+window has spare slots after failed + never-checked names, they are
+filled with the STALEST greens — ranked by lines changed (git numstat)
+in each query's implementing module between the commit that recorded
+its most recent green row (the round's CORRECTNESS artifact) and HEAD,
+tie-broken by green age (older round first) then name. A re-verified
+green refreshes its row, resetting the clock.
+
 Usage:
     python tools/rotate_window.py CORRECTNESS_r02.json          # report
     python tools/rotate_window.py CORRECTNESS_r02.json --apply  # rewrite
@@ -23,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -30,6 +41,88 @@ sys.path.insert(0, REPO)
 
 ENTRY = os.path.join(REPO, "__spark_entry__.py")
 WINDOW = 50
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _green_rounds() -> dict[str, int]:
+    """query -> most recent round with a green row, from the committed
+    CORRECTNESS_r*.json artifacts."""
+    latest: dict[str, int] = {}
+    for fn in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(os.path.join(REPO, fn)) as f:
+            rows = json.load(f)
+        for name, v in rows.items():
+            if v.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _round_commits() -> dict[int, str]:
+    """round -> the commit that added its CORRECTNESS artifact."""
+    out: dict[int, str] = {}
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        log = _git(
+            "log", "--diff-filter=A", "--format=%H", "--", fn
+        ).split()
+        if log:
+            out[int(m.group(1))] = log[-1]
+    return out
+
+
+def _impl_files(queries: dict) -> dict[str, str]:
+    """query -> repo-relative path of its implementing module."""
+    import inspect
+
+    out: dict[str, str] = {}
+    for name, fn in queries.items():
+        try:
+            path = inspect.getfile(fn)
+        except TypeError:
+            path = ENTRY
+        out[name] = os.path.relpath(path, REPO)
+    return out
+
+
+def staleness(queries: dict) -> list[tuple[str, int, int]]:
+    """[(query, churn_lines, green_round)] sorted stalest-first.
+
+    churn_lines = added+deleted lines in the query's implementing
+    module between the commit that recorded its latest green row and
+    HEAD. Zero-churn greens sort last (their evidence still binds).
+    """
+    rounds = _green_rounds()
+    commits = _round_commits()
+    files = _impl_files(queries)
+    churn_cache: dict[tuple[str, str], int] = {}
+    scored: list[tuple[str, int, int]] = []
+    for name in queries:
+        rnd = rounds.get(name)
+        if rnd is None or rnd not in commits:
+            continue
+        key = (commits[rnd], files[name])
+        if key not in churn_cache:
+            numstat = _git("diff", "--numstat", key[0], "HEAD", "--", key[1])
+            total = 0
+            for line in numstat.splitlines():
+                a, d, *_ = line.split("\t")
+                if a.isdigit() and d.isdigit():
+                    total += int(a) + int(d)
+            churn_cache[key] = total
+        scored.append((name, churn_cache[key], rnd))
+    scored.sort(key=lambda t: (-t[1], t[2], t[0]))
+    return scored
 
 
 def compute(correctness_path: str):
@@ -47,12 +140,21 @@ def compute(correctness_path: str):
     ]
     all_green = sorted(set(m.DRIVER_GREEN) | green_now)
     oracles = set(m.oracle_sql())
+    qs = m.queries()
     unchecked = [
         k
-        for k in m.queries()
+        for k in qs
         if k not in all_green and k not in failed_now and k in oracles
     ]
     window = (failed_now + unchecked)[:WINDOW]
+    if len(window) < WINDOW:
+        staged = set(window)
+        stale = [
+            name
+            for name, churn, _rnd in staleness(qs)
+            if name not in staged and churn > 0
+        ]
+        window += stale[: WINDOW - len(window)]
     return all_green, window, failed_now
 
 
