@@ -17,7 +17,7 @@ below is oracle-checkable); swap HASH_FN to xxhash64 for production
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import text_fingerprint
@@ -281,4 +281,67 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Maximal duplicate token SPANS >= ``min_tokens`` — the true
+    ExactSubstr semantics of the LLM-dedup literature (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb), which removes every occurrence of any >=50-token
+    substring that appears more than once in the corpus. The round-2
+    ``exact_substring_dup_coverage`` query measures per-doc COVERAGE by
+    short fixed-width shingles; this operator emits the actual maximal
+    spans a dedup pass would cut (reference analogue: corpus hygiene
+    ahead of data/notebooks ingestion; VERDICT r8 ask #5).
+
+    Carrier: sorted-shingle run-merge. A position ``p`` in a doc starts
+    a duplicated L-gram iff the L-token shingle at ``p`` occurs >= 2
+    times corpus-wide (within-doc repeats count, as in Lee et al.); a
+    maximal duplicate span of ``m`` tokens is exactly a maximal RUN of
+    consecutive duplicated start positions ``p .. p+m-L``. Classic
+    gaps-and-islands (``pos - row_number``) merges the runs.
+
+    Scale shape (100 TB): one explode to (gram-hash, pos) rows — grams
+    are md5'd immediately so shuffle rows stay 16-byte-keyed (oracle
+    parity; the fast path swaps xxhash64) — one gram-grain aggregate
+    with map-side partials, one equi-join back (the repeated set is
+    only the corpus's duplicated tail), then a per-doc window bounded
+    by doc length. Never all-pairs; the same co-partitioned join
+    MinHash banding uses. A per-partition suffix automaton would save
+    the explode constant but not the shuffle, and loses cross-partition
+    duplicates — the run-merge is the distributed carrier of record.
+
+    Returns one row per maximal span: (id_col, span_start, span_len)
+    with 0-based token start and length in tokens (>= min_tokens by
+    construction).
+    """
+    length = min_tokens
+    grams = docs.select(
+        id_col,
+        F.posexplode(shingles(F.col(tokens_col), length)).alias("pos", "g"),
+    ).select(id_col, "pos", F.md5("g").alias("h"))
+    repeated = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("h")
+    )
+    starts = grams.join(repeated, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = starts.withColumn(
+        "__run", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + length).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
     )

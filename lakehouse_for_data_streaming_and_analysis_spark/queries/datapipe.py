@@ -2501,3 +2501,97 @@ def lsh_candidate_cost_curve(spark, sf_dir):
         )
         .orderBy("rows_per_band")
     )
+
+
+_L_SPAN = 50  # ExactSubstr minimum span length (Lee et al. 2022)
+
+# The fixture docs are 10-99 tokens of a small random vocabulary, so
+# genuine >=50-token repeats cannot occur naturally; the query SEEDS
+# them deterministically (same construction in both engines) and the
+# span extractor must recover exactly the seeded geometry:
+#   * prefix copies — every doc with doc_id % 4 = 0 and >= 63 tokens
+#     gets a twin holding its first (50 + doc_id % 13) tokens: one
+#     maximal span of that exact length in BOTH docs;
+#   * tail stitches — every doc with doc_id % 8 = 2 and >= 52 tokens
+#     gets a twin of its last 52 tokens repeated twice around a
+#     sentinel token: a 52-token span in the original and TWO in the
+#     twin (a within-doc duplicate, which ExactSubstr counts).
+_SPAN_CORPUS_SQL = f"""
+  tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+  base AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+  corpus AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000, toks[1:50 + doc_id % 13]
+    FROM base WHERE doc_id % 4 = 0 AND n >= 63
+    UNION ALL
+    SELECT doc_id + 2000000,
+           toks[n-51:n] || ['qzgap'] || toks[n-51:n]
+    FROM base WHERE doc_id % 8 = 2 AND n >= 52)"""
+
+
+@q(
+    "exact_substring_span_dedup",
+    f"""WITH {_SPAN_CORPUS_SQL},
+       grams AS (
+         SELECT doc_id, UNNEST(gl) AS h,
+                GENERATE_SUBSCRIPTS(gl, 1) - 1 AS pos
+         FROM (SELECT doc_id,
+                      list_transform(
+                        range(1, greatest(len(toks) - {_L_SPAN - 1}, 0) + 1),
+                        i -> md5(array_to_string(toks[i:i+{_L_SPAN - 1}], ' '))
+                      ) AS gl
+               FROM corpus)),
+       dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+       starts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+       runs AS (SELECT doc_id, pos,
+                       pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS r
+                FROM starts),
+       spans AS (SELECT doc_id,
+                        MAX(pos) - MIN(pos) + {_L_SPAN} AS span_len
+                 FROM runs GROUP BY doc_id, r)
+       SELECT CAST(span_len AS BIGINT) AS span_len,
+              CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM spans GROUP BY 1 ORDER BY 1""",
+)
+def exact_substring_span_dedup(spark, sf_dir):
+    """True exact-substring dedup (VERDICT r8 ask #5): maximal
+    duplicate token spans >= 50 via operators/dedup.
+    exact_substring_spans (sorted-shingle run-merge — see the operator
+    docstring for the Lee-et-al semantics and the 100 TB shape),
+    driven over a deterministically SEEDED corpus (the fixture docs
+    are too short and too random to repeat 50-grams naturally) and
+    reported as a span-length histogram the oracle recomputes from
+    the same construction."""
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    base = docs.select(
+        "doc_id", textfns.tokens("text").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    k = (F.lit(50) + F.col("doc_id") % 13).cast("int")
+    prefix = base.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("n") >= 63)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.slice("toks", F.lit(1), k).alias("toks"),
+    )
+    tail = F.slice("toks", F.col("n") - 51, F.lit(52))
+    stitched = base.filter(
+        (F.col("doc_id") % 8 == 2) & (F.col("n") >= 52)
+    ).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(tail, F.array(F.lit("qzgap")), tail).alias("toks"),
+    )
+    corpus = base.select("doc_id", "toks").unionAll(prefix).unionAll(stitched)
+    spans = dedup.exact_substring_spans(
+        corpus, id_col="doc_id", tokens_col="toks", min_tokens=_L_SPAN
+    )
+    return (
+        spans.groupBy("span_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("span_len")
+    )

@@ -175,3 +175,152 @@ def table_freshness_report(spark, sf_dir):
     return per_table.join(F.broadcast(anchor)).select(
         "table_name", "n_rows", "max_event_time", secs.alias("staleness_secs")
     )
+
+
+# Evolved-payload fixture for schema-drift detection, derived
+# deterministically from events (the driver fixture's props payload
+# never drifts, so the drift is seeded — same construction in both
+# engines). Batch = event_id % 5, each batch one drift mode vs the
+# declared payload schema {k: BIGINT}:
+#   0 original  {"k": <int>}
+#   1 new keys  {"k": <int>, "sess": "s<id>", "ver": 2}
+#   2 type conflict  {"k": "v<int>"} (k becomes a string)
+#   3 null-rate shift  {"k": null} for every user_id % 3 = 0
+#   4 dropped key  {}
+_DRIFT_PAYLOAD_SQL = """
+  SELECT CAST(event_id % 5 AS INT) AS batch,
+         user_id,
+         CASE event_id % 5
+           WHEN 0 THEN '{"k": ' || CAST(user_id % 97 AS VARCHAR) || '}'
+           WHEN 1 THEN '{"k": ' || CAST(user_id % 97 AS VARCHAR)
+                    || ', "sess": "s' || CAST(user_id % 100 AS VARCHAR)
+                    || '", "ver": 2}'
+           WHEN 2 THEN '{"k": "v' || CAST(user_id % 97 AS VARCHAR) || '"}'
+           WHEN 3 THEN CASE WHEN user_id % 3 = 0 THEN '{"k": null}'
+                            ELSE '{"k": ' || CAST(user_id % 97 AS VARCHAR)
+                                 || '}' END
+           ELSE '{}'
+         END AS payload
+  FROM events"""
+
+
+@q(
+    "schema_drift_audit",
+    f"""WITH ev AS ({_DRIFT_PAYLOAD_SQL}),
+       par AS (SELECT batch, payload,
+                      json_keys(payload) AS ks,
+                      list_contains(json_keys(payload), 'k') AS has_k,
+                      json_extract_string(payload, '$.k') AS kval
+               FROM ev),
+       keyrows AS (SELECT DISTINCT batch, UNNEST(ks) AS kname FROM par),
+       newkeys AS (SELECT batch,
+                          array_to_string(
+                            list_sort(list(kname) FILTER (kname <> 'k')),
+                            ',') AS new_keys
+                   FROM keyrows GROUP BY batch)
+       SELECT p.batch,
+              COUNT(*) AS n_events,
+              COALESCE(MAX(nk.new_keys), '') AS new_keys,
+              CAST(SUM(CASE WHEN len(list_filter(ks, x -> x <> 'k')) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_new_key_events,
+              CAST(SUM(CASE WHEN has_k AND kval IS NOT NULL
+                                 AND TRY_CAST(kval AS BIGINT) IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_type_conflicts,
+              ROUND(AVG(CASE WHEN NOT has_k OR kval IS NULL
+                             THEN 1.0 ELSE 0.0 END), 4) AS k_null_rate
+       FROM par p LEFT JOIN newkeys nk ON nk.batch = p.batch
+       GROUP BY p.batch ORDER BY p.batch""",
+)
+def schema_drift_audit(spark, sf_dir):
+    """Open-schema drift audit (VERDICT r8 ask #6): per ingestion
+    batch, the divergence between the payloads actually arriving and
+    the DECLARED payload schema ({k: BIGINT}, the fixed-StructType
+    surface of the reference's from_json chain,
+    Sourcecode/spark/etl.py:16-19) — undeclared keys (names + affected
+    events), declared-key type conflicts (present, non-null, fails the
+    declared cast), and the declared key's null/missing rate. The
+    drifted payloads are seeded deterministically from events (batch =
+    event_id % 5, one drift mode each — see _DRIFT_PAYLOAD_SQL).
+
+    Scale shape: schema-on-read via one from_json to MAP (no Python),
+    metrics fold into ONE batch-grain aggregate; the key-name census
+    explodes keys but aggregates at (batch, key) grain — bounded by
+    payload vocabulary, not event count. The streaming twin
+    (sources/streams.parse_with_quarantine, test-pinned) routes these
+    same three drift classes into a quarantine column instead of
+    failing the query."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    kjson = F.concat(F.lit('{"k": '), (uid % 97).cast("string"), F.lit("}"))
+    payload = (
+        F.when(F.col("event_id") % 5 == 0, kjson)
+        .when(
+            F.col("event_id") % 5 == 1,
+            F.concat(
+                F.lit('{"k": '),
+                (uid % 97).cast("string"),
+                F.lit(', "sess": "s'),
+                (uid % 100).cast("string"),
+                F.lit('", "ver": 2}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit('{"k": "v'), (uid % 97).cast("string"), F.lit('"}')),
+        )
+        .when(
+            F.col("event_id") % 5 == 3,
+            F.when(uid % 3 == 0, F.lit('{"k": null}')).otherwise(kjson),
+        )
+        .otherwise(F.lit("{}"))
+    )
+    m = F.from_json(payload, "map<string,string>")
+    par = ev.select(
+        (F.col("event_id") % 5).cast("int").alias("batch"),
+        F.map_keys(m).alias("ks"),
+        F.map_contains_key(m, "k").alias("has_k"),
+        F.element_at(m, F.lit("k")).alias("kval"),
+    )
+    newkeys = (
+        par.select("batch", F.explode("ks").alias("kname"))
+        .filter(F.col("kname") != "k")
+        .distinct()
+        .groupBy("batch")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("kname")), ",").alias(
+                "new_keys"
+            )
+        )
+    )
+    undeclared = F.size(F.filter("ks", lambda x: x != F.lit("k")))
+    metrics = par.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((undeclared > 0).cast("long")).alias("n_new_key_events"),
+        F.sum(
+            (
+                F.col("has_k")
+                & F.col("kval").isNotNull()
+                & F.expr("try_cast(kval as bigint)").isNull()
+            ).cast("long")
+        ).alias("n_type_conflicts"),
+        F.round(
+            F.avg(
+                (~F.col("has_k") | F.col("kval").isNull()).cast("double")
+            ),
+            4,
+        ).alias("k_null_rate"),
+    )
+    return (
+        metrics.join(newkeys, "batch", "left")
+        .select(
+            "batch",
+            "n_events",
+            F.coalesce("new_keys", F.lit("")).alias("new_keys"),
+            "n_new_key_events",
+            "n_type_conflicts",
+            "k_null_rate",
+        )
+        .orderBy("batch")
+    )
