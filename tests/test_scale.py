@@ -355,3 +355,52 @@ def test_pq_topk_recall_beats_random(spark):
         top20 = {i for _, i in d[:20]}
         hits.append(len(set(picks) & top20) / 5)
     assert sum(hits) / len(hits) >= 0.4, hits
+
+
+# --- ANN recall at 10x vectors (VERDICT r8 ask #7) -------------------
+# The 50k corpus is the deterministic hash-noise derivation of
+# tools/ann_scale_recall.py (25 near-duplicate replicas per sf0.1
+# vector — tight clusters, the classic ANN workload); full sweep
+# curves live in ann_recall_50k.json / BASELINE.md. Gates use fewer
+# queries than the sweep (suite wall) but the same corpus, k, and
+# recall definition; thresholds sit under the measured curve
+# (IVF@probe4 = 0.997, LSH@4tables = 0.99 over 100 queries).
+
+def _ann50k(spark):
+    from tools.ann_scale_recall import DEST, DIM, build_fixture
+
+    build_fixture()
+    corpus = spark.read.parquet(DEST)
+    queries = corpus.filter(
+        (F.col("vec_id") < 2000) & (F.col("vec_id") % 80 == 0)
+    )  # 25 original vectors
+    return corpus, queries, DIM
+
+
+def _recall_at_10(approx, truth) -> float:
+    hits = approx.join(truth, ["qid", "vec_id"]).count()
+    return hits / truth.count()
+
+
+def test_ann_recall_gates_at_50k_vectors(spark):
+    from lakehouse_for_data_streaming_and_analysis_spark.operators import similarity
+
+    corpus, queries, dim = _ann50k(spark)
+    assert corpus.count() == 50_000
+    truth = (
+        similarity.brute_force_topk(corpus, queries, k=10)
+        .select("qid", "vec_id")
+        .cache()
+    )
+    ivf = similarity.ivf_topk(
+        corpus, queries, k=10, n_centroids=100, n_probe=4
+    ).select("qid", "vec_id")
+    r_ivf = _recall_at_10(ivf, truth)
+    assert r_ivf >= 0.95, f"IVF recall@10 {r_ivf:.3f} at 50k vectors"
+
+    lsh = similarity.lsh_topk(
+        corpus, queries, k=10, n_planes=10, n_tables=4, dim=dim
+    ).select("qid", "vec_id")
+    r_lsh = _recall_at_10(lsh, truth)
+    assert r_lsh >= 0.90, f"LSH recall@10 {r_lsh:.3f} at 50k vectors"
+    truth.unpersist()
