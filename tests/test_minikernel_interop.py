@@ -16,7 +16,13 @@ Both directions are proven here:
   * REVERSE — a spec-shaped foreign log (nested-STRUCT checkpoint
     cells, the encoding real delta-spark writes, which this engine's
     JSON-string checkpoints deliberately diverge from) handwritten by
-    pyarrow is read by BOTH the engine and the mini-kernel.
+    pyarrow is read by BOTH the engine and the mini-kernel;
+  * REVERSE, GENERATED (r9, VERDICT r8 ask #4) — the mini-kernel's own
+    COMMIT path (append + per-file stats + OCC exclusive-create +
+    classic spec-struct checkpoint) GENERATES foreign tables instead
+    of handwriting them; the engine reads them, interleaves its own
+    commits with the foreign writer's, and the mini-kernel loses an
+    OCC race to the engine and retries onto the next version.
 
 The no-shared-code property is itself test-enforced, so agreement is
 evidence rather than tautology.
@@ -354,3 +360,151 @@ def test_minikernel_validates_version_checksums(spark, tmp_path):
         mk.validate_crc(str(t.path))
     with pytest.raises(ValueError, match="mismatch"):
         dlog.validate_version_checksum(str(t.path))
+
+
+# ----------------------------------------------- REVERSE, GENERATED
+
+
+def _mk_batch(lo: int, hi: int) -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array(list(range(lo, hi)), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(lo, hi)]),
+            "x": pa.array(
+                [None if i % 7 == 0 else i * 0.5 for i in range(lo, hi)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def test_engine_reads_minikernel_written_table(spark, tmp_path):
+    """GENERATED reverse direction: the mini-kernel's commit path
+    creates the table, appends twice, checkpoints (spec nested-struct
+    cells), appends past the checkpoint — and the engine's reader
+    replays the foreign log (from the foreign checkpoint) to the same
+    rows at every version. The engine then appends on top and the
+    mini-kernel reads the interleaved log back."""
+    root = str(tmp_path / "mk_written")
+    v0, r0 = mk.append(root, _mk_batch(0, 20))
+    v1, r1 = mk.append(root, _mk_batch(20, 30))
+    assert (v0, v1, r0, r1) == (0, 1, 0, 0)
+    assert mk.write_checkpoint(root) == 1
+    v2, _ = mk.append(root, _mk_batch(30, 35))
+    assert v2 == 2
+
+    t = DeltaishTable(spark, root)
+    for version, want_rows in ((0, 20), (1, 30), (2, 35), (None, 35)):
+        assert _agree(t, version) == want_rows
+
+    # stats survived the trip: the engine sees the foreign writer's
+    # per-file skipping surface, not just its row payloads
+    head = json.loads(
+        open(
+            os.path.join(root, "_delta_log", f"{v2:020d}.json")
+        ).readline()
+    )
+    stats = json.loads(head["add"]["stats"])
+    assert stats["numRecords"] == 5
+    assert stats["minValues"]["id"] == 30
+    assert stats["nullCount"]["x"] >= 0
+
+    # engine writes ON TOP of the foreign-written table
+    t.append(spark.createDataFrame([(99, "z", 1.5)], "id long, v string, x double"))
+    assert _agree(t) == 36
+
+
+def test_minikernel_loses_occ_race_to_engine_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    """OCC loser retry, GENERATED: after the mini-kernel derives its
+    target version, the ENGINE commits that version first (injected at
+    the commit boundary — the same kill-point style as the engine's
+    own crash-injection suite). The exclusive create must fail, the
+    writer must replay the winner's state, verify the table definition
+    is unchanged, and land on the next version; nothing is lost, both
+    readers agree on the merged history."""
+    root = str(tmp_path / "mk_race")
+    mk.append(root, _mk_batch(0, 10))
+    t = DeltaishTable(spark, root)
+
+    real_commit = mk.commit
+    fired = {"n": 0}
+
+    def racing_commit(table, actions, version):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the engine wins the race for this exact version
+            t.append(
+                spark.createDataFrame(
+                    [(1000, "engine", 0.0)], "id long, v string, x double"
+                )
+            )
+        return real_commit(table, actions, version)
+
+    monkeypatch.setattr(mk, "commit", racing_commit)
+    version, retries = mk.append(root, _mk_batch(10, 15))
+    monkeypatch.setattr(mk, "commit", real_commit)
+
+    assert retries == 1, "the loser must have retried exactly once"
+    assert version == 2, "winner took v1; loser must land on v2"
+    assert fired["n"] == 1
+    # merged history: 10 + 1 (engine) + 5 (retried append) rows
+    assert _agree(t) == 16
+    # no orphaned attempt file remains registered: every add resolves
+    st = mk.load_state(root)
+    for add in st.adds.values():
+        assert os.path.exists(os.path.join(root, add["path"]))
+
+
+def test_minikernel_writer_refuses_schema_divergent_retry(
+    spark, tmp_path, monkeypatch
+):
+    """If the OCC winner CHANGED the table definition, a blind append
+    must refuse to retry rather than silently commit under the new
+    schema."""
+    root = str(tmp_path / "mk_refuse")
+    mk.append(root, _mk_batch(0, 5))
+    t = DeltaishTable(spark, root)
+
+    real_commit = mk.commit
+    fired = {"n": 0}
+
+    def racing_commit(table, actions, version):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            t.append(
+                spark.createDataFrame([(1, "a", 2.0, 9)],
+                                      "id long, v string, x double, extra long"),
+                merge_schema=True,
+            )
+        return real_commit(table, actions, version)
+
+    monkeypatch.setattr(mk, "commit", racing_commit)
+    with pytest.raises(mk.ConcurrentCommit):
+        mk.append(root, _mk_batch(5, 10))
+    monkeypatch.setattr(mk, "commit", real_commit)
+
+
+def test_concurrent_minikernel_writers_serialize(tmp_path):
+    """Two mini-kernel writers aiming at the same version: exactly one
+    wins it, the loser's retry lands the next version, and the final
+    state holds both appends (put-if-absent is the whole protocol)."""
+    root = str(tmp_path / "mk_two")
+    mk.append(root, _mk_batch(0, 5))
+
+    real_commit = mk.commit
+    fired = {"n": 0}
+
+    def racing_commit(table, actions, version):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            mk.append(root, _mk_batch(100, 103))  # rival mini-kernel
+        return real_commit(table, actions, version)
+
+    import unittest.mock as _mock
+
+    with _mock.patch.object(mk, "commit", racing_commit):
+        version, retries = mk.append(root, _mk_batch(5, 8))
+    assert (version, retries) == (2, 1)
+    assert len(mk.sorted_rows(mk.read_table(root))) == 11

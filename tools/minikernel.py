@@ -537,3 +537,249 @@ if __name__ == "__main__":
     t = read_table(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else None)
     print(t.schema)
     print(t.num_rows, "rows")
+
+
+# ------------------------------------------------------------ log write
+# A minimal INDEPENDENT commit path (VERDICT r8 ask #4): append with
+# file stats, OCC via atomic exclusive create, classic spec-struct
+# checkpoint. Same hard rules as the reader: stdlib + pyarrow only,
+# refuse loudly on anything this writer does not understand. The
+# interop tests GENERATE foreign tables through this path (instead of
+# handwriting them) and the engine reads them — both directions of
+# Spark<->second-engine interop, the reference analogue being Spark
+# and Trino writing the same metastore-registered tables.
+
+
+class ConcurrentCommit(Exception):
+    """Another writer created the commit file this writer targeted."""
+
+
+_WRITE_TYPES: dict[str, str] = {
+    "int64": "long",
+    "int32": "integer",
+    "int16": "short",
+    "int8": "byte",
+    "string": "string",
+    "large_string": "string",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "timestamp[us]": "timestamp",
+}
+
+
+def _delta_type(t: pa.DataType) -> str:
+    s = str(t)
+    if s not in _WRITE_TYPES:
+        raise NotImplementedError(f"mini-kernel writer: arrow type {s}")
+    return _WRITE_TYPES[s]
+
+
+def _write_schema_string(schema: pa.Schema) -> str:
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": _delta_type(f.type),
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in schema
+            ],
+        }
+    )
+
+
+def _stats_json(tbl: pa.Table) -> str:
+    """Per-file stats in the protocol's add.stats shape: numRecords +
+    min/max/nullCount per top-level column (the skipping surface)."""
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for i, f in enumerate(tbl.schema):
+        col = tbl.column(i)
+        nulls[f.name] = col.null_count
+        if col.length() == col.null_count:
+            continue
+        lo = pc.min(col).as_py()
+        hi = pc.max(col).as_py()
+        if pa.types.is_date(f.type):
+            lo, hi = str(lo), str(hi)
+        elif pa.types.is_timestamp(f.type):
+            lo = lo.isoformat(sep=" ", timespec="milliseconds")
+            hi = hi.isoformat(sep=" ", timespec="milliseconds")
+        mins[f.name] = lo
+        maxs[f.name] = hi
+    return json.dumps(
+        {
+            "numRecords": tbl.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _next_version(table: str) -> int:
+    vs = commit_versions(table)
+    return (vs[-1] + 1) if vs else 0
+
+
+def commit(table: str, actions: list[dict], version: int) -> None:
+    """Atomically publish ``version``. The put-if-absent the protocol
+    requires is ``open(..., 'x')`` on a local/POSIX log store; losing
+    the race raises ConcurrentCommit for the caller's retry loop."""
+    os.makedirs(_log_dir(table), exist_ok=True)
+    path = os.path.join(_log_dir(table), f"{version:020d}.json")
+    payload = "".join(json.dumps(a) + "\n" for a in actions)
+    try:
+        with open(path, "x") as f:
+            f.write(payload)
+    except FileExistsError as e:
+        raise ConcurrentCommit(f"version {version} already committed") from e
+
+
+def append(
+    table: str, tbl: pa.Table, max_retries: int = 10
+) -> tuple[int, int]:
+    """Append ``tbl`` as one data file + one commit; creates the table
+    (protocol v1/v2, no features — this writer declares only what it
+    implements) when the log does not exist yet.
+
+    OCC loser path: the target version is derived BEFORE the attempt;
+    if another writer (the engine, or a concurrent mini-kernel) takes
+    it first, the exclusive create fails, the state is REPLAYED to
+    verify the winner did not change protocol or schema (a blind
+    append may only retry under an unchanged table definition —
+    anything else is refused loudly), and the commit retries at the
+    new head. Returns (version, retries)."""
+    log = _log_dir(table)
+    exists = os.path.isdir(log) and bool(commit_versions(table))
+    schema_str = _write_schema_string(tbl.schema)
+    retries = 0
+    version = _next_version(table) if exists else 0
+    while True:
+        fname = f"mk-{version:010d}-{os.urandom(6).hex()}.parquet"
+        os.makedirs(table, exist_ok=True)
+        pq.write_table(tbl, os.path.join(table, fname))
+        add = {
+            "path": fname,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(table, fname)),
+            "modificationTime": int(
+                os.path.getmtime(os.path.join(table, fname)) * 1000
+            ),
+            "dataChange": True,
+            "stats": _stats_json(tbl),
+        }
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": f"minikernel-{os.urandom(8).hex()}",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_str,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+        actions.append({"add": add})
+        try:
+            commit(table, actions, version)
+            return version, retries
+        except ConcurrentCommit:
+            os.remove(os.path.join(table, fname))  # orphaned attempt
+            retries += 1
+            if retries > max_retries:
+                raise
+            st = load_state(table)  # winner's table definition
+            if st.metadata.get("schemaString") != schema_str and version > 0:
+                raise
+            _check_protocol(st.protocol)
+            version = st.version + 1
+
+
+def write_checkpoint(table: str) -> int:
+    """Classic single-part checkpoint at the current head, in the
+    SPEC's nested-struct cell encoding (typed structs, map-typed
+    partitionValues — the delta-spark shape, deliberately NOT this
+    engine's JSON-string cells), plus _last_checkpoint."""
+    st = load_state(table)
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    rows_proto: list = [st.protocol or
+                        {"minReaderVersion": 1, "minWriterVersion": 2}]
+    meta = st.metadata
+    rows_meta: list = [
+        {
+            "id": meta.get("id"),
+            "schemaString": meta.get("schemaString"),
+            "partitionColumns": meta.get("partitionColumns") or [],
+            "configuration": list(
+                (meta.get("configuration") or {}).items()
+            ),
+        }
+    ]
+    adds = list(st.adds.values())
+    n = 1 + 1 + len(adds)
+    cp = pa.table(
+        {
+            "protocol": pa.array(
+                rows_proto + [None] * (n - 1), proto_t
+            ),
+            "metaData": pa.array(
+                [None] + rows_meta + [None] * len(adds), meta_t
+            ),
+            "add": pa.array(
+                [None, None]
+                + [
+                    {
+                        "path": a["path"],
+                        "partitionValues": list(
+                            (a.get("partitionValues") or {}).items()
+                        ),
+                        "size": a.get("size"),
+                        "modificationTime": a.get("modificationTime"),
+                        "dataChange": False,
+                        "stats": a.get("stats"),
+                    }
+                    for a in adds
+                ],
+                add_t,
+            ),
+        }
+    )
+    dest = os.path.join(
+        _log_dir(table), f"{st.version:020d}.checkpoint.parquet"
+    )
+    pq.write_table(cp, dest)
+    with open(os.path.join(_log_dir(table), "_last_checkpoint"), "w") as f:
+        json.dump({"version": st.version, "size": n}, f)
+    return st.version
