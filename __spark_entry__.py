@@ -124,6 +124,26 @@ ROWS_ONLY: tuple[str, ...] = ()
 # If all 50 come green the registry (378 queries) closes at full
 # driver coverage. Per the r7 process note, additions are BUDGETED to
 # the window — nothing is staged past it.
+#
+# ROUND-9 WINDOW + STALENESS POLICY (VERDICT r8 ask #1). With the
+# registry closed (378/378 cumulative green after r8), the window's
+# job changes from greening to KEEPING greens meaningful: a green row
+# recorded in round N is evidence about the code as of round N, and
+# decays as the implementing module churns. `tools/rotate_window.py`
+# therefore now orders the window as
+#   (1) failed rows from the previous round (none after r8),
+#   (2) never-checked oracle-backed queries — this round the 2 new
+#       r9 additions (exact_substring_span_dedup, schema_drift_audit),
+#   (3) the STALEST greens: every green ranked by git-numstat lines
+#       changed in its implementing module between the commit that
+#       recorded its most recent green row and HEAD (tie-break: older
+#       green round first, then name). Zero-churn greens never rotate
+#       in — their evidence still binds the exact code it was measured
+#       against. A re-verified green resets its churn clock because
+#       the new CORRECTNESS artifact advances the baseline commit.
+# The r9 window below is the tool's output: 2 never-checked additions
+# + the 48 stalest greens (delta/table.py churn dominates — the SCD2/
+# CDC/deltalog audits — followed by the r6/r7 timeseries family).
 DRIVER_GREEN = (
     "ab_proportion_ztest",
     "abc_pareto_classification",

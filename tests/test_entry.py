@@ -76,3 +76,36 @@ def test_driver_sim_crashes_on_list_typed_outputs():
     listy = pd.DataFrame({"a": [1, 2], "arr": [["x"], ["y", "z"]]})
     with _pytest.raises(TypeError):
         _frame_key(listy)
+
+
+def test_staleness_rotation_structure():
+    """VERDICT r8 ask #1: the rotation tool ranks greens by code churn
+    since their most recent green row, and fills spare window slots
+    stalest-first after failed + never-checked names. Structural
+    properties only (contents shift every round by design): ranking is
+    non-increasing in churn, every ranked name is a registry query,
+    zero-churn greens never enter the window, and the window caps at
+    50 with never-checked names ahead of stale re-verifies."""
+    import __spark_entry__ as m
+    from tools.rotate_window import WINDOW, compute, staleness
+
+    qs = m.queries()
+    scored = staleness(qs)
+    assert scored, "no greens scored — artifact or git parsing broke"
+    churns = [c for _, c, _ in scored]
+    assert churns == sorted(churns, reverse=True)
+    assert all(name in qs for name, _, _ in scored)
+
+    import glob
+
+    latest = sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
+    _green, window, failed = compute(latest)
+    assert len(window) <= WINDOW
+    assert not failed, f"failed rows should re-enter the window head: {failed}"
+    stale_ranks = {name: churn for name, churn, _ in scored}
+    in_window_stale = [n for n in window if n in stale_ranks]
+    assert all(stale_ranks[n] > 0 for n in in_window_stale)
+    # never-checked names (no green row yet) must precede stale greens
+    never = [n for n in window if n not in stale_ranks]
+    if never and in_window_stale:
+        assert window.index(never[-1]) < window.index(in_window_stale[0])
