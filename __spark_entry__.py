@@ -151,6 +151,7 @@ DRIVER_GREEN = (
     "adamic_adar_link_prediction",
     "adf_stationarity",
     "aggnav_priority_rollup",
+    "amihud_illiquidity",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -163,11 +164,13 @@ DRIVER_GREEN = (
     "arima_garch_residual_fit",
     "arima_order_search",
     "asof_join_last_price",
+    "asof_nearest_tolerance_stats",
     "atr_14day",
     "audio_wav_features",
     "benford_digit_audit",
     "beta_vs_market",
     "bigram_lm_surprisal",
+    "bitmap_exact_distinct_gate",
     "bloom_prefilter_join",
     "boilerplate_trigram_share",
     "bollinger_band_breakouts",
@@ -176,6 +179,7 @@ DRIVER_GREEN = (
     "bpe_vocab_merges",
     "brand_basket_affinity",
     "broadcast_left_enrich",
+    "brown_forsythe_variance_test",
     "cascading_time_rollup",
     "case_bucketing",
     "cdc_apply_profile",
@@ -198,17 +202,21 @@ DRIVER_GREEN = (
     "chart_total_volume_day",
     "chart_two_level_reagg",
     "chi_square_type_dow",
+    "class_balance_weights",
     "commit_cadence_gaps",
     "commit_latency_summary",
     "compression_ratio_quality",
     "conjunctive_filter",
     "contamination_ngram_overlap",
     "context_length_packing",
+    "cornish_fisher_var",
     "corpus_curation_funnel",
     "corpus_mixture_weights",
     "corpus_shuffle_shards",
     "corr_covar_matrix",
     "count_distinct_metrics",
+    "countmin_heavy_hitters_gate",
+    "cramers_v_matrix",
     "cross_correlation_lead_lag",
     "cross_source_duplicate_audit",
     "cross_split_leakage",
@@ -226,6 +234,7 @@ DRIVER_GREEN = (
     "ddsketch_quantiles_gate",
     "dedup_cluster_size_histogram",
     "dedup_components",
+    "degree_assortativity_handoff",
     "degree_powerlaw_fit",
     "deltalog_cdf_merge_feed",
     "deltalog_check_constraint_audit",
@@ -235,15 +244,18 @@ DRIVER_GREEN = (
     "deltalog_column_defaults_audit",
     "deltalog_column_mapping_audit",
     "deltalog_compaction_audit",
+    "deltalog_domain_metadata_audit",
     "deltalog_dynamic_overwrite_audit",
     "deltalog_fsck_audit",
     "deltalog_identity_generated",
+    "deltalog_inline_dv_audit",
     "deltalog_log_cleanup_audit",
     "deltalog_merge_evolution_audit",
     "deltalog_merge_matrix_audit",
     "deltalog_mor_delete_audit",
     "deltalog_multipart_checkpoint_audit",
     "deltalog_occ_conflict_audit",
+    "deltalog_protocol_conflict_audit",
     "deltalog_replace_where_audit",
     "deltalog_restore_audit",
     "deltalog_row_tracking_audit",
@@ -266,8 +278,11 @@ DRIVER_GREEN = (
     "doc_chunking_map",
     "doc_quality_gates",
     "dormant_customer_balances",
+    "dow_seasonality_strength",
     "dq_constraint_report",
+    "drawdown_duration_ulcer",
     "dsir_importance_weights",
+    "durbin_watson_daily",
     "embedding_centroid_separation",
     "embedding_int8_quantization",
     "embedding_neardup_pairs",
@@ -296,25 +311,34 @@ DRIVER_GREEN = (
     "grouped_max_topn",
     "grouping_id_rollup_audit",
     "grouping_sets_year_priority",
+    "grubbs_max_deviate",
     "hashed_bow_vectorize",
+    "hashing_collision_sweep",
     "histogram_equi_depth_bands",
     "histogram_fixed_buckets",
+    "hll_daily_union_users",
     "holt_linear_forecast",
     "holt_winters_seasonal",
     "hot_key_diagnosis",
+    "hurst_exponent_rs",
     "image_bmp_features",
     "incremental_agg_merge",
     "incremental_dedup_bloom",
     "inter_event_gap_quantiles",
+    "inter_event_gap_sketch_quantiles",
     "intersect_repeat_customers",
     "interval_overlap_join",
+    "jarque_bera_normality",
     "js_divergence_sources",
     "json_extract_group",
     "kalman_local_level",
     "kaplan_meier_conversion",
     "keyword_search_ranked",
     "kmeans_embedding_clusters",
+    "kruskal_wallis_value_by_type",
     "ks_two_sample",
+    "ks_uniformity_intraday",
+    "kyle_lambda_price_impact",
     "label_centroid_profile",
     "label_propagation_rounds",
     "lag_returns",
@@ -322,6 +346,7 @@ DRIVER_GREEN = (
     "large_volume_customers",
     "last_per_day",
     "late_shipment_priority_counts",
+    "lateral_top_orders_per_customer",
     "left_anti_new_rows",
     "lexicon_sentiment_scores",
     "ljung_box_whitenoise",
@@ -329,8 +354,10 @@ DRIVER_GREEN = (
     "longest_event_streak_per_user",
     "lorenz_curve_deciles",
     "loyal_customers_division",
+    "lsh_candidate_cost_curve",
     "macd_crossover_days",
     "mad_by_type",
+    "mad_ddsketch_by_type",
     "malformed_json_audit",
     "mann_whitney_u",
     "market_cap_arithmetic",
@@ -353,6 +380,7 @@ DRIVER_GREEN = (
     "ngram_novelty_curve",
     "normalized_exact_dedup",
     "ntile_value_bands",
+    "null_aware_not_in_audit",
     "null_default_coalesce",
     "null_semantics_audit",
     "on_balance_volume",
@@ -362,16 +390,19 @@ DRIVER_GREEN = (
     "order_value_window_suite",
     "orderby_limit_topk",
     "orderkey_gaps_islands",
+    "orders_per_customer_log2_histogram",
     "pacf_by_lag",
     "packing_efficiency_audit",
     "pagerank_user_influence",
     "parkinson_garman_klass_vol",
+    "partial_correlation_daily",
     "percentile_disc_cont_audit",
     "perplexity_bucket_curriculum",
     "pii_scrub_stats",
     "pit_feature_join",
     "pivot_dow_multi_agg",
     "pivot_priority_by_year",
+    "poisson_bootstrap_mean_ci",
     "price_band_range_join",
     "price_reconstruction",
     "pricing_summary_report",
@@ -385,6 +416,7 @@ DRIVER_GREEN = (
     "quality_classifier_scores",
     "quality_threshold_sweep",
     "ranked_orders_window_suite",
+    "realized_semivariance_updown",
     "realized_vol_monthly",
     "region_nation_hierarchy_rollup",
     "regr_diagnostics_full",
@@ -394,6 +426,8 @@ DRIVER_GREEN = (
     "retention_cohorts",
     "returned_items_topk",
     "revenue_share_of_region",
+    "rich_club_coefficient",
+    "roc_auc_doc_length",
     "roll_spread_estimator",
     "rolling_median_value",
     "rolling_origin_cv",
@@ -413,11 +447,14 @@ DRIVER_GREEN = (
     "semi_join_recent_customers",
     "sequence_packing_map",
     "session_window_batch",
+    "sessionization_gap_sensitivity",
     "sessionize_user_events",
     "sharpe_sortino_by_type",
+    "shingle_containment_neardup",
     "shipping_priority_topk",
     "simhash_hamming_pairs",
     "sketch_cardinalities",
+    "sketch_operator_swap_gate",
     "skyline_customers_2d",
     "small_lot_revenue",
     "sole_late_supplier_ranking",
@@ -428,6 +465,7 @@ DRIVER_GREEN = (
     "star_revenue_by_nation_month",
     "stats_moments_by_type",
     "stochastic_oscillator_14d",
+    "stratified_kfold_assignment_audit",
     "stratified_sample_rates",
     "stream_stream_attribution_join",
     "stream_stream_full_outer_attribution",
@@ -437,6 +475,7 @@ DRIVER_GREEN = (
     "streaming_session_final_state",
     "streaming_state_audit",
     "supplier_revenue_share_filter",
+    "supplier_type_coverage_deciles",
     "surrogate_keys_global",
     "table_freshness_report",
     "temperature_mixture_weights",
@@ -456,11 +495,14 @@ DRIVER_GREEN = (
     "top_ngram_char_share",
     "top_supplier_by_revenue",
     "topk_parts_per_nation",
+    "trailing_week_range_frame",
     "train_val_test_split",
+    "trend_seasonal_residual_split",
     "triangle_count_handoff_graph",
     "ts_shape_match_topk",
     "ttr_lexical_diversity",
     "tumbling_window_agg",
+    "turning_points_randomness",
     "twap_daily",
     "two_key_left_merge",
     "tz_localized_fact_keys",
@@ -477,6 +519,7 @@ DRIVER_GREEN = (
     "weekday_hour_heatmap",
     "weighted_sample_topk",
     "winnow_fingerprints",
+    "winsorized_value_stats",
     "yoy_revenue_growth",
     "zipf_rank_frequency",
     "zscore_anomaly_days",
@@ -484,15 +527,56 @@ DRIVER_GREEN = (
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "dow_seasonality_strength",
-    "inter_event_gap_sketch_quantiles",
-    "mad_ddsketch_by_type",
-    "countmin_heavy_hitters_gate",
-    "hll_daily_union_users",
-    # re-verify: 6dp->4dp stddev precision derisk this round (their
-    # r6/r7 green rows are stale after the change)
-    "hurst_exponent_rs",
-    "winsorized_value_stats",
+    "exact_substring_span_dedup",
+    "schema_drift_audit",
+    "scd2_dimension_evolution",
+    "cdc_apply_profile",
+    "deltalog_snapshot_audit",
+    "dq_constraint_report",
+    "hot_key_diagnosis",
+    "rest_ingest_typed",
+    "scd2_as_of_snapshot",
+    "stream_stream_attribution_join",
+    "streaming_bronze_final_state",
+    "streaming_dedup_final_state",
+    "pyds_tick_ingest",
+    "streaming_state_audit",
+    "cdf_incremental_view_maintenance",
+    "cdf_stream_consume",
+    "deltalog_cdf_merge_feed",
+    "deltalog_clone_divergence",
+    "deltalog_column_mapping_audit",
+    "deltalog_identity_generated",
+    "deltalog_merge_matrix_audit",
+    "deltalog_mor_delete_audit",
+    "deltalog_row_tracking_audit",
+    "deltalog_update_audit",
+    "beta_vs_market",
+    "bollinger_band_breakouts",
+    "cascading_time_rollup",
+    "cusum_changepoints",
+    "ewma_daily_value",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
+    "kalman_local_level",
+    "max_drawdown_by_type",
+    "monthly_revenue_moving_avg",
+    "open_order_backlog",
+    "pit_feature_join",
+    "realized_vol_monthly",
+    "resample_ffill_daily",
+    "rolling_median_value",
+    "rsi_14day",
+    "ts_shape_match_topk",
+    "twap_daily",
+    "vwap_returnflag_month",
+    "yoy_revenue_growth",
+    "zscore_anomaly_days",
+    "ann_brute_force_topk",
+    "embedding_neardup_pairs",
+    "exact_dedup_groups",
+    "langid_stopword_heuristic",
+    "minhash_lsh_neardup",
 )
 
 
