@@ -92,8 +92,11 @@ def _frame_key(df) -> tuple[tuple[str, ...], list[tuple[str, ...]]]:
     # pre-flight loudly.
     if len(df):
         df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    # itertuples, not iterrows: identical tuples, ~100x less Python
+    # overhead — iterrows stalled ~1 h on a 16.9M-row frame at sf1
     rows = sorted(
-        tuple(_canon(r[c]) for c in cols) for _, r in df.iterrows()
+        tuple(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
     )
     return tuple(cols), rows
 
