@@ -106,6 +106,12 @@ def main() -> None:
     spark = get_spark("driver_sim")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # spill, don't OOM: an sf1 oracle with a pathological pair blowup
+    # (semdedup on the verbatim-replica embeddings) reached >100 GB
+    # RSS and nearly took the box down; cap DuckDB and let it go
+    # out-of-core instead
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_sim_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
