@@ -131,7 +131,24 @@ def main() -> None:
             sdf = fn(spark, SF_DIR).toPandas()
             rec["spark_rows"] = len(sdf)
             if name in oracles:
-                odf = con.execute(oracles[name]).fetchdf()
+                # optional per-oracle watchdog (seconds; 0 = off): at
+                # sf1 a few pure-SQL list-op oracle reimplementations
+                # run 2-threaded in DuckDB for tens of minutes — name
+                # them as timeouts instead of stalling the whole sim
+                budget = float(
+                    os.environ.get("SPARK_GRAFT_SIM_ORACLE_TIMEOUT", "0")
+                )
+                timer = None
+                if budget > 0:
+                    import threading
+
+                    timer = threading.Timer(budget, con.interrupt)
+                    timer.start()
+                try:
+                    odf = con.execute(oracles[name]).fetchdf()
+                finally:
+                    if timer is not None:
+                        timer.cancel()
                 rec["oracle_rows"] = len(odf)
                 scols, srows = _frame_key(sdf)
                 ocols, orows = _frame_key(odf)
