@@ -52,10 +52,19 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            (F.max(F.unix_micros(F.col(ts_col))) - F.min(F.unix_micros(F.col(ts_col))))
-            / 1e6,
-            3,
+        # same integer half-up ms rounding as session_window_agg (the
+        # equality pin in tests/test_sessions.py requires it; see the
+        # representation-tie note there)
+        (
+            F.floor(
+                (
+                    F.max(F.unix_micros(F.col(ts_col)))
+                    - F.min(F.unix_micros(F.col(ts_col)))
+                    + 500
+                )
+                / 1000
+            ).cast("double")
+            / 1000.0
         ).alias("duration_secs"),
     )
 
@@ -76,13 +85,21 @@ def session_window_agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                (
-                    F.max(F.unix_micros(F.col(ts_col)))
-                    - F.min(F.unix_micros(F.col(ts_col)))
-                )
-                / 1e6,
-                3,
+            # ms-rounded duration via INTEGER half-up, not ROUND(x/1e6,3):
+            # a µs diff ending in exactly 500 is a representation tie
+            # that double-ROUND breaks differently across engines
+            # (observed at sf0.1/sf1 — 33090.8515 flipped the hash);
+            # floor((us+500)/1000)/1000 is exact in both
+            (
+                F.floor(
+                    (
+                        F.max(F.unix_micros(F.col(ts_col)))
+                        - F.min(F.unix_micros(F.col(ts_col)))
+                        + 500
+                    )
+                    / 1000
+                ).cast("double")
+                / 1000.0
             ).alias("duration_secs"),
         )
         .drop("sw")

@@ -188,7 +188,8 @@ _SESSION_GAP_MIN = 480
                   FROM flags)
        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
               COUNT(*) AS n_events,
-              ROUND((MAX(us) - MIN(us)) / 1e6, 3) AS duration_secs
+              CAST(FLOOR((MAX(us) - MIN(us) + 500) / 1000.0) AS DOUBLE)
+                / 1000.0 AS duration_secs
        FROM tagged GROUP BY user_id, session_idx""",
 )
 def sessionize_user_events(spark, sf_dir):
