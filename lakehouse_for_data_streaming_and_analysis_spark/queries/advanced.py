@@ -68,14 +68,18 @@ def regr_value_trend(spark, sf_dir):
 
 @q(
     "time_range_rolling_avg",
-    """SELECT event_id,
-              event_type,
-              ROUND(avg(value) OVER w, 4) AS roll_avg,
-              COUNT(*) OVER w AS roll_n
-       FROM events
-       WINDOW w AS (PARTITION BY event_type
-                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
-                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""",
+    """SELECT event_id, event_type,
+              CAST((2 * s6 + n * 100) // (2 * n * 100) AS DOUBLE) / 10000
+                AS roll_avg,
+              n AS roll_n
+       FROM (SELECT event_id, event_type,
+                    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w * 1000000
+                         AS BIGINT) AS s6,
+                    COUNT(*) OVER w AS n
+             FROM events
+             WINDOW w AS (PARTITION BY event_type
+                          ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW))""",
 )
 def time_range_rolling_avg(spark, sf_dir):
     """Trailing 10-minute average per event type using a RANGE frame
@@ -89,11 +93,28 @@ def time_range_rolling_avg(spark, sf_dir):
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-600, 0)
     )
+    # decimal window SUM + INTEGER half-up at 4 dp (DECISIONS §50):
+    # plain avg-of-doubles accumulates in frame order (Spark sliding
+    # frame vs DuckDB segment tree), and even exact sums hit
+    # representation ties under double-ROUND — the sf1 sim caught
+    # both once frames held 10x the rows
+    s6 = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w) * 1_000_000
+    ).cast("long")
+    n = F.count(F.lit(1)).over(w)
     return ev.select(
         "event_id",
         "event_type",
-        F.round(F.avg("value").over(w), 4).alias("roll_avg"),
-        F.count(F.lit(1)).over(w).alias("roll_n"),
+        s6.alias("s6"),
+        n.alias("n"),
+    ).select(
+        "event_id",
+        "event_type",
+        (
+            F.expr("CAST((2 * s6 + n * 100) div (2 * n * 100) AS DOUBLE)")
+            / 10000
+        ).alias("roll_avg"),
+        F.col("n").alias("roll_n"),
     )
 
 

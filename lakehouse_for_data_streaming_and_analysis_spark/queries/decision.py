@@ -808,12 +808,18 @@ def dormant_customer_balances(spark, sf_dir):
 
 @q(
     "min_price_supplier_per_part",
-    """WITH unit AS (
+    """WITH sums AS (
          SELECT l_partkey, l_suppkey,
-                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                      / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS ip,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS iq
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       unit AS (
+         SELECT l_partkey, l_suppkey,
+                CAST((2 * ip * 10000 + iq) // (2 * iq) AS DOUBLE) / 10000
                   AS unit_price
-         FROM lineitem GROUP BY l_partkey, l_suppkey)
+         FROM sums)
        SELECT p.p_partkey, p.p_brand, s.s_name, u.unit_price
        FROM unit u
        JOIN part p ON u.l_partkey = p.p_partkey
@@ -842,12 +848,29 @@ def min_price_supplier_per_part(spark, sf_dir):
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
-            4,
-        ).alias("unit_price")
+    # exact half-up at 4 dp in INTEGER space (sf1 sim finding: the
+    # double division landed on a representation tie and the two
+    # engines' ROUND broke it differently — DECISIONS §50 pattern):
+    # price/qty = ip/iq with both sums exact integer hundredths, so
+    # round4(ip/iq) = (2*ip*10^4 + iq) div (2*iq), engine-identical.
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("ip"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("iq"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.expr("CAST((2 * ip * 10000 + iq) div (2 * iq) AS DOUBLE)")
+                / 10000
+            ).alias("unit_price"),
+        )
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_price")
     cheapest = unit.withColumn("rk", F.rank().over(w)).filter(F.col("rk") == 1)
