@@ -1527,11 +1527,13 @@ def _daily_ohlcv(ev):
                   AS pct_k
          FROM k WHERE n_win = 14 AND high14 > low14)
        SELECT event_type, d, pct_k,
-              ROUND(AVG(pct_k) OVER (PARTITION BY event_type ORDER BY d
-                                     ROWS BETWEEN 2 PRECEDING
-                                              AND CURRENT ROW), 4)
-                AS pct_d
-       FROM pk""",
+              CAST((2 * SUM(k4) OVER w3 + COUNT(*) OVER w3)
+                   // (2 * COUNT(*) OVER w3) AS DOUBLE) / 10000 AS pct_d
+       FROM (SELECT event_type, d, pct_k,
+                    CAST(ROUND(pct_k * 10000, 0) AS BIGINT) AS k4
+             FROM pk)
+       WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
 )
 def stochastic_oscillator_14d(spark, sf_dir):
     """Stochastic oscillator over per-series daily bars: %K locates
@@ -1571,12 +1573,16 @@ def stochastic_oscillator_14d(spark, sf_dir):
         .orderBy("d")
         .rowsBetween(-2, Window.currentRow)
     )
-    return pk.select(
-        "event_type",
-        "d",
-        "pct_k",
-        F.round(F.avg("pct_k").over(w3), 4).alias("pct_d"),
-    )
+    # %D via integer half-up at 4 dp (DECISIONS §50): averaging three
+    # 4dp-rounded doubles under double-ROUND hits representation ties
+    # (caught by the sf1 sim — 39.2871/3 flipped the last digit)
+    k4 = F.round(F.col("pct_k") * 10000, 0).cast("long")
+    s4 = F.sum(k4).over(w3)
+    n3 = F.count(F.lit(1)).over(w3)
+    # floor is exact here: fractional parts of the quotient are
+    # multiples of 1/(2*n3) >= 1/6, far above double rounding error
+    pct_d = F.floor((2 * s4 + n3) / (2 * n3)).cast("double") / 10000
+    return pk.select("event_type", "d", "pct_k", pct_d.alias("pct_d"))
 
 
 @q(
