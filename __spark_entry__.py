@@ -294,6 +294,7 @@ DRIVER_GREEN = (
     "exact_dedup_groups",
     "exact_quantiles_by_type",
     "exact_substring_dup_coverage",
+    "exact_substring_span_dedup",
     "except_all_keys",
     "first_last_nth_window",
     "flesch_reading_ease",
@@ -440,6 +441,7 @@ DRIVER_GREEN = (
     "scd2_as_of_snapshot",
     "scd2_dimension_evolution",
     "scd2_hash_projection",
+    "schema_drift_audit",
     "schema_evolution_union",
     "seasonal_residual_anomalies",
     "semdedup_cluster_prune",
@@ -527,56 +529,56 @@ DRIVER_GREEN = (
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
-    "exact_substring_span_dedup",
-    "schema_drift_audit",
-    "scd2_dimension_evolution",
-    "cdc_apply_profile",
-    "deltalog_snapshot_audit",
-    "dq_constraint_report",
-    "hot_key_diagnosis",
-    "rest_ingest_typed",
-    "scd2_as_of_snapshot",
-    "stream_stream_attribution_join",
-    "streaming_bronze_final_state",
-    "streaming_dedup_final_state",
-    "pyds_tick_ingest",
-    "streaming_state_audit",
-    "cdf_incremental_view_maintenance",
-    "cdf_stream_consume",
-    "deltalog_cdf_merge_feed",
-    "deltalog_clone_divergence",
-    "deltalog_column_mapping_audit",
-    "deltalog_identity_generated",
-    "deltalog_merge_matrix_audit",
-    "deltalog_mor_delete_audit",
-    "deltalog_row_tracking_audit",
-    "deltalog_update_audit",
-    "beta_vs_market",
-    "bollinger_band_breakouts",
-    "cascading_time_rollup",
-    "cusum_changepoints",
-    "ewma_daily_value",
-    "holt_linear_forecast",
-    "holt_winters_seasonal",
-    "kalman_local_level",
-    "max_drawdown_by_type",
-    "monthly_revenue_moving_avg",
-    "open_order_backlog",
-    "pit_feature_join",
-    "realized_vol_monthly",
-    "resample_ffill_daily",
-    "rolling_median_value",
-    "rsi_14day",
-    "ts_shape_match_topk",
-    "twap_daily",
-    "vwap_returnflag_month",
-    "yoy_revenue_growth",
-    "zscore_anomaly_days",
-    "ann_brute_force_topk",
-    "embedding_neardup_pairs",
-    "exact_dedup_groups",
-    "langid_stopword_heuristic",
-    "minhash_lsh_neardup",
+    "ngram_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "text_quality_scores",
+    "token_counts",
+    "token_heavy_hitters",
+    "atr_14day",
+    "on_balance_volume",
+    "stochastic_oscillator_14d",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "deltalog_check_constraint_audit",
+    "deltalog_checkpoint_audit",
+    "deltalog_dynamic_overwrite_audit",
+    "deltalog_replace_where_audit",
+    "deltalog_restore_audit",
+    "deltalog_schema_evolution_audit",
+    "deltalog_skipping_audit",
+    "deltalog_time_travel_audit",
+    "deltalog_vacuum_audit",
+    "deltalog_zorder_audit",
+    "streaming_session_final_state",
+    "cube_status_priority",
+    "exact_quantiles_by_type",
+    "grouping_sets_year_priority",
+    "pivot_priority_by_year",
+    "price_band_range_join",
+    "rollup_year_priority",
+    "sessionize_user_events",
+    "bloom_prefilter_join",
+    "dedup_components",
+    "embedding_vector_stats",
+    "interval_overlap_join",
+    "neardup_canonical_selection",
+    "pagerank_user_influence",
+    "ranked_orders_window_suite",
+    "region_nation_hierarchy_rollup",
+    "salted_skew_join_revenue",
+    "semi_join_recent_customers",
+    "stats_moments_by_type",
+    "unpivot_priority_revenue",
+    "user_event_profile",
+    "ann_pq_topk",
+    "audio_wav_features",
+    "doc_chunking_map",
+    "embedding_norm_outliers",
+    "exact_substring_dup_coverage",
+    "hashed_bow_vectorize",
+    "image_bmp_features",
 )
 
 

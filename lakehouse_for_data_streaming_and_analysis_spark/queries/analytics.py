@@ -262,30 +262,70 @@ def rolling_origin_cv(spark, sf_dir):
 
 @q(
     "price_reconstruction",
-    f"""WITH hourly AS ({HOURLY_SQL}),
-       resid AS (
-         SELECT event_type, ds, y,
-                y / LAG(y) OVER (PARTITION BY event_type ORDER BY ds) - 1 AS r
-         FROM hourly)
+    """WITH h AS (
+         SELECT event_type,
+                strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                         '%Y-%m-%d %H:00') AS ds,
+                (2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   * 10000 + COUNT(*)) // (2 * COUNT(*)) AS y6
+         FROM events GROUP BY 1, 2),
+       l AS (
+         SELECT event_type, ds,
+                LAG(y6, 1) OVER (PARTITION BY event_type ORDER BY ds) AS a,
+                LAG(y6, 2) OVER (PARTITION BY event_type ORDER BY ds) AS b
+         FROM h)
        SELECT event_type, ds,
-              ROUND(LAG(y) OVER (PARTITION BY event_type ORDER BY ds)
-                    * (1 + LAG(r) OVER (PARTITION BY event_type ORDER BY ds)), 6)
-                AS y_recon
-       FROM resid QUALIFY y_recon IS NOT NULL""",
+              CAST((2 * a * a + b) // (2 * b) AS DOUBLE) / 1000000 AS y_recon
+       FROM l WHERE a IS NOT NULL AND b IS NOT NULL""",
 )
 def price_reconstruction(spark, sf_dir):
     """X10: reconstruct the level series from lagged returns —
-    close * (1 + resid.shift(1)) (test6.ipynb cell 7)."""
-    h = hourly_series(spark, sf_dir)
-    w = Window.partitionBy("event_type").orderBy("ds")
-    resid = h.withColumn("r", F.col("y") / F.lag("y").over(w) - 1)
-    return (
-        resid.select(
+    close * (1 + resid.shift(1)) (test6.ipynb cell 7).
+
+    Algebraically lag(y) * (1 + (lag(y)/lag2(y) - 1)) = lag(y)^2/lag2(y);
+    the naive double chain multiplies three rounded doubles and flipped
+    its last 6dp digit between engines at sf1 magnitudes
+    (SIM_r09_sf1: 44.592802 vs 44.592804). DECISIONS 50 rework: carry
+    the hourly mean as an exact integer of 1e-6 units (half-up of
+    cents*1e4/n from the exact DECIMAL sum), then one exact integer
+    half-up division for the whole chain. y <= max(value) ~ 5e2 is
+    scale-free (it's an average), so 2*a*a <= ~5e17 fits BIGINT at any
+    sf; the numerator exceeds 2^53, hence true integral division (DIV),
+    not the float-floor idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("ds"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # stage-1 quotient <= ~7e10 << 2^53: float-floor is exact here
+        # (same argument as the stochastic %D fix), but keep the whole
+        # chain in DIV for uniformity with the oracle's //
+        .select(
             "event_type",
             "ds",
-            F.round(F.lag("y").over(w) * (1 + F.lag("r").over(w)), 6).alias("y_recon"),
+            F.expr("(2 * c * 10000 + n) DIV (2 * n)").alias("y6"),
         )
-        .filter(F.col("y_recon").isNotNull())
+    )
+    w = Window.partitionBy("event_type").orderBy("ds")
+    l = h.select(
+        "event_type",
+        "ds",
+        F.lag("y6", 1).over(w).alias("a"),
+        F.lag("y6", 2).over(w).alias("b"),
+    )
+    return l.filter(F.col("a").isNotNull() & F.col("b").isNotNull()).select(
+        "event_type",
+        "ds",
+        (F.expr("(2 * a * a + b) DIV (2 * b)").cast("double") / 1000000).alias(
+            "y_recon"
+        ),
     )
 
 
