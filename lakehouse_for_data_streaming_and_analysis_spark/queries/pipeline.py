@@ -273,7 +273,8 @@ def streaming_bronze_final_state(spark, sf_dir):
     "stream_stream_attribution_join",
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
               p.ts AS purchase_ts, c.ts AS click_ts,
-              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3) AS lag_secs
+              CAST((epoch_us(p.ts) - epoch_us(c.ts) + 500) // 1000 AS DOUBLE)
+                / 1000 AS lag_secs
        FROM events p JOIN events c
          ON p.user_id = c.user_id
         AND p.event_type = 'purchase'
@@ -341,8 +342,18 @@ def stream_stream_attribution_join(spark, sf_dir):
         "user_id",
         "purchase_ts",
         "click_ts",
-        F.round(
-            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")) / 1e6, 3
+        # ms-rounded lag via INTEGER half-up (DECISIONS 50), not
+        # ROUND(us/1e6,3): a us diff ending in exactly 500 is a
+        # representation tie double-ROUND breaks differently across
+        # engines (sessionize_user_events flipped at sf1). Diff >= 0 by
+        # the join bound, so +500 floor-div is half-up; numerator
+        # <= 4h+500us << 2^53, the float floor is exact.
+        (
+            F.floor(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts") + 500)
+                / 1000
+            ).cast("double")
+            / 1000.0
         ).alias("lag_secs"),
     )
 
@@ -394,8 +405,8 @@ def _ensure_outer_attr_replay(spark, sf_dir: str) -> str:
              WHERE event_type IN ('click', 'view'))
        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
               p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
-              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3)
-                AS lag_secs
+              CAST((epoch_us(p.ts) - epoch_us(c.ts) + 500) // 1000 AS DOUBLE)
+                / 1000 AS lag_secs
        FROM p LEFT JOIN c
          ON p.user_id = c.user_id
         AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts""",
@@ -468,10 +479,18 @@ def stream_stream_outer_attribution(spark, sf_dir):
             "user_id",
             "purchase_ts",
             "click_ts",
-            F.round(
-                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-                / 1e6,
-                3,
+            # integer half-up ms rounding (DECISIONS 50); NULL click
+            # side propagates NULL lag_secs as before
+            (
+                F.floor(
+                    (
+                        F.unix_micros("purchase_ts")
+                        - F.unix_micros("click_ts")
+                        + 500
+                    )
+                    / 1000
+                ).cast("double")
+                / 1000.0
             ).alias("lag_secs"),
         )
     )
@@ -486,8 +505,8 @@ def stream_stream_outer_attribution(spark, sf_dir):
        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
               COALESCE(p.user_id, c.user_id) AS user_id,
               p.ts AS purchase_ts, c.ts AS click_ts,
-              ROUND((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 3)
-                AS lag_secs
+              CAST((epoch_us(p.ts) - epoch_us(c.ts) + 500) // 1000 AS DOUBLE)
+                / 1000 AS lag_secs
        FROM p FULL JOIN c
          ON p.user_id = c.user_id
         AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts""",
@@ -567,10 +586,18 @@ def stream_stream_full_outer_attribution(spark, sf_dir):
             F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
             "purchase_ts",
             "click_ts",
-            F.round(
-                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
-                / 1e6,
-                3,
+            # integer half-up ms rounding (DECISIONS 50); either
+            # dangling side propagates NULL lag_secs as before
+            (
+                F.floor(
+                    (
+                        F.unix_micros("purchase_ts")
+                        - F.unix_micros("click_ts")
+                        + 500
+                    )
+                    / 1000
+                ).cast("double")
+                / 1000.0
             ).alias("lag_secs"),
         )
     )
