@@ -138,8 +138,11 @@ def plan_aggregate(
         if m.kind == "avg":
             s_col = best.states[("sum", m.source)]
             c_col = best.states[("count", "")]
+            # pin the double division path: a DECIMAL sum state would
+            # otherwise hit Spark's decimal-division scale rules, which
+            # no other engine mirrors digit-for-digit
             aggs.append(
-                (F.sum(s_col) / F.sum(c_col)).alias(m.name)
+                (F.sum(s_col).cast("double") / F.sum(c_col)).alias(m.name)
             )
         elif m.kind == "count":
             aggs.append(F.sum(best.states[("count", "")]).alias(m.name))

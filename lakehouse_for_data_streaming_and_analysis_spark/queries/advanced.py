@@ -554,8 +554,10 @@ def incremental_agg_merge(spark, sf_dir):
     "aggnav_priority_rollup",
     """SELECT o_orderpriority,
               COUNT(*) AS n_orders,
-              ROUND(SUM(o_totalprice), 2) AS total_value,
-              ROUND(AVG(o_totalprice), 4) AS avg_value,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE) AS total_value,
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*), 4) AS avg_value,
               MAX(o_totalprice) AS max_value
        FROM orders GROUP BY 1""",
 )
@@ -573,9 +575,16 @@ def aggnav_priority_rollup(spark, sf_dir):
     from ..plans import aggnav
 
     o = load_table(spark, sf_dir, "orders")
+    # DECIMAL accumulation through the summary (lint sf1-extrapolation:
+    # the float partial-sum chain reaches ~6e12 demand at sf1): the
+    # partial states and their re-aggregation stay exact, so the
+    # navigator's answer is order-independent at any scale
+    fact = o.withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
     summary = aggnav.build_summary(
         "orders_by_priority_year",
-        o.withColumn("yr", F.year("o_orderdate")),
+        fact.withColumn("yr", F.year("o_orderdate")),
         ["o_orderpriority", "yr"],
         [("sum", "o_totalprice"), ("max", "o_totalprice")],
     )
@@ -594,9 +603,9 @@ def aggnav_priority_rollup(spark, sf_dir):
     return out.select(
         "o_orderpriority",
         "n_orders",
-        F.round("total_value", 2).alias("total_value"),
+        F.round("total_value", 2).cast("double").alias("total_value"),
         F.round("avg_value", 4).alias("avg_value"),
-        "max_value",
+        F.col("max_value").cast("double").alias("max_value"),
     )
 
 

@@ -142,17 +142,19 @@ def first_last_nth_window(spark, sf_dir):
     "value_range_window_sum",
     """WITH r AS (
          SELECT event_type, value,
-                SUM(value) OVER (PARTITION BY event_type ORDER BY value
-                                 RANGE BETWEEN 50.0 PRECEDING
-                                           AND CURRENT ROW) AS near_sum,
+                SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY event_type ORDER BY value
+                        RANGE BETWEEN 50.0 PRECEDING
+                                  AND CURRENT ROW) AS near_sum,
                 COUNT(*) OVER (PARTITION BY event_type ORDER BY value
                                RANGE BETWEEN 50.0 PRECEDING
                                          AND CURRENT ROW) AS near_n
          FROM events)
        SELECT event_type,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              ROUND(SUM(near_sum), 2) AS sum_near_sums,
-              ROUND(AVG(CAST(near_n AS DOUBLE)), 6) AS avg_near_count
+              CAST(ROUND(SUM(near_sum), 2) AS DOUBLE) AS sum_near_sums,
+              CAST((2 * CAST(SUM(near_n) AS HUGEINT) * 1000000 + COUNT(*))
+                   // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS avg_near_count
        FROM r GROUP BY event_type""",
 )
 def value_range_window_sum(spark, sf_dir):
@@ -175,15 +177,22 @@ def value_range_window_sum(spark, sf_dir):
     r = ev.select(
         "event_type",
         "value",
-        F.expr(f"sum(value) {frame}").alias("near_sum"),
+        # DECIMAL accumulation: the float window-sum-of-sums grows
+        # ~n^2 per decade (93x at sf0.01 -> lint sf1-extrapolation
+        # flagged 2.9e13 demand); exact decimal is order-independent
+        F.expr(f"sum(cast(value as decimal(18,2))) {frame}").alias("near_sum"),
         F.expr(f"count(*) {frame}").alias("near_n"),
     )
     return r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("near_sum"), 2).alias("sum_near_sums"),
-        F.round(F.avg(F.col("near_n").cast("double")), 6).alias(
-            "avg_near_count"
-        ),
+        F.round(F.sum("near_sum"), 2).cast("double").alias("sum_near_sums"),
+        # integer half-up at 6dp (DECISIONS 50): AVG of integer counts
+        # is a k/n rational that can sit on a 6dp rounding tie;
+        # DECIMAL(38,0) carrier because 2*sum(near_n)*1e6 can pass 2^63
+        F.expr(
+            "CAST((2 * CAST(sum(near_n) AS DECIMAL(38,0)) * 1000000"
+            " + count(*)) DIV (2 * count(*)) AS DOUBLE) / 1000000"
+        ).alias("avg_near_count"),
     )
 
 
