@@ -228,8 +228,9 @@ _DRIFT_PAYLOAD_SQL = """
                                  AND TRY_CAST(kval AS BIGINT) IS NULL
                             THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_type_conflicts,
-              ROUND(AVG(CASE WHEN NOT has_k OR kval IS NULL
-                             THEN 1.0 ELSE 0.0 END), 4) AS k_null_rate
+              CAST((2 * SUM(CASE WHEN NOT has_k OR kval IS NULL
+                                 THEN 1 ELSE 0 END) * 10000 + COUNT(*))
+                   // (2 * COUNT(*)) AS DOUBLE) / 10000 AS k_null_rate
        FROM par p LEFT JOIN newkeys nk ON nk.batch = p.batch
        GROUP BY p.batch ORDER BY p.batch""",
 )
@@ -305,11 +306,25 @@ def schema_drift_audit(spark, sf_dir):
                 & F.expr("try_cast(kval as bigint)").isNull()
             ).cast("long")
         ).alias("n_type_conflicts"),
-        F.round(
-            F.avg(
-                (~F.col("has_k") | F.col("kval").isNull()).cast("double")
-            ),
-            4,
+        # k/n rate via INTEGER half-up at 4dp (DECISIONS 50, ADVICE r9):
+        # ROUND(AVG(..), 4) on a ratio of exact integers is the same
+        # representation-tie pattern the lag_secs fix removed; the
+        # numerator stays < 2^53 so the float floor is exact
+        (
+            F.floor(
+                (
+                    2
+                    * F.sum(
+                        (~F.col("has_k") | F.col("kval").isNull()).cast(
+                            "long"
+                        )
+                    )
+                    * 10000
+                    + F.count(F.lit(1))
+                )
+                / (2 * F.count(F.lit(1)))
+            ).cast("double")
+            / 10000
         ).alias("k_null_rate"),
     )
     return (

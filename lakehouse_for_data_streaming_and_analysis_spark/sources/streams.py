@@ -182,6 +182,11 @@ def parse_with_quarantine(
     * undeclared keys    -> reason 'undeclared_keys:<sorted names>'
     * declared-field type conflict (key present, value non-null, cast
       to the declared type fails) -> reason 'type_conflict:<fields>'
+    * payload the string-map census cannot represent at all (nested
+      object/array values, malformed JSON, non-object document) ->
+      reason 'unparseable_payload' — without this branch the NULL
+      probe map made size(undeclared) NULL and such rows slipped
+      through as "clean" with all-null declared fields (ADVICE r9)
 
     Clean rows carry ``quarantine = NULL``; drifted rows carry
     ``struct(reason, payload)`` with the RAW payload preserved for
@@ -235,6 +240,12 @@ def parse_with_quarantine(
         ),
     )
     quarantine = F.when(
+        payload.isNotNull() & probe.isNull(),
+        F.struct(
+            F.lit("unparseable_payload").alias("reason"),
+            payload.alias("payload"),
+        ),
+    ).when(
         (F.size(undeclared) > 0) | (F.size(conflicts) > 0),
         F.struct(reason.alias("reason"), payload.alias("payload")),
     )

@@ -486,6 +486,52 @@ def test_minikernel_writer_refuses_schema_divergent_retry(
     monkeypatch.setattr(mk, "commit", real_commit)
 
 
+def test_minikernel_creation_race_checks_winner_schema(tmp_path, monkeypatch):
+    """Losing the CREATION race (version 0) gets no schema-check
+    exemption (ADVICE r9): when another writer creates the table first
+    with a DIFFERENT definition, the loser must refuse loudly rather
+    than append its own-schema file under the winner's table; with the
+    SAME definition it retries onto version 1 like any other loser."""
+    real_commit = mk.commit
+
+    def race_with(other_batch):
+        fired = {"n": 0}
+
+        def racing_commit(table, actions, version):
+            if fired["n"] == 0:
+                fired["n"] = 1
+                real_commit_table = table
+                # another writer creates the table first
+                mk.append(real_commit_table, other_batch)
+            return real_commit(table, actions, version)
+
+        return racing_commit
+
+    # different winner schema -> refuse
+    root = str(tmp_path / "mk_create_refuse")
+    divergent = pa.table({"id": pa.array([1, 2], pa.int64())})
+    monkeypatch.setattr(mk, "commit", race_with(divergent))
+    with pytest.raises(mk.ConcurrentCommit):
+        mk.append(root, _mk_batch(0, 5))
+    monkeypatch.setattr(mk, "commit", real_commit)
+    # the loser left nothing behind: the winner's table is intact
+    st = mk.load_state(root)
+    assert st.version == 0
+    for add in st.adds.values():
+        assert os.path.exists(os.path.join(root, add["path"]))
+
+    # same winner schema -> retry lands version 1
+    root2 = str(tmp_path / "mk_create_retry")
+    monkeypatch.setattr(mk, "commit", race_with(_mk_batch(100, 103)))
+    version, retries = mk.append(root2, _mk_batch(0, 5))
+    monkeypatch.setattr(mk, "commit", real_commit)
+    assert (version, retries) == (1, 1)
+    st2 = mk.load_state(root2)
+    assert sum(
+        json.loads(a["stats"])["numRecords"] for a in st2.adds.values()
+    ) == 8
+
+
 def test_concurrent_minikernel_writers_serialize(tmp_path):
     """Two mini-kernel writers aiming at the same version: exactly one
     wins it, the loser's retry lands the next version, and the final

@@ -96,6 +96,46 @@ def test_combined_reasons_and_batch_parity(spark):
     assert out.k is None and out.tag == "g"
 
 
+def test_unrepresentable_payload_quarantined_not_clean(spark):
+    """Payloads the probe cannot represent must land in quarantine,
+    not slip through as clean rows with all-null declared fields
+    (ADVICE r9: NULL probe map made size(undeclared) NULL).  The probe
+    keeps nested values as raw JSON strings, so a nested value on a
+    declared field is handled by the TYPE branches: it coerces when
+    the declared type can hold it (string) and flags type_conflict
+    when it cannot (bigint).  Only malformed JSON and non-object
+    documents null the probe — those take the new
+    'unparseable_payload' branch."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1, "tag": {"nested": true}}'),  # nested on string
+            (2, '{"k": [1, 2], "tag": "x"}'),  # nested on bigint
+            (3, "not json at all"),  # malformed
+            (4, "[1, 2, 3]"),  # non-object document
+            (5, None),  # absent payload: NOT drift
+            (6, '{"k": 6, "tag": "ok"}'),  # clean control
+        ],
+        RAW_SCHEMA,
+    )
+    rows = {
+        r.event_id: r
+        for r in parse_with_quarantine(df, "payload", DECLARED).collect()
+    }
+    # nested object coerces into the declared STRING field — clean
+    assert rows[1].quarantine is None and rows[1].k == 1
+    assert rows[1].tag == '{"nested":true}'
+    # nested array cannot be a BIGINT — type conflict, raw preserved
+    assert rows[2].quarantine.reason == "type_conflict:k"
+    assert rows[2].k is None and rows[2].tag == "x"
+    # probe-null classes: quarantined loudly, never "clean all-null"
+    for eid in (3, 4):
+        assert rows[eid].quarantine is not None, eid
+        assert rows[eid].quarantine.reason == "unparseable_payload", eid
+    assert rows[4].quarantine.payload == "[1, 2, 3]"
+    assert rows[5].quarantine is None  # null payload is absence, not drift
+    assert rows[6].quarantine is None and rows[6].k == 6
+
+
 def test_quarantine_plan_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, '{"k": 1}')], RAW_SCHEMA)
     parsed = parse_with_quarantine(df, "payload", DECLARED)

@@ -9,7 +9,11 @@ from sf0.1 deterministically — no RNG, no new distributions:
 * customer/supplier/part/orders/lineitem/events/embeddings: REPLICAS
   offset copies; every key (and foreign key) is shifted by the same
   per-table stride so join fan-in/fan-out per key is IDENTICAL to
-  sf0.1 — the workload scales in volume, not in shape.
+  sf0.1 — the workload scales in volume, not in shape.  Two r10
+  de-degenerations (VERDICT r9 asks #3/#4): o_custkey is derotated
+  per order (bijective replica remap, shape-preserving) so custkey is
+  not correlated with orderkey striding, and replica embeddings carry
+  deterministic ±0.03 hash-noise so no vector is a verbatim twin.
 * documents: each replica DETERMINISTICALLY reorders the words of the
   original doc (per-(replica, doc) rotation). Unigram statistics —
   token counts, TF-IDF, quality metrics — are preserved exactly, but
@@ -64,6 +68,18 @@ def build(out_dir: str, replicas: int = 10) -> None:
                    c_nationkey, c_acctbal, c_mktsegment
             FROM {src('customer')}, r""",
     )
+    # orders→customer replica DEROTATION: o_custkey joins the customer
+    # replica (i + hash(o_orderkey)) % replicas instead of i, so custkey
+    # is NOT striding in lockstep with orderkey. Shape is still exact:
+    # each base order of customer c lands on every customer replica of
+    # c exactly once across the order replicas (the map i -> (i+h) %
+    # replicas is a bijection for fixed h), so per-customer order
+    # counts, totals, and semi/anti-join membership are IDENTICAL to
+    # sf0.1 per key. Without this, an o_orderkey-ranged file layout is
+    # perfectly correlated with o_custkey bands and the
+    # deltalog_zorder_audit premise (a custkey band matches every
+    # orderkey-ranged file before Z-ordering) breaks at sf1
+    # (VERDICT r9 ask #4).
     emit(
         "supplier",
         f"""SELECT s_suppkey + i*{STRIDE} AS s_suppkey, s_name,
@@ -79,7 +95,9 @@ def build(out_dir: str, replicas: int = 10) -> None:
     emit(
         "orders",
         f"""SELECT o_orderkey + i*{STRIDE} AS o_orderkey,
-                   o_custkey + i*{STRIDE} AS o_custkey,
+                   o_custkey + CAST((i + hash(o_orderkey) % {replicas})
+                                    % {replicas} AS BIGINT)
+                             * {STRIDE} AS o_custkey,
                    o_orderstatus, o_totalprice, o_orderdate,
                    o_orderpriority
             FROM {src('orders')}, r""",
@@ -101,9 +119,24 @@ def build(out_dir: str, replicas: int = 10) -> None:
                    props
             FROM {src('events')}, r""",
     )
+    # replica embeddings carry deterministic hash-noise (±0.03 per
+    # component, the ann_scale_recall.py construction): verbatim
+    # 10x-twin vectors are unrealistic (every vector an exact dup of 9
+    # others) and made pair-generating oracles blow up on degenerate
+    # geometry (VERDICT r9 ask #3). Replica 0 stays the original.
+    noise = (
+        f"(CAST(hash(vec_id * 1000003 + i * 8191 + j) % 2001 AS DOUBLE)"
+        f" - 1000.0) / 1000.0 * 0.03"
+    )
     emit(
         "embeddings",
-        f"""SELECT vec_id + i*{STRIDE} AS vec_id, embedding, label
+        f"""SELECT vec_id + i*{STRIDE} AS vec_id,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE CAST(list_transform(
+                               range(1, len(embedding) + 1),
+                               j -> embedding[j] + {noise}) AS FLOAT[])
+                   END AS embedding,
+                   label
             FROM {src('embeddings')}, r""",
     )
     # per-(replica, doc) deterministic SHUFFLE of the word list:

@@ -701,7 +701,12 @@ def append(
             if retries > max_retries:
                 raise
             st = load_state(table)  # winner's table definition
-            if st.metadata.get("schemaString") != schema_str and version > 0:
+            # unconditional: a writer that lost the CREATION race (its
+            # version-0 commit) must also refuse to append under a
+            # winner whose table definition differs (ADVICE r9 — the
+            # old `and version > 0` exemption let it blindly append
+            # its own-schema file under a different table definition)
+            if st.metadata.get("schemaString") != schema_str:
                 raise
             _check_protocol(st.protocol)
             version = st.version + 1

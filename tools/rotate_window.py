@@ -12,10 +12,21 @@ with the registry closed (every query green at least once), a green
 row's evidentiary value decays as the code under it churns. When the
 window has spare slots after failed + never-checked names, they are
 filled with the STALEST greens — ranked by lines changed (git numstat)
-in each query's implementing module between the commit that recorded
+in each query's implementing SURFACE between the commit that recorded
 its most recent green row (the round's CORRECTNESS artifact) and HEAD,
 tie-broken by green age (older round first) then name. A re-verified
 green refreshes its row, resetting the clock.
+
+The churn surface is the query's defining module PLUS every package
+module that module directly imports (operators/, functions/,
+analytics/, ... — resolved from live module attributes, so both
+``from ..operators import sessions`` and ``from ..operators.dedup
+import minhash`` count).  Scoring only the defining module was a
+blind spot (ADVICE r9): a shared operator could change while every
+query module importing it scored zero churn and never rotated in.
+Transitive (deeper) imports still don't count — one level covers the
+call sites the query actually exercises without making every green
+stale whenever any leaf utility changes.
 
 Usage:
     python tools/rotate_window.py CORRECTNESS_r02.json          # report
@@ -81,17 +92,52 @@ def _round_commits() -> dict[int, str]:
     return out
 
 
-def _impl_files(queries: dict) -> dict[str, str]:
-    """query -> repo-relative path of its implementing module."""
+_PKG = "lakehouse_for_data_streaming_and_analysis_spark"
+
+
+def _module_surface(mod) -> tuple[str, ...]:
+    """Repo-relative files of ``mod`` plus every package module it
+    directly imports (module attributes AND attributes carrying a
+    package ``__module__``, so ``from ..x import fn`` counts too)."""
+    import types
+
+    files = set()
+
+    def add(m) -> None:
+        f = getattr(m, "__file__", None)
+        if f and os.path.abspath(f).startswith(REPO + os.sep):
+            files.add(os.path.relpath(f, REPO))
+
+    add(mod)
+    for v in vars(mod).values():
+        if isinstance(v, types.ModuleType):
+            m = v
+        else:
+            owner = getattr(v, "__module__", None)
+            m = sys.modules.get(owner) if owner else None
+        if m is not None and getattr(m, "__name__", "").startswith(_PKG):
+            add(m)
+    return tuple(sorted(files))
+
+
+def _impl_files(queries: dict) -> dict[str, tuple[str, ...]]:
+    """query -> repo-relative paths of its implementing surface."""
     import inspect
 
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, ...]] = {}
+    surface_cache: dict[str, tuple[str, ...]] = {}
     for name, fn in queries.items():
-        try:
-            path = inspect.getfile(fn)
-        except TypeError:
-            path = ENTRY
-        out[name] = os.path.relpath(path, REPO)
+        modname = getattr(fn, "__module__", None)
+        mod = sys.modules.get(modname) if modname else None
+        if mod is None:
+            try:
+                out[name] = (os.path.relpath(inspect.getfile(fn), REPO),)
+            except TypeError:
+                out[name] = (os.path.relpath(ENTRY, REPO),)
+            continue
+        if modname not in surface_cache:
+            surface_cache[modname] = _module_surface(mod)
+        out[name] = surface_cache[modname]
     return out
 
 
@@ -105,7 +151,7 @@ def staleness(queries: dict) -> list[tuple[str, int, int]]:
     rounds = _green_rounds()
     commits = _round_commits()
     files = _impl_files(queries)
-    churn_cache: dict[tuple[str, str], int] = {}
+    churn_cache: dict[tuple[str, tuple[str, ...]], int] = {}
     scored: list[tuple[str, int, int]] = []
     for name in queries:
         rnd = rounds.get(name)
@@ -113,7 +159,9 @@ def staleness(queries: dict) -> list[tuple[str, int, int]]:
             continue
         key = (commits[rnd], files[name])
         if key not in churn_cache:
-            numstat = _git("diff", "--numstat", key[0], "HEAD", "--", key[1])
+            numstat = _git(
+                "diff", "--numstat", key[0], "HEAD", "--", *key[1]
+            )
             total = 0
             for line in numstat.splitlines():
                 a, d, *_ = line.split("\t")
