@@ -24,6 +24,10 @@ _ROCKS_CONF = {
     ),
     "spark.sql.streaming.stateStore.rocksdb"
     ".changelogCheckpointing.enabled": "true",
+    # production join-state setting, same as the sweep (DECISIONS 52):
+    # the equality gate must hold on the configuration we recommend
+    "spark.sql.streaming.stateStore.rocksdb"
+    ".trackTotalNumberOfRows": "false",
 }
 
 

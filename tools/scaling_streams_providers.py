@@ -66,6 +66,17 @@ PROVIDERS = {
         ),
         "spark.sql.streaming.stateStore.rocksdb"
         ".changelogCheckpointing.enabled": "true",
+        # r10 (VERDICT r9 ask #7): skip per-put row counting — the
+        # production-recommended setting for join state (4 stores per
+        # stream-stream join); measured ~2.1x -> ~1.85x on the sf1
+        # attribution join. The residual premium is per-instance
+        # open/commit/changelog-sync fixed cost on SMALL micro-batches
+        # (384 store commits for ~300k rows) — boundedMemoryUsage,
+        # write-buffer sizing, compression=none, and changelog-off all
+        # measured neutral-to-worse (DECISIONS 52); it amortizes with
+        # real per-batch state volume, which is the 100 TB regime.
+        "spark.sql.streaming.stateStore.rocksdb"
+        ".trackTotalNumberOfRows": "false",
     },
 }
 
