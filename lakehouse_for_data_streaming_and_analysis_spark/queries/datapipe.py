@@ -192,21 +192,22 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 # ---------------------------------------------------------------- similarity search
 
+# list_inner_product, NOT an element explode: the exploded form hash-
+# joins on the 64-value subscript key, so every probe row matches the
+# whole corpus slice for that subscript before the residual filter —
+# quadratic in DuckDB at sf1 (VERDICT r9 ask #4's root cause). The
+# 64-term dot products round at 6dp either way; values are unchanged.
 _ANN_DOTS_SQL = """
-       elems AS (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
-                 FROM embeddings),
-       qelems AS (SELECT vec_id AS qid, unnest(embedding) AS v,
-                         generate_subscripts(embedding, 1) AS i
-                  FROM embeddings WHERE vec_id < 3),
-       dots AS (SELECT qe.qid, e.vec_id,
-                       SUM(CAST(e.v AS DOUBLE) * CAST(qe.v AS DOUBLE)) AS dot,
-                       SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE)) AS na,
-                       SUM(CAST(qe.v AS DOUBLE) * CAST(qe.v AS DOUBLE)) AS nb
-                FROM elems e JOIN qelems qe ON e.i = qe.i
-                GROUP BY 1, 2),
-       scored AS (SELECT qid, vec_id,
-                         ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
-                  FROM dots)
+       vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+       qvecs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+                 FROM embeddings WHERE vec_id < 3),
+       scored AS (SELECT q.qid, v.vec_id,
+                         ROUND(list_inner_product(v.emb, q.qemb)
+                               / (sqrt(list_inner_product(v.emb, v.emb))
+                                  * sqrt(list_inner_product(q.qemb, q.qemb))),
+                               6) AS cosine
+                  FROM vecs v CROSS JOIN qvecs q)
 """
 
 
@@ -635,18 +636,31 @@ def image_bmp_features(spark, sf_dir):
     return multimodal.decode_bmp(multimodal.attach_bmp_payload(docs))
 
 
+# list_inner_product over the two needed pair slabs, NOT an element
+# explode joined on the 64-value subscript key: that join's hash key
+# was i alone, so every probe matched the whole per-subscript corpus
+# slice before the OR residual — quadratic at sf1 and the reason the
+# composed recall audit's oracle timed out (VERDICT r9 ask #4). The
+# UNION's set semantics dedup the (a<3, b<16) overlap; csim values are
+# identical in both branches so the dedup is exact.
 _IVF_COS_SQL = """
-       ivf_elems AS (SELECT vec_id, unnest(embedding) AS v,
-                            generate_subscripts(embedding, 1) AS i
-                     FROM embeddings),
+       ivf_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
        ivf_cos AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-                          ROUND(SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE))
-                                / (sqrt(SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)))
-                                   * sqrt(SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)))),
+                          ROUND(list_inner_product(a.emb, b.emb)
+                                / (sqrt(list_inner_product(a.emb, a.emb))
+                                   * sqrt(list_inner_product(b.emb, b.emb))),
                                 6) AS csim
-                   FROM ivf_elems a JOIN ivf_elems b
-                     ON a.i = b.i AND (b.vec_id < 16 OR a.vec_id < 3)
-                   GROUP BY 1, 2),
+                   FROM ivf_vecs a CROSS JOIN ivf_vecs b
+                   WHERE b.vec_id < 16
+                   UNION
+                   SELECT a.vec_id, b.vec_id,
+                          ROUND(list_inner_product(a.emb, b.emb)
+                                / (sqrt(list_inner_product(a.emb, a.emb))
+                                   * sqrt(list_inner_product(b.emb, b.emb))),
+                                6)
+                   FROM ivf_vecs a CROSS JOIN ivf_vecs b
+                   WHERE a.vec_id < 3),
        ivf_cells AS (SELECT ida AS vec_id, idb AS cell FROM (
                        SELECT ida, idb,
                               ROW_NUMBER() OVER (PARTITION BY ida
@@ -709,18 +723,19 @@ def ann_ivf_topk(spark, sf_dir):
          SELECT DISTINCT q.vec_id AS qid, c.vec_id
          FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
          WHERE q.vec_id < 3),
-       dots AS (
-         SELECT cd.qid, cd.vec_id,
-                SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
-                SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
-                SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
-         FROM cands cd
-         JOIN lsh_elems a ON a.vec_id = cd.qid
-         JOIN lsh_elems b ON b.vec_id = cd.vec_id AND b.i = a.i
-         GROUP BY 1, 2),
+       lsh_vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+       -- candidate rescoring via list_inner_product (no second element
+       -- explode; same 6dp-rounded values — see _ANN_DOTS_SQL note)
        scored AS (
-         SELECT qid, vec_id, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
-         FROM dots)
+         SELECT cd.qid, cd.vec_id,
+                ROUND(list_inner_product(a.emb, b.emb)
+                      / (sqrt(list_inner_product(a.emb, a.emb))
+                         * sqrt(list_inner_product(b.emb, b.emb))),
+                      6) AS cosine
+         FROM cands cd
+         JOIN lsh_vecs a ON a.vec_id = cd.qid
+         JOIN lsh_vecs b ON b.vec_id = cd.vec_id)
        SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rn FROM (
          SELECT qid, vec_id, cosine,
                 ROW_NUMBER() OVER (PARTITION BY qid
