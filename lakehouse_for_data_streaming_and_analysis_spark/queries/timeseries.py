@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import exact
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -167,7 +168,9 @@ def max_drawdown_by_type(spark, sf_dir):
     "ewma_daily_value",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        series AS (
          SELECT event_type,
@@ -193,7 +196,7 @@ def ewma_daily_value(spark, sf_dir):
     ticks."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     series = daily.groupBy("event_type").agg(
         F.transform(
@@ -374,7 +377,9 @@ def realized_vol_monthly(spark, sf_dir):
 @q(
     "beta_vs_market",
     """WITH daily AS (
-         SELECT event_type, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS v
+         SELECT event_type, CAST(ts AS DATE) AS d, CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        dr AS (
          SELECT event_type, d,
@@ -398,7 +403,7 @@ def beta_vs_market(spark, sf_dir):
     index broadcasts back onto the return stream."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     dr = daily.select(
@@ -893,7 +898,9 @@ def rolling_median_value(spark, sf_dir):
          FROM events e JOIN bounds b ON e.event_type = b.event_type)
        SELECT event_type,
               COUNT(*) AS n,
-              ROUND(AVG(value), 6) AS raw_mean,
+              CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS raw_mean,
               ROUND(AVG(wvalue), 6) AS winsorized_mean,
               ROUND(stddev_samp(value), 4) AS raw_std,
               ROUND(stddev_samp(wvalue), 4) AS winsorized_std
@@ -920,7 +927,7 @@ def winsorized_value_stats(spark, sf_dir):
     )
     return clipped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("raw_mean"),
+        exact.mean_6dp().alias("raw_mean"),
         F.round(F.avg("wvalue"), 6).alias("winsorized_mean"),
         F.round(F.stddev_samp("value"), 4).alias("raw_std"),
         F.round(F.stddev_samp("wvalue"), 4).alias("winsorized_std"),
@@ -992,7 +999,9 @@ def open_order_backlog(spark, sf_dir):
     "holt_linear_forecast",
     """WITH RECURSIVE daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        series AS (
          SELECT event_type,
@@ -1030,7 +1039,7 @@ def holt_linear_forecast(spark, sf_dir):
     days-per-series, not tick count, so the pattern holds at 100 TB."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     series = daily.groupBy("event_type").agg(
         F.transform(
@@ -1070,7 +1079,9 @@ def holt_linear_forecast(spark, sf_dir):
     "holt_winters_seasonal",
     """WITH RECURSIVE daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        series AS (
          SELECT event_type,
@@ -1122,7 +1133,7 @@ def holt_winters_seasonal(spark, sf_dir, period: int = 7):
     P = period
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     series = daily.groupBy("event_type").agg(
         F.transform(
@@ -1174,7 +1185,9 @@ def holt_winters_seasonal(spark, sf_dir, period: int = 7):
     "kalman_local_level",
     """WITH RECURSIVE daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        series AS (
          SELECT event_type,
@@ -1216,7 +1229,7 @@ def kalman_local_level(spark, sf_dir):
     convergence check. Per-series state is 2 doubles — streamable."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     series = daily.groupBy("event_type").agg(
         F.transform(
@@ -1706,7 +1719,9 @@ _SQRT252 = "15.874507866387544"
     """WITH daily AS (
          SELECT event_type,
                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        slopes AS (
          SELECT a.event_type,
@@ -1739,7 +1754,7 @@ def theil_sen_daily_trend(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("t")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(exact.mean_6dp().alias("v"))
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
         b,
@@ -1950,7 +1965,9 @@ def parkinson_garman_klass_vol(spark, sf_dir):
     "sharpe_sortino_by_type",
     f"""WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        rets AS (
          SELECT event_type,
@@ -1981,7 +1998,7 @@ def sharpe_sortino_by_type(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    ).agg(exact.mean_6dp().alias("v"))
     wl = Window.partitionBy("event_type").orderBy("d")
     rets = daily.select(
         "event_type",
@@ -2009,7 +2026,9 @@ def sharpe_sortino_by_type(spark, sf_dir):
     "roll_spread_estimator",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        diffs AS (
          SELECT event_type, d,
@@ -2041,7 +2060,7 @@ def roll_spread_estimator(spark, sf_dir):
     (Garch_v1.ipynb); this extends the same daily-grain surface."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     diffs = daily.withColumn(
@@ -2064,7 +2083,9 @@ def roll_spread_estimator(spark, sf_dir):
     "variance_ratio_test",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        rets AS (
          SELECT event_type, d,
@@ -2102,7 +2123,7 @@ def variance_ratio_test(spark, sf_dir):
     index."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     rets = daily.withColumn(
@@ -2133,7 +2154,9 @@ def variance_ratio_test(spark, sf_dir):
     "spearman_kendall_daily",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS x,
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS x,
                 CAST(COUNT(*) AS DOUBLE) AS y
          FROM events GROUP BY 1, 2),
        ranked AS (
@@ -2189,7 +2212,7 @@ def spearman_kendall_daily(spark, sf_dir):
     agree bit-exactly before the final rounding."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("x"),
+        exact.mean_6dp().alias("x"),
         F.count(F.lit(1)).cast("double").alias("y"),
     )
     rx = F.rank().over(
@@ -2263,7 +2286,9 @@ def spearman_kendall_daily(spark, sf_dir):
     "hurst_exponent_rs",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        rn AS (
          SELECT event_type, d, v,
@@ -2295,20 +2320,26 @@ def spearman_kendall_daily(spark, sf_dir):
          FROM devs),
        rs AS (
          SELECT event_type, scale, blk,
-                MAX(cum) - MIN(cum) AS r,
-                ROUND(STDDEV_POP(v), 4) AS s
+                CAST(ROUND((MAX(cum) - MIN(cum)) * 1000000, 0) AS BIGINT)
+                  AS r6,
+                CAST(ROUND(STDDEV_POP(v) * 10000, 0) AS BIGINT) AS s4
          FROM cums GROUP BY 1, 2, 3),
+       q AS (
+         SELECT event_type, scale,
+                (2 * r6 * 10000 + s4) // (2 * s4) AS q6
+         FROM rs WHERE s4 > 0),
        mrs AS (
          SELECT event_type, scale,
-                ROUND(AVG(r / s), 6) AS mean_rs,
+                CAST((2 * SUM(q6) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                  / 1000000 AS mean_rs,
                 CAST(COUNT(*) AS BIGINT) AS n_blocks
-         FROM rs WHERE s > 0 GROUP BY 1, 2)
+         FROM q GROUP BY 1, 2)
        SELECT event_type,
               ROUND(REGR_SLOPE(LN(mean_rs), LN(CAST(scale AS DOUBLE))), 4)
                 AS hurst,
-              ROUND(MAX(CASE WHEN scale = 5 THEN mean_rs END), 6) AS rs_5,
-              ROUND(MAX(CASE WHEN scale = 10 THEN mean_rs END), 6) AS rs_10,
-              ROUND(MAX(CASE WHEN scale = 15 THEN mean_rs END), 6) AS rs_15
+              MAX(CASE WHEN scale = 5 THEN mean_rs END) AS rs_5,
+              MAX(CASE WHEN scale = 10 THEN mean_rs END) AS rs_10,
+              MAX(CASE WHEN scale = 15 THEN mean_rs END) AS rs_15
        FROM mrs GROUP BY 1""",
 )
 def hurst_exponent_rs(spark, sf_dir):
@@ -2325,7 +2356,7 @@ def hurst_exponent_rs(spark, sf_dir):
     bit-identical inputs in both engines."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     rn = daily.withColumn(
         "i",
@@ -2354,15 +2385,30 @@ def hurst_exponent_rs(spark, sf_dir):
             6,
         ),
     )
+    # per-block R/S and its mean as INTEGER half-ups (DECISIONS 50):
+    # the r10 sf1 sim caught ROUND(AVG(r/s), 6) flipping its last
+    # digit — an unordered float average near a half boundary that the
+    # engines' accumulation orders break differently. r is already on
+    # the 1e-6 grid (diff of 6dp cums) and s on the 1e-4 grid, so both
+    # recover as exact BIGINTs and the whole chain stays in integer
+    # space until the final double division.
     rs = cums.groupBy("event_type", "scale", "blk").agg(
-        (F.max("cum") - F.min("cum")).alias("r"),
-        F.round(F.stddev_pop("v"), 4).alias("s"),
+        F.round((F.max("cum") - F.min("cum")) * 1000000, 0)
+        .cast("long")
+        .alias("r6"),
+        F.round(F.stddev_pop("v") * 10000, 0).cast("long").alias("s4"),
     )
     mrs = (
-        rs.filter(F.col("s") > 0)
+        rs.filter(F.col("s4") > 0)
+        .withColumn("q6", F.expr("(2 * r6 * 10000 + s4) DIV (2 * s4)"))
         .groupBy("event_type", "scale")
         .agg(
-            F.round(F.avg(F.col("r") / F.col("s")), 6).alias("mean_rs"),
+            (
+                F.expr("(2 * sum(q6) + count(*)) DIV (2 * count(*))").cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("mean_rs"),
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
         )
     )
@@ -2373,15 +2419,9 @@ def hurst_exponent_rs(spark, sf_dir):
             ),
             4,
         ).alias("hurst"),
-        F.round(
-            F.max(F.when(F.col("scale") == 5, F.col("mean_rs"))), 6
-        ).alias("rs_5"),
-        F.round(
-            F.max(F.when(F.col("scale") == 10, F.col("mean_rs"))), 6
-        ).alias("rs_10"),
-        F.round(
-            F.max(F.when(F.col("scale") == 15, F.col("mean_rs"))), 6
-        ).alias("rs_15"),
+        F.max(F.when(F.col("scale") == 5, F.col("mean_rs"))).alias("rs_5"),
+        F.max(F.when(F.col("scale") == 10, F.col("mean_rs"))).alias("rs_10"),
+        F.max(F.when(F.col("scale") == 15, F.col("mean_rs"))).alias("rs_15"),
     )
 
 
@@ -2389,7 +2429,9 @@ def hurst_exponent_rs(spark, sf_dir):
     "macd_crossover_days",
     """WITH RECURSIVE daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        series AS (
          SELECT event_type,
@@ -2506,7 +2548,7 @@ def macd_crossover_days(spark, sf_dir):
     array is bounded by days-per-series, not tick count."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     series = daily.groupBy("event_type").agg(
         F.transform(
@@ -2568,7 +2610,9 @@ def macd_crossover_days(spark, sf_dir):
     "newey_west_tstat",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        rets AS (
          SELECT event_type, d,
@@ -2617,7 +2661,7 @@ def newey_west_tstat(spark, sf_dir):
     engines feed the same doubles into the closed form."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     base = daily.withColumn(
@@ -2665,7 +2709,9 @@ def newey_west_tstat(spark, sf_dir):
     "runs_test_randomness",
     """WITH daily AS (
          SELECT event_type, CAST(ts AS DATE) AS d,
-                ROUND(AVG(value), 6) AS v
+                CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS v
          FROM events GROUP BY 1, 2),
        rets AS (
          SELECT event_type, d,
@@ -2705,7 +2751,7 @@ def runs_test_randomness(spark, sf_dir):
     lag and the run-boundary lag."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        exact.mean_6dp().alias("v")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     base = daily.select(

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import exact
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -55,7 +56,9 @@ def q(name: str, oracle: str | None = None):
          FROM events)
        SELECT event_type, CAST(band AS INT) AS band,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              ROUND(AVG(value), 6) AS avg_value,
+              CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS avg_value,
               ROUND(MAX(cd), 6) AS max_cume_dist,
               ROUND(MAX(pr), 6) AS max_percent_rank
        FROM r GROUP BY 1, 2""",
@@ -77,7 +80,7 @@ def ntile_value_bands(spark, sf_dir):
     )
     return r.groupBy("event_type", F.col("band").cast("int").alias("band")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        exact.mean_6dp().alias("avg_value"),
         F.round(F.max("cd"), 6).alias("max_cume_dist"),
         F.round(F.max("pr"), 6).alias("max_percent_rank"),
     )
@@ -521,12 +524,20 @@ def histogram_equi_depth_bands(spark, sf_dir):
     """SELECT event_type,
               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6))
                    AS BIGINT) AS weekend_n,
-              ROUND(AVG(value) FILTER (WHERE dayofweek(ts) IN (0, 6)), 6)
-                AS weekend_avg,
+              CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                               FILTER (WHERE dayofweek(ts) IN (0, 6))
+                             * 100 AS BIGINT) * 10000
+                    + COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)))
+                   // (2 * COUNT(*) FILTER (WHERE dayofweek(ts) IN (0, 6)))
+                   AS DOUBLE) / 1000000 AS weekend_avg,
               CAST(COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6))
                    AS BIGINT) AS weekday_n,
-              ROUND(AVG(value) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)), 6)
-                AS weekday_avg
+              CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                               FILTER (WHERE dayofweek(ts) NOT IN (0, 6))
+                             * 100 AS BIGINT) * 10000
+                    + COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)))
+                   // (2 * COUNT(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)))
+                   AS DOUBLE) / 1000000 AS weekday_avg
        FROM events GROUP BY event_type""",
 )
 def pivot_dow_multi_agg(spark, sf_dir):
@@ -546,7 +557,7 @@ def pivot_dow_multi_agg(spark, sf_dir):
         .pivot("dow", ["weekend", "weekday"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg"),
+            exact.mean_6dp().alias("avg"),
         )
     )
     return p.select(
@@ -660,7 +671,9 @@ def user_inactive_day_spans(spark, sf_dir):
     """SELECT CAST(dayofweek(ts) AS INT) AS dow,
               CAST(hour(ts) AS INT) AS hour_of_day,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              ROUND(AVG(value), 6) AS avg_value
+              CAST((2 * CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                      * 10000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000 AS avg_value
        FROM events GROUP BY 1, 2""",
 )
 def weekday_hour_heatmap(spark, sf_dir):
@@ -677,5 +690,5 @@ def weekday_hour_heatmap(spark, sf_dir):
         F.hour("ts").cast("int").alias("hour_of_day"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        exact.mean_6dp().alias("avg_value"),
     )
