@@ -529,6 +529,36 @@ DRIVER_GREEN = (
 
 # This round's 50-query verification window, in check order.
 WINDOW_PRIORITY = (
+    "price_reconstruction",
+    "stream_stream_attribution_join",
+    "stream_stream_outer_attribution",
+    "stream_stream_full_outer_attribution",
+    "value_range_window_sum",
+    "aggnav_priority_rollup",
+    "schema_drift_audit",
+    "semdedup_cluster_prune",
+    "ann_recall_audit",
+    "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "hurst_exponent_rs",
+    "beta_vs_market",
+    "ewma_daily_value",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
+    "kalman_local_level",
+    "macd_crossover_days",
+    "newey_west_tstat",
+    "ntile_value_bands",
+    "pivot_dow_multi_agg",
+    "roll_spread_estimator",
+    "runs_test_randomness",
+    "sharpe_sortino_by_type",
+    "spearman_kendall_daily",
+    "theil_sen_daily_trend",
+    "variance_ratio_test",
+    "weekday_hour_heatmap",
+    "winsorized_value_stats",
     "ngram_jaccard_pairs",
     "simhash_hamming_pairs",
     "text_quality_scores",
@@ -537,8 +567,6 @@ WINDOW_PRIORITY = (
     "atr_14day",
     "on_balance_volume",
     "stochastic_oscillator_14d",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
     "tfidf_top_terms",
     "winnow_fingerprints",
     "deltalog_check_constraint_audit",
@@ -551,34 +579,6 @@ WINDOW_PRIORITY = (
     "deltalog_time_travel_audit",
     "deltalog_vacuum_audit",
     "deltalog_zorder_audit",
-    "streaming_session_final_state",
-    "cube_status_priority",
-    "exact_quantiles_by_type",
-    "grouping_sets_year_priority",
-    "pivot_priority_by_year",
-    "price_band_range_join",
-    "rollup_year_priority",
-    "sessionize_user_events",
-    "bloom_prefilter_join",
-    "dedup_components",
-    "embedding_vector_stats",
-    "interval_overlap_join",
-    "neardup_canonical_selection",
-    "pagerank_user_influence",
-    "ranked_orders_window_suite",
-    "region_nation_hierarchy_rollup",
-    "salted_skew_join_revenue",
-    "semi_join_recent_customers",
-    "stats_moments_by_type",
-    "unpivot_priority_revenue",
-    "user_event_profile",
-    "ann_pq_topk",
-    "audio_wav_features",
-    "doc_chunking_map",
-    "embedding_norm_outliers",
-    "exact_substring_dup_coverage",
-    "hashed_bow_vectorize",
-    "image_bmp_features",
 )
 
 
