@@ -84,6 +84,12 @@ def logreg_fit(
     eps = 1e-12
     cols = list(xcols)
     for _ in range(iters):
+        # r10 OPT note: a broadcast-theta variant (1-row crossJoin +
+        # element_at, to reuse generated code across iterations) was
+        # measured 2x SLOWER here — the BroadcastNestedLoopJoin under
+        # the aggregate breaks whole-stage fusion of the scan+partial
+        # agg, which costs more than the per-iteration Janino compile
+        # saves on this 21-aggregate expression. Literals stay.
         m = _margin(list(theta[:d]), float(theta[d]), cols)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
         resid = p - F.col(ycol)

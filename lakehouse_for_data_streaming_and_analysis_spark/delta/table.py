@@ -2096,8 +2096,9 @@ class DeltaishTable:
                 snap, touched, with_row_ids=rt
             )
             kept = self._rt_to_physical(target.filter(~is_match), snap)
-            if kept.limit(1).count() > 0:
-                keep_adds = self._write_files(kept, pcols, snap=snap)
+            # r10 OPT: _write_files skips zero-row part files itself;
+            # no pre-flight count job needed.
+            keep_adds = self._write_files(kept, pcols, snap=snap)
         adds = self._write_files(df, pcols, snap=snap)
         cdc_actions: list[dict] = []
         if self._cdf_enabled(snap):
@@ -3364,28 +3365,38 @@ class DeltaishTable:
 
         Source must be unique per key (checked — multi-match is an
         error in Delta MERGE too)."""
-        dup = (
+        # r10 OPT (guide §1.2): the duplicate-key check and the key
+        # bounds used to be two sequential source scans/collects; one
+        # aggregate over the per-key counts yields both (max multiplicity
+        # AND every key's min/max — a key's bounds equal the bounds of
+        # the distinct-key set). The precise offending-key query runs
+        # only on the (exceptional) duplicate path.
+        stats = (
             source.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .limit(1)
-            .collect()
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.max("__c").alias("__maxc"),
+                *[
+                    f
+                    for k in keys
+                    for f in (
+                        F.min(k).alias(f"__lo_{k}"),
+                        F.max(k).alias(f"__hi_{k}"),
+                    )
+                ],
+            )
+            .collect()[0]
         )
-        if dup:
+        if stats["__maxc"] is not None and stats["__maxc"] > 1:
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
             raise ValueError(f"source has duplicate merge keys: {dup[0]}")
-        # one agg computes every key's source bounds; files are pruned
-        # on ALL keys jointly (AND of per-key ranges through the
-        # predicate skipper), not just keys[0]
-        bounds = source.agg(
-            *[
-                f
-                for k in keys
-                for f in (
-                    F.min(k).alias(f"__lo_{k}"),
-                    F.max(k).alias(f"__hi_{k}"),
-                )
-            ]
-        ).collect()[0]
+        bounds = stats
         snap = self._snapshot()
         if self._identity_meta(snap):
             raise NotImplementedError(
@@ -3936,12 +3947,10 @@ class DeltaishTable:
 
         result = self._apply_generated(result, snap)
         self._enforce_checks(result, snap)
-        adds = (
-            self._write_files(
-                self._rt_to_physical(result, snap), pcols, snap=snap
-            )
-            if result.limit(1).count() > 0
-            else []
+        # r10 OPT: _write_files skips zero-row part files itself; no
+        # pre-flight count job needed.
+        adds = self._write_files(
+            self._rt_to_physical(result, snap), pcols, snap=snap
         )
         cdc_actions = (
             self._write_cdc_files(changes, snap=snap) if changes is not None else []
@@ -4072,11 +4081,11 @@ class DeltaishTable:
         # row tracking: survivors carry their id AND commit version
         # into the rewritten file (delete modifies neither)
         kept = self._rt_to_physical(target.filter(~is_match), snap)
-        adds = (
-            self._write_files(kept, pcols, snap=snap)
-            if kept.limit(1).count() > 0
-            else []
-        )
+        # r10 OPT (guide §1.2): no pre-flight limit(1).count() job —
+        # _write_files already skips zero-row part files, so an
+        # all-rows-deleted rewrite yields adds == [] through the same
+        # write job that a non-empty rewrite needs anyway.
+        adds = self._write_files(kept, pcols, snap=snap)
         cdc_actions = []
         if cdf:
             cdc_actions = self._write_cdc_files(

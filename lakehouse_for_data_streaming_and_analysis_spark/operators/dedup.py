@@ -308,8 +308,9 @@ def exact_substring_spans(
     gaps-and-islands (``pos - row_number``) merges the runs.
 
     Scale shape (100 TB): one explode to (gram-hash, pos) rows — grams
-    are md5'd immediately so shuffle rows stay 16-byte-keyed (oracle
-    parity; the fast path swaps xxhash64) — one gram-grain aggregate
+    are xxhash64'd immediately so shuffle rows stay 8-byte-keyed (the
+    key is internal; oracle parity is at the SPAN level) — one
+    gram-grain aggregate
     with map-side partials, one equi-join back (the repeated set is
     only the corpus's duplicated tail), then a per-doc window bounded
     by doc length. Never all-pairs; the same co-partitioned join
@@ -322,10 +323,19 @@ def exact_substring_spans(
     construction).
     """
     length = min_tokens
+    # r10 OPT (guide §2.3 narrower types / §1.2 per-task work): the
+    # gram key is INTERNAL — it exists only to group equal shingles and
+    # join the repeated set back; it never reaches the output or the
+    # oracle. xxhash64 replaces md5: the shuffle key drops from a
+    # 32-char hex string (~40 B) to one long (8 B) and the hash itself
+    # is ~5x cheaper. Duplicate sets (and therefore spans) are
+    # unchanged modulo 64-bit collisions: at the sf1 decade (~5M grams)
+    # the birthday bound is ~7e-7; verified span-identical vs the md5
+    # form at sf0.001/0.01/0.1 and vs the DuckDB oracle.
     grams = docs.select(
         id_col,
         F.posexplode(shingles(F.col(tokens_col), length)).alias("pos", "g"),
-    ).select(id_col, "pos", F.md5("g").alias("h"))
+    ).select(id_col, "pos", F.xxhash64("g").alias("h"))
     repeated = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -853,27 +853,53 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
     init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[round(float(x), 6) for x in r.embedding] for r in init]
 
-    def _dist2(cvec):
-        arr = F.array(*[F.lit(float(c)) for c in cvec])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), arr, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+    # r10 OPT (guide §1.2 per-task work): centroids used to be inlined
+    # as k*dims DOUBLE LITERALS, so every iteration generated a NEW
+    # whole-stage source and paid a fresh Janino compile (the data is
+    # 2k vectors — compilation, not compute, dominated the 3.2 s at
+    # sf0.1). Shipping them as a 1-row broadcast keeps the generated
+    # code byte-identical across iterations (compile once, reuse 4x).
+    # The arithmetic is the same zip_with/aggregate fold over the same
+    # doubles in the same order — assignments and centroid updates are
+    # bit-identical to the literal form (re-verified vs the oracle).
+    def _dists(cents_col):
+        return F.transform(
+            cents_col,
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), cvec, lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
         )
 
     assigned = None
     for _ in range(iters):
-        dists = F.array(*[_dist2(c) for c in centroids])
+        # constant-key equi-join, NOT crossJoin: a 1-row broadcast
+        # crossJoin plans as BroadcastNestedLoopJoin, which blocks
+        # whole-stage codegen of everything above it (the distance
+        # folds would run interpreted); the equi-join on a literal key
+        # plans as a codegen-capable BroadcastHashJoin.
+        cents_df = spark.createDataFrame(
+            [(1, centroids)], "__k int, __cents array<array<double>>"
+        )
+        dists = _dists(F.col("__cents"))
         # coalesce: provably non-null, so the cluster_id join's inferred
         # isnotnull constraint constant-folds instead of re-inlining the
         # distance folds into a Filter (the fleet-wide plan-gate hazard).
-        assigned = emb.select(
-            "vec_id",
-            "embedding",
-            F.coalesce(
-                F.array_position(dists, F.array_min(dists)) - 1, F.lit(-1)
-            ).alias("cluster_id"),
-            F.array_min(dists).alias("d2"),
+        assigned = (
+            emb.withColumn("__k", F.lit(1))
+            .join(F.broadcast(cents_df), "__k")
+            .select(
+                "vec_id",
+                "embedding",
+                F.coalesce(
+                    F.array_position(dists, F.array_min(dists)) - 1,
+                    F.lit(-1),
+                ).alias("cluster_id"),
+                F.array_min(dists).alias("d2"),
+            )
         )
         upd = (
             assigned.select("cluster_id", F.posexplode("embedding"))
@@ -1336,11 +1362,20 @@ def exact_substring_dup_coverage(spark, sf_dir):
     base = tokd.select(
         "doc_id", "source", F.size("__toks").alias("n_tok"), "__toks"
     ).filter(F.col("n_tok") > 0)
+    # r10 OPT (guide §2.3 shuffle keys, not payloads): the gram key is
+    # internal (only grouped and joined on, never output), so the raw
+    # 5-token shingle STRING that used to cross both exchanges is
+    # replaced by its xxhash64 — 8 bytes per row instead of ~30-60, and
+    # string hashing/compare drops out of the aggregate. Duplicate sets
+    # are unchanged modulo 64-bit collisions (birthday ~1e-6 at the sf1
+    # decade); value-verified vs the oracle at sf0.001/0.01/0.1.
     grams = base.select(
         "doc_id",
         "source",
         "n_tok",
-        F.posexplode(textfns.shingles(F.col("__toks"), k)).alias("pos0", "g"),
+        F.posexplode(textfns.shingles(F.col("__toks"), k)).alias("pos0", "__gs"),
+    ).select(
+        "doc_id", "source", "n_tok", "pos0", F.xxhash64("__gs").alias("g")
     )
     repeated = (
         grams.groupBy("g")

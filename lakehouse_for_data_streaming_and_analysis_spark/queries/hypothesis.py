@@ -575,6 +575,13 @@ def poisson_bootstrap_mean_ci(spark, sf_dir):
     weights are pure hash functions reproduced exactly by the
     oracle."""
     ev = load_table(spark, sf_dir, "events")
+    # r10 OPT (guide §2.5 input skew): the fixture is one single-row-
+    # group parquet file, so the x40-replicate explode + 4M md5 draws
+    # all ran in ONE scan task (measured 4.2 s at sf0.1, ~whole query).
+    # fanout round-robins the compact pre-explode rows across cores;
+    # the point-estimate branch keeps the bare scan (its avg touches
+    # every row once — no CPU amplification to parallelize).
+    ev_boot = load_table(spark, sf_dir, "events", fanout=True)
     reps = spark.range(_B).select(F.col("id").alias("b"))
     u = (
         F.conv(
@@ -603,7 +610,7 @@ def poisson_bootstrap_mean_ci(spark, sf_dir):
         .when(u < _POIS[5], 5)
         .otherwise(6)
     )
-    weighted = ev.crossJoin(F.broadcast(reps)).select(
+    weighted = ev_boot.crossJoin(F.broadcast(reps)).select(
         "event_type", "b", w.alias("w"), "value"
     )
     rep_means = (

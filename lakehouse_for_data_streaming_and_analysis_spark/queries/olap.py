@@ -836,10 +836,11 @@ def bloom_prefilter_join(spark, sf_dir):
     true match passes) and pins the exact false-positive count this
     filter produces on this data. Spark-side the bit set stays a
     DataFrame (broadcast hash joins on the bit positions) — no
-    driver-side collect of the filter. The probe is four chained
-    broadcast LEFT SEMI joins (one per hash position) over the raw
-    row stream: map-side only, so the 100 TB probe side is never
-    shuffled."""
+    driver-side collect of the filter. The probe tests all four hash
+    positions against one broadcast packed-word array in a single
+    pass: the 100 TB probe side is never shuffled BY KEY — the only
+    exchange is the local round-robin of the bare key column noted
+    below."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     keys = orders.filter(
@@ -896,8 +897,15 @@ def bloom_prefilter_join(spark, sf_dir):
             ).alias("__bloom")
         )
     )
+    # r10 OPT (guide §2.5 input skew): the fixture is one single-row-
+    # group file, so the probe's 600k md5 evaluations all ran in ONE
+    # scan task. Round-robin the bare 8-byte key column first (the
+    # shuffle ships keys only — the same compact-proxy rule as the
+    # fanout flag); at production scale the scan already has thousands
+    # of splits and this exchange moves 1/1000th of the table's bytes.
+    li_probe = li.repartition(spark.sparkContext.defaultParallelism)
     probed = (
-        li.withColumn("__h", F.md5(F.col("l_orderkey").cast("string")))
+        li_probe.withColumn("__h", F.md5(F.col("l_orderkey").cast("string")))
         .crossJoin(F.broadcast(bloom))
         .select(
             "l_orderkey",

@@ -67,6 +67,37 @@ def get_spark(
         # commit stats). Standard µs timestamps restore both.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        # r10 OPT (guide §1.2 per-task work, fleet-wide): the codegen
+        # class cache is a STATIC conf defaulting to 100 entries; a
+        # 380-query inventory churns far past that, so every query —
+        # and every iteration of literal-parameterized iterative
+        # queries — recompiled generated classes Janino had already
+        # built (observed: JIT-flagged queries ran no faster warm than
+        # cold). 2000 entries keeps the working set resident; the cost
+        # is bounded driver memory for class metadata, the same trade a
+        # long-lived production driver makes. Results are unaffected —
+        # this caches compiled code, never data.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
+        # r10 OPT (guide §6 / §1.2): the transaction-log audits issue
+        # many small parquet write jobs (table lifecycles are their
+        # semantics). Committer algorithm v2 commits task output by a
+        # single rename at task commit instead of v1's task->job->final
+        # double rename pass (the job-commit pass is sequential on the
+        # driver), and nothing in this engine reads _SUCCESS markers.
+        # Both are the standard settings for filesystems with atomic
+        # rename; object-store deployments would override via
+        # extra_conf (documented in OPTIMIZATION_r10.md).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
         # local[N] hosts all executor threads inside the driver JVM, so
         # the single heap must be sized for N concurrent tasks: at 8g/32
         # threads, full-suite runs showed 20 s GC stalls hitting random
