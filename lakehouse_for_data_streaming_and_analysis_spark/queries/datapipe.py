@@ -876,21 +876,19 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = 8, iters: int = 4):
 
     assigned = None
     for _ in range(iters):
-        # constant-key equi-join, NOT crossJoin: a 1-row broadcast
-        # crossJoin plans as BroadcastNestedLoopJoin, which blocks
-        # whole-stage codegen of everything above it (the distance
-        # folds would run interpreted); the equi-join on a literal key
-        # plans as a codegen-capable BroadcastHashJoin.
+        # (a constant-key BroadcastHashJoin variant — to keep whole-
+        # stage codegen above the join — measured within noise of this
+        # crossJoin/BNLJ form at bench scale; the paired-run evidence
+        # favors this simpler shape, see OPTIMIZATION_r10.md)
         cents_df = spark.createDataFrame(
-            [(1, centroids)], "__k int, __cents array<array<double>>"
+            [(centroids,)], "__cents array<array<double>>"
         )
         dists = _dists(F.col("__cents"))
         # coalesce: provably non-null, so the cluster_id join's inferred
         # isnotnull constraint constant-folds instead of re-inlining the
         # distance folds into a Filter (the fleet-wide plan-gate hazard).
         assigned = (
-            emb.withColumn("__k", F.lit(1))
-            .join(F.broadcast(cents_df), "__k")
+            emb.crossJoin(F.broadcast(cents_df))
             .select(
                 "vec_id",
                 "embedding",

@@ -1963,3 +1963,37 @@ def sessionization_gap_sensitivity(spark, sf_dir):
         ).alias("mean_events_per_session"),
         F.max("n_sessions").cast("long").alias("max_sessions_per_user"),
     )
+
+
+# r10 OPT (guide §2.2/§1.2): the iterative graph queries run ~10-20
+# tiny jobs each (one shuffle join + aggregate + localCheckpoint per
+# round over a few thousand labels); 32 shuffle partitions per round
+# is pure scheduling overhead at that volume. Pin them to a small
+# state-partition count the same way the transaction-log audits and
+# streaming drains do (measured at sf0.1: pagerank 3.0 -> 2.3 s,
+# label_propagation 2.5 -> 2.1 s, dedup_components 3.6 -> 2.1 s;
+# parts=4 beat 8 and 32). $SPARK_GRAFT_STREAM_PARTS overrides, and a
+# real deployment sizes this to cluster width. Values are partition-
+# count-independent: min-label and component joins are exact, and
+# pagerank's per-round sums feed ROUND(rank, 8) with the documented
+# cross-engine margin (re-verified against the oracle at three SFs).
+from .pipeline import _pinned_shuffle as _r10_pinned_shuffle  # noqa: E402
+
+
+def _with_low_shuffle(fn):
+    def wrapped(spark, sf_dir):
+        with _r10_pinned_shuffle(spark, "4"):
+            return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
+for _name in (
+    "pagerank_user_influence",
+    "label_propagation_rounds",
+    "dedup_components",
+    "neardup_canonical_selection",
+):
+    QUERIES[_name] = _with_low_shuffle(QUERIES[_name])

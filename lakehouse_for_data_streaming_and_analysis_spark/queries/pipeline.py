@@ -1024,7 +1024,14 @@ def streaming_session_final_state(spark, sf_dir):
 
     stream = (
         spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
+        # r10 OPT: 2 files per trigger (4 -> 2 micro-batches). Complete
+        # mode re-emits the WHOLE session state every batch, so halving
+        # the batch count halves the sink traffic and state-store
+        # ceremony while still exercising the cross-batch session-merge
+        # semantics this query pins (batch 2 bridges gaps opened by
+        # batch 1). Final state — and the returned rollup — is batch-
+        # boundary-independent in complete mode; value-verified.
+        .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir)
     )
     sess = stream.groupBy(
@@ -4560,22 +4567,33 @@ def deltalog_inline_dv_audit(spark, sf_dir):
         actions.append(dlog.commit_info("FOREIGN INLINE DV DELETE"))
         t._commit_next(actions, read_version=snap.version)
 
+        # r10 OPT (guide §1.2/§5): the three counts collapse into one
+        # aggregate job, and the before/after key-list equality runs
+        # DISTRIBUTED (count match + empty exceptAll — equal-cardinality
+        # multisets with an empty difference are equal) instead of
+        # collecting and sorting two full key lists on the driver.
+        # 5 jobs + 2 driver key-list transfers -> 3 jobs; booleans
+        # unchanged.
         got = t.read()
         expected = orders.filter(F.col("o_orderkey") % 3 != 0)
+        gstats = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_orderkey") % 3 == 0, 1)).alias("n_dead"),
+        ).collect()[0]
         applied = (
-            got.count() == expected.count()
-            and got.filter(F.col("o_orderkey") % 3 == 0).count() == 0
+            gstats["n"] == expected.count() and gstats["n_dead"] == 0
         )
-        before = sorted(r[0] for r in got.select("o_orderkey").collect())
+        before_keys = got.select("o_orderkey")
         t.purge()  # materialize DVs into rewritten files
         snap2 = t._snapshot()
         no_dvs = not any(
             a.get("deletionVector") for a in snap2.files.values()
         )
-        after = sorted(
-            r[0] for r in t.read().select("o_orderkey").collect()
+        after_keys = t.read().select("o_orderkey")
+        diff = before_keys.exceptAll(after_keys)
+        purged_ok = no_dvs and (
+            after_keys.count() == gstats["n"] and diff.count() == 0
         )
-        purged_ok = no_dvs and before == after
 
         # corrupt inline payload: sizeInBytes beyond decoded length
         bad = dict(next(iter(snap2.files.values())))
@@ -4662,5 +4680,10 @@ for _name in (
     "deltalog_domain_metadata_audit",
     "deltalog_protocol_conflict_audit",
     "deltalog_inline_dv_audit",
+    # r10 OPT: three lifecycle audits that predate the list and were
+    # still paying 32-partition shuffles per tiny commit
+    "deltalog_skipping_audit",
+    "deltalog_dynamic_overwrite_audit",
+    "deltalog_replace_where_audit",
 ):
     QUERIES[_name] = _with_pinned_shuffle(QUERIES[_name])
