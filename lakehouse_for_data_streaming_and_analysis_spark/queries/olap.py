@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import fanout_if_narrow, load_table
 from ..operators import graphs, sessions
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -901,9 +901,11 @@ def bloom_prefilter_join(spark, sf_dir):
     # group file, so the probe's 600k md5 evaluations all ran in ONE
     # scan task. Round-robin the bare 8-byte key column first (the
     # shuffle ships keys only — the same compact-proxy rule as the
-    # fanout flag); at production scale the scan already has thousands
-    # of splits and this exchange moves 1/1000th of the table's bytes.
-    li_probe = li.repartition(spark.sparkContext.defaultParallelism)
+    # fanout flag). r11 (VERDICT r10 #3): the round-robin is now GATED
+    # on the scan's row-group count — at production scale the scan
+    # already has thousands of splits and the exchange is skipped
+    # outright instead of shuffling every probe row for nothing.
+    li_probe = fanout_if_narrow(spark, sf_dir, "lineitem", li)
     probed = (
         li_probe.withColumn("__h", F.md5(F.col("l_orderkey").cast("string")))
         .crossJoin(F.broadcast(bloom))
@@ -1968,21 +1970,39 @@ def sessionization_gap_sensitivity(spark, sf_dir):
 # r10 OPT (guide §2.2/§1.2): the iterative graph queries run ~10-20
 # tiny jobs each (one shuffle join + aggregate + localCheckpoint per
 # round over a few thousand labels); 32 shuffle partitions per round
-# is pure scheduling overhead at that volume. Pin them to a small
-# state-partition count the same way the transaction-log audits and
-# streaming drains do (measured at sf0.1: pagerank 3.0 -> 2.3 s,
-# label_propagation 2.5 -> 2.1 s, dedup_components 3.6 -> 2.1 s;
-# parts=4 beat 8 and 32). $SPARK_GRAFT_STREAM_PARTS overrides, and a
-# real deployment sizes this to cluster width. Values are partition-
+# is pure scheduling overhead at that volume (measured at sf0.1:
+# pagerank 3.0 -> 2.3 s, label_propagation 2.5 -> 2.1 s,
+# dedup_components 3.6 -> 2.1 s; parts=4 beat 8 and 32).
+#
+# r11 (VERDICT r10 #4): the width is now DERIVED FROM THE DATA instead
+# of a fixed 4 — "a few thousand labels" is an sf0.1 fact, not a
+# property of pagerank. The per-round shuffle state is O(vertices) ~
+# O(input rows) at ~16 B per (node, label/rank) row, so width =
+# clamp(rows * 16 B / 64 MB-per-partition, 4, 2x cores): every bench
+# SF lands on the measured-best 4, a 100 TB graph gets cluster-width
+# rounds (capped by parallelism — the same bound a static conf would
+# give — with guide §2.2's fewer-larger-partitions preference).
+# $SPARK_GRAFT_STREAM_PARTS still overrides. NOTE (ADVICE r10 #5):
+# the pin binds only the work materialized INSIDE the query function —
+# each round's eager localCheckpoint, which is where all the per-round
+# shuffles live; the small final frame the harness executes afterwards
+# plans at the session default, by design. Values are partition-
 # count-independent: min-label and component joins are exact, and
 # pagerank's per-round sums feed ROUND(rank, 8) with the documented
 # cross-engine margin (re-verified against the oracle at three SFs).
+from ..catalog import table_rows as _table_rows  # noqa: E402
 from .pipeline import _pinned_shuffle as _r10_pinned_shuffle  # noqa: E402
 
 
-def _with_low_shuffle(fn):
+def _graph_parts(spark, sf_dir: str, table: str) -> str:
+    rows = _table_rows(sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    return str(max(4, min(rows * 16 // (64 << 20) + 1, 2 * par)))
+
+
+def _with_low_shuffle(fn, table: str):
     def wrapped(spark, sf_dir):
-        with _r10_pinned_shuffle(spark, "4"):
+        with _r10_pinned_shuffle(spark, _graph_parts(spark, sf_dir, table)):
             return fn(spark, sf_dir)
 
     wrapped.__name__ = fn.__name__
@@ -1990,10 +2010,10 @@ def _with_low_shuffle(fn):
     return wrapped
 
 
-for _name in (
-    "pagerank_user_influence",
-    "label_propagation_rounds",
-    "dedup_components",
-    "neardup_canonical_selection",
+for _name, _tbl in (
+    ("pagerank_user_influence", "events"),
+    ("label_propagation_rounds", "events"),
+    ("dedup_components", "documents"),
+    ("neardup_canonical_selection", "documents"),
 ):
-    QUERIES[_name] = _with_low_shuffle(QUERIES[_name])
+    QUERIES[_name] = _with_low_shuffle(QUERIES[_name], _tbl)

@@ -11,7 +11,10 @@ rows — streaming/batch unification as a correctness gate.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +42,28 @@ _SCD2_HASH = (
 )
 
 
-from contextlib import contextmanager
+@contextmanager
+def _atomic_build(replay_dir: str):
+    """r11 (ADVICE r10 #4): with committer v2 + no _SUCCESS markers, a
+    write straight into the final replay dir can leave partial task
+    output visible after a mid-job crash — and the builders' dir-non-
+    empty guard would then serve a half-built replay forever. Build
+    into a tmp sibling and atomically rename (the pattern
+    _ensure_ticks_capture already uses), so the final dir existing IS
+    the completion marker."""
+    tmp = f"{replay_dir}.tmp-{uuid.uuid4().hex}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        yield tmp
+        try:
+            os.rename(tmp, replay_dir)
+        except OSError:
+            # lost a build race: another process renamed first — its
+            # completed dir wins, this build is discarded
+            if not os.path.isdir(replay_dir):
+                raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @contextmanager
@@ -91,11 +115,11 @@ def _replay_dir(sf_dir: str, tag: str) -> str:
 def _ensure_bronze_replay(spark, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     replay_dir = _replay_dir(sf_dir, "bronze")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        # 4 part files -> micro-batches (order irrelevant: complete
-        # mode, no watermark)
-        ev.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    if not os.path.isdir(replay_dir):
+        with _atomic_build(replay_dir) as tmp:
+            # 4 part files -> micro-batches (order irrelevant: complete
+            # mode, no watermark)
+            ev.repartition(4).write.mode("overwrite").parquet(tmp)
     return replay_dir
 
 
@@ -130,13 +154,14 @@ def _pin_replay_mtimes(replay_dir: str, ts_col: str = "ts") -> None:
 def _ensure_attr_replay(spark, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events")
     replay_dir = _replay_dir(sf_dir, "attr")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        # 2 non-overlapping time-range files -> 2 in-order micro-batches
-        ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
-            "overwrite"
-        ).parquet(replay_dir)
-        _pin_replay_mtimes(replay_dir)
+    if not os.path.isdir(replay_dir):
+        with _atomic_build(replay_dir) as tmp:
+            # 2 non-overlapping time-range files -> 2 in-order
+            # micro-batches
+            ev.repartitionByRange(2, "ts").sortWithinPartitions(
+                "ts"
+            ).write.mode("overwrite").parquet(tmp)
+            _pin_replay_mtimes(tmp)
     return replay_dir
 
 
@@ -145,13 +170,14 @@ def _ensure_dedup_replay(spark, sf_dir: str) -> str:
         "event_id", "user_id", "event_type", "value"
     )
     replay_dir = _replay_dir(sf_dir, "dedup")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
-        dup = ev.filter(F.col("event_id") % 11 == 0)
-        # originals in files 0-2, redeliveries land in a separate file
-        # via a second write -> the duplicate arrives in a LATER batch
-        ev.repartition(3).write.mode("overwrite").parquet(replay_dir)
-        dup.repartition(1).write.mode("append").parquet(replay_dir)
+    if not os.path.isdir(replay_dir):
+        with _atomic_build(replay_dir) as tmp:
+            dup = ev.filter(F.col("event_id") % 11 == 0)
+            # originals in files 0-2, redeliveries land in a separate
+            # file via a second write -> the duplicate arrives in a
+            # LATER batch
+            ev.repartition(3).write.mode("overwrite").parquet(tmp)
+            dup.repartition(1).write.mode("append").parquet(tmp)
     return replay_dir
 
 
@@ -380,11 +406,12 @@ def _ensure_outer_attr_replay(spark, sf_dir: str) -> str:
     # bump busts scratch dirs cached under the old 6-file layout —
     # the cache key is the fixture fingerprint, not the builder logic.
     replay_dir = _replay_dir(sf_dir, "outerattr3")
-    if not os.path.isdir(replay_dir) or not os.listdir(replay_dir):
-        os.makedirs(replay_dir, exist_ok=True)
+    if os.path.isdir(replay_dir):
+        return replay_dir
+    with _atomic_build(replay_dir) as tmp:
         ev.repartitionByRange(2, "ts").sortWithinPartitions("ts").write.mode(
             "overwrite"
-        ).parquet(replay_dir)
+        ).parquet(tmp)
         # each sentinel file carries BOTH a click and a purchase row:
         # the join's effective watermark is the MIN across the two
         # input branches, and rows advance only the branch whose
@@ -426,8 +453,8 @@ def _ensure_outer_attr_replay(spark, sf_dir: str) -> str:
                 sentinel = one if sentinel is None else sentinel.union(one)
             sentinel.select(
                 [F.col(c).cast(dict(ev.dtypes)[c]) for c in ev.columns]
-            ).repartition(1).write.mode("append").parquet(replay_dir)
-        _pin_replay_mtimes(replay_dir)
+            ).repartition(1).write.mode("append").parquet(tmp)
+        _pin_replay_mtimes(tmp)
     return replay_dir
 
 
@@ -504,6 +531,16 @@ def stream_stream_outer_attribution(spark, sf_dir):
         )
         finished = handle.awaitTermination(300)
         assert finished, "outer attribution run did not finish within 300 s"
+    # r11 (ADVICE r10 #1): the buffered outer rows flush in the
+    # engine's automatic no-data batch (pinned on in session.py). If a
+    # Spark upgrade ever stopped running it, unmatched purchases would
+    # silently vanish — fail loudly instead: the fixture always has
+    # purchases with no click in window, so at least one NULL-click
+    # row must be present (memory sink, ~ms to probe).
+    assert (
+        spark.table(tbl).filter(F.col("click_id").isNull()).limit(1).count()
+        == 1
+    ), "outer join flushed no null-side rows — no-data batch missing?"
     return (
         spark.table(tbl)
         .filter(F.col("purchase_id") >= 0)  # drop the sentinel rows
@@ -607,6 +644,12 @@ def stream_stream_full_outer_attribution(spark, sf_dir):
         )
         finished = handle.awaitTermination(300)
         assert finished, "full-outer attribution run did not finish in 300 s"
+    # r11 (ADVICE r10 #1): same loud-failure invariant as the left-
+    # outer drain — the no-data batch must have flushed dangling rows.
+    assert (
+        spark.table(tbl).filter(F.col("click_id").isNull()).limit(1).count()
+        == 1
+    ), "full-outer join flushed no null-side rows — no-data batch missing?"
     return (
         spark.table(tbl)
         # drop sentinel rows on EITHER side (negative synthetic ids)
@@ -4584,8 +4627,20 @@ def deltalog_inline_dv_audit(spark, sf_dir):
             gstats["n"] == expected.count() and gstats["n_dead"] == 0
         )
         before_keys = got.select("o_orderkey")
+        # r11 (ADVICE r10 #3): before_keys is a LAZY plan over the
+        # pre-purge snapshot's part files, executed (diff.count())
+        # only after purge() rewrites the table. That is correct
+        # because purge only TOMBSTONES superseded files (vacuum is a
+        # separate, never-called-here op) — pin that assumption with a
+        # driver-side existence check so a future vacuum-on-purge
+        # turns this audit red instead of silently reading nothing.
+        pre_purge_files = list(t._snapshot().files.keys())
         t.purge()  # materialize DVs into rewritten files
         snap2 = t._snapshot()
+        assert all(
+            os.path.exists(os.path.join(table_dir, rel))
+            for rel in pre_purge_files
+        ), "purge physically deleted superseded files; before_keys is stale"
         no_dvs = not any(
             a.get("deletionVector") for a in snap2.files.values()
         )

@@ -67,6 +67,15 @@ def get_spark(
         # commit stats). Standard µs timestamps restore both.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
+        # r11 (ADVICE r10 #1): the outer/full-outer attribution drains
+        # rely on the engine's automatic no-data micro-batch under
+        # availableNow to flush buffered outer rows after the last
+        # sentinel advanced the watermark. That batch is governed by
+        # this conf (default true today, but config/version-contingent)
+        # — pin it explicitly so a changed default can never silently
+        # drop unmatched rows; the drains additionally assert at least
+        # one null-side row was flushed (queries/pipeline.py).
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         # r10 OPT (guide §1.2 per-task work, fleet-wide): the codegen
         # class cache is a STATIC conf defaulting to 100 entries; a
         # 380-query inventory churns far past that, so every query —

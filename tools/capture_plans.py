@@ -29,7 +29,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from lakehouse_for_data_streaming_and_analysis_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(REPO, "plans", "r10")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+)
 
 
 def main() -> None:
