@@ -89,8 +89,23 @@ def logreg_fit(
         # measured 2x SLOWER here — the BroadcastNestedLoopJoin under
         # the aggregate breaks whole-stage fusion of the scan+partial
         # agg, which costs more than the per-iteration Janino compile
-        # saves on this 21-aggregate expression. Literals stay.
-        m = _margin(list(theta[:d]), float(theta[d]), cols)
+        # saves on this 21-aggregate expression.
+        # r11 OPT (guide §1.2 per-task work / VERDICT r10 #5 follow-
+        # up): theta ships as ONE ARRAY literal instead of d+1 scalar
+        # literals. Scalar double literals are inlined into the
+        # generated source (new source text -> a fresh Janino compile
+        # EVERY iteration, ~0.15-0.25 s x iters even "warm"); an
+        # array-typed literal lands in the codegen references array,
+        # so all iterations share byte-identical generated code — the
+        # codegen-cache win the broadcast variant wanted, with no join
+        # to break scan+agg fusion. element_at(th, j) reads the same
+        # IEEE doubles in the same order as the scalar form, so the
+        # Newton trajectory is bit-identical (oracle + paired-replay
+        # verified).
+        th = F.lit([float(v) for v in theta])
+        m = F.element_at(th, d + 1)
+        for j in range(d):
+            m = m + F.element_at(th, j + 1) * F.col(cols[j])
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
         resid = p - F.col(ycol)
         w_ii = p * (F.lit(1.0) - p)

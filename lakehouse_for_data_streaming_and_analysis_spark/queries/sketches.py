@@ -69,11 +69,24 @@ from ..operators.sketches import dd_estimate as _dd_estimate  # noqa: E402
 _GAMMA_SQL = repr(_GAMMA)
 
 
-def _dd_quantiles(df, key_cols, value_col, qs):
-    """(key, q) -> DDSketch quantile estimate + the exact rank r and
-    rank-quantile x_r it must approximate. The sketch path is the
-    grouped bucket-count table; the exact path (row_number sort) is
-    the verification scaffold the sketch replaces at scale."""
+def _dd_quantiles(df, key_cols, value_col, qs, with_exact=True):
+    """(key, q) -> DDSketch quantile estimate + (with_exact) the exact
+    rank r and rank-quantile x_r it must approximate. The sketch path
+    is the grouped bucket-count table; the exact path (row_number
+    sort) is the verification scaffold the sketch replaces at scale.
+
+    r11 OPT (guide §1.2 / §2.4): the r10 form built one
+    filter→groupBy branch PER quantile and unioned them — every
+    branch re-derived the whole scan→bucket→groupBy→window subtree
+    (inter_event_gap paid the per-user LAG shuffle 3x for its 3
+    quantiles). All picks now come from ONE aggregate over ONE sketch
+    table — min(when(cum >= r, b)) per quantile is exactly the old
+    filter+min — melted back to (key, q) rows with stack(). Estimates
+    and ranks are value-identical (same doubles through the same
+    bucket algebra; oracle-verified at three SFs). ``with_exact=False``
+    skips the sort scaffold for callers that discard x_r (mad's
+    pass-1 median) — the emitted columns for those callers are
+    unchanged."""
     pos = df.filter(F.col(value_col) > 0)
     sk = (
         pos.withColumn("__b", _dd_bucket(F.col(value_col)))
@@ -89,24 +102,30 @@ def _dd_quantiles(df, key_cols, value_col, qs):
     sk = sk.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
         "__n", F.sum("__c").over(wall)
     )
-    picks = None
+    aggs = [F.max("__n").alias("__n")]
     for tag, qq in qs:
         r = F.ceil(F.lit(qq) * F.col("__n")).cast("long")
-        p = (
-            sk.filter(F.col("__cum") >= r)
-            .groupBy(*key_cols)
-            .agg(
-                F.min("__b").alias("__pb"),
-                F.first(r).alias("__r"),
-            )
-            .select(
-                *key_cols,
-                F.lit(tag).alias("__q"),
-                _dd_estimate(F.col("__pb")).alias("__est"),
-                F.col("__r"),
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= r, F.col("__b"))).alias(
+                f"__pb_{tag}"
             )
         )
-        picks = p if picks is None else picks.unionByName(p)
+        aggs.append(F.max(r).alias(f"__r_{tag}"))
+    pk = sk.groupBy(*key_cols).agg(*aggs)
+    melt = ", ".join(f"'{tag}', __pb_{tag}, __r_{tag}" for tag, _ in qs)
+    picks = pk.select(
+        *key_cols,
+        "__n",
+        F.expr(f"stack({len(qs)}, {melt}) as (__q, __pb, __r)"),
+    ).select(
+        *key_cols,
+        "__n",
+        "__q",
+        _dd_estimate(F.col("__pb")).alias("__est"),
+        "__r",
+    )
+    if not with_exact:
+        return picks
     # exact rank-quantile x_r (the sorted path the sketch replaces)
     wr = Window.partitionBy(*key_cols).orderBy(value_col)
     ranked = pos.select(
@@ -123,6 +142,7 @@ def _dd_quantiles(df, key_cols, value_col, qs):
         j.filter(F.col("__rn") == F.col("__r"))
         .select(
             *key_cols,
+            "__n",
             "__q",
             "__est",
             F.col("__v").alias("__exact_rank_value"),
@@ -174,21 +194,20 @@ def ddsketch_quantiles_gate(spark, sf_dir):
     got = _dd_quantiles(
         ev, ["event_type"], "value", [("p50", 0.5), ("p99", 0.99)]
     )
-    n = (
-        ev.filter(F.col("value") > 0)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_values"))
-    )
+    # r11 OPT: n_values is the sketch's own per-key total (__n), so
+    # the separate count-scan of events drops out; value-identical by
+    # construction (both are COUNT of value > 0 rows per key).
     wide = got.groupBy("event_type").pivot(
         "__q", ["p50", "p99"]
     ).agg(
         F.first("__est").alias("est"),
         F.first("__exact_rank_value").alias("xr"),
+        F.first("__n").alias("n"),
     )
     tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
-    return n.join(wide, "event_type").select(
+    return wide.select(
         "event_type",
-        "n_values",
+        F.col("p50_n").cast("long").alias("n_values"),
         F.round("p50_est", 6).alias("dd_p50"),
         F.round("p99_est", 6).alias("dd_p99"),
         (
@@ -255,10 +274,13 @@ def inter_event_gap_sketch_quantiles(spark, sf_dir):
     got = _dd_quantiles(
         gaps, [], "gap", [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
     )
-    n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+    # r11 OPT: n_gaps comes from the sketch's __n — the separate
+    # count-pass over the LAG window (a full shuffle+sort of events)
+    # drops out; value-identical (both count gap > 0 rows).
     wide = got.groupBy().pivot("__q", ["p50", "p95", "p99"]).agg(
         F.first("__est").alias("est"),
         F.first("__exact_rank_value").alias("xr"),
+        F.first("__n").alias("n"),
     )
     tol = F.lit(_ALPHA) * (F.lit(1.0) + F.lit(1e-9))
 
@@ -268,8 +290,8 @@ def inter_event_gap_sketch_quantiles(spark, sf_dir):
             <= tol * F.col(f"{tag}_xr")
         ).alias(f"{tag}_within_alpha")
 
-    return n.crossJoin(wide).select(
-        "n_gaps",
+    return wide.select(
+        F.col("p50_n").cast("long").alias("n_gaps"),
         F.round("p50_est", 6).alias("dd_p50_sec"),
         F.round("p95_est", 6).alias("dd_p95_sec"),
         F.round("p99_est", 6).alias("dd_p99_sec"),
@@ -333,9 +355,18 @@ def mad_ddsketch_by_type(spark, sf_dir):
         .select("event_type", "value")
         .filter(F.col("value") > 0)
     )
+    # r11 OPT: pass-1 discards the exact-rank scaffold (x_r gates only
+    # pass 2), so skip its full per-key sort+join (with_exact=False —
+    # emitted median values unchanged); localCheckpoint the 5-row
+    # median table so the dev pass and the final join don't each
+    # recompute the pass-1 sketch subtree (eager=False: materializes
+    # inside the first consuming job, no extra action).
     med = (
-        _dd_quantiles(ev, ["event_type"], "value", [("p50", 0.5)])
+        _dd_quantiles(
+            ev, ["event_type"], "value", [("p50", 0.5)], with_exact=False
+        )
         .select("event_type", F.col("__est").alias("median_est"))
+        .localCheckpoint(eager=False)
     )
     dev = (
         ev.join(F.broadcast(med), "event_type")

@@ -112,7 +112,35 @@ def quality_classifier_scores(spark, sf_dir, iters: int = 10):
     # checkpoint BEFORE standardize: the token-array folds are the
     # expensive pass, and standardize's stats aggregate would
     # otherwise recompute them (measured 3.2s -> 0.9s at sf0.1)
-    raw = classifier_features(docs).localCheckpoint(eager=True)
+    # r11 OPT (guide §2.2 fewer-larger partitions): the checkpointed
+    # WORKING SET is 6 narrow doubles per doc (~48 B/row) — tiny next
+    # to the token-fold pass that builds it — yet the 11 downstream
+    # 1-row aggregate jobs (stats + 10 IRLS iterations) each scheduled
+    # 32 tasks over it. Squeeze the checkpoint to a size-derived
+    # width (rows*48 B / 64 MB, floor 1, cap 2x cores — same clamp as
+    # the graph iteratives): at bench SFs that is ONE partition, so
+    # every iteration job is 2 tasks instead of 33 (measured ~6.5 ->
+    # ~3.0 s at sf0.1); a 100 TB corpus (~1e9+ docs) derives a
+    # cluster-width layout. The feature pass itself keeps the full
+    # fanout — the repartition sits above it. IRLS per-partition sum
+    # order changes (float low bits, ~1e-15 relative on theta); the
+    # emitted scores are ROUND(_, 4) and re-verified vs the oracle at
+    # three SFs, and tests/test_classifier.py pins the trajectory vs
+    # the dense replay at 1e-6.
+    from ..catalog import table_rows
+
+    _parts = max(
+        1,
+        min(
+            table_rows(sf_dir, "documents") * 48 // (64 << 20) + 1,
+            2 * spark.sparkContext.defaultParallelism,
+        ),
+    )
+    raw = (
+        classifier_features(docs)
+        .repartition(_parts)
+        .localCheckpoint(eager=True)
+    )
     feats = classifier.standardize(raw, XCOLS)
     model = classifier.logreg_fit(feats, XCOLS, "label", iters=iters)
     score = classifier.logreg_score(feats, model, XCOLS)
