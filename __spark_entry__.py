@@ -528,68 +528,80 @@ DRIVER_GREEN = (
 )
 
 # This round's 50-query verification window, in check order.
-# OPTIMIZATION ROUND 10 WINDOW (changed-first rule): positions 1-35
-# are the queries whose execution internals this round touched — new
-# scan fan-outs, the xxhash64 internal gram keys, the consolidated
-# streaming sentinels + 2-state-partition pin, the DeltaishTable
-# merge/delete/update job-count reductions, and the graph-iterative
-# shuffle pins — so their old greens no longer bind the shipped code.
-# Positions 36-50 carry over the highest-value re-verifies from the
-# pre-round window (the r9 tie fixes and the ANN/semdedup instrument
-# rewrites). Every change was additionally value-verified against the
-# DuckDB oracle at sf0.001/0.01/0.1 via tools/driver_sim.py before
-# landing (OPTIMIZATION_r10.md).
+# OPTIMIZATION ROUND 11 WINDOW (VERDICT r10 next-round item #1):
+# positions 1-26 are the mean_6dp/integer-daily-mean migrated
+# timeseries/windowlab queries whose last driver green predates the
+# pre-r10 migration commit (0901430) — the union of every query whose
+# implementation now calls functions/exact.mean_6dp (17 sites;
+# hurst_exponent_rs and price_reconstruction re-verified green in
+# r10's window and so rotate out) and the daily-mean-adjacent set the
+# r10 VERDICT named explicitly (twap/rsi/drawdown/realized-vol/
+# rolling-median/moving-avg/yoy/zscore/backlog). Positions 27-46 are
+# the queries whose execution internals round 11 touched (changed-
+# first rule): the DDSketch single-pass picks, the array-literal IRLS
+# + derived checkpoint width, the in-stream CDF aggregate, the
+# xor-rotate gram keys, the gated fan-outs (bloom/poisson), the
+# data-derived graph widths, the outer-drain flush invariants +
+# atomic replay builders, and the inline-DV purge assert. Positions
+# 47-50 carry the highest-value no-drift re-verifies (the catalog
+# handle-cache touches every query's load path — star and
+# session-window pin it, plus the two streaming carriers). Every r11
+# change was additionally value-verified against the DuckDB oracle
+# via tools/driver_sim.py before landing (OPTIMIZATION_r11.md).
 WINDOW_PRIORITY = (
-    "poisson_bootstrap_mean_ci",
-    "bloom_prefilter_join",
+    # -- migrated, driver-unverified since 0901430 ------------------
+    "ewma_daily_value",
+    "twap_daily",
+    "rsi_14day",
+    "holt_linear_forecast",
+    "holt_winters_seasonal",
+    "kalman_local_level",
+    "max_drawdown_by_type",
+    "realized_vol_monthly",
+    "rolling_median_value",
+    "beta_vs_market",
+    "monthly_revenue_moving_avg",
+    "yoy_revenue_growth",
+    "zscore_anomaly_days",
+    "open_order_backlog",
+    "winsorized_value_stats",
+    "macd_crossover_days",
+    "newey_west_tstat",
+    "roll_spread_estimator",
+    "runs_test_randomness",
+    "sharpe_sortino_by_type",
+    "spearman_kendall_daily",
+    "theil_sen_daily_trend",
+    "variance_ratio_test",
+    "ntile_value_bands",
+    "pivot_dow_multi_agg",
+    "weekday_hour_heatmap",
+    # -- round-11 touched execution internals -----------------------
+    "mad_ddsketch_by_type",
+    "ddsketch_quantiles_gate",
+    "inter_event_gap_sketch_quantiles",
+    "quality_classifier_scores",
+    "cdf_stream_consume",
     "exact_substring_span_dedup",
     "exact_substring_dup_coverage",
-    "kmeans_embedding_clusters",
-    "quality_classifier_scores",
-    "stream_stream_attribution_join",
-    "stream_stream_outer_attribution",
-    "stream_stream_full_outer_attribution",
-    "streaming_session_final_state",
-    "streaming_bronze_final_state",
-    "streaming_dedup_final_state",
-    "streaming_state_audit",
-    "cdf_stream_consume",
-    "cdf_incremental_view_maintenance",
-    "deltalog_snapshot_audit",
-    "deltalog_inline_dv_audit",
-    "deltalog_merge_matrix_audit",
-    "deltalog_merge_evolution_audit",
-    "deltalog_cdf_merge_feed",
-    "deltalog_row_tracking_audit",
-    "deltalog_update_audit",
-    "deltalog_mor_delete_audit",
-    "deltalog_skipping_audit",
-    "deltalog_dynamic_overwrite_audit",
-    "deltalog_replace_where_audit",
-    "deltalog_zorder_audit",
-    "deltalog_compaction_audit",
-    "scd2_dimension_evolution",
-    "scd2_as_of_snapshot",
-    "cdc_apply_profile",
+    "bloom_prefilter_join",
+    "poisson_bootstrap_mean_ci",
     "pagerank_user_influence",
     "label_propagation_rounds",
     "dedup_components",
     "neardup_canonical_selection",
-    "price_reconstruction",
-    "hurst_exponent_rs",
-    "schema_drift_audit",
-    "semdedup_cluster_prune",
-    "ann_recall_audit",
-    "ann_brute_force_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
+    "stream_stream_outer_attribution",
+    "stream_stream_full_outer_attribution",
+    "stream_stream_attribution_join",
+    "streaming_bronze_final_state",
+    "streaming_dedup_final_state",
+    "deltalog_inline_dv_audit",
+    "kmeans_embedding_clusters",
+    # -- no-drift pins for the fleet-wide catalog change -------------
+    "star_revenue_by_nation_month",
+    "streaming_session_final_state",
     "sessionize_user_events",
-    "value_range_window_sum",
-    "aggnav_priority_rollup",
-    "atr_14day",
-    "on_balance_volume",
-    "stochastic_oscillator_14d",
-    "winnow_fingerprints",
+    "token_counts",
 )
 
 

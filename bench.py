@@ -183,6 +183,49 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             warm[name] = round(time.perf_counter() - t0, 4)
+    # r11 (VERDICT r10 #9): STEAL-WAVE OUTLIER ANNOTATION, additions
+    # only — the timed loop, its per-query numbers, the stdout
+    # contract line and the steal guard are all unchanged. The r10
+    # record shipped a localized steal wave (+36 s over five adjacent
+    # sketch queries) that paired re-runs showed at parity; this pass
+    # makes that evidence part of the artifact: any query whose kept
+    # time exceeds 2x its committed prior (the bench_timings.json this
+    # run is about to replace) is re-measured once, OUTSIDE the timed
+    # loop, and recorded under "outliers" alongside the kept time and
+    # the prior. Bounded (20 re-runs max), logged to stderr; readers
+    # of the official numbers can then separate a plan regression
+    # (re-measure confirms) from a steal wave (re-measure at parity).
+    prior_path = os.path.join(REPO, "bench_timings.json")
+    prior_q: dict = {}
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+        if str(prior.get("sf")) == str(sf):
+            prior_q = prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    outliers: dict[str, dict] = {}
+    for name, t_kept in timings.items():
+        p = prior_q.get(name)
+        if (
+            isinstance(p, (int, float))
+            and p > 0
+            and t_kept > 2.0 * p
+            and len(outliers) < 20
+        ):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            re_t = round(time.perf_counter() - t0, 4)
+            outliers[name] = {
+                "timed": t_kept,
+                "remeasure": re_t,
+                "prior": p,
+            }
+            print(
+                f"# outlier {name}: timed {t_kept}s > 2x prior {p}s, "
+                f"re-measure {re_t}s",
+                file=sys.stderr,
+            )
     with open(os.path.join(REPO, "bench_timings.json"), "w") as f:
         json.dump(
             {
@@ -191,6 +234,7 @@ def main() -> None:
                 "env": env,
                 "queries": timings,
                 "jit_heavy_warm": warm,
+                "outliers": outliers,
             },
             f,
             indent=1,

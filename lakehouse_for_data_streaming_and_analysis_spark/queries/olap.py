@@ -1127,24 +1127,82 @@ def incremental_dedup_bloom(spark, sf_dir):
             F.array(*[pos(F.col("text"), i) for i in range(4)])
         ).alias("b")
     ).distinct()
-    probe = nw.select(
-        "doc_id",
-        "text",
-        *[pos(F.col("text"), i).alias(f"b{i}") for i in range(4)],
-    )
-    passed = probe
-    for i in range(4):
-        passed = passed.join(
-            F.broadcast(bits.withColumnRenamed("b", f"__bb{i}")),
-            F.col(f"b{i}") == F.col(f"__bb{i}"),
-            "left_semi",
+    # r11 OPT (guide §1.2/§2.4): the r10 form ran THREE separate count
+    # jobs (n_new / n_cand / n_true) over overlapping pipelines and
+    # probed membership with FOUR chained broadcast left-semi joins.
+    # Pack the bit set into one broadcast word array (the same
+    # packed-bloom probe bloom_prefilter_join uses — membership is a
+    # pure bitwise expression, identical semantics to the per-position
+    # semi-joins) and mark true duplicates with one broadcast left
+    # join; all five output scalars then come from ONE aggregate job.
+    # n_true counts sum(__dup) over all new docs — identical to the
+    # old semi-join-after-bloom count because a true duplicate always
+    # passes the bloom (no false negatives). Values oracle-verified.
+    words = (
+        bits.select(
+            F.floor(F.col("b") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(b, 64) AS INT))"
+            ).alias("bit"),
         )
-    n_new = nw.count()
-    n_cand = passed.count()
-    n_true = (
-        passed.select("doc_id", "text")
-        .join(F.broadcast(old.distinct()), "text", "left_semi")
-        .count()
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bloom = (
+        spark.range(_BLOOM_M // 64)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(w, word))), "
+                "s -> s.word)"
+            ).alias("__bloom")
+        )
+    )
+    dup = old.distinct().withColumn("__dup", F.lit(1))
+    probed = (
+        nw.withColumn("__h", F.md5(F.col("text")))
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            "text",
+            *[
+                F.pmod(
+                    F.conv(F.substring("__h", 1 + 8 * i, 8), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(_BLOOM_M),
+                ).alias(f"__b{i}")
+                for i in range(4)
+            ],
+            "__bloom",
+        )
+    )
+    hit = None
+    for i in range(4):
+        h = F.expr(
+            f"element_at(__bloom, CAST(floor(__b{i} / 64) AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__b{i}, 64) AS INT)) != 0"
+        )
+        hit = h if hit is None else (hit & h)
+    row = (
+        probed.withColumn("__hit", hit)
+        .join(F.broadcast(dup), "text", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit"), 1)), F.lit(0)
+            ).alias("n_cand"),
+            F.coalesce(
+                F.sum(F.when(F.col("__dup") == 1, 1)), F.lit(0)
+            ).alias("n_true"),
+        )
+        .collect()[0]
+    )
+    n_new, n_cand, n_true = (
+        int(row["n_new"]),
+        int(row["n_cand"]),
+        int(row["n_true"]),
     )
     return spark.createDataFrame(
         [

@@ -1695,35 +1695,48 @@ def cdf_stream_consume(spark, sf_dir):
             ["o_orderkey"],
         )
         cdf_stream.register(spark)
-        out = os.path.join(root, "out")
-        q_handle = (
-            spark.readStream.format("deltaish_cdf")
-            .option("path", t.path)
-            .load()
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", os.path.join(root, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q_handle.awaitTermination(300):
-            q_handle.stop()
-            raise TimeoutError(
-                "cdf_stream_consume did not drain within 300s"
-            )
-        rows = (
-            spark.read.parquet(out)
-            .groupBy(F.col("_change_type").alias("change_type"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.round(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        # r11 OPT (guide §1.2 / VERDICT r10 #10): the r10 form wrote
+        # EVERY change row to a parquet sink and re-read the files to
+        # aggregate — one write job (+ commit) and one scan that exist
+        # only to move rows between two jobs of the same query. The
+        # 3-group aggregate now runs INSIDE the StreamingQuery
+        # (complete mode, memory sink): the CDF source still delivers
+        # every change row through the micro-batch engine, the state
+        # is 3 groups (memory sink holds 3 rows — scale-safe, unlike a
+        # memory sink of the raw feed), and the parquet round-trip
+        # drops out. Same aggregation expressions, same 3 output rows
+        # (oracle-verified); _pinned_shuffle keeps the tiny aggregate
+        # from opening 32 state stores.
+        tbl = f"cdf_consume_{uuid.uuid4().hex[:12]}"
+        with _pinned_shuffle(spark):
+            q_handle = (
+                spark.readStream.format("deltaish_cdf")
+                .option("path", t.path)
+                .load()
+                .groupBy(F.col("_change_type").alias("change_type"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.round(
+                        F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                        2,
+                    )
+                    .cast("double")
+                    .alias("total_price"),
                 )
-                .cast("double")
-                .alias("total_price"),
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(tbl)
+                .option("checkpointLocation", os.path.join(root, "ck"))
+                .trigger(availableNow=True)
+                .start()
             )
-            .collect()
-        )
+            if not q_handle.awaitTermination(300):
+                q_handle.stop()
+                raise TimeoutError(
+                    "cdf_stream_consume did not drain within 300s"
+                )
+        rows = spark.table(tbl).collect()
+        spark.catalog.dropTempView(tbl)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
